@@ -1,0 +1,337 @@
+"""Deduplication operators over the ``documents`` / ``events`` tables.
+
+Five families, as a large-scale training-data pipeline needs them:
+
+1. exact dedup — hash-groupBy on a content fingerprint (md5);
+2. keyed latest-wins dedup — window row_number over (key, ts desc);
+3. n-gram Jaccard near-dup — exact set similarity on blocked candidate
+   pairs (the oracle-able baseline);
+4. MinHash + LSH banding — the 100 TB path: signatures + band-bucket
+   equi-join generate candidates in O(n·bands) instead of O(n²);
+5. SimHash — 64-bit sign-hash + pigeonhole chunk blocking for
+   Hamming-distance near-dup.
+
+Scale notes: every candidate-generation step here is an equi-join or
+hash aggregation (shuffle on a hash-uniform key — no skew); bucket
+sizes are capped (``_MAX_BUCKET``) so a degenerate bucket can never go
+quadratic; verification joins fetch shingle sets by doc_id (hash join).
+Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+# --- shared text→shingle plumbing (word 3-shingles) ------------------------
+
+def _tokens():
+    return F.split(F.lower(F.col("text")), r"\s+")
+
+
+def _jaccard():
+    return (
+        F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
+        / F.size(F.array_union("a_sh", "b_sh"))
+    ).alias("jaccard")
+
+
+def _with_shingles(docs: DataFrame) -> DataFrame:
+    """doc_id + distinct word-3-shingle array (docs with ≥3 tokens)."""
+    return (
+        docs.select("doc_id", _tokens().alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.expr(
+                "array_distinct(transform(sequence(0, size(w)-3),"
+                " i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))"
+            ).alias("shingles"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. Exact dedup via content fingerprint
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_fingerprint",
+    oracle="""
+    SELECT md5(text) AS fingerprint,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by md5(text), keep the lowest doc_id.
+
+    At 100 TB this is ONE shuffle on a 128-bit uniform key (no skew);
+    the fingerprint is computed JVM-side in codegen.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("fingerprint"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_distinct_user_event",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def dedup_distinct_user_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DISTINCT (dropDuplicates on a key subset)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select("user_id", "event_type").distinct()
+
+
+# ---------------------------------------------------------------------------
+# 2. Keyed latest-wins dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_latest_event_per_user_type",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value
+    FROM (
+      SELECT user_id, event_type, event_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_latest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins dedup: keep the newest event per (user, type).
+
+    One shuffle on the dedup key; row_number (not orderBy+drop) so ties
+    resolve deterministically via event_id.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. Exact n-gram Jaccard near-dup on blocked candidate pairs (oracle-able)
+# ---------------------------------------------------------------------------
+
+_NGRAM_WINDOW = 100  # candidate window: pairs within 100 doc_ids
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w)-1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+            FROM documents)
+      WHERE len(w) >= 3
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b
+      ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + {_NGRAM_WINDOW}
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard ≥ 0.5 over id-blocked candidate pairs.
+
+    The range condition (b within 100 ids of a) is rewritten as an
+    EQUI-join by enumerating offsets 1..100 — Spark turns what would be
+    a broadcast-nested-loop range join into a hash join that scales.
+    (The unblocked scale path is MinHash-LSH below; this operator is the
+    exact baseline the oracle can verify.)
+    """
+    sh = _with_shingles(load_table(spark, sf_dir, "documents"))
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("a_sh"),
+        F.explode(F.sequence(F.lit(1), F.lit(_NGRAM_WINDOW))).alias("off"),
+    ).withColumn("doc_b", F.col("doc_a") + F.col("off"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("b_sh"))
+    return (
+        a.join(b, "doc_b")
+        .select("doc_a", "doc_b", _jaccard())
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. MinHash + LSH banding (the scale path; deterministic, rows-only check)
+# ---------------------------------------------------------------------------
+
+_MERSENNE = 2147483647  # 2^31 - 1
+_K = 32                 # signature length
+_BANDS = 8              # 8 bands × 4 rows
+_ROWS = _K // _BANDS
+_MAX_BUCKET = 64        # cap pairs per LSH bucket (skew guard)
+
+_rng = random.Random(42)
+_MINHASH_AB = [( _rng.randrange(1, _MERSENNE), _rng.randrange(0, _MERSENNE))
+               for _ in range(_K)]
+
+
+@register("dedup_minhash_lsh")  # hash-based: not SQL-expressible → rows-only
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH(8 bands × 4) near-dup candidates, verified with
+    exact Jaccard ≥ 0.5. Deterministic: xxhash64 base hash + fixed
+    (a,b) permutation constants (seed 42).
+
+    Scale design: O(n) signature computation (one aggregation over
+    exploded shingles), O(n·bands) bucket join, bucket size capped at
+    {cap} so a degenerate bucket cannot go quadratic, exact-verify only
+    on candidates. This is the 100 TB replacement for the O(n²)
+    all-pairs scan in ``dedup_ngram_jaccard``.
+    """
+    sh = _with_shingles(load_table(spark, sf_dir, "documents"))
+
+    # signature: per doc, K minima over permuted shingle hashes
+    base = sh.select(
+        "doc_id", F.explode("shingles").alias("s")
+    ).select("doc_id", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE)).alias("h"))
+    sig_cols = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE))).alias(f"m{k}")
+        for k, (a, b) in enumerate(_MINHASH_AB)
+    ]
+    sigs = base.groupBy("doc_id").agg(*sig_cols)
+
+    # bands: hash r consecutive signature values per band → (band, bucket)
+    band_hashes = F.array(
+        *[
+            F.xxhash64(F.lit(bi), *[f"m{bi * _ROWS + r}" for r in range(_ROWS)]).alias(
+                f"b{bi}"
+            )
+            for bi in range(_BANDS)
+        ]
+    )
+    buckets = sigs.select("doc_id", F.posexplode(band_hashes).alias("band", "bucket"))
+
+    # candidate pairs: docs sharing a (band, bucket); cap bucket size
+    grouped = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= _MAX_BUCKET))
+    )
+    pairs = (
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .distinct()
+    )
+
+    # exact-verify candidates
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("a_sh"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("b_sh"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", _jaccard())
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+dedup_minhash_lsh.__doc__ = dedup_minhash_lsh.__doc__.format(cap=_MAX_BUCKET)
+
+
+# ---------------------------------------------------------------------------
+# 5. SimHash near-dup (Hamming ≤ 6 via 4×16-bit pigeonhole blocking)
+# ---------------------------------------------------------------------------
+
+_SIM_BITS = 64
+_CHUNKS = 4
+_HAMMING_MAX = 6
+
+
+@register("dedup_simhash")  # hash-based → rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64) near-dup: sign-sum signature over token hashes,
+    candidates from 16-bit chunk equality (pigeonhole: hamming ≤ 6 with
+    4 chunks guarantees ≥1 equal chunk... for hamming ≤ 3; we block on
+    any-equal-chunk and verify ``bit_count(xor) ≤ 6`` exactly, so the
+    result is a deterministic subset of true pairs — the standard
+    recall/cost trade).
+
+    All signature math is JVM-side bit arithmetic (shiftright/bit_count);
+    one aggregation + one equi-join on (chunk_idx, chunk_value).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tokens()).alias("t")).select(
+        "doc_id", F.xxhash64("t").alias("h")
+    )
+    # per bit j: count(+1 if bit set else -1) > 0  →  bit j of signature
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(_SIM_BITS)
+        ]
+    )
+    sig = bit_sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"s{j}") > 0, F.lit(1).cast("long") * (1 << j)).otherwise(0)
+                for j in range(_SIM_BITS - 1)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("sig"),  # bit 63 left clear to stay in signed-long range
+    )
+
+    chunks = sig.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sig"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(_CHUNKS)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "chunk_idx", "chunk_val"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "chunk_idx", "chunk_val"
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+        .distinct()
+    )

@@ -1,0 +1,65 @@
+"""JSON extraction over semi-structured columns (events.props).
+
+The fixture ``events.props`` holds JSON text (``{"k": <int>}``). At
+100 TB scale JSON parsing happens executor-side inside codegen'd
+expressions (``get_json_object`` / ``from_json``) — never in Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.deterministic import davg, dsum, sql_davg, sql_dsum
+from ..registry import register
+from ..tables import load_table
+
+
+@register(
+    "json_props_by_event_type",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+             / COUNT(props) AS avg_k,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_props_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract ``props.k`` (JSON path) and aggregate per event type."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            (F.sum("k").cast("double") / F.count("props")).alias("avg_k"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "json_from_json_struct",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+    """,
+)
+def json_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parse via from_json(StructType) then filter on the
+    extracted field (predicate evaluated post-parse, codegen'd)."""
+    e = load_table(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    return (
+        e.withColumn("parsed", F.from_json("props", schema))
+        .select("event_id", F.col("parsed.k").alias("k"))
+        .filter(F.col("k") > 90)
+    )

@@ -1,0 +1,183 @@
+"""Multimodal columns: opaque ``binary`` payloads + typed metadata,
+processed via Arrow-batched Pandas UDFs (``mapInPandas``).
+
+The container has no image/audio codecs, so the DECODE step is stubbed
+(deterministic fake derived from the payload bytes; the real-codec call
+site raises ``NotImplementedError`` and is clearly marked). Everything
+around the stub — binary column fabrication, schema, partition-batch
+shape, UDF signature, explode of per-frame rows — is real Spark
+plumbing, tested and sized the way a 100 TB media pipeline would be
+(binary payloads stay in Arrow record batches end-to-end; metadata-only
+columns are pruned before the UDF so only the bytes that must cross the
+JVM→Python boundary do).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+
+def real_decode_image(payload: bytes):
+    """Real codec call site — requires PIL/libvips, not in this image.
+
+    STUB: raises. ``fake_decode_meta`` below is the deterministic
+    stand-in the pipeline runs with.
+    """
+    raise NotImplementedError(
+        "image decoding requires a codec library (PIL/libvips) that is "
+        "not installed in this environment; the pipeline uses the "
+        "deterministic fake decoder instead"
+    )
+
+
+def fake_decode_meta(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake decode: (width, height, n_frames) derived from
+    payload bytes — a stand-in with the same output contract a real
+    decoder would have."""
+    n = len(payload)
+    width = 64 + (payload[0] if n else 0) % 192
+    height = 64 + (payload[-1] if n else 0) % 128
+    n_frames = 1 + n % 7
+    return width, height, n_frames
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Fabricate the multimodal shape from the documents fixture:
+    binary payload + typed metadata struct (media_type, byte length)."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.when(F.col("doc_id") % 3 == 0, "image")
+            .when(F.col("doc_id") % 3 == 1, "audio")
+            .otherwise("video")
+            .alias("media_type"),
+            F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "multimodal_payload_stats",
+    oracle="""
+    SELECT media_type,
+           COUNT(*) AS n,
+           SUM(n_bytes) AS total_bytes,
+           MIN(n_bytes) AS min_bytes,
+           MAX(n_bytes) AS max_bytes
+    FROM (
+      SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    ) GROUP BY media_type
+    """,
+)
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata aggregation over binary payloads — stays entirely
+    JVM-side (octet_length is codegen'd; no payload crosses to Python)."""
+    d = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return (
+        d.select(F.col("meta.media_type").alias("media_type"), F.col("meta.n_bytes").alias("n_bytes"))
+        .groupBy("media_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.min("n_bytes").alias("min_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+        )
+    )
+
+
+_DECODE_SCHEMA = (
+    "doc_id long, media_type string, width int, height int, n_frames int"
+)
+
+
+def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: Arrow batches in → decoded-metadata batches out.
+
+    Vector shape: one pandas apply per batch (the per-payload work is
+    where a real decoder call would sit)."""
+    for pdf in it:
+        meta = pdf["payload"].map(fake_decode_meta)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "width": meta.map(lambda m: m[0]).astype("int32"),
+                "height": meta.map(lambda m: m[1]).astype("int32"),
+                "n_frames": meta.map(lambda m: m[2]).astype("int32"),
+            }
+        )
+
+
+@register(
+    "multimodal_decode_meta",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(64 + ascii(substring(text, 1, 1)) % 192 AS INTEGER) AS width,
+           CAST(64 + ascii(substring(text, length(text), 1)) % 128 AS INTEGER) AS height,
+           CAST(1 + octet_length(encode(text)) % 7 AS INTEGER) AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode step through ``mapInPandas``: binary payloads cross the
+    Arrow boundary in batches, the (stubbed) decoder emits typed
+    metadata. The oracle replays the deterministic fake arithmetic in
+    SQL (fixture text is ASCII, so byte indexing == char indexing)."""
+    d = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    src = d.select("doc_id", F.col("meta.media_type").alias("media_type"), "payload")
+    return src.mapInPandas(_decode_batches, schema=_DECODE_SCHEMA)
+
+
+_FRAME_SCHEMA = "doc_id long, frame_idx int, frame_hash string"
+
+
+def _frame_sample_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame sampling: one output row per (deterministically) sampled
+    frame — the explode-shaped UDF a video pipeline needs."""
+    import hashlib
+
+    rows_doc, rows_idx, rows_hash = [], [], []
+    for pdf in it:
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            _, _, n_frames = fake_decode_meta(payload)
+            for i in range(n_frames):
+                rows_doc.append(doc_id)
+                rows_idx.append(i)
+                rows_hash.append(
+                    hashlib.md5(payload[i::n_frames] or b"\x00").hexdigest()
+                )
+        if rows_doc:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows_doc, dtype="int64"),
+                    "frame_idx": pd.Series(rows_idx, dtype="int32"),
+                    "frame_hash": pd.Series(rows_hash, dtype="object"),
+                }
+            )
+            rows_doc, rows_idx, rows_hash = [], [], []
+
+
+@register("multimodal_frame_sample")  # python-side sampling → rows-only
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame fan-out (1 payload → n_frames rows) through mapInPandas,
+    deterministic stride sampling + frame hashing."""
+    d = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return d.select("doc_id", "payload").mapInPandas(
+        _frame_sample_batches, schema=_FRAME_SCHEMA
+    )

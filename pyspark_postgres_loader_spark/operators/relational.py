@@ -1,0 +1,626 @@
+"""Relational operator suite: scans, filters, joins, aggregations,
+windows, sorts/top-k, set ops, scalar expressions.
+
+The reference delegates ALL relational work to PySpark (SURVEY.md §2c-§2h
+— it implements none of these itself); this module is the explicit,
+tested surface our engine exposes for them. Every query is a declarative
+DataFrame/SQL composition — Catalyst handles pushdown, join strategy
+selection, partial aggregation, and whole-stage codegen.
+
+Scale notes (100 TB design):
+- Dimension tables (region/nation, filtered customer/supplier sides)
+  are broadcast explicitly — no shuffle of the fact table for them.
+- Fact-fact joins (lineitem ⋈ orders) shuffle on the join key once; AQE
+  handles skew and coalesces post-shuffle partitions.
+- Top-k is orderBy().limit() which Catalyst executes as
+  TakeOrderedAndProject (per-partition heap + driver merge of k rows,
+  never a global sort).
+- Aggregates are hash aggs with map-side partial aggregation; the
+  decimal-sum determinism pattern (functions/deterministic.py) keeps
+  them order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.deterministic import DEC, davg, dsum, sql_davg, sql_dsum
+from ..registry import register
+from ..tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-style pricing summary (scan → filter → agg → sort)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report: 2 group cols + 8 aggregates over lineitem.
+
+    Physical plan: parquet scan with the shipdate filter pushed down →
+    partial hash agg → single shuffle on (returnflag, linestatus) →
+    final hash agg → sort of ~6 rows. One shuffle total; survives any
+    scale factor because group cardinality is tiny and partial aggs
+    shrink data map-side.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way joins (TPC-H Q3 / Q5 style)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unshipped-orders revenue: 3-way join → agg → deterministic top-10.
+
+    The filtered customer side is small (1 of 5 market segments) →
+    broadcast, so the orders/lineitem fact join is the only shuffle.
+    Tie-break on l_orderkey makes the LIMIT deterministic.
+    """
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation where supplier and customer share the nation.
+
+    region/nation/supplier are bounded dimensions → broadcast joins; the
+    only shuffles are the two fact joins (orders⋈customer is fact⋈dim at
+    TPC-H ratios — customer is 1/10 of orders — but we let AQE decide
+    there rather than force a broadcast of an unbounded table).
+    """
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join variants: left outer, semi, anti
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_left_order_counts",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS order_count
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+
+
+@register(
+    "join_semi_big_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+    """,
+)
+def join_semi_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: orders having a line with quantity ≥ 49 (EXISTS)."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return o.join(l, o.o_orderkey == l.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_anti_idle_customers",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders (NOT EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation variants: global stats, distinct, rollup, cube, grouping sets,
+# pivot
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_global_stats",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+           {sql_dsum('l_extendedprice')} AS total_price
+    FROM lineitem
+    """,
+)
+def agg_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global aggregate: count, multi count-distinct, min/max, sum."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        dsum("l_extendedprice").alias("total_price"),
+    )
+
+
+@register(
+    "agg_rollup_flag_status",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals (flag, flag+status, grand total)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@register(
+    "agg_cube_flag_status",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations of (flag, status)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, {sql_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL API (Catalyst Expand operator)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n, {sql_dsum('o_totalprice')} AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "agg_pivot_status",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS O,
+           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot l_linestatus into columns (sum of quantity per cell)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number window (the scalable top-k idiom:
+    one shuffle on the partition key, no global sort)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "window_running_customer_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer (frame: unbounded preceding → current).
+
+    Decimal-sum inside the frame keeps the running value exact and
+    order-independent across engines.
+    """
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "window_lag_event_delta",
+    oracle="""
+    SELECT user_id, event_id, value,
+           value - LAG(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS delta
+    FROM events
+    """,
+)
+def window_lag_event_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): per-user change in value between consecutive events."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@register(
+    "window_rank_supplier_revenue",
+    oracle=f"""
+    SELECT l_suppkey, revenue,
+           RANK() OVER (ORDER BY revenue DESC, l_suppkey) AS rnk
+    FROM (
+      SELECT l_suppkey,
+             {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+      FROM lineitem GROUP BY l_suppkey
+    )
+    """,
+)
+def window_rank_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() over an aggregated relation (agg → window compose)."""
+    l = _t(spark, sf_dir, "lineitem")
+    rev = l.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_suppkey"))
+    return rev.select("l_suppkey", "revenue", F.rank().over(w).alias("rnk"))
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-k, set operations
+# ---------------------------------------------------------------------------
+
+@register(
+    "topk_orders_by_price",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Catalyst plans TakeOrderedAndProject (per-partition
+    heaps, driver merges k rows — no full sort at any scale)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "setop_active_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def setop_active_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nations having both customers and suppliers."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "setop_customer_only_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def setop_customer_only_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: nations with customers but no suppliers (set semantics —
+    ``subtract`` is EXCEPT DISTINCT, unlike ``exceptAll``'s bag diff)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+@register(
+    "setop_union_all_keys",
+    oracle="""
+    SELECT k, COUNT(*) AS n FROM (
+      SELECT c_nationkey AS k FROM customer
+      UNION ALL
+      SELECT s_nationkey AS k FROM supplier
+    ) GROUP BY k
+    """,
+)
+def setop_union_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL then group: bag semantics preserved."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.unionAll(s).groupBy("k").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar expression surface: strings, dates, math, conditionals
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_string_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           UPPER(o_orderpriority) AS pri_upper,
+           SUBSTRING(o_orderpriority, 1, 1) AS pri_code,
+           LENGTH(o_orderpriority) AS pri_len,
+           CONCAT(o_orderstatus, '-', o_orderpriority) AS status_pri,
+           CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+           CAST(MONTH(o_orderdate) AS INTEGER) AS order_month,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month_start
+    FROM orders
+    """,
+)
+def scalar_string_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String + date scalar functions in a pure projection (no shuffle)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("pri_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("pri_code"),
+        F.length("o_orderpriority").cast("long").alias("pri_len"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_pri"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month_start"),
+    )
+
+
+@register(
+    "scalar_case_math",
+    oracle=f"""
+    SELECT size_class,
+           COUNT(*) AS n,
+           {sql_dsum('l_extendedprice')} AS sum_price,
+           {sql_dsum('ABS(l_extendedprice * l_discount)')} AS sum_discount_amt,
+           MIN(CAST(FLOOR(l_quantity / 10) AS BIGINT)) AS min_qty_decile,
+           MAX(CAST(CEIL(l_quantity / 10) AS BIGINT)) AS max_qty_decile
+    FROM (
+      SELECT CASE WHEN l_quantity < 10 THEN 'small'
+                  WHEN l_quantity < 35 THEN 'medium'
+                  ELSE 'large' END AS size_class, *
+      FROM lineitem
+    ) GROUP BY size_class
+    """,
+)
+def scalar_case_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + math functions (abs/floor/ceil) + agg."""
+    l = _t(spark, sf_dir, "lineitem")
+    size_class = (
+        F.when(F.col("l_quantity") < 10, "small")
+        .when(F.col("l_quantity") < 35, "medium")
+        .otherwise("large")
+    )
+    return (
+        l.withColumn("size_class", size_class)
+        .groupBy("size_class")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("l_extendedprice").alias("sum_price"),
+            dsum(F.abs(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "sum_discount_amt"
+            ),
+            F.min(F.floor(F.col("l_quantity") / 10)).alias("min_qty_decile"),
+            F.max(F.ceil(F.col("l_quantity") / 10)).alias("max_qty_decile"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity projection: the §1 type map as a query
+# ---------------------------------------------------------------------------
+
+@register(
+    "cast_align_orders",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(o_orderstatus AS VARCHAR) AS o_orderstatus,
+           CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+           CAST(o_orderdate AS DATE) AS o_orderdate,
+           CAST(o_orderpriority AS VARCHAR) AS o_orderpriority
+    FROM orders
+    """,
+)
+def cast_align_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's cast-with-alias projection (its entire expression
+    surface, load_postgres_from_spark_df.py:150-163) applied to orders
+    against a Postgres-style target schema:
+    bigint / numeric(12,2) / date / text."""
+    from ..schema_contract import align_to_target
+
+    o = _t(spark, sf_dir, "orders")
+    target = {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_orderstatus": "text",
+        "o_totalprice": "numeric(12,2)",
+        "o_orderdate": "date",
+        "o_orderpriority": "character varying(15)",
+    }
+    return align_to_target(o, target)

@@ -1,0 +1,242 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``,
+64-dim).
+
+Operators:
+- ``sim_cosine_pairs``      — blocked exact near-dup pairs (oracle-able);
+- ``ann_bruteforce_topk``   — exact top-k for a fixed query set (the
+  correctness baseline every ANN variant is measured against);
+- ``ann_ivf_topk``          — IVF-style coarse quantizer + probed cells
+  (the 100 TB path: touches ~nprobe/ncells of the data per query).
+
+Determinism contract: all dot products are computed element-wise in
+double (IEEE-identical everywhere) and summed through DECIMAL(38,12)
+casts so the reduction is exact and order-independent; the DuckDB
+oracle mirrors the same construction. See functions/deterministic.py.
+
+Scale notes: queries are broadcast (they are tiny); the fact side never
+shuffles for brute force (map-side score + TakeOrderedAndProject-style
+per-query top-k via window over a repartition on query_id). IVF adds
+one shuffle to bucket vectors by cell, after which each query touches
+only probed cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..tables import load_table
+
+_QUERY_IDS = tuple(range(8))  # fixed query set for top-k operators
+_TOPK = 10
+_PAIR_WINDOW = 100            # id-block for exact pair scan
+_PAIR_THRESHOLD = 0.35        # fixture embeddings are near-orthogonal
+
+
+def _dot_dec(a: Column, b: Column) -> Column:
+    """Dot product of two float arrays via a SEQUENTIAL left-to-right
+    double fold — Spark's ``aggregate`` and DuckDB's ``list_reduce``
+    both fold in array order, so the IEEE additions happen in the same
+    sequence and the results are bit-identical across engines."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """DuckDB rendering of :func:`_dot_dec` (1-based list indexing;
+    prepend the 0.0 init so the fold order matches Spark's aggregate)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len({a}) + 1), i -> "
+        f"CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return _dot_dec(a, b) / (F.sqrt(_dot_dec(a, a)) * F.sqrt(_dot_dec(b, b)))
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"{_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)}))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact cosine near-dup pairs on id-blocked candidates (oracle-able)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sim_cosine_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_sql_cosine('a.embedding', 'b.embedding')} AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + {_PAIR_WINDOW}
+         AND a.label = b.label
+    WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= {_PAIR_THRESHOLD}
+    """,
+)
+def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ {thr} within (label, id-window)
+    blocks. The range predicate is rewritten as an offset-enumeration
+    EQUI-join (hash join, scales); label blocking mirrors how a real
+    pipeline would block on a cluster/shard key.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("emb_a"),
+        F.explode(F.sequence(F.lit(1), F.lit(_PAIR_WINDOW))).alias("off"),
+    ).withColumn("vec_b", F.col("vec_a") + F.col("off"))
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    return (
+        a.join(b, "vec_b")
+        .filter(F.col("label_a") == F.col("label_b"))
+        .select("vec_a", "vec_b", _cosine(F.col("emb_a"), F.col("emb_b")).alias("cosine"))
+        .filter(F.col("cosine") >= _PAIR_THRESHOLD)
+    )
+
+
+sim_cosine_pairs.__doc__ = sim_cosine_pairs.__doc__.format(thr=_PAIR_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# Brute-force exact top-k (the baseline)
+# ---------------------------------------------------------------------------
+
+_QID_SQL = ", ".join(str(q) for q in _QUERY_IDS)
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    SELECT query_id, vec_id, cosine, rn AS rank
+    FROM (
+      SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+             {_sql_cosine('q.embedding', 'v.embedding')} AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_sql_cosine('q.embedding', 'v.embedding')} DESC, v.vec_id
+             ) AS rn
+      FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+      WHERE q.vec_id IN ({_QID_SQL})
+    ) WHERE rn <= {_TOPK}
+    """,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-{k} for {nq} fixed query vectors via broadcast
+    cross-score + per-query window rank. The query side is broadcast;
+    the corpus is scanned once map-side — no shuffle of the corpus, one
+    shuffle of the scored (query_id, vec_id, cosine) triples which is
+    |queries|×N rows, NOT N².
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _cosine(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+ann_bruteforce_topk.__doc__ = ann_bruteforce_topk.__doc__.format(
+    k=_TOPK, nq=len(_QUERY_IDS)
+)
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: coarse quantizer + probed cells (the scale path)
+# ---------------------------------------------------------------------------
+
+_IVF_CELLS = 16   # centroids = embeddings of vec_id 0.._IVF_CELLS-1 (fixed seed set)
+_IVF_NPROBE = 4
+
+
+@register("ann_ivf_topk")  # structure-dependent result set → rows-only check
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: assign every vector to its nearest of {cells} fixed
+    centroids (one broadcast score + window argmin = the index build),
+    then answer each query by probing its {nprobe} nearest cells and
+    ranking exact cosine only within probed cells.
+
+    Per-query work drops from O(N) to ~O(N·nprobe/cells). At 100 TB the
+    assignment output would be written out partitioned/bucketed by
+    ``cell`` so queries prune cells at the file-skipping level; recall
+    vs the brute-force baseline is asserted in tests.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < _IVF_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+
+    # index build: nearest centroid per vector
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cell_score"), F.asc("cell"))
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "cell",
+            _cosine(F.col("embedding"), F.col("c_emb")).alias("cell_score"),
+        )
+        .withColumn("arn", F.row_number().over(w_assign))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+
+    # query → nprobe nearest cells
+    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("cell_score"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "q_emb",
+            "cell",
+            _cosine(F.col("q_emb"), F.col("c_emb")).alias("cell_score"),
+        )
+        .withColumn("prn", F.row_number().over(w_probe))
+        .filter(F.col("prn") <= _IVF_NPROBE)
+        .select("query_id", "q_emb", "cell")
+    )
+
+    # exact rank within probed cells only
+    cand = assigned.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.select(
+            "query_id",
+            "vec_id",
+            _cosine(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+ann_ivf_topk.__doc__ = ann_ivf_topk.__doc__.format(cells=_IVF_CELLS, nprobe=_IVF_NPROBE)

@@ -1,0 +1,197 @@
+"""Text analysis operators over ``documents``: token counting, quality
+scoring, language-ID heuristic, content fingerprinting.
+
+All hot-path computation is JVM-side codegen (split/regexp/higher-order
+array functions) — no Python UDFs — so these scale linearly with data
+and shuffle only where an aggregation needs it (most are pure
+projections: ZERO shuffles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+_STOPWORDS = ("the", "a", "of", "and", "in", "to")
+_SW_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+_BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_split_to_array(text, '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '{_BPE_RE}')) AS bpe_tokens,
+           length(text) AS n_chars,
+           CAST(length(text) AS DOUBLE)
+             / len(regexp_split_to_array(text, '\\s+')) AS chars_per_token
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.col("text"), r"\s+"))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0))
+    return d.select(
+        "doc_id",
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        (F.length("text").cast("double") / ws).alias("chars_per_token"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(lower(text), '\\s+') AS w,
+             length(text) AS nc,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS punct
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(w, x -> x IN ({_SW_SQL}))) AS DOUBLE) / len(w)
+             AS stopword_ratio,
+           CAST(punct AS DOUBLE) / nc AS punct_ratio,
+           CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS distinct_ratio,
+           CAST(CASE WHEN len(w) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS length_ok,
+           0.4 * (CAST(len(list_filter(w, x -> x IN ({_SW_SQL}))) AS DOUBLE) / len(w))
+             + 0.3 * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
+             + 0.3 * CAST(CASE WHEN len(w) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.0 END AS DOUBLE)
+             - 0.2 * (CAST(punct AS DOUBLE) / nc) AS quality
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: stopword ratio + lexical diversity +
+    length gate − punctuation density (the C4/Gopher-rule shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.col("text")), r"\s+")
+    nw = F.size(w)
+    sw_ratio = (
+        F.size(
+            F.expr(
+                f"filter(split(lower(text), '\\\\s+'), x -> x IN ({_SW_SQL}))"
+            )
+        ).cast("double")
+        / nw
+    )
+    punct_ratio = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-zA-Z0-9\\s]"), 0)).cast("double")
+        / F.length("text")
+    )
+    distinct_ratio = F.size(F.array_distinct(w)).cast("double") / nw
+    length_ok = F.when((nw >= 20) & (nw <= 1000), 1.0).otherwise(0.0)
+    quality = (
+        0.4 * sw_ratio + 0.3 * distinct_ratio + 0.3 * length_ok - 0.2 * punct_ratio
+    )
+    return d.select(
+        "doc_id",
+        sw_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        length_ok.alias("length_ok"),
+        quality.alias("quality"),
+    )
+
+
+# language-ID: stopword-profile scoring with deterministic argmax.
+# Profiles are tiny fixed word lists; real pipelines swap in fastText —
+# the Spark plumbing (scored projection, no shuffle) is identical.
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist"),
+    "en": ("the", "and", "of", "is", "a"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "zh": ("的", "是", "了", "在", "和"),
+}
+
+
+def _lang_score_sql(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(w, x -> x IN ({lst})))"
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang AS lang_label,
+             {", ".join(f"{_lang_score_sql(ws)} AS sc_{lg}" for lg, ws in sorted(_LANG_PROFILES.items()))}
+      FROM (SELECT doc_id, lang, regexp_split_to_array(lower(text), '\\s+') AS w
+            FROM documents)
+    )
+    SELECT doc_id, lang_label,
+           CASE GREATEST({", ".join(f"sc_{lg}" for lg in sorted(_LANG_PROFILES))})
+             {"".join(f"WHEN sc_{lg} THEN '{lg}' " for lg in sorted(_LANG_PROFILES))}
+           END AS lang_pred
+    FROM scored
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID with deterministic alphabetical
+    tie-break (CASE picks the first language reaching the max score —
+    identical semantics in Spark and the DuckDB oracle)."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def _score(ws: tuple[str, ...]):
+        lst = ", ".join(f"'{x}'" for x in ws)
+        return F.size(
+            F.expr(f"filter(split(lower(text), '\\\\s+'), x -> x IN ({lst}))")
+        )
+
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        *[
+            _score(ws).alias(f"sc_{lg}")
+            for lg, ws in sorted(_LANG_PROFILES.items())
+        ],
+    )
+    langs = sorted(_LANG_PROFILES)
+    best = F.greatest(*[F.col(f"sc_{lg}") for lg in langs])
+    expr = None
+    for lg in langs:
+        cond = F.col(f"sc_{lg}") == best
+        expr = F.when(cond, lg) if expr is None else expr.when(cond, lg)
+    return scored.select("doc_id", "lang_label", expr.alias("lang_pred"))
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_md5
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 over whitespace-normalized lowered text
+    (md5 is bit-identical across engines → oracle-checkable)."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return d.select("doc_id", F.md5(norm).alias("content_md5"))
+
+
+@register("text_rolling_hash")  # engine-local hash family → rows-only
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash over token hashes (Rabin-Karp-style
+    document fingerprint). Deterministic (xxhash64 + fixed modulus) but
+    the hash family is Spark-local, so no SQL oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    rolling = F.aggregate(
+        F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(1000003))),
+        F.lit(7).cast("long"),
+        lambda acc, x: F.pmod(acc * 131 + x, F.lit(1000000007)),
+    )
+    return d.select("doc_id", rolling.alias("rolling_hash"))

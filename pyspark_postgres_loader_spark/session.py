@@ -1,0 +1,60 @@
+"""SparkSession factory.
+
+Reference parity: ``main.py:13`` builds ``SparkSession.builder.appName(
+"Postgres Loader").getOrCreate()`` with log level WARN. We add the
+scale-oriented defaults every query in this engine assumes:
+
+- AQE on (runtime re-plan, skew-join handling, partition coalescing);
+- shuffle partitions sized to the local core count instead of 200
+  (on a real cluster this would be ~2-3× total cores — see
+  ``tune_for_cluster``);
+- UTC session timezone so timestamp semantics match the DuckDB oracle;
+- Arrow enabled for the Pandas-UDF slow path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "pyspark-postgres-loader-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a
+    real cluster pass ``None`` with spark-submit providing the master.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if master is None:
+        master = f"local[{cpus}]"
+    n_shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # fixtures store events.ts as parquet TIMESTAMP(NANOS), which Spark
+        # rejects by default; read as long and convert in tables.load_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

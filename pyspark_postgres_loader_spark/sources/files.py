@@ -1,0 +1,40 @@
+"""File sources: CSV / Parquet / JSON with column-name normalization.
+
+Reference parity: ``GetS3DataAsDf`` (get_s3_data_as_df.py:21-54) reads
+CSV (via the legacy ``com.databricks.spark.csv`` format — here the
+built-in reader) or Parquet with arbitrary reader-option pass-through,
+then lowercases every column name (get_s3_data_as_df.py:41-43, :52-54).
+Paths may be local, ``s3a://``, ``hdfs://`` — Spark's Hadoop FS layer
+handles the scheme, so one reader covers the reference's S3 source.
+
+Scale note: these return lazy scans; Catalyst pushes filters/column
+pruning into the Parquet reader. Avoid ``inferSchema`` on CSV in
+production paths — it triggers an eager sampling job (the reference
+does this implicitly; we accept the option but callers should pass an
+explicit schema at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def normalize_columns(df: DataFrame) -> DataFrame:
+    """Lowercase all column names (≈ get_s3_data_as_df.py:41-43)."""
+    lowered = [c.lower() for c in df.columns]
+    if lowered == list(df.columns):
+        return df
+    return df.toDF(*lowered)
+
+
+def read_csv(spark: SparkSession, path: str, **options) -> DataFrame:
+    options.setdefault("header", "true")
+    return normalize_columns(spark.read.options(**options).csv(path))
+
+
+def read_parquet(spark: SparkSession, path: str, **options) -> DataFrame:
+    return normalize_columns(spark.read.options(**options).parquet(path))
+
+
+def read_json(spark: SparkSession, path: str, **options) -> DataFrame:
+    return normalize_columns(spark.read.options(**options).json(path))

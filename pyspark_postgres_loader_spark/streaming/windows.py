@@ -1,0 +1,205 @@
+"""Structured Streaming over the ``events`` table: watermarked tumbling /
+sliding windows, session windows, streaming dedup.
+
+The reference has NO streaming surface (SURVEY.md §2i); this module is
+the Structured-Streaming extension. Each ``stream_*`` query runs a real
+``readStream`` → transformation → ``writeStream`` pipeline driven to
+completion with ``trigger(availableNow=True)`` + a memory sink, then
+returns the sink table — so the driver harness (and the DuckDB oracle,
+where registered) checks genuine streaming output.
+
+Late-data semantics: with availableNow over a static file the watermark
+never discards fixture rows (single batch), so the streaming result
+equals the batch window aggregation — which is exactly what the oracle
+asserts. The watermark plumbing is still real: state is bounded by
+``withWatermark``, the production path just swaps the source for Kafka.
+
+Scale notes: windowed aggs shuffle on (window, key) once; state store
+size is bounded by watermark horizon × key cardinality; session windows
+use Spark's native session_window (merging state), not a Python loop.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import dsum, sql_dsum
+from ..registry import register
+from ..tables import load_table
+
+# events.ts is parquet TIMESTAMP(NANOS) → read as long ns (see
+# tables._normalize_event_ts) and convert after the scan
+_EVENT_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # file-stream sources need a directory path; select the events file
+    # with pathGlobFilter. nanosAsLong: see tables.load_table.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Drive a streaming DataFrame to completion into a memory sink."""
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+@register(
+    "stream_tumbling_hourly",
+    oracle=f"""
+    SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS window_start,
+           CAST(time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS TIMESTAMP)
+             AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window streaming aggregation (1h windows)."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+@register(
+    "stream_sliding_2h_1h",
+    oracle="""
+    SELECT CAST(ws AS TIMESTAMP) AS window_start,
+           CAST(ws + INTERVAL 2 HOUR AS TIMESTAMP) AS window_end,
+           COUNT(*) AS n
+    FROM (
+      SELECT unnest([time_bucket(INTERVAL 1 HOUR, ts),
+                     time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR]) AS ws
+      FROM events
+    ) GROUP BY 1, 2
+    """,
+)
+def stream_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h size / 1h slide): each event lands in exactly
+    two windows; the oracle expands the two bucket starts per event."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30-minute gap) per user — Spark's merging
+    session-window state; the oracle rebuilds sessions with the SQL
+    gaps-and-islands idiom. Session end = last event + gap."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "complete").select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+
+@register("stream_dedup_watermark")  # arrival-order dependent → rows-only
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with ``dropDuplicatesWithinWatermark`` on
+    (user_id, event_type): keeps the first arrival per key within the
+    watermark horizon. Which row survives depends on arrival order, so
+    no value oracle — the kept-key COUNT is asserted in tests against
+    the distinct key count."""
+    dedup = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+    return _run_to_memory(dedup, "append")
+
+
+def stream_foreach_batch_to_sink(
+    spark: SparkSession,
+    sf_dir: str,
+    batch_writer,
+) -> None:
+    """Production pattern: stream → ``foreachBatch`` → the engine's
+    idempotent upsert sink (sinks/upsert.py), giving exactly-once-ish
+    loads (keyed MERGE makes replayed batches idempotent). Used by
+    tests/test_streaming.py with a DBAPI target."""
+    q = (
+        _events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(batch_writer)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
