@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is materialized through the ``noop`` sink so the full plan
+executes (a bare ``count()`` would let Catalyst prune projection-only
+work). Timings are wall-clock per query; ``value`` is the total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark_postgres_loader_spark import registry
+from pyspark_postgres_loader_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "join_semi_big_orders",
+    "agg_cube_flag_status",
+    "window_top3_orders_per_customer",
+    "window_running_customer_spend",
+    "topk_orders_by_price",
+    "json_props_by_event_type",
+    "dedup_exact_fingerprint",
+    "dedup_latest_event_per_user_type",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "sim_cosine_pairs",
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "multimodal_decode_meta",
+    "stream_tumbling_hourly",
+    "stream_session_windows",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="bench")
+
+    queries = registry.all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

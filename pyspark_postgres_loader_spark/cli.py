@@ -1,0 +1,100 @@
+"""CLI entry point: ``python -m pyspark_postgres_loader_spark.cli``.
+
+Reference parity: main.py:12-69 (SparkSession appName "Postgres
+Loader", WARN logs, 7 args), with its bugs fixed:
+- ``--partition_cols`` is a list of column NAMES (reference typed it
+  int — main.py:38-42);
+- repeated ``--source_arg k=v`` builds a dict (reference splatted a
+  list — main.py:47-53);
+- unknown sources raise with the registered list (reference returned
+  silent None — get_s3_data_as_df.py:27-31).
+
+Credentials come from env (PGHOST/PGPORT/PGDATABASE/PGUSER/PGPASSWORD)
+instead of an INI file with a Windows-only path (load_postgres_from_
+spark_df.py:58-60).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from .session import get_spark
+
+
+def _parse_source_args(pairs: list[str]) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for pair in pairs or []:
+        if "=" not in pair:
+            raise SystemExit(f"--source_arg must be k=v, got {pair!r}")
+        k, v = pair.split("=", 1)
+        out[k] = v
+    return out
+
+
+def make_postgres_connection_factory():
+    """Zero-arg picklable psycopg2 connection factory from PG* env vars.
+    Import is deferred and guarded: psycopg2 is optional."""
+    import functools
+
+    params = {
+        "host": os.environ.get("PGHOST", "localhost"),
+        "port": int(os.environ.get("PGPORT", "5432")),
+        "dbname": os.environ.get("PGDATABASE", "postgres"),
+        "user": os.environ.get("PGUSER", "postgres"),
+        "password": os.environ.get("PGPASSWORD", ""),
+    }
+    try:
+        import psycopg2
+    except ImportError as exc:  # pragma: no cover - env without psycopg2
+        raise SystemExit(
+            "psycopg2 is required for the Postgres CLI sink; install it or "
+            "use the library API with another DBAPI connection_factory"
+        ) from exc
+    return functools.partial(psycopg2.connect, **params)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="Load a source into Postgres via Spark")
+    p.add_argument("--source", required=True, help="registered source name (csv/parquet/json/jdbc/...)")
+    p.add_argument("--source_arg", action="append", default=[], metavar="K=V",
+                   help="source reader kwarg; repeatable")
+    p.add_argument("--target_pg_table", required=True)
+    p.add_argument("--batch_size", type=int, default=1000)
+    p.add_argument("--parallelism", type=int, default=1)
+    p.add_argument("--partition_cols", nargs="*", default=None,
+                   help="column names to hash-partition writers by")
+    p.add_argument("--strategy", choices=["batched", "staging"], default="batched")
+    args = p.parse_args(argv)
+
+    from .pipeline import load_to_database
+
+    spark = get_spark(app_name="Postgres Loader")
+    try:
+        result = load_to_database(
+            spark,
+            source=args.source,
+            source_args=_parse_source_args(args.source_arg),
+            target_table=args.target_pg_table,
+            connection_factory=make_postgres_connection_factory(),
+            batch_size=args.batch_size,
+            parallelism=args.parallelism,
+            partition_cols=args.partition_cols,
+            strategy=args.strategy,
+        )
+        s = result.stats
+        print(
+            f"loaded={s.rows_loaded} rejected={s.rows_rejected} "
+            f"seen={s.rows_seen} partitions={s.partitions} "
+            f"key={result.unique_key} columns={result.aligned_columns}"
+        )
+        if s.error_messages:
+            print(f"first errors: {s.error_messages[:5]}", file=sys.stderr)
+        return 0 if s.rows_rejected == 0 else 1
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
