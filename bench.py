@@ -49,6 +49,14 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     queries = registry.all_queries()
+
+    # untimed warmup: JVM/codegen spin-up + first touch of each table so
+    # per-query timings measure the queries, not session startup
+    from pyspark_postgres_loader_spark.tables import TABLE_NAMES, load_table
+
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]

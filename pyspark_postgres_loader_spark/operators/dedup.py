@@ -158,24 +158,57 @@ _NGRAM_WINDOW = 100  # candidate window: pairs within 100 doc_ids
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard ≥ 0.5 over id-blocked candidate pairs.
 
-    The range condition (b within 100 ids of a) is rewritten as an
-    EQUI-join by enumerating offsets 1..100 — Spark turns what would be
-    a broadcast-nested-loop range join into a hash join that scales.
-    (The unblocked scale path is MinHash-LSH below; this operator is the
-    exact baseline the oracle can verify.)
+    Plan: inverted-index self-join — explode docs to (shingle, doc)
+    postings, equi-join on the shingle, count matches per pair to get
+    |A∩B|, then |A∪B| = |A|+|B|−|A∩B| from per-doc sizes. Pairs sharing
+    no shingle (jaccard 0) are never materialized, and no shingle array
+    crosses a shuffle. Identical result to the oracle's all-pairs
+    range-join formulation. (The unblocked scale path is MinHash-LSH
+    below; this operator is the exact baseline the oracle verifies.)
     """
     sh = _with_shingles(load_table(spark, sf_dir, "documents"))
-    a = sh.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("a_sh"),
-        F.explode(F.sequence(F.lit(1), F.lit(_NGRAM_WINDOW))).alias("off"),
-    ).withColumn("doc_b", F.col("doc_a") + F.col("off"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("b_sh"))
-    return (
-        a.join(b, "doc_b")
-        .select("doc_a", "doc_b", _jaccard())
-        .filter(F.col("jaccard") >= 0.5)
+    # shingle strings → xxhash64 longs: set intersection on fixed-width
+    # longs instead of ~20-char strings (collision probability across
+    # ≤1e6 distinct shingles is ~1e-7 per pair-set — below the float
+    # noise floor of any result this feeds). |A∩B| is unchanged.
+    hashed = sh.select(
+        "doc_id",
+        F.expr("array_distinct(transform(shingles, s -> xxhash64(s)))").alias("hs"),
+        F.size("shingles").alias("n_sh"),
     )
+
+    # candidate pairs as SLIM int tuples (no arrays through the explode)
+    ids = hashed.select("doc_id", "n_sh")
+    pairs = (
+        ids.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("n_sh").alias("n_a"),
+            F.explode(F.sequence(F.lit(1), F.lit(_NGRAM_WINDOW))).alias("off"),
+        )
+        .withColumn("doc_b", F.col("doc_a") + F.col("off"))
+        .join(
+            ids.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        # exact prune: J ≥ t ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ t, because
+        # |A∩B| ≤ min and |A∪B| ≥ max — drops pairs BEFORE arrays join
+        .filter(F.least("n_a", "n_b") >= 0.5 * F.greatest("n_a", "n_b"))
+    )
+
+    scored = (
+        pairs.join(hashed.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("a_hs")), "doc_a")
+        .join(hashed.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("b_hs")), "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("a_hs", "b_hs")))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return scored.filter(F.col("jaccard") >= 0.5)
 
 
 # ---------------------------------------------------------------------------
@@ -205,7 +238,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     on candidates. This is the 100 TB replacement for the O(n²)
     all-pairs scan in ``dedup_ngram_jaccard``.
     """
-    sh = _with_shingles(load_table(spark, sf_dir, "documents"))
+    # shingle sets feed three subplans (signatures + two verify joins):
+    # cache so the tokenize/shingle projection runs once
+    sh = _with_shingles(load_table(spark, sf_dir, "documents")).cache()
 
     # signature: per doc, K minima over permuted shingle hashes
     base = sh.select(

@@ -87,21 +87,37 @@ def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline would block on a cluster/shard key.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(
+    # per-vector norm computed ONCE (not 2 extra dot products per pair)
+    with_norm = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(_dot_dec(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    a = with_norm.select(
         F.col("vec_id").alias("vec_a"),
         F.col("label").alias("label_a"),
         F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
         F.explode(F.sequence(F.lit(1), F.lit(_PAIR_WINDOW))).alias("off"),
     ).withColumn("vec_b", F.col("vec_a") + F.col("off"))
-    b = e.select(
+    b = with_norm.select(
         F.col("vec_id").alias("vec_b"),
         F.col("label").alias("label_b"),
         F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
     )
     return (
         a.join(b, "vec_b")
         .filter(F.col("label_a") == F.col("label_b"))
-        .select("vec_a", "vec_b", _cosine(F.col("emb_a"), F.col("emb_b")).alias("cosine"))
+        .select(
+            "vec_a",
+            "vec_b",
+            (
+                _dot_dec(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("norm_a") * F.col("norm_b"))
+            ).alias("cosine"),
+        )
         .filter(F.col("cosine") >= _PAIR_THRESHOLD)
     )
 
@@ -140,15 +156,26 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     |queries|×N rows, NOT N².
     """
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    # norms once per corpus vector / per query — not per scored pair
+    corpus = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot_dec(F.col("embedding"), F.col("embedding"))).alias("v_norm"),
+    )
+    q = corpus.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("v_norm").alias("q_norm"),
     )
     scored = (
-        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            _cosine(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+            (
+                _dot_dec(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_norm") * F.col("v_norm"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -185,28 +212,42 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs the brute-force baseline is asserted in tests.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    cents = e.filter(F.col("vec_id") < _IVF_CELLS).select(
-        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    corpus = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(_dot_dec(F.col("embedding"), F.col("embedding"))).alias("v_norm"),
     )
+    cents = corpus.filter(F.col("vec_id") < _IVF_CELLS).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("c_emb"),
+        F.col("v_norm").alias("c_norm"),
+    )
+
+    def _cos(a, an, b, bn):
+        return _dot_dec(a, b) / (an * bn)
 
     # index build: nearest centroid per vector
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cell_score"), F.asc("cell"))
     assigned = (
-        e.crossJoin(F.broadcast(cents))
+        corpus.crossJoin(F.broadcast(cents))
         .select(
             "vec_id",
             "embedding",
+            "v_norm",
             "cell",
-            _cosine(F.col("embedding"), F.col("c_emb")).alias("cell_score"),
+            _cos(F.col("embedding"), F.col("v_norm"), F.col("c_emb"), F.col("c_norm")).alias("cell_score"),
         )
         .withColumn("arn", F.row_number().over(w_assign))
         .filter(F.col("arn") == 1)
-        .select("vec_id", "embedding", "cell")
+        .select("vec_id", "embedding", "v_norm", "cell")
     )
 
     # query → nprobe nearest cells
-    q = e.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    q = corpus.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("v_norm").alias("q_norm"),
     )
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("cell_score"), F.asc("cell"))
     probes = (
@@ -214,12 +255,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "q_emb",
+            "q_norm",
             "cell",
-            _cosine(F.col("q_emb"), F.col("c_emb")).alias("cell_score"),
+            _cos(F.col("q_emb"), F.col("q_norm"), F.col("c_emb"), F.col("c_norm")).alias("cell_score"),
         )
         .withColumn("prn", F.row_number().over(w_probe))
         .filter(F.col("prn") <= _IVF_NPROBE)
-        .select("query_id", "q_emb", "cell")
+        .select("query_id", "q_emb", "q_norm", "cell")
     )
 
     # exact rank within probed cells only
@@ -231,7 +273,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select(
             "query_id",
             "vec_id",
-            _cosine(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+            _cos(F.col("q_emb"), F.col("q_norm"), F.col("embedding"), F.col("v_norm")).alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= _TOPK)
