@@ -1,0 +1,44 @@
+"""Plan-shaping helpers: small, value-preserving tricks that steer
+Catalyst toward the physical plan we actually want.
+
+These exist because two silent planner behaviors wreck the similarity /
+dedup operators:
+
+1. A ``.filter(sim >= t)`` over a projected similarity column gets
+   folded into the join condition of the candidate join, where the
+   expensive expression (array_intersect, dot product) is re-evaluated
+   2-3× per candidate pair with no subexpression elimination —
+   measured 24s → 0.9s on dedup_ngram_jaccard at sf0.1.
+2. A small parquet fixture arrives as ONE scan split; when every
+   downstream join is a broadcast join there is no shuffle to restore
+   parallelism, so the whole per-pair pipeline runs as a single task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def nondet_keep(col: Column) -> Column:
+    """Taint ``col`` nondeterministic without changing its value.
+
+    ``x + 0.0 * rand()`` is numerically identical to ``x`` for every
+    finite non-negative ``x`` (similarities/jaccards are), but Catalyst
+    will not push a filter through a projection it cannot prove
+    deterministic — so the filter stays ABOVE the projection and the
+    expensive expression is evaluated exactly once per row.
+    """
+    return col + F.lit(0.0) * F.rand(seed=42)
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin the input across all cores.
+
+    On a real cluster the scan is already wide and this is one cheap
+    extra shuffle of a small table; on local fixtures it is the
+    difference between 1 and ``defaultParallelism`` tasks for every
+    narrow/broadcast stage built on top.
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)

@@ -25,6 +25,8 @@ import random
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.planctl import nondet_keep as _nondet_keep
+from ..functions.planctl import spread as _spread
 from ..registry import register
 from ..tables import load_table
 
@@ -35,7 +37,8 @@ def _tokens():
 
 
 def _jaccard():
-    return (
+    # _nondet_keep: keep the ≥t filter out of the join condition (see below)
+    return _nondet_keep(
         F.size(F.array_intersect("a_sh", "b_sh")).cast("double")
         / F.size(F.array_union("a_sh", "b_sh"))
     ).alias("jaccard")
@@ -158,15 +161,15 @@ _NGRAM_WINDOW = 100  # candidate window: pairs within 100 doc_ids
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard ≥ 0.5 over id-blocked candidate pairs.
 
-    Plan: inverted-index self-join — explode docs to (shingle, doc)
-    postings, equi-join on the shingle, count matches per pair to get
-    |A∩B|, then |A∪B| = |A|+|B|−|A∩B| from per-doc sizes. Pairs sharing
-    no shingle (jaccard 0) are never materialized, and no shingle array
-    crosses a shuffle. Identical result to the oracle's all-pairs
-    range-join formulation. (The unblocked scale path is MinHash-LSH
-    below; this operator is the exact baseline the oracle verifies.)
+    Plan: slim (doc_a, doc_b, |A|, |B|) candidate tuples from an
+    id-window explode + equi-join, an exact size-ratio prune
+    (J ≥ t ⇒ min/max ≥ t) BEFORE any array is joined, then hashed
+    shingle sets attached by doc_id and intersected once per surviving
+    pair. Identical result to the oracle's all-pairs range-join
+    formulation. (The unblocked scale path is MinHash-LSH below; this
+    operator is the exact baseline the oracle verifies.)
     """
-    sh = _with_shingles(load_table(spark, sf_dir, "documents"))
+    sh = _with_shingles(_spread(load_table(spark, sf_dir, "documents")))
     # shingle strings → xxhash64 longs: set intersection on fixed-width
     # longs instead of ~20-char strings (collision probability across
     # ≤1e6 distinct shingles is ~1e-7 per pair-set — below the float
@@ -202,7 +205,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            (
+            _nondet_keep(
                 F.col("n_inter").cast("double")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
             ).alias("jaccard"),
@@ -240,7 +243,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # shingle sets feed three subplans (signatures + two verify joins):
     # cache so the tokenize/shingle projection runs once
-    sh = _with_shingles(load_table(spark, sf_dir, "documents")).cache()
+    sh = _with_shingles(_spread(load_table(spark, sf_dir, "documents"))).cache()
 
     # signature: per doc, K minima over permuted shingle hashes
     base = sh.select(
@@ -317,7 +320,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     All signature math is JVM-side bit arithmetic (shiftright/bit_count);
     one aggregation + one equi-join on (chunk_idx, chunk_value).
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = _spread(load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.explode(_tokens()).alias("t")).select(
         "doc_id", F.xxhash64("t").alias("h")
     )
@@ -341,6 +344,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sig"),  # bit 63 left clear to stay in signed-long range
     )
 
+    # both join sides read `chunks`: cache so the 64-column signature
+    # aggregation runs once, not once per side
     chunks = sig.select(
         "doc_id",
         "sig",
@@ -352,7 +357,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("chunk_idx", "chunk_val"),
-    )
+    ).cache()
     a = chunks.select(
         F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "chunk_idx", "chunk_val"
     )

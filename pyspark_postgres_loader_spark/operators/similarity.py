@@ -26,6 +26,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.planctl import nondet_keep as _nondet_keep
+from ..functions.planctl import spread as _spread
 from ..registry import register
 from ..tables import load_table
 
@@ -86,7 +88,7 @@ def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     EQUI-join (hash join, scales); label blocking mirrors how a real
     pipeline would block on a cluster/shard key.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _spread(load_table(spark, sf_dir, "embeddings"))
     # per-vector norm computed ONCE (not 2 extra dot products per pair)
     with_norm = e.select(
         "vec_id",
@@ -113,7 +115,9 @@ def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_a",
             "vec_b",
-            (
+            # nondet_keep: keep the ≥t filter above this projection, not
+            # re-evaluated inside the join condition (see planctl)
+            _nondet_keep(
                 _dot_dec(F.col("emb_a"), F.col("emb_b"))
                 / (F.col("norm_a") * F.col("norm_b"))
             ).alias("cosine"),
@@ -155,7 +159,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of the scored (query_id, vec_id, cosine) triples which is
     |queries|×N rows, NOT N².
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _spread(load_table(spark, sf_dir, "embeddings"))
     # norms once per corpus vector / per query — not per scored pair
     corpus = e.select(
         "vec_id",
@@ -211,7 +215,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``cell`` so queries prune cells at the file-skipping level; recall
     vs the brute-force baseline is asserted in tests.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _spread(load_table(spark, sf_dir, "embeddings"))
     corpus = e.select(
         "vec_id",
         "label",
