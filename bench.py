@@ -20,7 +20,12 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q4_order_priority_exists",
+    "q17_small_quantity_revenue",
     "join_semi_big_orders",
+    "join_asof_latest_order",
+    "join_range_price_band",
+    "join_skew_salted_orders",
     "agg_cube_flag_status",
     "window_top3_orders_per_customer",
     "window_running_customer_spend",
@@ -31,6 +36,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_cosine",
+    "agg_percentiles_by_status",
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",
@@ -40,6 +47,7 @@ HEADLINE = [
     "multimodal_decode_meta",
     "stream_tumbling_hourly",
     "stream_session_windows",
+    "stream_stateful_user_stats",
 ]
 
 
@@ -56,6 +64,13 @@ def main() -> None:
 
     for t in TABLE_NAMES:
         load_table(spark, sf_dir, t).count()
+
+    # fork the Python UDF workers (and import pyarrow/pandas in them)
+    # once, untimed — several headline queries use Arrow-batched UDFs
+    def _identity(it):
+        yield from it
+
+    spark.range(256).repartition(64).mapInPandas(_identity, "id long").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

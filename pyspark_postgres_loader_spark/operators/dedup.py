@@ -375,3 +375,87 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _HAMMING_MAX)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# 6. Embedding-cosine near-dup (semantic dedup over documents)
+# ---------------------------------------------------------------------------
+
+_EMB_WINDOW = 100
+_EMB_THRESHOLD = 0.35  # fixture embeddings are near-orthogonal
+
+
+def _emb_oracle() -> str:
+    from .similarity import _sql_cosine
+
+    return f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS keeper, b.vec_id AS dup_doc,
+             {_sql_cosine('a.embedding', 'b.embedding')} AS cosine
+      FROM embeddings a JOIN embeddings b
+        ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + {_EMB_WINDOW}
+      WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= {_EMB_THRESHOLD}
+    )
+    SELECT p.dup_doc, MIN(p.keeper) AS keeper_doc,
+           MAX(p.cosine) AS best_cosine, COUNT(*) AS n_matches,
+           ANY_VALUE(d.lang) AS lang
+    FROM pairs p JOIN documents d ON d.doc_id = p.dup_doc
+    GROUP BY p.dup_doc
+    """
+
+
+@register("dedup_embedding_cosine", oracle=_emb_oracle())
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-cosine) near-dup dedup over ``documents``:
+    embeddings are 1:1 with docs by id; a doc is a duplicate if some
+    earlier doc within the id-block has cosine ≥ t with it. Output is
+    the DROP LIST — each duplicate with its keeper (lowest matching
+    id), best score, match count, and the doc's language.
+
+    Same blocked-candidate scaffold as ``sim_cosine_pairs`` (the
+    unblocked scale path would bucket by an LSH/IVF key first, see
+    ``ann_ivf_topk``); the documents join is a broadcast-size metadata
+    fetch by id.
+    """
+    from .similarity import _dot_dec
+
+    e = _spread(load_table(spark, sf_dir, "embeddings"))
+    d = load_table(spark, sf_dir, "documents")
+    with_norm = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot_dec(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    a = with_norm.select(
+        F.col("vec_id").alias("keeper"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+        F.explode(F.sequence(F.lit(1), F.lit(_EMB_WINDOW))).alias("off"),
+    ).withColumn("dup_doc", F.col("keeper") + F.col("off"))
+    b = with_norm.select(
+        F.col("vec_id").alias("dup_doc"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    pairs = (
+        a.join(b, "dup_doc")
+        .select(
+            "keeper",
+            "dup_doc",
+            _nondet_keep(
+                _dot_dec(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("norm_a") * F.col("norm_b"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _EMB_THRESHOLD)
+    )
+    return (
+        pairs.groupBy("dup_doc")
+        .agg(
+            F.min("keeper").alias("keeper_doc"),
+            F.max("cosine").alias("best_cosine"),
+            F.count("*").alias("n_matches"),
+        )
+        .join(d.select(F.col("doc_id").alias("dup_doc"), "lang"), "dup_doc")
+        .select("dup_doc", "keeper_doc", "best_cosine", "n_matches", "lang")
+    )

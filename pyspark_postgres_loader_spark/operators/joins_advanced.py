@@ -1,0 +1,295 @@
+"""Advanced join operators the reference lacks entirely (SURVEY.md §2c:
+"None implemented in the engine") and Spark has no single built-in for:
+as-of joins, range/interval joins, skew-salted joins, and correlated
+subquery patterns (EXISTS / scalar) expressed as decorrelated joins.
+
+Scale notes (100 TB design):
+- The as-of join is NOT an inequality join (which would be a
+  broadcast-nested-loop or O(n·m)-per-key sort-merge): both sides are
+  unioned and sorted once per key by a single window — one shuffle on
+  the key, linear scan per partition. This is the standard
+  "union + last(ignorenulls)" streaming-merge formulation.
+- The range join broadcasts the (tiny, bounded) band dimension; the
+  fact side never shuffles.
+- The salted join demonstrates explicit skew mitigation: the dimension
+  is replicated ``_SALT`` ways and the fact side picks a deterministic
+  salt, so one hot key spreads over ``_SALT`` reducers. (AQE skew-join
+  handles this adaptively; the salted form is the portable/static
+  variant and the result is bit-identical to the plain join.)
+- EXISTS/scalar subqueries are written as semi joins / agg-joins —
+  exactly the decorrelation Catalyst would do, stated explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.deterministic import davg, dsum, sql_davg, sql_dsum
+from ..registry import register
+from ..tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each event matched to the customer's latest prior order
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_asof_latest_order",
+    oracle="""
+    SELECT event_id, user_id, ts, asof_orderkey, asof_totalprice
+    FROM (
+      SELECT e.event_id, e.user_id, e.ts,
+             o.o_orderkey AS asof_orderkey, o.o_totalprice AS asof_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+             ) AS rn
+      FROM events e
+      LEFT JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ) WHERE rn = 1
+    """,
+)
+def join_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: for every event, the latest order of
+    the same customer with ``o_orderdate <= ts`` (ties broken by highest
+    o_orderkey); events with no prior order keep NULLs.
+
+    Implementation is the scalable union+window merge, not an
+    inequality join: tag both sides, sort each user's timeline once
+    (orders before events at equal timestamps, ascending o_orderkey so
+    the LAST seen wins ties), and carry order attributes forward with
+    ``last(..., ignorenulls=True)``. One shuffle on the key; per-key
+    cost is linear — survives 100× scale where a range join would not.
+    """
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    # at equal t: orders (is_event=0) sort first → inclusive <=;
+    # among equal-t orders: ascending o_orderkey → last() takes the max
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_event", F.asc_nulls_first("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = e.unionByName(o).select(
+        "k",
+        "t",
+        "is_event",
+        "event_id",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("asof_orderkey"),
+        F.last("o_totalprice", ignorenulls=True).over(w).alias("asof_totalprice"),
+    )
+    return merged.filter(F.col("is_event") == 1).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("t").alias("ts"),
+        "asof_orderkey",
+        "asof_totalprice",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join: orders into non-uniform price bands
+# ---------------------------------------------------------------------------
+
+_BANDS = [
+    ("budget", 0.0, 50_000.0),
+    ("mid", 50_000.0, 150_000.0),
+    ("premium", 150_000.0, 300_000.0),
+    ("luxury", 300_000.0, 1e18),
+]
+
+_BANDS_SQL = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _BANDS)
+
+
+@register(
+    "join_range_price_band",
+    oracle=f"""
+    SELECT band, COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS sum_price
+    FROM orders
+    JOIN (VALUES {_BANDS_SQL}) AS bands(band, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    ORDER BY band
+    """,
+)
+def join_range_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join: each order lands in the price band whose
+    [lo, hi) interval contains it; aggregate per band.
+
+    The band table is bounded reference data → broadcast; the fact side
+    streams map-side through a broadcast nested-loop with the range
+    predicate and never shuffles before the (tiny) final aggregation.
+    For equal-width bands this would collapse to a pure projection
+    (``floor(price/width)``) — kept as a real interval join because the
+    bands are non-uniform.
+    """
+    o = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    return (
+        o.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted join: static salting, bit-identical to the plain join
+# ---------------------------------------------------------------------------
+
+_SALT = 8
+
+
+@register(
+    "join_skew_salted_orders",
+    oracle=f"""
+    SELECT n.n_name, COUNT(*) AS n_orders, {sql_dsum('o.o_totalprice')} AS sum_price
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def join_skew_salted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders per customer nation via an explicitly SALTED fact-dim
+    join: the customer dim is replicated {salt}× with a salt column,
+    each order picks a deterministic salt (hash of its own key), and
+    the join key becomes (custkey, salt) — a single hot customer now
+    spreads across {salt} reducers instead of one.
+
+    The result is bit-identical to the unsalted join (oracle runs the
+    plain SQL). At 100 TB you'd reach for this when a handful of keys
+    dominate and you want a static, planner-independent fix; AQE's
+    skew-join split is the adaptive alternative.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+
+    c_salted = c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.explode(F.sequence(F.lit(0), F.lit(_SALT - 1))).alias("salt"),
+    )
+    o_salted = o.withColumn(
+        "salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(_SALT)).cast("int")
+    )
+    return (
+        o_salted.join(
+            c_salted,
+            (o_salted.o_custkey == c_salted.c_custkey)
+            & (o_salted.salt == c_salted.salt),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("sum_price"))
+        .orderBy("n_name")
+    )
+
+
+join_skew_salted_orders.__doc__ = join_skew_salted_orders.__doc__.format(salt=_SALT)
+
+
+# ---------------------------------------------------------------------------
+# Correlated EXISTS → semi join (TPC-H Q4 pattern)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q4_order_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 pattern: orders having at least one line item shipped
+    after the order date, counted by priority. The correlated EXISTS is
+    expressed directly as a LEFT SEMI join with the correlated
+    predicate in the join condition — the decorrelation Catalyst would
+    perform, stated explicitly; the probe side streams, the semi join
+    short-circuits on first match.
+    """
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery → agg + join (TPC-H Q17 pattern)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    SELECT CAST({sql_dsum('l.l_extendedprice')} / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (
+      SELECT l_partkey, 0.2 * ({sql_davg('l_quantity')}) AS qty_limit
+      FROM lineitem GROUP BY l_partkey
+    ) t ON t.l_partkey = l.l_partkey
+    WHERE p.p_size <= 5 AND l.l_quantity < t.qty_limit
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 pattern: revenue from line items whose quantity is
+    below 20% of the per-part average — a correlated scalar subquery
+    decorrelated into (per-part aggregate) ⋈ (fact), the plan Catalyst
+    produces for the subquery form. The per-part limits are a reduced
+    aggregate of the fact (small) and broadcast-eligible; the fact
+    scans once.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    limits = l.groupBy(F.col("l_partkey").alias("lim_partkey")).agg(
+        (F.lit(0.2) * davg("l_quantity")).alias("qty_limit")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(limits, l.l_partkey == F.col("lim_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg((dsum("l_extendedprice") / 7.0).cast("double").alias("avg_yearly"))
+    )

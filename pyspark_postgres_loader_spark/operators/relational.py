@@ -624,3 +624,61 @@ def cast_align_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority": "character varying(15)",
     }
     return align_to_target(o, target)
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles + approximate sketches
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_percentiles_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.5)  AS p50,
+           quantile_cont(o_totalprice, 0.75) AS p75,
+           quantile_cont(o_totalprice, 0.9)  AS p90
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles of order price per status.
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` use the same
+    interpolation and match bitwise (verified).
+
+    Scale note: exact percentile is a sort-based aggregate — at 100 TB
+    switch to ``percentile_approx`` (see ``agg_approx_sketches``) whose
+    GK sketch is mergeable map-side with bounded memory.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.75)").alias("p75"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register("agg_approx_sketches")  # sketch outputs are engine-specific → rows-only
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketch aggregates, the 100 TB substitutes for their
+    exact forms: HLL++ ``approx_count_distinct`` (vs COUNT DISTINCT's
+    full shuffle of distinct keys) and GK ``percentile_approx`` (vs the
+    sort-based exact percentile). Exact counterparts are included in
+    the output so the sketch error is visible; sketch values are
+    engine-specific, hence the rows-only check (exact forms are
+    oracle-checked in their own queries).
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median_price"),
+    )

@@ -66,6 +66,7 @@ def _ensure_loaded() -> None:
         return
     from .operators import (  # noqa: F401
         dedup,
+        joins_advanced,
         json_ops,
         multimodal,
         relational,

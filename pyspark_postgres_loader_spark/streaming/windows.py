@@ -203,3 +203,65 @@ def stream_foreach_batch_to_sink(
         .start()
     )
     q.awaitTermination()
+
+
+@register(
+    "stream_stateful_user_stats",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           MIN(value) AS min_value, MAX(value) AS max_value,
+           CAST(MAX(ts) AS TIMESTAMP) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running stats (count / min / max / last event time) kept in
+    explicit GroupState across micro-batches — the escape hatch for
+    stateful logic Spark's built-in windows can't express.
+
+    Every tracked stat is order-independent (count, min, max), so the
+    single-batch availableNow result equals the batch aggregate and the
+    DuckDB oracle can check values exactly. State is one small tuple
+    per user — bounded by key cardinality, the production path adds a
+    timeout to expire idle keys.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, mn, mx, mts = state.get if state.exists else (0, None, None, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            bmn, bmx = pdf["value"].min(), pdf["value"].max()
+            mn = bmn if mn is None else min(mn, bmn)
+            mx = bmx if mx is None else max(mx, bmx)
+            bts = pdf["ts"].max().value // 1000  # ns → µs epoch int for state
+            mts = bts if mts is None else max(mts, bts)
+        state.update((n, float(mn), float(mx), int(mts)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "min_value": [mn],
+                "max_value": [mx],
+                "last_ts": [pd.Timestamp(mts, unit="us")],
+            }
+        )
+
+    out = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id long, n_events long, min_value double, "
+                "max_value double, last_ts timestamp"
+            ),
+            stateStructType="n long, mn double, mx double, mts long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _run_to_memory(out, "update")
