@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.deterministic import davg, dsum, sql_davg, sql_dsum
+from ..functions.planctl import spread as _spread
 from ..registry import register
 from ..tables import load_table
 
@@ -144,7 +145,7 @@ def join_range_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``floor(price/width)``) — kept as a real interval join because the
     bands are non-uniform.
     """
-    o = _t(spark, sf_dir, "orders")
+    o = _spread(_t(spark, sf_dir, "orders"))
     bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
     return (
         o.join(

@@ -181,3 +181,106 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "payload").mapInPandas(
         _frame_sample_batches, schema=_FRAME_SCHEMA
     )
+
+
+_RESIZE_W, _RESIZE_H = 224, 224
+_RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, resized_w int, resized_h int, "
+    "resized_bytes int"
+)
+
+
+def real_resize_image(payload: bytes, w: int, h: int):
+    """Real resample call site — requires PIL/libvips, not in this image.
+
+    STUB: raises. The pipeline runs the deterministic fake below."""
+    raise NotImplementedError(
+        "image resizing requires a codec library (PIL/libvips) that is "
+        "not installed in this environment"
+    )
+
+
+def _resize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Resize step: decode dims, clamp to the target box, emit the
+    resized payload (fake: byte-truncation to the new pixel budget).
+    The real pipeline swaps ``real_resize_image`` in; batch shape,
+    schema, and the bytes-in/bytes-out contract are unchanged."""
+    for pdf in it:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, _ = fake_decode_meta(payload)
+            rw, rh = min(w, _RESIZE_W), min(h, _RESIZE_H)
+            resized = payload[: rw * rh]  # fake resample: truncate to budget
+            rows.append((doc_id, w, h, rw, rh, len(resized)))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "width", "height", "resized_w", "resized_h", "resized_bytes"]
+        ).astype({"width": "int32", "height": "int32", "resized_w": "int32",
+                  "resized_h": "int32", "resized_bytes": "int32"})
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+    SELECT doc_id, width, height,
+           LEAST(width, {_RESIZE_W}) AS resized_w,
+           LEAST(height, {_RESIZE_H}) AS resized_h,
+           CAST(LEAST(octet_length(encode(text)),
+                      LEAST(width, {_RESIZE_W}) * LEAST(height, {_RESIZE_H}))
+                AS INTEGER) AS resized_bytes
+    FROM (
+      SELECT doc_id, text,
+             CAST(64 + ascii(substring(text, 1, 1)) % 192 AS INTEGER) AS width,
+             CAST(64 + ascii(substring(text, length(text), 1)) % 128 AS INTEGER) AS height
+      FROM documents
+    )
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize step through ``mapInPandas``: payloads cross in Arrow
+    batches, dims are clamped to a {w}×{h} box and the payload is
+    re-emitted at the reduced byte budget (fake resample; real call
+    site ``real_resize_image``). The oracle replays the deterministic
+    arithmetic in SQL."""
+    d = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return d.select("doc_id", "payload").mapInPandas(
+        _resize_batches, schema=_RESIZE_SCHEMA
+    )
+
+
+multimodal_resize.__doc__ = multimodal_resize.__doc__.format(w=_RESIZE_W, h=_RESIZE_H)
+
+
+_FEAT_DIM = 8
+_FEAT_SCHEMA = "doc_id long, features array<float>, feat_norm double"
+
+
+def _feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Feature extraction: payload bytes → fixed-dim float vector
+    (byte-histogram moments over ``_FEAT_DIM`` buckets, fully
+    vectorized with numpy). A real pipeline swaps in a vision/audio
+    encoder; the Arrow batch shape and array<float> output contract
+    are what matter."""
+    import numpy as np
+
+    for pdf in it:
+        feats, norms, ids = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+            hist = np.bincount(arr >> 5, minlength=_FEAT_DIM).astype(np.float32)
+            v = hist / max(1.0, float(arr.size))
+            feats.append(v)
+            norms.append(float(np.sqrt(np.dot(v.astype(np.float64), v.astype(np.float64)))))
+            ids.append(doc_id)
+        yield pd.DataFrame({"doc_id": ids, "features": feats, "feat_norm": norms})
+
+
+@register("multimodal_feature_extract")  # float32 vector output → rows-only
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extract step: binary payload → ``array<float>`` feature
+    vector + norm through ``mapInPandas`` (numpy-vectorized fake
+    encoder). Downstream this column feeds the similarity operators
+    (same ``array<float>`` contract as the embeddings fixture)."""
+    d = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return d.select("doc_id", "payload").mapInPandas(
+        _feature_batches, schema=_FEAT_SCHEMA
+    )
