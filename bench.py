@@ -27,6 +27,8 @@ HEADLINE = [
     "join_range_price_band",
     "join_skew_salted_orders",
     "agg_cube_flag_status",
+    "agg_stats_moments",
+    "scalar_higher_order_array",
     "window_top3_orders_per_customer",
     "window_running_customer_spend",
     "topk_orders_by_price",
@@ -48,6 +50,7 @@ HEADLINE = [
     "stream_tumbling_hourly",
     "stream_session_windows",
     "stream_stateful_user_stats",
+    "stream_static_enrich",
 ]
 
 

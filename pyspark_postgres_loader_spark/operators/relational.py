@@ -682,3 +682,95 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median_price"),
     )
+
+
+@register(
+    "agg_stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+           (CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+            - CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+              * CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*))
+           / (COUNT(*) - 1) AS var_qty,
+           (CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+            - CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+              * CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*))
+           / (COUNT(*) - 1) AS covar_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical moments (variance, covariance) computed from exact
+    decimal power sums rather than ``var_samp``/``covar_samp`` — the
+    engine-native streaming estimators (Welford) are order-dependent in
+    float and would never hash-match across engines; sums of decimals
+    are exact and order-free, so the assembled moments are bit-identical.
+    Map-side partial aggregation still applies (sums are commutative).
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    n = F.count("*")
+    s1 = dsum("l_quantity")
+    s2 = dsum(F.col("l_quantity") * F.col("l_quantity"))
+    sp = dsum(F.col("l_extendedprice"))
+    sxy = dsum(F.col("l_quantity") * F.col("l_extendedprice"))
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            n.alias("n"),
+            s1.alias("s1"),
+            s2.alias("s2"),
+            ((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("var_qty"),
+            ((sxy - s1 * sp / n) / (n - F.lit(1))).alias("covar_qty_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "scalar_higher_order_array",
+    oracle="""
+    SELECT o_orderkey,
+           qtys,
+           len(list_filter(qtys, q -> q >= 25.0)) AS n_big,
+           CAST(list_reduce(list_prepend(CAST(0 AS DECIMAL(38,6)),
+                list_transform(qtys, q -> CAST(q AS DECIMAL(38,6)))),
+                (acc, q) -> acc + q) AS DOUBLE) AS total_qty,
+           list_transform(qtys, q -> q * 2.0) AS doubled
+    FROM (
+      SELECT l_orderkey AS o_orderkey,
+             list_sort(list(l_quantity)) AS qtys
+      FROM lineitem
+      GROUP BY l_orderkey
+    )
+    WHERE o_orderkey % 100 = 0
+    """,
+)
+def scalar_higher_order_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over per-order quantity vectors:
+    ``filter`` (count over predicate), ``aggregate`` (exact decimal
+    fold), ``transform`` (elementwise map). The array is assembled with
+    ``array_sort(collect_list(...))`` so both engines fold identical
+    sequences; the fold accumulates in decimal so the total is exact.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.array_sort(F.collect_list("l_quantity")).alias("qtys"))
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            "qtys",
+            F.size(F.filter("qtys", lambda q: q >= 25.0)).alias("n_big"),
+            F.aggregate(
+                "qtys",
+                F.lit(0).cast(DEC),
+                lambda acc, q: acc + q.cast(DEC),
+            ).cast("double").alias("total_qty"),
+            F.transform("qtys", lambda q: q * 2.0).alias("doubled"),
+        )
+    )

@@ -70,6 +70,7 @@ def _ensure_loaded() -> None:
         json_ops,
         multimodal,
         relational,
+        sampling,
         similarity,
         text,
     )

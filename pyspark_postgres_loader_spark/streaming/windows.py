@@ -265,3 +265,46 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(out, "update")
+
+
+@register(
+    "stream_static_enrich",
+    oracle=f"""
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           {sql_dsum('e.value')} AS sum_value,
+           {sql_dsum('c.cust_spend')} AS sum_cust_spend
+    FROM events e
+    JOIN (
+      SELECT o_custkey, {sql_dsum('o_totalprice')} AS cust_spend
+      FROM orders GROUP BY o_custkey
+    ) c ON c.o_custkey = e.user_id
+    GROUP BY e.event_type
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events STREAM is enriched against a
+    static per-customer spend dimension (batch DataFrame), then
+    aggregated per event type — the standard dimension-enrichment shape
+    (stream ⋈ slowly-changing dim). The static side is planned per
+    micro-batch, so at scale it can be broadcast or pre-bucketed;
+    single-batch availableNow output equals the batch join, which the
+    oracle checks exactly.
+    """
+    static_dim = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(dsum("o_totalprice").alias("cust_spend"))
+    )
+    enriched = (
+        _events_stream(spark, sf_dir)
+        .join(static_dim, F.col("user_id") == F.col("o_custkey"))
+        .withWatermark("ts", "2 hours")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("value").alias("sum_value"),
+            dsum("cust_spend").alias("sum_cust_spend"),
+        )
+    )
+    return _run_to_memory(enriched, "complete")
