@@ -50,6 +50,15 @@ def get_spark(
         # fixtures store events.ts as parquet TIMESTAMP(NANOS), which Spark
         # rejects by default; read as long and convert in tables.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # split-size scaled to the local fixtures: the default 128 MB
+        # would read a whole small-SF fact table as ONE split and run
+        # every scan-side stage on one core. 4 MB ≈ the same
+        # splits-per-core ratio a 100 TB table gets at 128 MB on a
+        # 1000-executor cluster; at real scale leave the default.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
