@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_connected_components",
     "agg_percentiles_by_status",
     "text_token_stats",
     "text_quality_score",

@@ -459,3 +459,88 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(d.select(F.col("doc_id").alias("dup_doc"), "lang"), "dup_doc")
         .select("dup_doc", "keeper_doc", "best_cosine", "n_matches", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# 7. Dup-cluster resolution: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+_CC_MAX_ITERS = 12  # ≥ graph diameter of any dup cluster we accept
+
+
+def _cc_oracle() -> str:
+    # reuse the exact ngram-jaccard pair SQL as the edge set, then
+    # resolve components with a recursive transitive closure
+    from ..registry import QUERIES
+
+    pair_sql = QUERIES["dedup_ngram_jaccard"].oracle
+    return f"""
+    WITH RECURSIVE pairs AS ({pair_sql}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, r) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+    )
+    SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY u
+    """
+
+
+@register("dedup_connected_components", oracle=_cc_oracle())
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-cluster resolution: connected components over the exact
+    near-dup pair graph (``dedup_ngram_jaccard`` edges), labeling every
+    clustered doc with the smallest doc_id in its component — the step
+    that turns pairwise matches into keep/drop groups.
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels (one equi-join + one
+    aggregation per round, all distributed); the driver only checks the
+    converged-count per round (a scalar), never the data. Rounds needed
+    = cluster diameter, bounded by ``_CC_MAX_ITERS``; the oracle is a
+    recursive-CTE transitive closure over the same edges. At 100 TB
+    the same loop applies with the large-star/small-star optimization
+    (alternating min-propagation that contracts paths in O(log n)
+    rounds) and checkpointing every few rounds to truncate lineage.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    edges = edges.localCheckpoint()  # pair generation runs once, not per round
+
+    labels = (
+        edges.select("u").distinct().select("u", F.col("u").alias("label"))
+    ).localCheckpoint()
+    for _ in range(_CC_MAX_ITERS):
+        lab_v = labels.select(F.col("u").alias("lv"), F.col("label").alias("vlabel"))
+        neighbor_min = (
+            edges.join(lab_v, edges.v == F.col("lv"))
+            .groupBy("u")
+            .agg(F.min("vlabel").alias("nlabel"))
+            .withColumnRenamed("u", "nu")
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.u == F.col("nu"), "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()  # truncate lineage per round
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
