@@ -52,6 +52,7 @@ HEADLINE = [
     "stream_session_windows",
     "stream_stateful_user_stats",
     "stream_static_enrich",
+    "stream_stream_interval_join",
 ]
 
 

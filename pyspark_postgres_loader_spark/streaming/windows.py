@@ -308,3 +308,54 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(enriched, "complete")
+
+
+@register(
+    "stream_stream_interval_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: clicks joined to purchases by the
+    same user within 30 minutes AFTER the click — the attribution-shape
+    join. Both sides are watermarked streams; the time-range condition
+    bounds the join state Spark must retain (state for a click expires
+    once the watermark passes click_ts + 30min), which is what makes a
+    stream-stream join feasible at all on an unbounded source.
+
+    Single-batch availableNow output equals the batch interval join,
+    checked exactly by the oracle.
+    """
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+    return _run_to_memory(joined, "append")
