@@ -77,13 +77,17 @@ def main() -> None:
 
     spark.range(256).repartition(64).mapInPandas(_identity, "id long").count()
 
+    # two passes, per-query minimum: one pass measures codegen compile +
+    # machine noise as much as the query; the min is the reproducible cost
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+    for _ in range(2):
+        for name in HEADLINE:
+            fn = queries[name]
+            start = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = round(time.perf_counter() - start, 3)
+            timings[name] = min(timings.get(name, elapsed), elapsed)
 
     total = round(sum(timings.values()), 3)
     print(

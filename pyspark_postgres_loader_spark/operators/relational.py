@@ -774,3 +774,34 @@ def scalar_higher_order_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("qtys", lambda q: q * 2.0).alias("doubled"),
         )
     )
+
+
+@register(
+    "agg_unpivot_metrics",
+    oracle="""
+    SELECT l_returnflag, metric, CAST(val AS DOUBLE) AS val
+    FROM (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+             CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc
+      FROM lineitem GROUP BY l_returnflag
+    ) UNPIVOT (val FOR metric IN (sum_qty, sum_price, sum_disc))
+    """,
+)
+def agg_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (``unpivot``/melt, the inverse of pivot): one
+    row per (group, metric). The unpivot is a zero-shuffle Expand over
+    the already-aggregated (tiny) wide table."""
+    l = _t(spark, sf_dir, "lineitem")
+    wide = l.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        dsum("l_discount").alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
