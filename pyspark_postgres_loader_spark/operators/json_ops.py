@@ -63,3 +63,37 @@ def json_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", F.col("parsed.k").alias("k"))
         .filter(F.col("k") > 90)
     )
+
+
+@register(
+    "json_map_explode",
+    oracle="""
+    SELECT prop_key,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.' || prop_key) AS BIGINT)) AS sum_val,
+           MIN(CAST(json_extract_string(props, '$.' || prop_key) AS BIGINT)) AS min_val,
+           MAX(CAST(json_extract_string(props, '$.' || prop_key) AS BIGINT)) AS max_val
+    FROM (
+      SELECT props, unnest(json_keys(props)) AS prop_key FROM events
+    )
+    GROUP BY prop_key
+    """,
+)
+def json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-less JSON: parse ``props`` as MAP<string,long>, explode
+    to (key, value) rows, aggregate per key — the shape for property
+    bags whose key set is open-ended (vs the fixed-struct parse in
+    ``json_from_json_struct``). Parse + explode are codegen'd; one
+    shuffle on the (low-cardinality) key."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+    return (
+        e.select(F.explode(m).alias("prop_key", "val"))
+        .groupBy("prop_key")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("val").alias("sum_val"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
+    )

@@ -51,18 +51,39 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STATE_PARTITIONS = 8  # state stores per stateful operator; see note below
+
+
 def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
-    """Drive a streaming DataFrame to completion into a memory sink."""
+    """Drive a streaming DataFrame to completion into a memory sink.
+
+    ``spark.sql.shuffle.partitions`` is captured at stream START and
+    becomes the state-store count for every stateful operator (a
+    stream-stream join keeps 4 stores per partition). Batch-sized
+    shuffle width is the wrong default for state: each store pays
+    per-batch checkpoint-commit overhead, so state partitions should
+    track KEY CARDINALITY and load, not core count. We scope a smaller
+    value to the stream's lifetime and restore the session conf after.
+    """
+    import os
+
+    spark = stream_df.sparkSession
+    n_state = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", _STATE_PARTITIONS)
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
     name = "s" + uuid.uuid4().hex[:12]
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_state))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    return spark.table(name)
 
 
 @register(
@@ -332,6 +353,8 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Single-batch availableNow output equals the batch interval join,
     checked exactly by the oracle.
     """
+    # streaming SELF-join: both sides derive from one source, so the
+    # file stream is planned/scanned once per micro-batch, not twice
     ev = _events_stream(spark, sf_dir)
     clicks = (
         ev.filter(F.col("event_type") == "click")
@@ -343,8 +366,7 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("click_ts", "2 hours")
     )
     purchases = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
+        ev.filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
             F.col("user_id").alias("p_user_id"),
