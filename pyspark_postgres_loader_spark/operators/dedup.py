@@ -516,7 +516,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = (
         edges.select("u").distinct().select("u", F.col("u").alias("label"))
     ).localCheckpoint()
-    for _ in range(_CC_MAX_ITERS):
+    for it in range(_CC_MAX_ITERS):
         lab_v = labels.select(F.col("u").alias("lv"), F.col("label").alias("vlabel"))
         neighbor_min = (
             edges.join(lab_v, edges.v == F.col("lv"))
@@ -533,7 +533,14 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("label"),
             )
         )
-        new_labels = new_labels.localCheckpoint()  # truncate lineage per round
+        # round 0 always changes labels (every non-minimum node adopts a
+        # neighbor's smaller id), so the first convergence check — one
+        # extra job per check — is at round 1; lineage is truncated by
+        # the check's materialization itself
+        if it == 0:
+            labels = new_labels.localCheckpoint()
+            continue
+        new_labels = new_labels.localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "u")
