@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "dedup_connected_components",
     "agg_percentiles_by_status",
+    "pipeline_clean_corpus",
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",

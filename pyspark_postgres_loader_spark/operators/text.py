@@ -195,3 +195,77 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: F.pmod(acc * 131 + x, F.lit(1000000007)),
     )
     return d.select("doc_id", rolling.alias("rolling_hash"))
+
+
+# ---------------------------------------------------------------------------
+# Capstone: the composed training-data cleaning pipeline as one query
+# ---------------------------------------------------------------------------
+
+_QUALITY_MIN = 0.45
+
+
+def _pipeline_oracle() -> str:
+    from ..registry import QUERIES
+
+    quality_sql = QUERIES["text_quality_score"].oracle
+    return f"""
+    WITH scored AS ({quality_sql}),
+    kept AS (
+      SELECT d.doc_id, d.lang, d.text, s.quality
+      FROM documents d JOIN scored s ON s.doc_id = d.doc_id
+      WHERE s.quality >= {_QUALITY_MIN}
+    ),
+    deduped AS (
+      SELECT lang, quality, doc_id, text
+      FROM (
+        SELECT lang, quality, doc_id, text,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(len(regexp_split_to_array(text, '\\s+'))) AS total_tokens,
+           MIN(quality) AS min_quality,
+           MAX(quality) AS max_quality
+    FROM deduped
+    GROUP BY lang
+    """
+
+
+@register("pipeline_clean_corpus", oracle=_pipeline_oracle())
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-cleaning pipeline as ONE lazy plan:
+    quality-score → threshold filter → exact dedup (keep lowest doc_id
+    per md5) → per-language corpus stats. Each stage is a DataFrame
+    transformation, so Catalyst optimizes ACROSS stage boundaries
+    (the quality projection and the dedup window share one scan) —
+    the argument for building pipelines as composable lazy plans
+    rather than materialized steps. At 100 TB: 2 shuffles total
+    (dedup window by fingerprint, final agg by lang).
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = text_quality_score(spark, sf_dir).select("doc_id", "quality")
+    kept = (
+        d.join(scored, "doc_id")
+        .filter(F.col("quality") >= _QUALITY_MIN)
+        .select("doc_id", "lang", "text", "quality")
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        deduped.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), r"\s+")).cast("long")).alias(
+                "total_tokens"
+            ),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+        )
+    )
