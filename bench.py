@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_connected_components",
     "agg_percentiles_by_status",
     "pipeline_clean_corpus",
+    "text_word_count_topk",
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",

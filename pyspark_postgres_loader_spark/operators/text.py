@@ -269,3 +269,57 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("quality").alias("max_quality"),
         )
     )
+
+
+@register(
+    "text_word_count_topk",
+    oracle="""
+    SELECT token, n, rn AS rank
+    FROM (
+      SELECT token, COUNT(*) AS n,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rn
+      FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+        FROM documents
+      )
+      WHERE token <> ''
+      GROUP BY token
+    ) WHERE rn <= 20
+    """,
+)
+def text_word_count_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical corpus job: global top-20 tokens by frequency.
+    explode → two-level hash agg (map-side partial combine absorbs the
+    token skew — 'the' is pre-summed per partition before the shuffle)
+    → rank ties broken lexicographically for determinism. At 100 TB the
+    only full-cardinality shuffle is the (token, partial_count) pairs.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("token", "n", "rank")
+    )
+
+
+@register("text_heavy_hitters_approx")  # sketch output → rows-only
+def text_heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters over tokens (``freqItems``,
+    count-min-style single pass): the 100 TB substitute for the exact
+    top-k when the token cardinality itself is too large to shuffle —
+    one scan, bounded memory, no global agg. Support threshold 1%."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    hh = toks.stat.freqItems(["token"], support=0.01)
+    return hh.select(F.explode("token_freqItems").alias("candidate_token"))
