@@ -203,6 +203,37 @@ _IVF_CELLS = 16   # centroids = embeddings of vec_id 0.._IVF_CELLS-1 (fixed seed
 _IVF_NPROBE = 4
 
 
+def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index build alone: every vector assigned to its nearest
+    centroid → (vec_id, embedding, v_norm, cell). At 100 TB this output
+    is written ``partitionBy("cell")`` (sinks/layout.py) so probes prune
+    non-probed cells at the directory level — asserted in
+    tests/test_ivf_layout.py."""
+    e = _spread(load_table(spark, sf_dir, "embeddings"))
+    corpus = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(_dot_dec(F.col("embedding"), F.col("embedding"))).alias("v_norm"),
+    )
+    cents = corpus.filter(F.col("vec_id") < _IVF_CELLS).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("c_emb"),
+        F.col("v_norm").alias("c_norm"),
+    )
+    score = _dot_dec(F.col("embedding"), F.col("c_emb")) / (
+        F.col("v_norm") * F.col("c_norm")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cell_score"), F.asc("cell"))
+    return (
+        corpus.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "v_norm", "cell", score.alias("cell_score"))
+        .withColumn("arn", F.row_number().over(w_assign))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "embedding", "v_norm", "cell")
+    )
+
+
 @register("ann_ivf_topk")  # structure-dependent result set → rows-only check
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: assign every vector to its nearest of {cells} fixed
@@ -231,21 +262,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _cos(a, an, b, bn):
         return _dot_dec(a, b) / (an * bn)
 
-    # index build: nearest centroid per vector
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cell_score"), F.asc("cell"))
-    assigned = (
-        corpus.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "embedding",
-            "v_norm",
-            "cell",
-            _cos(F.col("embedding"), F.col("v_norm"), F.col("c_emb"), F.col("c_norm")).alias("cell_score"),
-        )
-        .withColumn("arn", F.row_number().over(w_assign))
-        .filter(F.col("arn") == 1)
-        .select("vec_id", "embedding", "v_norm", "cell")
-    )
+    # index build: nearest centroid per vector (shared with the
+    # partitioned-layout path, see ivf_assignments)
+    assigned = ivf_assignments(spark, sf_dir)
 
     # query → nprobe nearest cells
     q = corpus.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
