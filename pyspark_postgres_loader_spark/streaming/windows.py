@@ -381,3 +381,64 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
     ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
     return _run_to_memory(joined, "append")
+
+
+@register(
+    "stream_stream_outer_attrib",
+    oracle="""
+    WITH wm AS (
+      SELECT LEAST(
+        (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+        (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+      ) AS w
+    )
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+           p.event_id AS purchase_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE p.event_id IS NOT NULL
+       OR c.ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+    """,
+)
+def stream_stream_outer_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click, attributed
+    to same-user purchases within 30 minutes — clicks with no purchase
+    still emit (with NULLs) once the watermark passes their interval,
+    which is the part an inner join can't express: the state store must
+    hold the click until its match window is provably closed.
+
+    The oracle models the streaming semantics EXACTLY: an unmatched
+    click emits only if the final global watermark — the MIN over both
+    streams' max event times — closes its 30-minute window; clicks
+    whose window is still open when the source drains stay in state
+    and are (correctly) absent from the output.
+    """
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "0 seconds")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "0 seconds")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select("click_id", "user_id", "click_ts", "purchase_id")
+    return _run_to_memory(joined, "append")
