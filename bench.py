@@ -33,6 +33,8 @@ HEADLINE = [
     "window_running_customer_spend",
     "topk_orders_by_price",
     "json_props_by_event_type",
+    "json_map_explode",
+    "agg_unpivot_metrics",
     "dedup_exact_fingerprint",
     "dedup_latest_event_per_user_type",
     "dedup_ngram_jaccard",
@@ -55,6 +57,7 @@ HEADLINE = [
     "stream_stateful_user_stats",
     "stream_static_enrich",
     "stream_stream_interval_join",
+    "stream_stream_outer_attrib",
 ]
 
 
