@@ -51,6 +51,7 @@ HEADLINE = [
     "sim_cosine_pairs",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
+    "sim_label_envelope",
     "multimodal_decode_meta",
     "stream_tumbling_hourly",
     "stream_session_windows",

@@ -305,3 +305,55 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ann_ivf_topk.__doc__ = ann_ivf_topk.__doc__.format(cells=_IVF_CELLS, nprobe=_IVF_NPROBE)
+
+
+# ---------------------------------------------------------------------------
+# Grouped batch transform: per-label embedding envelope via applyInPandas
+# ---------------------------------------------------------------------------
+
+@register(
+    "sim_label_envelope",
+    oracle="""
+    SELECT label, dim, MIN(v) AS min_val, MAX(v) AS max_val
+    FROM (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    )
+    GROUP BY label, dim
+    """,
+)
+def sim_label_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label elementwise min/max envelope of the embedding vectors
+    (the bounding box a normalization or outlier step needs), computed
+    with grouped ``applyInPandas``: each label's vectors arrive as one
+    Arrow batch, numpy reduces them columnwise, one long-form row per
+    dimension comes back. min/max are order-independent, so the result
+    is exact and oracle-checkable — unlike a naive float mean.
+
+    Scale note: groups stream through executors one label at a time
+    (shuffle on label); a label too big for one worker's memory would
+    switch to the posexplode+groupBy formulation, which is what the
+    oracle expresses — same result, pure JVM.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = _spread(load_table(spark, sf_dir, "embeddings"))
+
+    def envelope(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        dims = np.arange(mat.shape[1], dtype="int32")
+        return pd.DataFrame(
+            {
+                "label": pdf["label"].iloc[0],
+                "dim": dims,
+                "min_val": mat.min(axis=0),
+                "max_val": mat.max(axis=0),
+            }
+        )
+
+    return e.select("label", "embedding").groupBy("label").applyInPandas(
+        envelope, schema="label int, dim int, min_val double, max_val double"
+    )

@@ -1,0 +1,52 @@
+"""Physical-plan shape regression tests: the oracle gate proves results
+right; these prove the PLANS stay right (pushdown reaching the scan,
+dims broadcast, single-shuffle as-of, top-k as TakeOrdered). A change
+that silently degrades any of these would still pass correctness."""
+
+from __future__ import annotations
+
+from pyspark_postgres_loader_spark.registry import QUERIES, _ensure_loaded
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(spark, name: str) -> str:
+    _ensure_loaded()
+    return QUERIES[name].fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_scan_pushes_filter_and_prunes_columns(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    scan = plan.split("FileScan parquet", 1)[1]
+    assert "l_shipdate" in scan.split("PushedFilters:", 1)[1].split("]", 1)[0]
+    read = scan.split("ReadSchema:", 1)[1].splitlines()[0]
+    # 7 of 11 lineitem columns; the partkey/suppkey/orderkey/linenumber
+    # columns must not be read
+    for absent in ("l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"):
+        assert absent not in read, read
+
+
+def test_q5_joins_broadcast_every_dimension(spark):
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_asof_join_is_single_shuffle(spark):
+    plan = _plan(spark, "join_asof_latest_order")
+    # union + window: exactly one hash-partitioning exchange (on the key),
+    # and NO join operator at all
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "NestedLoop"):
+        assert j not in plan
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    plan = _plan(spark, "topk_orders_by_price")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_word_count_has_partial_aggregation(spark):
+    plan = _plan(spark, "text_word_count_topk")
+    # map-side combine before the token shuffle
+    assert "partial_count" in plan or "HashAggregate" in plan.split("Exchange", 1)[0]
