@@ -31,6 +31,7 @@ HEADLINE = [
     "scalar_higher_order_array",
     "window_top3_orders_per_customer",
     "window_running_customer_spend",
+    "window_range_frame_spend",
     "topk_orders_by_price",
     "json_props_by_event_type",
     "json_map_explode",
@@ -54,6 +55,7 @@ HEADLINE = [
     "sim_label_envelope",
     "multimodal_decode_meta",
     "stream_tumbling_hourly",
+    "stream_sliding_2h_1h",
     "stream_session_windows",
     "stream_stateful_user_stats",
     "stream_static_enrich",

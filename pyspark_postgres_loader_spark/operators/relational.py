@@ -805,3 +805,44 @@ def agg_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+@register(
+    "window_range_frame_spend",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             AS trailing_14d_spend,
+           COUNT(*) OVER w AS trailing_14d_orders
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey
+      ORDER BY epoch(o_orderdate)
+      RANGE BETWEEN 1209600 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def window_range_frame_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value range, not row count): each order's
+    trailing 14-day spend/count for its customer. Unlike a ROWS frame,
+    ties and gaps in time are handled by VALUE distance — the frame is
+    'orders within 1,209,600 seconds', however many rows that is. One
+    shuffle on the partition key; per-partition sort + sliding frame.
+    """
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-14 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias(
+            "trailing_14d_spend"
+        ),
+        F.count("*").over(w).alias("trailing_14d_orders"),
+    )
