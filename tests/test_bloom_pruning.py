@@ -17,7 +17,7 @@ SF_DIR = "/root/testdata/sf0.01"
 
 def test_selective_shuffle_join_gets_bloom_pruned(spark):
     saved = {
-        k: spark.conf.get(k)
+        k: spark.conf.get(k, None)
         for k in (
             "spark.sql.autoBroadcastJoinThreshold",
             "spark.sql.adaptive.autoBroadcastJoinThreshold",
@@ -50,4 +50,7 @@ def test_selective_shuffle_join_gets_bloom_pruned(spark):
         assert sum(r["count"] for r in j.collect()) == plain
     finally:
         for k, v in saved.items():
-            spark.conf.set(k, v)
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
