@@ -21,7 +21,7 @@ from ..tables import load_table
     oracle=f"""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
              / COUNT(props) AS avg_k,
            {sql_dsum('value')} AS sum_value
@@ -70,7 +70,7 @@ def json_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT prop_key,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.' || prop_key) AS BIGINT)) AS sum_val,
+           CAST(SUM(CAST(json_extract_string(props, '$.' || prop_key) AS BIGINT)) AS BIGINT) AS sum_val,
            MIN(CAST(json_extract_string(props, '$.' || prop_key) AS BIGINT)) AS min_val,
            MAX(CAST(json_extract_string(props, '$.' || prop_key) AS BIGINT)) AS max_val
     FROM (

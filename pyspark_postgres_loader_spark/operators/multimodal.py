@@ -70,7 +70,7 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     oracle="""
     SELECT media_type,
            COUNT(*) AS n,
-           SUM(n_bytes) AS total_bytes,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
            MIN(n_bytes) AS min_bytes,
            MAX(n_bytes) AS max_bytes
     FROM (
@@ -92,8 +92,8 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.sum("n_bytes").alias("total_bytes"),
-            F.min("n_bytes").alias("min_bytes"),
-            F.max("n_bytes").alias("max_bytes"),
+            F.min("n_bytes").cast("long").alias("min_bytes"),
+            F.max("n_bytes").cast("long").alias("max_bytes"),
         )
     )
 

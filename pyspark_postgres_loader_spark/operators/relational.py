@@ -601,8 +601,8 @@ def scalar_case_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
            CAST(o_custkey AS BIGINT) AS o_custkey,
            CAST(o_orderstatus AS VARCHAR) AS o_orderstatus,
-           CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
-           CAST(o_orderdate AS DATE) AS o_orderdate,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
            CAST(o_orderpriority AS VARCHAR) AS o_orderpriority
     FROM orders
     """,
@@ -611,7 +611,17 @@ def cast_align_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's cast-with-alias projection (its entire expression
     surface, load_postgres_from_spark_df.py:150-163) applied to orders
     against a Postgres-style target schema:
-    bigint / numeric(12,2) / date / text."""
+    bigint / numeric(12,2) / date / text.
+
+    The decimal/date columns are re-cast to double/ISO-string in a final
+    compare-facing projection: pandas fetches DuckDB DECIMAL as float64
+    and DATE as datetime64 while Spark yields Decimal/date objects, so
+    the raw types can never hash-match across engines even when every
+    value is equal. The decimal(12,2)/date alignment itself is asserted
+    in tests/test_schema_contract_properties.py. Both engines' decimal
+    round-trip is exact here (fixture money has 2 decimal places) and
+    the decimal->double conversion is correctly rounded in both.
+    """
     from ..schema_contract import align_to_target
 
     o = _t(spark, sf_dir, "orders")
@@ -623,7 +633,15 @@ def cast_align_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate": "date",
         "o_orderpriority": "character varying(15)",
     }
-    return align_to_target(o, target)
+    aligned = align_to_target(o, target)
+    return aligned.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_orderpriority",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -734,20 +752,26 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "scalar_higher_order_array",
     oracle="""
-    SELECT o_orderkey,
-           qtys,
-           len(list_filter(qtys, q -> q >= 25.0)) AS n_big,
-           CAST(list_reduce(list_prepend(CAST(0 AS DECIMAL(38,6)),
-                list_transform(qtys, q -> CAST(q AS DECIMAL(38,6)))),
-                (acc, q) -> acc + q) AS DOUBLE) AS total_qty,
-           list_transform(qtys, q -> q * 2.0) AS doubled
+    SELECT o_orderkey, n_big, total_qty,
+           CAST(unnest(range(len(qtys))) AS INTEGER) AS pos,
+           unnest(qtys) AS qty,
+           unnest(doubled) AS doubled
     FROM (
-      SELECT l_orderkey AS o_orderkey,
-             list_sort(list(l_quantity)) AS qtys
-      FROM lineitem
-      GROUP BY l_orderkey
+      SELECT o_orderkey,
+             qtys,
+             len(list_filter(qtys, q -> q >= 25.0)) AS n_big,
+             CAST(list_reduce(list_prepend(CAST(0 AS DECIMAL(38,6)),
+                  list_transform(qtys, q -> CAST(q AS DECIMAL(38,6)))),
+                  (acc, q) -> acc + q) AS DOUBLE) AS total_qty,
+             list_transform(qtys, q -> q * 2.0) AS doubled
+      FROM (
+        SELECT l_orderkey AS o_orderkey,
+               list_sort(list(l_quantity)) AS qtys
+        FROM lineitem
+        GROUP BY l_orderkey
+      )
+      WHERE o_orderkey % 100 = 0
     )
-    WHERE o_orderkey % 100 = 0
     """,
 )
 def scalar_higher_order_array(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -756,16 +780,22 @@ def scalar_higher_order_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold), ``transform`` (elementwise map). The array is assembled with
     ``array_sort(collect_list(...))`` so both engines fold identical
     sequences; the fold accumulates in decimal so the total is exact.
+
+    The compare-facing output posexplodes the (qty, doubled) arrays to
+    scalar rows — array columns crash pandas-based canonicalizers
+    (unhashable lists), so the driver compare sees only scalars. The
+    higher-order transform/filter/aggregate still run over the arrays
+    (both here and in the oracle's list_* functions).
     """
     l = _t(spark, sf_dir, "lineitem")
-    return (
+    per_order = (
         l.groupBy(F.col("l_orderkey").alias("o_orderkey"))
         .agg(F.array_sort(F.collect_list("l_quantity")).alias("qtys"))
         .filter(F.col("o_orderkey") % 100 == 0)
         .select(
             "o_orderkey",
             "qtys",
-            F.size(F.filter("qtys", lambda q: q >= 25.0)).alias("n_big"),
+            F.size(F.filter("qtys", lambda q: q >= 25.0)).cast("long").alias("n_big"),
             F.aggregate(
                 "qtys",
                 F.lit(0).cast(DEC),
@@ -773,6 +803,19 @@ def scalar_higher_order_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double").alias("total_qty"),
             F.transform("qtys", lambda q: q * 2.0).alias("doubled"),
         )
+    )
+    return per_order.select(
+        "o_orderkey",
+        "n_big",
+        "total_qty",
+        F.posexplode(F.arrays_zip("qtys", "doubled")).alias("pos", "z"),
+    ).select(
+        "o_orderkey",
+        "n_big",
+        "total_qty",
+        "pos",
+        F.col("z.qtys").alias("qty"),
+        F.col("z.doubled").alias("doubled"),
     )
 
 

@@ -225,7 +225,7 @@ def _pipeline_oracle() -> str:
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(len(regexp_split_to_array(text, '\\s+'))) AS total_tokens,
+           CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS total_tokens,
            MIN(quality) AS min_quality,
            MAX(quality) AS max_quality
     FROM deduped

@@ -70,3 +70,48 @@ def compare_query(spark, sf_dir: str, name: str) -> None:
     if sn != dn:
         diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:5]
         raise AssertionError(f"{name}: value mismatch; first diffs: {diffs}")
+
+    # Strict driver-style phase: the driver canonicalizes BOTH results
+    # through pandas (sort columns by name, sort rows, hash values), so
+    # representation differences that the lenient phase above forgives
+    # (DuckDB HUGEINT->float64 vs Spark int64, Decimal/date objects vs
+    # float64/datetime64, unhashable array cells) fail the driver even
+    # when every value is equal. Mirror that here so the class is caught
+    # locally before the driver sees it.
+    import pandas as pd
+
+    s_pdf = _canon_pdf(sdf.toPandas())
+    d_pdf = _canon_pdf(con.execute(spec.oracle).fetchdf())
+    s_dt = [_canon_dtype(t) for t in s_pdf.dtypes]
+    d_dt = [_canon_dtype(t) for t in d_pdf.dtypes]
+    if s_dt != d_dt:
+        raise AssertionError(
+            f"{name}: pandas dtype mismatch (driver would hash-fail): "
+            f"spark={dict(zip(s_pdf.columns, s_dt))} "
+            f"duckdb={dict(zip(d_pdf.columns, d_dt))}"
+        )
+    pd.testing.assert_frame_equal(
+        s_pdf, d_pdf, check_exact=True, check_dtype=False
+    )
+
+
+def _canon_pdf(pdf):
+    """Driver-style canonicalization: lowercase + sort columns by name,
+    sort rows by all columns, reset index. Crashes on unhashable cells
+    (lists) exactly like the driver's canonicalizer does."""
+    pdf = pdf.rename(columns={c: c.lower() for c in pdf.columns})
+    pdf = pdf[sorted(pdf.columns)]
+    return pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _canon_dtype(t) -> str:
+    """Dtype equivalence class under the driver's value hash: datetime64
+    resolution and integer width don't affect it (r1 evidence: q3 passed
+    with [us] vs [ns], window_rank with int32 vs int64) but int-vs-float
+    and object-vs-anything do (HUGEINT/Decimal/date failures)."""
+    s = str(t)
+    if s.startswith("datetime64"):
+        return "datetime64"
+    if s.startswith(("int", "uint")):
+        return "int"
+    return s
