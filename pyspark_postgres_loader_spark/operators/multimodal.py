@@ -173,10 +173,29 @@ def _frame_sample_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             rows_doc, rows_idx, rows_hash = [], [], []
 
 
-@register("multimodal_frame_sample")  # python-side sampling → rows-only
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           md5(array_to_string(
+                 list_transform(range(frame_idx + 1, octet_length(encode(text)) + 1, n_frames),
+                                j -> substring(text, CAST(j AS INTEGER), 1)),
+                 '')) AS frame_hash
+    FROM (
+      SELECT doc_id, text,
+             1 + octet_length(encode(text)) % 7 AS n_frames,
+             unnest(range(1 + octet_length(encode(text)) % 7)) AS frame_idx
+      FROM documents
+    )
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-frame fan-out (1 payload → n_frames rows) through mapInPandas,
-    deterministic stride sampling + frame hashing."""
+    deterministic stride sampling + frame hashing. The oracle replays the
+    byte-stride slice as a character-stride slice (fixture text is pure
+    ASCII, so byte i of the UTF-8 payload == character i) and hashes the
+    same md5; every fixture doc is ≥ 7 bytes so no frame slice is empty."""
     d = with_binary_payload(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", "payload").mapInPandas(
         _frame_sample_batches, schema=_FRAME_SCHEMA
@@ -256,31 +275,83 @@ _FEAT_SCHEMA = "doc_id long, features array<float>, feat_norm double"
 
 def _feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Feature extraction: payload bytes → fixed-dim float vector
-    (byte-histogram moments over ``_FEAT_DIM`` buckets, fully
-    vectorized with numpy). A real pipeline swaps in a vision/audio
-    encoder; the Arrow batch shape and array<float> output contract
-    are what matter."""
+    (byte-histogram over ``_FEAT_DIM`` buckets). A real pipeline swaps
+    in a vision/audio encoder; the Arrow batch shape and array<float>
+    output contract are what matter.
+
+    Determinism: the histogram/size division is exact-int-operands
+    double division (correctly rounded) explicitly re-rounded to
+    float32 — the same double→float32 double-rounding path the SQL
+    oracle takes — and the norm is a sequential ascending-dim float64
+    fold, matching the oracle's ``list_reduce`` fold order."""
     import numpy as np
 
     for pdf in it:
         feats, norms, ids = [], [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             arr = np.frombuffer(payload or b"\x00", dtype=np.uint8)
-            hist = np.bincount(arr >> 5, minlength=_FEAT_DIM).astype(np.float32)
-            v = hist / max(1.0, float(arr.size))
-            feats.append(v)
-            norms.append(float(np.sqrt(np.dot(v.astype(np.float64), v.astype(np.float64)))))
+            hist = np.bincount(arr >> 5, minlength=_FEAT_DIM)
+            v32 = (hist.astype(np.float64) / float(max(1, arr.size))).astype(np.float32)
+            acc = 0.0
+            for x in v32.astype(np.float64):
+                acc += x * x
+            feats.append(v32)
+            norms.append(float(np.sqrt(acc)))
             ids.append(doc_id)
         yield pd.DataFrame({"doc_id": ids, "features": feats, "feat_norm": norms})
 
 
-@register("multimodal_feature_extract")  # float32 vector output → rows-only
+@register(
+    "multimodal_feature_extract",
+    oracle=f"""
+    WITH chars AS (
+      SELECT doc_id, ascii(unnest(string_split(text, ''))) // 32 AS dim
+      FROM documents
+    ), counts AS (
+      SELECT doc_id, dim, COUNT(*) AS cnt FROM chars GROUP BY doc_id, dim
+    ), grid AS (
+      SELECT doc_id, octet_length(encode(text)) AS n,
+             unnest(range({_FEAT_DIM})) AS dim
+      FROM documents
+    ), feats AS (
+      SELECT g.doc_id, CAST(g.dim AS INTEGER) AS dim,
+             CAST(CAST(COALESCE(c.cnt, 0) AS DOUBLE) / CAST(g.n AS DOUBLE) AS REAL) AS f32
+      FROM grid g LEFT JOIN counts c ON g.doc_id = c.doc_id AND g.dim = c.dim
+    ), norms AS (
+      SELECT doc_id,
+             sqrt(list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(list(CAST(f32 AS DOUBLE) ORDER BY dim), x -> x * x)),
+               (a, b) -> a + b)) AS feat_norm
+      FROM feats GROUP BY doc_id
+    )
+    SELECT f.doc_id, f.dim, CAST(f.f32 AS DOUBLE) AS feat, n.feat_norm
+    FROM feats f JOIN norms n USING (doc_id)
+    """,
+)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extract step: binary payload → ``array<float>`` feature
-    vector + norm through ``mapInPandas`` (numpy-vectorized fake
-    encoder). Downstream this column feeds the similarity operators
-    (same ``array<float>`` contract as the embeddings fixture)."""
+    vector + norm through ``mapInPandas`` (fake byte-histogram encoder).
+    Downstream this column feeds the similarity operators (same
+    ``array<float>`` contract as the embeddings fixture).
+
+    Compare surface: the float32 vector is posexploded to scalar
+    (doc_id, dim, feat) rows — array cells crash pandas-based
+    canonicalizers — with feat widened float32→float64 (exact). The
+    oracle recomputes the byte histogram as a character histogram
+    (fixture text is pure ASCII) through the identical
+    double-divide→float32-round→float64-widen path."""
     d = with_binary_payload(load_table(spark, sf_dir, "documents"))
-    return d.select("doc_id", "payload").mapInPandas(
+    vecs = d.select("doc_id", "payload").mapInPandas(
         _feature_batches, schema=_FEAT_SCHEMA
+    )
+    return vecs.select(
+        "doc_id",
+        F.posexplode("features").alias("dim", "f32"),
+        "feat_norm",
+    ).select(
+        "doc_id",
+        "dim",
+        F.col("f32").cast("double").alias("feat"),
+        "feat_norm",
     )
