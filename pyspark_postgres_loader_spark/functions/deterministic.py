@@ -46,3 +46,26 @@ def sql_dsum(expr: str) -> str:
 def sql_davg(expr: str) -> str:
     """DuckDB oracle rendering of :func:`davg`."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({expr})"
+
+
+def mhash64(col: Column | str) -> Column:
+    """Cross-engine deterministic 60-bit string hash (non-negative long).
+
+    ``xxhash64`` has no DuckDB counterpart, so hash-blocked operators
+    built on it can never be oracle-checked. md5 exists in both engines
+    with identical semantics; the top 15 hex chars parsed base-16 give a
+    uniform 60-bit non-negative int64 both engines agree on bit-for-bit.
+    Spark: ``conv(substr(md5(s),1,15),16,10)``; DuckDB mirrors via
+    ``CAST('0x' || substr(md5(s),1,15) AS BIGINT)``.
+
+    md5 costs ~2-3x xxhash64 per call; for candidate-generation hashing
+    (shingles, tokens, band buckets) that's noise next to the joins it
+    feeds, and it buys a differential-testable operator.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def sql_mhash64(expr: str) -> str:
+    """DuckDB oracle rendering of :func:`mhash64`."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"

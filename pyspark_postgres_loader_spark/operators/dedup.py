@@ -25,6 +25,7 @@ import random
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.deterministic import mhash64, sql_mhash64
 from ..functions.planctl import nondet_keep as _nondet_keep
 from ..functions.planctl import spread as _spread
 from ..registry import register
@@ -229,11 +230,70 @@ _MINHASH_AB = [( _rng.randrange(1, _MERSENNE), _rng.randrange(0, _MERSENNE))
                for _ in range(_K)]
 
 
-@register("dedup_minhash_lsh")  # hash-based: not SQL-expressible → rows-only
+def _minhash_oracle() -> str:
+    """DuckDB replay of the full MinHash-LSH pipeline. Possible because
+    every hash is md5-derived (``mhash64``): base shingle hash, the 32
+    seed-42 affine permutations mod 2^31-1, and the per-band bucket hash
+    over '|'-joined signature values are all engine-agnostic integer
+    arithmetic both engines compute bit-identically."""
+    m_cols = ",\n             ".join(
+        f"MIN(({a} * h + {b}) % {_MERSENNE}) AS m{k}"
+        for k, (a, b) in enumerate(_MINHASH_AB)
+    )
+    band_exprs = ", ".join(
+        sql_mhash64(
+            "concat_ws('|', " + ", ".join(
+                [str(bi)] + [f"m{bi * _ROWS + r}" for r in range(_ROWS)]
+            ) + ")"
+        )
+        for bi in range(_BANDS)
+    )
+    jac = ("CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)"
+           " / len(list_distinct(list_concat(a.s, b.s)))")
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w)-1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+            FROM documents)
+      WHERE len(w) >= 3
+    ), hashes AS (
+      SELECT doc_id, {sql_mhash64('sh_str')} % {_MERSENNE} AS h
+      FROM (SELECT doc_id, unnest(s) AS sh_str FROM sh)
+    ), sigs AS (
+      SELECT doc_id,
+             {m_cols}
+      FROM hashes GROUP BY doc_id
+    ), buckets AS (
+      SELECT doc_id,
+             CAST(unnest(range({_BANDS})) AS INTEGER) AS band,
+             unnest([{band_exprs}]) AS bucket
+      FROM sigs
+    ), sizes AS (
+      SELECT band, bucket, COUNT(*) AS cnt FROM buckets GROUP BY band, bucket
+    ), cands AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM buckets x
+      JOIN buckets y ON x.band = y.band AND x.bucket = y.bucket
+                    AND y.doc_id > x.doc_id
+      JOIN sizes z ON z.band = x.band AND z.bucket = x.bucket
+                  AND z.cnt > 1 AND z.cnt <= {_MAX_BUCKET}
+    )
+    SELECT c.doc_a, c.doc_b, {jac} AS jaccard
+    FROM cands c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b
+    WHERE {jac} >= 0.5
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + LSH(8 bands × 4) near-dup candidates, verified with
-    exact Jaccard ≥ 0.5. Deterministic: xxhash64 base hash + fixed
-    (a,b) permutation constants (seed 42).
+    exact Jaccard ≥ 0.5. Deterministic: md5-derived base hash
+    (``mhash64`` — cross-engine, so the whole pipeline is oracle-checked)
+    + fixed (a,b) permutation constants (seed 42).
 
     Scale design: O(n) signature computation (one aggregation over
     exploded shingles), O(n·bands) bucket join, bucket size capped at
@@ -248,7 +308,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature: per doc, K minima over permuted shingle hashes
     base = sh.select(
         "doc_id", F.explode("shingles").alias("s")
-    ).select("doc_id", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE)).alias("h"))
+    ).select("doc_id", F.pmod(mhash64("s"), F.lit(_MERSENNE)).alias("h"))
     sig_cols = [
         F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE))).alias(f"m{k}")
         for k, (a, b) in enumerate(_MINHASH_AB)
@@ -258,9 +318,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bands: hash r consecutive signature values per band → (band, bucket)
     band_hashes = F.array(
         *[
-            F.xxhash64(F.lit(bi), *[f"m{bi * _ROWS + r}" for r in range(_ROWS)]).alias(
-                f"b{bi}"
-            )
+            mhash64(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(bi)),
+                    *[F.col(f"m{bi * _ROWS + r}").cast("string") for r in range(_ROWS)],
+                )
+            ).alias(f"b{bi}")
             for bi in range(_BANDS)
         ]
     )
@@ -303,30 +367,73 @@ dedup_minhash_lsh.__doc__ = dedup_minhash_lsh.__doc__.format(cap=_MAX_BUCKET)
 # 5. SimHash near-dup (Hamming ≤ 6 via 4×16-bit pigeonhole blocking)
 # ---------------------------------------------------------------------------
 
-_SIM_BITS = 64
-_CHUNKS = 4
+_SIM_BITS = 60          # mhash64 yields 60 uniform bits (15 hex chars)
+_CHUNKS = 4             # 4 × 15-bit chunks
+_CHUNK_BITS = _SIM_BITS // _CHUNKS
+_CHUNK_MASK = (1 << _CHUNK_BITS) - 1
 _HAMMING_MAX = 6
 
 
-@register("dedup_simhash")  # hash-based → rows-only
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64) near-dup: sign-sum signature over token hashes,
-    candidates from 16-bit chunk equality (pigeonhole: hamming ≤ 6 with
-    4 chunks guarantees ≥1 equal chunk... for hamming ≤ 3; we block on
-    any-equal-chunk and verify ``bit_count(xor) ≤ 6`` exactly, so the
-    result is a deterministic subset of true pairs — the standard
-    recall/cost trade).
-
-    All signature math is JVM-side bit arithmetic (shiftright/bit_count);
-    one aggregation + one equi-join on (chunk_idx, chunk_value).
+def _simhash_oracle() -> str:
+    """DuckDB replay of the SimHash pipeline (md5-derived token hash →
+    bit-majority signature → capped chunk-bucket candidate pairs →
+    exact Hamming verify)."""
+    s_cols = ",\n             ".join(
+        f"SUM((h >> {j}) & 1) AS s{j}" for j in range(_SIM_BITS)
+    )
+    sig_sum = " + ".join(
+        f"CASE WHEN 2 * s{j} > n THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        for j in range(_SIM_BITS)
+    )
+    chunk_exprs = ", ".join(
+        f"(sig >> {_CHUNK_BITS * c}) & {_CHUNK_MASK}" for c in range(_CHUNKS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {sql_mhash64('t')} AS h
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+            FROM documents)
+    ), bit_sums AS (
+      SELECT doc_id, COUNT(*) AS n,
+             {s_cols}
+      FROM toks GROUP BY doc_id
+    ), sigs AS (
+      SELECT doc_id, {sig_sum} AS sig FROM bit_sums
+    ), chunks AS (
+      SELECT doc_id,
+             CAST(unnest(range({_CHUNKS})) AS INTEGER) AS chunk_idx,
+             unnest([{chunk_exprs}]) AS chunk_val
+      FROM sigs
+    ), sizes AS (
+      SELECT chunk_idx, chunk_val, COUNT(*) AS cnt
+      FROM chunks GROUP BY chunk_idx, chunk_val
+    ), cands AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM chunks x
+      JOIN chunks y ON x.chunk_idx = y.chunk_idx AND x.chunk_val = y.chunk_val
+                   AND y.doc_id > x.doc_id
+      JOIN sizes z ON z.chunk_idx = x.chunk_idx AND z.chunk_val = x.chunk_val
+                  AND z.cnt > 1 AND z.cnt <= {_MAX_BUCKET}
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(sa.sig, sb.sig)) AS INTEGER) AS hamming
+    FROM cands c
+    JOIN sigs sa ON sa.doc_id = c.doc_a
+    JOIN sigs sb ON sb.doc_id = c.doc_b
+    WHERE bit_count(xor(sa.sig, sb.sig)) <= {_HAMMING_MAX}
     """
-    d = _spread(load_table(spark, sf_dir, "documents"))
-    toks = d.select("doc_id", F.explode(_tokens()).alias("t")).select(
-        "doc_id", F.xxhash64("t").alias("h")
+
+
+def simhash_pairs(docs: DataFrame) -> DataFrame:
+    """SimHash candidate pairs over a (doc_id, text) DataFrame —
+    factored out of the registered query for direct testing (skew/cap
+    behavior is asserted on crafted inputs in tests)."""
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("t")).select(
+        "doc_id", mhash64("t").alias("h")
     )
     # per bit j: signature bit set iff set-count majority, i.e.
     # 2·sum(bit_j) > n  (≡ sum(±1) > 0 incl. tie semantics). Branch-free
-    # bit sums instead of 64 CASE WHENs: same result, ~3× faster cold —
+    # bit sums instead of 60 CASE WHENs: same result, ~3× faster cold —
     # the conditional form's codegen alone took seconds to compile.
     bit_sums = toks.groupBy("doc_id").agg(
         F.count("*").alias("n"),
@@ -335,48 +442,79 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(_SIM_BITS)
         ],
     )
+    # signature fits a signed long: 60 bits
     sig = bit_sums.select(
         "doc_id",
         sum(
             [
                 F.when(F.col(f"s{j}") * 2 > F.col("n"), F.lit(1).cast("long") * (1 << j)).otherwise(0)
-                for j in range(_SIM_BITS - 1)
+                for j in range(_SIM_BITS)
             ],
             F.lit(0).cast("long"),
-        ).alias("sig"),  # bit 63 left clear to stay in signed-long range
-    )
+        ).alias("sig"),
+    ).cache()  # read by chunk-explode + both verify joins
 
-    # both join sides read `chunks`: cache so the 64-column signature
-    # aggregation runs once, not once per side
     chunks = sig.select(
         "doc_id",
-        "sig",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("sig"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    F.shiftright(F.col("sig"), _CHUNK_BITS * c).bitwiseAND(F.lit(_CHUNK_MASK))
                     for c in range(_CHUNKS)
                 ]
             )
         ).alias("chunk_idx", "chunk_val"),
-    ).cache()
-    a = chunks.select(
-        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "chunk_idx", "chunk_val"
     )
-    b = chunks.select(
-        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "chunk_idx", "chunk_val"
+    # candidate pairs via capped bucket enumeration (NOT a raw self-join):
+    # group docs per (chunk_idx, chunk_val), drop buckets above
+    # _MAX_BUCKET — a degenerate chunk value (e.g. near-empty docs all
+    # collapsing to sig≈0) would otherwise make the join quadratic at
+    # scale. Mirrors the LSH banding cap above.
+    grouped = (
+        chunks.groupBy("chunk_idx", "chunk_val")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= _MAX_BUCKET))
     )
+    pairs = (
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .distinct()
+    )
+
+    # exact Hamming verify on candidates: signatures re-attached by
+    # doc_id (uniform-key hash joins; sig is cached above)
     return (
-        a.join(b, ["chunk_idx", "chunk_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        pairs.join(sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a")
+        .join(sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b")
         .select(
             "doc_a",
             "doc_b",
             F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= _HAMMING_MAX)
-        .distinct()
     )
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(60) near-dup: sign-sum signature over md5-derived token
+    hashes (``mhash64`` — cross-engine, so the pipeline is
+    oracle-checked), candidates from 15-bit chunk equality (pigeonhole
+    blocking; verified with exact ``bit_count(xor) ≤ 6``, so the result
+    is a deterministic subset of true pairs — the standard recall/cost
+    trade).
+
+    Signature math is JVM-side bit arithmetic (shiftright/bit_count);
+    one aggregation + capped bucket enumeration (see ``simhash_pairs``).
+    """
+    return simhash_pairs(_spread(load_table(spark, sf_dir, "documents")))
 
 
 # ---------------------------------------------------------------------------

@@ -683,22 +683,48 @@ def agg_percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_sketches")  # sketch outputs are engine-specific → rows-only
+@register(
+    "agg_approx_sketches",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS approx_parts_ok,
+           quantile_cont(l_extendedprice, 0.5) AS exact_median_price,
+           TRUE AS approx_median_ok
+    FROM lineitem
+    """,
+)
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate sketch aggregates, the 100 TB substitutes for their
     exact forms: HLL++ ``approx_count_distinct`` (vs COUNT DISTINCT's
     full shuffle of distinct keys) and GK ``percentile_approx`` (vs the
-    sort-based exact percentile). Exact counterparts are included in
-    the output so the sketch error is visible; sketch values are
-    engine-specific, hence the rows-only check (exact forms are
-    oracle-checked in their own queries).
+    sort-based exact percentile).
+
+    Raw sketch values are engine-specific (Spark HLL++ vs DuckDB's own
+    HLL) so they can never be value-compared; the differential instead
+    asserts the sketch's ERROR CONTRACT against the oracle's exact
+    values — ``approx_parts_ok`` (HLL within its 5% rsd of the exact
+    distinct count) and ``approx_median_ok`` (GK median between the
+    exact 0.49/0.51 quantiles, i.e. within its 1/10000 rank accuracy)
+    must come out TRUE, which the oracle states as literals. Tighter
+    per-run bounds are asserted in tests/test_sketch_bounds.py.
     """
     l = _t(spark, sf_dir, "lineitem")
+    approx_parts = F.approx_count_distinct("l_partkey")
+    exact_parts = F.countDistinct("l_partkey")
     return l.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        exact_parts.alias("exact_parts"),
+        (
+            F.abs(approx_parts.cast("double") - exact_parts.cast("double"))
+            / exact_parts.cast("double")
+            <= 0.05
+        ).alias("approx_parts_ok"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median_price"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000)
+        .between(
+            F.expr("percentile(l_extendedprice, 0.49)"),
+            F.expr("percentile(l_extendedprice, 0.51)"),
+        )
+        .alias("approx_median_ok"),
     )
 
 

@@ -234,7 +234,60 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_topk")  # structure-dependent result set → rows-only check
+def _ivf_oracle() -> str:
+    """DuckDB replay of the IVF pipeline. The index structure is fully
+    deterministic (centroids are the first {cells} vectors, assignment
+    and probe argmins tie-break on cell id, cosines are bit-identical
+    matched-fold doubles), so the exact-rank-within-probed-cells result
+    is SQL-expressible."""
+    qids = _QID_SQL
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding,
+             sqrt({_sql_dot('embedding', 'embedding')}) AS v_norm
+      FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS cell, embedding AS c_emb, v_norm AS c_norm
+      FROM corpus WHERE vec_id < {_IVF_CELLS}
+    ), assigned AS (
+      SELECT vec_id, embedding, v_norm, cell FROM (
+        SELECT c.vec_id, c.embedding, c.v_norm, ct.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {_sql_dot('c.embedding', 'ct.c_emb')}
+                          / (c.v_norm * ct.c_norm) DESC, ct.cell
+               ) AS arn
+        FROM corpus c CROSS JOIN cents ct
+      ) WHERE arn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb, v_norm AS q_norm
+      FROM corpus WHERE vec_id IN ({qids})
+    ), probes AS (
+      SELECT query_id, q_emb, q_norm, cell FROM (
+        SELECT q.query_id, q.q_emb, q.q_norm, ct.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_sql_dot('q.q_emb', 'ct.c_emb')}
+                          / (q.q_norm * ct.c_norm) DESC, ct.cell
+               ) AS prn
+        FROM q CROSS JOIN cents ct
+      ) WHERE prn <= {_IVF_NPROBE}
+    ), scored AS (
+      SELECT p.query_id, a.vec_id,
+             {_sql_dot('p.q_emb', 'a.embedding')} / (p.q_norm * a.v_norm) AS cosine
+      FROM assigned a JOIN probes p
+        ON a.cell = p.cell AND a.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, cosine, CAST(rn AS INTEGER) AS rank FROM (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {_TOPK}
+    """
+
+
+@register("ann_ivf_topk", oracle=_ivf_oracle())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: assign every vector to its nearest of {cells} fixed
     centroids (one broadcast score + window argmin = the index build),

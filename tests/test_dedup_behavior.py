@@ -75,3 +75,28 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     # ordering within its own candidate set (sanity: ranks 1..10 unique)
     for r in ann_ivf_topk(spark, sf_dir).collect():
         assert 1 <= r.rank <= 10
+
+
+def test_simhash_bucket_cap_prevents_quadratic_blowup(spark):
+    """A degenerate chunk value (here: 200 identical docs, one shared
+    signature) must NOT pair-enumerate — the (chunk_idx, chunk_val)
+    bucket exceeds _MAX_BUCKET and is dropped, exactly like the LSH
+    banding cap. Distinct small clusters under the cap still pair."""
+    from pyspark_postgres_loader_spark.operators.dedup import (
+        _MAX_BUCKET,
+        simhash_pairs,
+    )
+
+    hot = [(i, "identical degenerate document text repeated") for i in range(200)]
+    # two distinct docs sharing the same text → one under-cap bucket
+    cold = [(1000, "a genuinely unique pair of documents here"),
+            (1001, "a genuinely unique pair of documents here")]
+    docs = spark.createDataFrame(hot + cold, ["doc_id", "text"])
+    rows = simhash_pairs(docs).collect()
+    pair_docs = {d for r in rows for d in (r.doc_a, r.doc_b)}
+    assert 1000 in pair_docs and 1001 in pair_docs, "under-cap pair lost"
+    # 200 identical docs would emit 199*200/2=19900 pairs uncapped
+    assert not any(r.doc_a < 1000 for r in rows), (
+        f"hot bucket (> _MAX_BUCKET={_MAX_BUCKET}) must be dropped, "
+        f"got {len(rows)} rows"
+    )
