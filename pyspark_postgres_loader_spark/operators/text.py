@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.deterministic import mhash64, sql_mhash64
 from ..registry import register
 from ..tables import load_table
 
@@ -182,15 +183,27 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.md5(norm).alias("content_md5"))
 
 
-@register("text_rolling_hash")  # engine-local hash family → rows-only
+@register(
+    "text_rolling_hash",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(7 AS BIGINT),
+               list_transform(regexp_split_to_array(lower(text), '\\s+'),
+                              t -> ({sql_mhash64('t')}) % 1000003)),
+             (acc, x) -> (acc * 131 + x) % 1000000007) AS rolling_hash
+    FROM documents
+    """,
+)
 def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polynomial rolling hash over token hashes (Rabin-Karp-style
-    document fingerprint). Deterministic (xxhash64 + fixed modulus) but
-    the hash family is Spark-local, so no SQL oracle."""
+    document fingerprint). Deterministic cross-engine: md5-derived
+    token hash (``mhash64``) + fixed modulus, folded left-to-right in
+    both engines (Spark ``aggregate`` / DuckDB ``list_reduce``)."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), r"\s+")
     rolling = F.aggregate(
-        F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(1000003))),
+        F.transform(toks, lambda t: F.pmod(mhash64(t), F.lit(1000003))),
         F.lit(7).cast("long"),
         lambda acc, x: F.pmod(acc * 131 + x, F.lit(1000000007)),
     )
@@ -311,15 +324,44 @@ def text_word_count_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_heavy_hitters_approx")  # sketch output → rows-only
+@register(
+    "text_heavy_hitters_approx",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+      FROM documents
+    ), nonempty AS (
+      SELECT token FROM toks WHERE token <> ''
+    ), total AS (
+      SELECT COUNT(*) AS n_total FROM nonempty
+    )
+    SELECT token, COUNT(*) AS n
+    FROM nonempty, total
+    GROUP BY token, n_total
+    HAVING COUNT(*) > 0.01 * n_total
+    """,
+)
 def text_heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate heavy hitters over tokens (``freqItems``,
-    count-min-style single pass): the 100 TB substitute for the exact
-    top-k when the token cardinality itself is too large to shuffle —
-    one scan, bounded memory, no global agg. Support threshold 1%."""
+    """Two-pass heavy hitters: pass 1 is ``freqItems`` (count-min-style
+    single scan, bounded memory — the 100 TB substitute for shuffling
+    the full token cardinality); pass 2 exact-counts ONLY the sketch's
+    candidates and keeps those truly above support. freqItems
+    guarantees no false negatives above support, so the verified output
+    equals the exact heavy-hitter set — which is what the oracle
+    states, making the sketch's recall contract the thing being
+    differentially tested. Support threshold 1%."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
     ).filter(F.col("token") != "")
     hh = toks.stat.freqItems(["token"], support=0.01)
-    return hh.select(F.explode("token_freqItems").alias("candidate_token"))
+    cands = hh.select(F.explode("token_freqItems").alias("token"))
+    total = toks.agg(F.count("*").alias("n_total"))  # lazy scalar
+    return (
+        toks.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n") > 0.01 * F.col("n_total"))
+        .select("token", "n")
+    )

@@ -48,3 +48,22 @@ def test_stratified_sample_rates(spark):
         assert abs(k - mean) <= 4 * sd + 2, (lang, k, mean, sd)
     # no stratum outside the declared fractions appears
     assert set(got) <= set(_LANG_FRACTIONS)
+
+
+def test_bernoulli_variants_rates(spark):
+    from pyspark_postgres_loader_spark.operators.sampling import (
+        bernoulli_sample_by_lang,
+        bernoulli_sample_docs,
+    )
+
+    n = bernoulli_sample_docs(spark, SF_DIR).count()
+    assert 20 <= n <= 90, n
+    got = {
+        r["lang"]: r["cnt"]
+        for r in bernoulli_sample_by_lang(spark, SF_DIR)
+        .groupBy("lang")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .collect()
+    }
+    assert set(got) <= set(_LANG_FRACTIONS)
