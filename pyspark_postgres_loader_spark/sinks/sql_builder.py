@@ -27,6 +27,9 @@ from dataclasses import dataclass
 class Dialect:
     name: str
     placeholder: str  # per-value placeholder for executemany
+    # SAVEPOINT/ROLLBACK TO support (DuckDB has none — the sink's batch
+    # quarantine falls back to commit-per-chunk + rollback-on-error)
+    supports_savepoint: bool = True
 
     def placeholders(self, n: int) -> str:
         if self.placeholder == "$n":  # asyncpg-style numbered
@@ -37,7 +40,7 @@ class Dialect:
 POSTGRES = Dialect("postgres", "%s")
 ASYNCPG = Dialect("asyncpg", "$n")
 SQLITE = Dialect("sqlite", "?")
-DUCKDB = Dialect("duckdb", "?")
+DUCKDB = Dialect("duckdb", "?", supports_savepoint=False)
 
 DIALECTS = {d.name: d for d in (POSTGRES, ASYNCPG, SQLITE, DUCKDB)}
 

@@ -49,6 +49,11 @@ from pyspark.sql import DataFrame
 from .sql_builder import Dialect, POSTGRES, build_upsert_sql
 
 
+_MAX_ERRORS = 100  # cap captured messages so a pathological load
+                   # (millions of poison rows) can't flood driver memory;
+                   # rows_rejected still counts every rejection exactly
+
+
 @dataclass
 class LoadStats:
     rows_seen: int = 0
@@ -57,6 +62,7 @@ class LoadStats:
     partitions: int = 0
     error_messages: list[str] = field(default_factory=list)
     aborted_partitions: int = 0
+    errors_truncated: int = 0  # messages dropped beyond _MAX_ERRORS
 
 
 @contextmanager
@@ -80,31 +86,50 @@ def execute_batch_with_quarantine(
     sql: str,
     batch: list[tuple],
     error_messages: list[str],
+    conn=None,
+    use_savepoint: bool = True,
 ) -> tuple[int, int]:
     """Run one batch with bisection quarantine.
 
     Worklist of sub-batches (≈ psycopg2_database_helper.py:84-102): a
     failing sub-batch of size >1 splits in half and re-queues
     (:105-120); a failing single row is counted as rejected and its
-    error captured. Returns (loaded, rejected).
+    error captured. Returns (loaded, rejected, dropped_messages).
+
+    ``use_savepoint=False`` (dialects without SAVEPOINT, e.g. DuckDB):
+    each chunk commits on success and rollbacks on failure instead of
+    rolling back to a savepoint — same quarantine result, one commit
+    per surviving chunk instead of one per batch.
     """
-    loaded = rejected = 0
+    loaded = rejected = dropped = 0
     worklist: list[list[tuple]] = [batch]
     while worklist:
         chunk = worklist.pop()
-        with savepoint_guard(cursor) as captured:
-            cursor.executemany(sql, chunk)
-        err = captured[0]
+        if use_savepoint:
+            with savepoint_guard(cursor) as captured:
+                cursor.executemany(sql, chunk)
+            err = captured[0]
+        else:
+            try:
+                cursor.executemany(sql, chunk)
+                conn.commit()
+                err = None
+            except Exception as exc:  # noqa: BLE001 — DBAPI errors vary
+                conn.rollback()
+                err = exc
         if err is None:
             loaded += len(chunk)
         elif len(chunk) == 1:
             rejected += 1
-            error_messages.append(f"{type(err).__name__}: {err}")
+            if len(error_messages) < _MAX_ERRORS:
+                error_messages.append(f"{type(err).__name__}: {err}")
+            else:
+                dropped += 1
         else:
             mid = len(chunk) // 2
             worklist.append(chunk[:mid])
             worklist.append(chunk[mid:])
-    return loaded, rejected
+    return loaded, rejected, dropped
 
 
 def _batch_and_upsert(
@@ -112,6 +137,7 @@ def _batch_and_upsert(
     connection_factory: Callable[[], object],
     sql: str,
     batch_size: int,
+    use_savepoint: bool = True,
 ) -> Iterator[tuple[int, int, int, list[str], bool]]:
     """Per-partition consumer (≈ psycopg2_database_helper.py:123-187):
     lazy connect on first row, batch, transact, quarantine, early-abort
@@ -119,18 +145,21 @@ def _batch_and_upsert(
     (seen, loaded, rejected, messages, aborted)."""
     conn = None
     cursor = None
-    seen = loaded = rejected = 0
+    seen = loaded = rejected = truncated = 0
     messages: list[str] = []
     aborted = False
     batch: list[tuple] = []
 
     def flush() -> bool:
-        nonlocal conn, cursor, loaded, rejected
+        nonlocal conn, cursor, loaded, rejected, truncated
         if not batch:
             return False
-        l, r = execute_batch_with_quarantine(cursor, sql, batch, messages)
+        l, r, d = execute_batch_with_quarantine(
+            cursor, sql, batch, messages, conn=conn, use_savepoint=use_savepoint
+        )
         loaded += l
         rejected += r
+        truncated += d
         conn.commit()
         whole_batch_bad = r == len(batch)
         batch.clear()
@@ -155,7 +184,7 @@ def _batch_and_upsert(
             cursor.close()
         if conn is not None:
             conn.close()
-    yield seen, loaded, rejected, messages, aborted
+    yield seen, loaded, rejected, messages, aborted, truncated
 
 
 _BY_VALUE_REGISTERED = False
@@ -212,19 +241,27 @@ def upsert_dataframe(
     )
     _register_self_by_value()
     out = _layout(df, parallelism, partition_cols)
+    use_sp = dialect.supports_savepoint
     per_partition = out.rdd.mapPartitions(
-        lambda rows: _batch_and_upsert(rows, connection_factory, sql, batch_size)
+        lambda rows: _batch_and_upsert(
+            rows, connection_factory, sql, batch_size, use_savepoint=use_sp
+        )
     ).collect()
 
     stats = LoadStats()
-    for seen, loaded, rejected, messages, aborted in per_partition:
+    for seen, loaded, rejected, messages, aborted, truncated in per_partition:
         stats.partitions += 1
         stats.rows_seen += seen
         stats.rows_loaded += loaded
         stats.rows_rejected += rejected
-        stats.error_messages.extend(messages)
+        room = _MAX_ERRORS - len(stats.error_messages)
+        stats.error_messages.extend(messages[:room])
+        stats.errors_truncated += max(0, len(messages) - room) + truncated
         stats.aborted_partitions += int(aborted)
     return stats
+
+
+_STAGED_SEQ = "_staged_seq"
 
 
 def upsert_via_staging(
@@ -245,16 +282,43 @@ def upsert_via_staging(
     traded away for one relational merge; pair with
     :func:`upsert_dataframe` when per-row isolation matters more).
 
-    Last-wins within the staged data is enforced by merging only the
-    max-rowid row per key (deterministic with a monotonically
-    increasing staged rowid).
+    Last-wins within the staged data is decided by an explicit
+    ``_staged_seq`` column stamped Spark-side with
+    ``monotonically_increasing_id()`` BEFORE the rows fan out to
+    writers — so the winner is a deterministic function of the
+    DataFrame's row order, independent of database arrival order,
+    writer parallelism, or any dialect-specific implicit rowid.
+
+    Dialect support: the merge uses ``INSERT .. ON CONFLICT``, available
+    on Postgres, SQLite (3.24+) and DuckDB — the three dialects
+    sql_builder ships. The staging table is created if missing
+    (``CREATE TABLE IF NOT EXISTS .. AS SELECT .. WHERE 1=0`` cloning
+    the target's columns plus ``_staged_seq BIGINT``); a pre-existing
+    staging table must include the ``_staged_seq`` column.
     """
+    from pyspark.sql import functions as F
+
     staging = staging_table or f"{table.replace('.', '_')}_staging"
     cols = list(df.columns)
+    staged_df = df.withColumn(_STAGED_SEQ, F.monotonically_increasing_id())
+
+    # 0) ensure the staging table exists (target schema + sequence col)
+    conn = connection_factory()
+    try:
+        cur = conn.cursor()
+        cur.execute(
+            f"CREATE TABLE IF NOT EXISTS {staging} AS "
+            f"SELECT *, CAST(NULL AS BIGINT) AS {_STAGED_SEQ} "
+            f"FROM {table} WHERE 1=0"
+        )
+        conn.commit()
+        cur.close()
+    finally:
+        conn.close()
 
     # 1) stage: plain batched inserts from executors
     stage_stats = upsert_dataframe(
-        df,
+        staged_df,
         connection_factory,
         staging,
         unique_key=None,  # plain INSERT
@@ -284,8 +348,8 @@ def upsert_via_staging(
             cur.execute(
                 f"INSERT INTO {table} ({col_list}) "
                 f"SELECT {col_list} FROM (SELECT {col_list}, ROW_NUMBER() OVER ("
-                f"PARTITION BY {key_list} ORDER BY rowid DESC) AS rn FROM {staging}"
-                f") s WHERE rn = 1{conflict}"
+                f"PARTITION BY {key_list} ORDER BY {_STAGED_SEQ} DESC) AS rn "
+                f"FROM {staging}) s WHERE rn = 1{conflict}"
             )
         else:
             cur.execute(

@@ -169,9 +169,9 @@ def test_early_abort_on_fully_rejected_batch(spark, db):
 
 
 def test_staging_merge_last_wins(spark, db):
+    # staging table NOT pre-created: upsert_via_staging must create it
     path, conn = db
     conn.execute("CREATE TABLE tgt2 (id INTEGER PRIMARY KEY, v TEXT)")
-    conn.execute("CREATE TABLE tgt2_staging (id INTEGER, v TEXT)")
     conn.commit()
     df = spark.createDataFrame([(1, "old"), (1, "new"), (2, "x")], "id int, v string")
     upsert_via_staging(
@@ -185,6 +185,82 @@ def test_staging_merge_last_wins(spark, db):
     assert rows == {1: "new", 2: "x"}
     # staging is drained for the next run
     assert conn.execute("SELECT COUNT(*) FROM tgt2_staging").fetchone()[0] == 0
+
+
+def test_staging_merge_no_implicit_rowid_dependency(spark, db):
+    """The merge must order by the explicit _staged_seq column (stamped
+    Spark-side), never a dialect-implicit rowid: with parallelism > 1
+    the winner is a function of DataFrame row order, so repeating the
+    load yields the same final table."""
+    path, conn = db
+    conn.execute("CREATE TABLE tgt3 (id INTEGER PRIMARY KEY, v TEXT)")
+    conn.commit()
+    rows = [(i % 10, f"v{i}") for i in range(100)]  # 10 keys × 10 versions
+    df = spark.createDataFrame(rows, "id int, v string")
+    for _ in range(2):  # idempotent across reruns
+        upsert_via_staging(
+            df,
+            functools.partial(_connect, path),
+            "tgt3",
+            ["id"],
+            parallelism=4,
+            dialect=SQLITE,
+        )
+    got = dict(conn.execute("SELECT id, v FROM tgt3"))
+    # last row per key in DataFrame order wins: key k ← v{90+k}
+    assert got == {k: f"v{90 + k}" for k in range(10)}
+
+
+def _duck_connect(path: str):
+    import duckdb
+
+    return duckdb.connect(path)
+
+
+def test_staging_merge_duckdb_dialect(spark, tmp_path):
+    duckdb_mod = pytest.importorskip("duckdb")
+    path = str(tmp_path / "stage.duckdb")
+    con = duckdb_mod.connect(path)
+    con.execute("CREATE TABLE tgtd (id INTEGER PRIMARY KEY, v TEXT)")
+    con.close()
+
+    from pyspark_postgres_loader_spark.sinks.sql_builder import DUCKDB
+
+    df = spark.createDataFrame([(1, "old"), (1, "new"), (2, "x")], "id int, v string")
+    upsert_via_staging(
+        df.coalesce(1),
+        functools.partial(_duck_connect, path),
+        "tgtd",
+        ["id"],
+        dialect=DUCKDB,
+    )
+    con = duckdb_mod.connect(path)
+    rows = dict(con.execute("SELECT id, v FROM tgtd").fetchall())
+    assert rows == {1: "new", 2: "x"}
+    assert con.execute("SELECT COUNT(*) FROM tgtd_staging").fetchone()[0] == 0
+    con.close()
+
+
+def test_error_messages_capped(spark, db):
+    from pyspark_postgres_loader_spark.sinks.upsert import _MAX_ERRORS
+
+    path, conn = db
+    conn.execute("CREATE TABLE capt (id INTEGER, qty INTEGER CHECK (qty >= 0))")
+    conn.commit()
+    n = _MAX_ERRORS + 50
+    rows = [(i, -1) for i in range(n)]  # every row poison
+    df = spark.createDataFrame(rows, "id int, qty int").coalesce(1)
+    stats = upsert_dataframe(
+        df,
+        functools.partial(_connect, path),
+        "capt",
+        None,
+        batch_size=n,  # single batch → no early abort, all rows bisected
+        dialect=SQLITE,
+    )
+    assert stats.rows_rejected == n  # exact count survives the cap
+    assert len(stats.error_messages) <= _MAX_ERRORS + 1
+    assert stats.errors_truncated >= n - _MAX_ERRORS - 1
 
 
 def test_empty_partitions_never_connect(spark, tmp_path):
