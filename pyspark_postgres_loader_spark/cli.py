@@ -10,8 +10,9 @@ Loader", WARN logs, 7 args), with its bugs fixed:
   silent None — get_s3_data_as_df.py:27-31).
 
 Credentials come from env (PGHOST/PGPORT/PGDATABASE/PGUSER/PGPASSWORD)
-instead of an INI file with a Windows-only path (load_postgres_from_
-spark_df.py:58-60).
+or, with ``--config path/to/config.ini``, from a reference-shaped INI
+file (config.py — env still overrides INI); the reference hardwired a
+Windows-only INI path (load_postgres_from_spark_df.py:58-60).
 """
 
 from __future__ import annotations
@@ -66,9 +67,30 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--partition_cols", nargs="*", default=None,
                    help="column names to hash-partition writers by")
     p.add_argument("--strategy", choices=["batched", "staging"], default="batched")
+    p.add_argument("--dialect", choices=["postgres", "sqlite", "duckdb"],
+                   default="postgres",
+                   help="target DBAPI dialect (paramstyle + introspection backend)")
+    p.add_argument("--config", default=None, metavar="CONFIG_INI",
+                   help="reference-shaped config.ini (credentials/source/type-map "
+                        "sections); env vars override its credentials")
     args = p.parse_args(argv)
 
     from .pipeline import load_to_database
+
+    if args.config:
+        from .config import load_config, make_connection_factory
+
+        cfg = load_config(args.config)
+        kinds = cfg.source_kinds()
+        if kinds and args.source.split("_")[0] not in kinds and args.source not in kinds:
+            print(
+                f"note: source {args.source!r} not declared in config.ini "
+                f"source mapping {kinds}; proceeding with the registry",
+                file=sys.stderr,
+            )
+        factory = make_connection_factory(cfg)
+    else:
+        factory = make_postgres_connection_factory()
 
     spark = get_spark(app_name="Postgres Loader")
     try:
@@ -77,7 +99,8 @@ def main(argv: list[str] | None = None) -> int:
             source=args.source,
             source_args=_parse_source_args(args.source_arg),
             target_table=args.target_pg_table,
-            connection_factory=make_postgres_connection_factory(),
+            connection_factory=factory,
+            dialect=args.dialect,
             batch_size=args.batch_size,
             parallelism=args.parallelism,
             partition_cols=args.partition_cols,

@@ -128,7 +128,56 @@ def fetch_unique_key_sqlite(conn, table: str) -> list[str] | None:
     return None
 
 
+# --- DuckDB backend ---------------------------------------------------------
+# DuckDB ships information_schema.columns but its DBAPI wants ``?``
+# placeholders (the postgres introspector's %s would throw before any
+# data moved); key discovery uses duckdb_constraints() which exists on
+# every DuckDB version we target.
+
+DUCK_COLUMNS_SQL = """
+SELECT column_name,
+       CASE WHEN data_type LIKE 'DECIMAL%' THEN lower(data_type)
+            ELSE lower(data_type) END AS data_type
+FROM information_schema.columns
+WHERE table_name = ?
+ORDER BY ordinal_position
+"""
+
+
+def fetch_target_schema_duckdb(conn, table: str) -> dict[str, str]:
+    _schema, name = _split_table(table)
+    cur = conn.cursor()
+    cur.execute(DUCK_COLUMNS_SQL, (name,))
+    out = {col: dtype for col, dtype in cur.fetchall()}
+    cur.close()
+    return out
+
+
+def fetch_unique_key_duckdb(conn, table: str) -> list[str] | None:
+    _schema, name = _split_table(table)
+    cur = conn.cursor()
+    cur.execute(
+        "SELECT constraint_column_names FROM duckdb_constraints() "
+        "WHERE table_name = ? AND constraint_type = 'PRIMARY KEY'",
+        (name,),
+    )
+    rows = cur.fetchall()
+    if rows:
+        cur.close()
+        return list(rows[0][0])
+    cur.execute(
+        "SELECT constraint_column_names FROM duckdb_constraints() "
+        "WHERE table_name = ? AND constraint_type = 'UNIQUE' "
+        "ORDER BY constraint_index",
+        (name,),
+    )
+    rows = cur.fetchall()
+    cur.close()
+    return list(rows[0][0]) if rows else None
+
+
 INTROSPECTORS = {
     "postgres": (fetch_target_schema_pg, fetch_unique_key_pg),
     "sqlite": (fetch_target_schema_sqlite, fetch_unique_key_sqlite),
+    "duckdb": (fetch_target_schema_duckdb, fetch_unique_key_duckdb),
 }

@@ -690,4 +690,15 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # labels advance one hop per round, so a cluster with diameter
+        # > _CC_MAX_ITERS would exit unconverged and silently return
+        # WRONG cluster_ids (the oracle's recursive CTE is exact, so
+        # this would surface only as an opaque mismatch) — fail loudly.
+        raise RuntimeError(
+            f"connected-components did not converge in {_CC_MAX_ITERS} "
+            f"rounds ({changed} labels still changing); a dup cluster's "
+            f"diameter exceeds the bound — raise _CC_MAX_ITERS or use "
+            f"the large-star/small-star contraction noted in the docstring"
+        )
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))

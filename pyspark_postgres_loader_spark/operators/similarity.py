@@ -9,9 +9,14 @@ Operators:
   (the 100 TB path: touches ~nprobe/ncells of the data per query).
 
 Determinism contract: all dot products are computed element-wise in
-double (IEEE-identical everywhere) and summed through DECIMAL(38,12)
-casts so the reduction is exact and order-independent; the DuckDB
-oracle mirrors the same construction. See functions/deterministic.py.
+double (IEEE-identical everywhere) and reduced by a SEQUENTIAL
+left-to-right double fold whose order is matched across engines —
+Spark's ``aggregate`` and DuckDB's ``list_reduce`` both fold in array
+order, so the same IEEE additions happen in the same sequence and the
+results are bit-identical (see ``_dot_dec``/``_sql_dot``). The fold is
+order-DEPENDENT; determinism comes from matching the order, not from
+exact arithmetic. See functions/deterministic.py for the exact-decimal
+trick used by scalar aggregates.
 
 Scale notes: queries are broadcast (they are tiny); the fact side never
 shuffles for brute force (map-side score + TakeOrderedAndProject-style

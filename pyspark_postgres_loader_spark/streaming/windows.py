@@ -40,7 +40,10 @@ _EVENT_SCHEMA = (
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file-stream sources need a directory path; select the events file
-    # with pathGlobFilter. nanosAsLong: see tables.load_table.
+    # with pathGlobFilter. nanosAsLong + UTC pin: see tables.load_table
+    # (window/session bounds and pandas timestamp rendering read the
+    # session timezone — a non-UTC caller would diverge from the oracles).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return (
         spark.readStream.schema(_EVENT_SCHEMA)

@@ -29,6 +29,12 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}")
+    # Pin the session timezone: timestamp-literal casts (q1's shipdate
+    # bound), unix_timestamp (RANGE-frame windows), and date_trunc all
+    # read spark.sql.session.timeZone — a non-UTC caller session would
+    # silently diverge from the DuckDB oracles. Set at runtime for the
+    # same reason as nanosAsLong below: the driver's session is vanilla.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet stores ts as TIMESTAMP(NANOS), which Spark rejects
         # unless it may read nanos as long. Set at runtime so the engine

@@ -112,3 +112,44 @@ def test_sqlite_introspection_composite_unique_fallback(tmp_path):
     conn.execute("CREATE TABLE nokey (a TEXT)")
     assert fetch_unique_key_sqlite(conn, "nokey") is None  # insert-only mode
     conn.close()
+
+
+def _duck_factory(path: str):
+    import duckdb
+
+    return duckdb.connect(path)
+
+
+def test_load_to_database_duckdb_dialect(spark, tmp_path):
+    """dialect='duckdb' must introspect with ?-placeholders and
+    duckdb_constraints() (the postgres introspector's %s paramstyle
+    throws on DuckDB before any data moves)."""
+    import functools
+
+    duckdb = pytest.importorskip("duckdb")
+    from pyspark_postgres_loader_spark.pipeline import load_to_database
+
+    src = tmp_path / "in.csv"
+    src.write_text("id,price,note\n1,1.5,a\n2,2.5,b\n1,9.5,c\n")
+    db = str(tmp_path / "pipe.duckdb")
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE tgt (id BIGINT PRIMARY KEY, price DECIMAL(12,2), note VARCHAR)"
+    )
+    con.close()
+
+    result = load_to_database(
+        spark,
+        source="csv",
+        source_args={"path": str(src), "header": "true"},
+        target_table="tgt",
+        connection_factory=functools.partial(_duck_factory, db),
+        dialect="duckdb",
+    )
+    assert result.unique_key == ["id"]
+    assert result.aligned_columns == ["id", "price", "note"]
+    con = duckdb.connect(db)
+    rows = {r[0]: (float(r[1]), r[2]) for r in con.execute("SELECT * FROM tgt").fetchall()}
+    con.close()
+    # upsert semantics: last row for id=1 wins
+    assert rows == {1: (9.5, "c"), 2: (2.5, "b")}

@@ -12,7 +12,10 @@ def test_list_mode(capsys):
     assert main(["--list"]) == 0
     out = capsys.readouterr().out
     assert "q1_pricing_summary" in out
-    assert "[oracle]" in out and "[rows-only]" in out
+    # every registered query carries a DuckDB oracle (round 2 closed
+    # the last rows-only gaps: sampling, rolling hash, heavy hitters,
+    # stream dedup, minhash/simhash/ivf/sketches)
+    assert "[oracle]" in out and "[rows-only]" not in out
 
 
 def test_unknown_query_errors():
