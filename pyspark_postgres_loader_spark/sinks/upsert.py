@@ -21,7 +21,10 @@ signature mechanism, re-expressed for Spark:
 Differences from the reference, on purpose:
 - DBAPI-agnostic ``connection_factory`` (any picklable zero-arg
   callable) instead of hardwired psycopg2/asyncpg — the same code runs
-  against Postgres, SQLite, DuckDB;
+  against Postgres, SQLite, DuckDB; async drivers plug in through
+  ``async_adapter.adapt_async_factory`` (U6 — the reference's asyncpg
+  executor re-expressed as an adapter over this one sink instead of a
+  duplicated code path);
 - stats returned as a dataclass instead of printed;
 - an optional **staging-table merge** strategy
   (:func:`upsert_via_staging`): append rows to a staging table with

@@ -15,14 +15,19 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
-from .files import read_csv, read_json, read_parquet
+from .files import read_csv, read_format, read_json, read_orc, read_parquet
 from .jdbc import read_jdbc_query, read_jdbc_table
 
 SOURCE_REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "csv": read_csv,
     "parquet": read_parquet,
     "json": read_json,
+    "orc": read_orc,
+    "format": read_format,  # generic: any DataSource format string
     "s3": read_parquet,  # s3a:// paths go through the same readers
+    # legacy Spark 1.x external-CSV format string, still found in old
+    # job configs (reference passes it verbatim, get_s3_data_as_df.py:38-39)
+    "com.databricks.spark.csv": read_csv,
     "postgres": read_jdbc_table,
     "jdbc": read_jdbc_table,
     "jdbc_query": read_jdbc_query,
@@ -52,6 +57,8 @@ __all__ = [
     "read_csv",
     "read_json",
     "read_parquet",
+    "read_orc",
+    "read_format",
     "read_jdbc_table",
     "read_jdbc_query",
 ]

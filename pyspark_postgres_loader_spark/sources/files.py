@@ -38,3 +38,15 @@ def read_parquet(spark: SparkSession, path: str, **options) -> DataFrame:
 
 def read_json(spark: SparkSession, path: str, **options) -> DataFrame:
     return normalize_columns(spark.read.options(**options).json(path))
+
+
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    return normalize_columns(spark.read.options(**options).orc(path))
+
+
+def read_format(spark: SparkSession, fmt: str, path: str, **options) -> DataFrame:
+    """Generic escape hatch: any Spark DataSource format string
+    (``avro``, ``delta``, a custom v2 source, ...) with option
+    pass-through — the reference's arbitrary-format capability
+    (get_s3_data_as_df.py:33-39) without enumerating formats."""
+    return normalize_columns(spark.read.format(fmt).options(**options).load(path))
