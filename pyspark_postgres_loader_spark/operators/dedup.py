@@ -630,33 +630,31 @@ def _cc_oracle() -> str:
     """
 
 
-@register("dedup_connected_components", oracle=_cc_oracle())
-def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dup-cluster resolution: connected components over the exact
-    near-dup pair graph (``dedup_ngram_jaccard`` edges), labeling every
-    clustered doc with the smallest doc_id in its component — the step
-    that turns pairwise matches into keep/drop groups.
+def connected_components(edges: DataFrame) -> DataFrame:
+    """Min-label connected components over an (u, v) edge DataFrame
+    (edges must already contain both directions), returning
+    (doc_id, cluster_id = smallest node id in the component).
 
-    Iterative min-label propagation: each round every node takes the
-    min of its own label and its neighbors' labels (one equi-join + one
-    aggregation per round, all distributed); the driver only checks the
-    converged-count per round (a scalar), never the data. Rounds needed
-    = cluster diameter, bounded by ``_CC_MAX_ITERS``; the oracle is a
-    recursive-CTE transitive closure over the same edges. At 100 TB
-    the same loop applies with the large-star/small-star optimization
-    (alternating min-propagation that contracts paths in O(log n)
-    rounds) and checkpointing every few rounds to truncate lineage.
+    Each round does (a) a neighbor-min hop, then (b) a POINTER JUMP —
+    every node also takes its current label's label
+    (``l(u) ← min(l(u), l(l(u)))``; the label is a node in the same
+    component, so this is safe and min-monotone). The jump halves the
+    remaining distance to the component minimum, so convergence needs
+    O(log diameter) rounds instead of O(diameter) — with
+    ``_CC_MAX_ITERS`` = {iters} rounds, clusters up to diameter ~2^{iters}
+    resolve, vs {iters} hops for plain propagation. At 100 TB each round
+    is two uniform-key equi-joins + one aggregation, all distributed;
+    the driver only ever sees the scalar converged-count.
+    ``localCheckpoint`` per round truncates lineage.
     """
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     edges = edges.localCheckpoint()  # pair generation runs once, not per round
 
     labels = (
         edges.select("u").distinct().select("u", F.col("u").alias("label"))
     ).localCheckpoint()
+    changed = -1
     for it in range(_CC_MAX_ITERS):
+        # (a) hop: min over neighbors' labels
         lab_v = labels.select(F.col("u").alias("lv"), F.col("label").alias("vlabel"))
         neighbor_min = (
             edges.join(lab_v, edges.v == F.col("lv"))
@@ -664,12 +662,23 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("vlabel").alias("nlabel"))
             .withColumnRenamed("u", "nu")
         )
-        new_labels = (
+        hopped = (
             labels.join(neighbor_min, labels.u == F.col("nu"), "left")
             .select(
                 "u",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # (b) jump: follow the label pointer one step
+        ptr = hopped.select(F.col("u").alias("pu"), F.col("label").alias("plabel"))
+        new_labels = (
+            hopped.join(ptr, hopped.label == F.col("pu"), "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
                 ).alias("label"),
             )
         )
@@ -691,14 +700,31 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     else:
-        # labels advance one hop per round, so a cluster with diameter
-        # > _CC_MAX_ITERS would exit unconverged and silently return
-        # WRONG cluster_ids (the oracle's recursive CTE is exact, so
-        # this would surface only as an opaque mismatch) — fail loudly.
+        # a cluster whose diameter defeats even the doubling bound would
+        # exit unconverged and silently return WRONG cluster_ids (the
+        # oracle's recursive CTE is exact, so this would surface only as
+        # an opaque mismatch) — fail loudly instead.
         raise RuntimeError(
             f"connected-components did not converge in {_CC_MAX_ITERS} "
-            f"rounds ({changed} labels still changing); a dup cluster's "
-            f"diameter exceeds the bound — raise _CC_MAX_ITERS or use "
-            f"the large-star/small-star contraction noted in the docstring"
+            f"rounds ({changed} labels still changing); raise _CC_MAX_ITERS"
         )
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+connected_components.__doc__ = connected_components.__doc__.format(iters=_CC_MAX_ITERS)
+
+
+@register("dedup_connected_components", oracle=_cc_oracle())
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-cluster resolution: connected components over the exact
+    near-dup pair graph (``dedup_ngram_jaccard`` edges), labeling every
+    clustered doc with the smallest doc_id in its component — the step
+    that turns pairwise matches into keep/drop groups. Algorithm and
+    scale notes: :func:`connected_components`; the oracle is a
+    recursive-CTE transitive closure over the same edges.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    return connected_components(edges)

@@ -100,3 +100,20 @@ def test_simhash_bucket_cap_prevents_quadratic_blowup(spark):
         f"hot bucket (> _MAX_BUCKET={_MAX_BUCKET}) must be dropped, "
         f"got {len(rows)} rows"
     )
+
+
+def test_connected_components_pointer_jump_beats_diameter(spark):
+    """A path graph of 300 nodes (diameter 299 >> _CC_MAX_ITERS=12) must
+    still converge: the pointer-jump halves remaining distance per
+    round, so one-hop-per-round propagation (which would raise) is not
+    the bound."""
+    from pyspark_postgres_loader_spark.operators.dedup import connected_components
+
+    n = 300
+    fwd = [(i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(
+        fwd + [(v, u) for u, v in fwd], ["u", "v"]
+    )
+    labels = {r.doc_id: r.cluster_id for r in connected_components(edges).collect()}
+    assert set(labels.values()) == {0}, "single path component labels to min id 0"
+    assert len(labels) == n
