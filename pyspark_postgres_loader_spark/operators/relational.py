@@ -931,3 +931,196 @@ def window_range_frame_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").over(w).alias("trailing_14d_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 coverage widening: full-outer join, multiset set ops,
+# distribution window functions, null semantics, ordered string agg
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_full_outer_event_coverage",
+    oracle="""
+    SELECT COALESCE(e.user_id, c.c_custkey) AS id,
+           CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+           COALESCE(c.c_acctbal, 0.0) AS acctbal,
+           CASE WHEN c.c_custkey IS NULL THEN 'event_only'
+                WHEN e.user_id IS NULL THEN 'customer_only'
+                ELSE 'both' END AS presence
+    FROM (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id) e
+    FULL OUTER JOIN (SELECT c_custkey, c_acctbal FROM customer
+                     WHERE c_custkey % 2 = 0) c
+      ON e.user_id = c.c_custkey
+    """,
+)
+def join_full_outer_event_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (the one §2c join shape not yet registered):
+    event activity vs an even-keyed customer slice, classifying rows as
+    both/event_only/customer_only. All output columns are COALESCEd so
+    the compare surface carries no nulls (null ints degrade to float64
+    differently per engine's pandas bridge). One shuffle per side on the
+    join key; unmatched rows stream through without materializing nulls
+    beyond the join itself.
+    """
+    from ..tables import load_table as _lt
+
+    e = (
+        _lt(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select("c_custkey", "c_acctbal")
+    )
+    j = e.join(c, e.user_id == c.c_custkey, "full_outer")
+    return j.select(
+        F.coalesce("user_id", "c_custkey").alias("id"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("c_acctbal", F.lit(0.0)).alias("acctbal"),
+        F.when(F.col("c_custkey").isNull(), "event_only")
+        .when(F.col("user_id").isNull(), "customer_only")
+        .otherwise("both")
+        .alias("presence"),
+    )
+
+
+@register(
+    "setop_intersect_except_all",
+    oracle="""
+    SELECT 'intersect_all' AS op, o_orderpriority, o_orderstatus FROM (
+      SELECT o_orderpriority, o_orderstatus FROM orders WHERE o_orderkey % 3 = 0
+      INTERSECT ALL
+      SELECT o_orderpriority, o_orderstatus FROM orders WHERE o_orderkey % 3 = 1
+    )
+    UNION ALL
+    SELECT 'except_all' AS op, o_orderpriority, o_orderstatus FROM (
+      SELECT o_orderpriority, o_orderstatus FROM orders WHERE o_orderkey % 3 = 0
+      EXCEPT ALL
+      SELECT o_orderpriority, o_orderstatus FROM orders WHERE o_orderkey % 3 = 1
+    )
+    """,
+)
+def setop_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations (``intersectAll``/``exceptAll`` — bag
+    semantics with duplicate counts, vs the distinct-set ``setop_*``
+    queries): both compile to a count-compare aggregation on the row
+    value, one shuffle each, no O(n^2) anti-join expansion.
+    """
+    a = _t(spark, sf_dir, "orders").filter(F.expr("o_orderkey % 3 = 0")).select(
+        "o_orderpriority", "o_orderstatus"
+    )
+    b = _t(spark, sf_dir, "orders").filter(F.expr("o_orderkey % 3 = 1")).select(
+        "o_orderpriority", "o_orderstatus"
+    )
+    inter = a.intersectAll(b).select(
+        F.lit("intersect_all").alias("op"), "o_orderpriority", "o_orderstatus"
+    )
+    exc = a.exceptAll(b).select(
+        F.lit("except_all").alias("op"), "o_orderpriority", "o_orderstatus"
+    )
+    return inter.unionByName(exc)
+
+
+@register(
+    "window_distribution_funcs",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(ntile(4) OVER w AS INTEGER) AS price_quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           first_value(o_orderkey) OVER w2 AS cheapest_key,
+           last_value(o_orderkey) OVER w2 AS priciest_key
+    FROM orders
+    WHERE o_orderkey % 50 = 0
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey),
+           w2 AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile/percent_rank/cume_dist) plus
+    whole-partition first/last_value with an explicit unbounded ROWS
+    frame (the default frame stops at CURRENT ROW, which silently makes
+    last_value ≡ current row — a classic correctness trap). percent_rank
+    = (rank-1)/(n-1) is an exact double both engines compute identically;
+    the o_orderkey tie-break makes every rank deterministic.
+    """
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders").filter(F.expr("o_orderkey % 50 = 0"))
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    w2 = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_orderkey").over(w2).alias("cheapest_key"),
+        F.last("o_orderkey").over(w2).alias("priciest_key"),
+    )
+
+
+@register(
+    "scalar_null_semantics",
+    oracle="""
+    SELECT status_filled, null_safe_open, COUNT(*) AS n
+    FROM (
+      SELECT COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+             NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM CAST(NULL AS VARCHAR)
+               AS null_safe_open
+      FROM orders
+    )
+    GROUP BY status_filled, null_safe_open
+    """,
+)
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling semantics: NULLIF / COALESCE and the null-safe
+    equality operator (Spark ``<=>`` ≡ SQL ``IS NOT DISTINCT FROM``) —
+    the three-valued-logic corners an engine must get right for WHERE
+    vs JOIN vs GROUP BY null behavior. Aggregated so the compare
+    surface is null-free.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.coalesce(F.expr("nullif(o_orderstatus, 'O')"), F.lit("OPEN")).alias(
+                "status_filled"
+            ),
+            F.expr("nullif(o_orderstatus, 'O') <=> cast(null as string)").alias(
+                "null_safe_open"
+            ),
+        )
+        .groupBy("status_filled", "null_safe_open")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "agg_string_concat",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg): per region, the
+    comma-joined sorted nation list. ``collect_list`` order is partition
+    -dependent, so the deterministic form is array_sort before the join
+    — same reason the oracle's string_agg carries ORDER BY. The region
+    dim is broadcast (bounded reference data)."""
+    n = _t(spark, sf_dir, "nation")
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+    )
