@@ -22,6 +22,8 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q4_order_priority_exists",
     "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q10_returned_item_revenue",
     "join_semi_big_orders",
     "join_asof_latest_order",
     "join_range_price_band",

@@ -294,3 +294,106 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("qty_limit"))
         .agg((dsum("l_extendedprice") / 7.0).cast("double").alias("avg_yearly"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HAVING-subquery decorrelation (TPC-H Q18 pattern)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q18_large_volume_customer",
+    oracle=f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           {sql_dsum('l.l_quantity')} AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) > 250
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 pattern: customers with any order whose total line-item
+    quantity exceeds a threshold. The IN (GROUP BY .. HAVING) subquery
+    is decorrelated into an aggregate → LEFT SEMI join — the qualifying
+    orderkey set is a reduced aggregate (tiny) and broadcasts into the
+    fact join, so the fact table scans once and shuffles once for the
+    final per-order aggregation. Deterministic top-100 via full
+    tie-break ordering.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    big_orders = (
+        l.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("tq"))
+        .filter(F.col("tq") > 250)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(big_orders), o.o_orderkey == F.col("big_orderkey"), "left_semi"
+        )
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Returned-item revenue top-k (TPC-H Q10 pattern)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q10_returned_item_revenue",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 pattern: top-20 customers by revenue lost to returns.
+    The returnflag filter is pushed to the lineitem scan; nation is a
+    bounded broadcast dim; one fact-fact shuffle (lineitem ⋈ orders) +
+    one shuffle for the per-customer aggregation; deterministic top-20
+    via TakeOrderedAndProject with a custkey tie-break.
+    """
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
