@@ -671,17 +671,24 @@ def connected_components(edges: DataFrame) -> DataFrame:
                 ).alias("label"),
             )
         )
-        # (b) jump: follow the label pointer one step
-        ptr = hopped.select(F.col("u").alias("pu"), F.col("label").alias("plabel"))
-        new_labels = (
-            hopped.join(ptr, hopped.label == F.col("pu"), "left")
-            .select(
-                "u",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
-                ).alias("label"),
+        # (b) jump: follow the label pointer one step. Only from round 2
+        # on — shallow clusters (star-shaped around the min doc, the
+        # overwhelmingly common dup topology) converge in 1-2 plain hops
+        # and the jump's extra join would be pure overhead; deep paths
+        # get the O(log d) doubling once plain hops have stalled.
+        if it >= 2:
+            ptr = hopped.select(F.col("u").alias("pu"), F.col("label").alias("plabel"))
+            new_labels = (
+                hopped.join(ptr, hopped.label == F.col("pu"), "left")
+                .select(
+                    "u",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
+                    ).alias("label"),
+                )
             )
-        )
+        else:
+            new_labels = hopped
         # round 0 always changes labels (every non-minimum node adopts a
         # neighbor's smaller id), so the first convergence check — one
         # extra job per check — is at round 1; lineage is truncated by
