@@ -33,12 +33,20 @@ def nondet_keep(col: Column) -> Column:
 
 
 def spread(df: DataFrame) -> DataFrame:
-    """Round-robin the input across all cores.
+    """Round-robin the input across all cores — ONLY when the scan is
+    actually narrow.
 
-    On a real cluster the scan is already wide and this is one cheap
-    extra shuffle of a small table; on local fixtures it is the
-    difference between 1 and ``defaultParallelism`` tasks for every
-    narrow/broadcast stage built on top.
+    On local fixtures a small parquet arrives as one split, and without
+    a shuffle every narrow/broadcast stage built on top runs as a
+    single task — repartitioning is the difference between 1 and
+    ``defaultParallelism``-way execution. On a real cluster the scan is
+    already wide (thousands of splits at 100 TB) and an unconditional
+    repartition would be a full shuffle of the corpus for nothing, so
+    it is skipped whenever the input already has at least half the
+    target parallelism.
     """
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism)
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 >= target:
+        return df
+    return df.repartition(target)
