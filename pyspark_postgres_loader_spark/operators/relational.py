@@ -1124,3 +1124,38 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_nations"),
         )
     )
+
+
+@register(
+    "scalar_regexp_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           regexp_extract(o_orderpriority, '^([0-9]+)', 1) AS pri_num,
+           regexp_matches(o_orderpriority, 'HIGH|URGENT') AS is_hot,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+                AS INTEGER) AS days_to_eoy,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           strftime(CAST(o_orderdate AS DATE) + 90, '%Y-%m-%d') AS followup_date,
+           CAST(date_part('quarter', o_orderdate) AS INTEGER) AS q
+    FROM orders
+    WHERE o_orderkey % 40 = 0
+    """,
+)
+def scalar_regexp_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction/matching + calendar arithmetic (datediff,
+    last_day, date_add, quarter) — the scalar surface an ETL date/text
+    normalization pass needs, all codegen'd JVM expressions in a pure
+    projection (no shuffle; the modulus filter is pushed to the scan).
+    Dates are ISO-strings in the compare surface (date objects vs
+    datetime64 can't hash-match across pandas bridges)."""
+    o = _t(spark, sf_dir, "orders").filter(F.expr("o_orderkey % 40 = 0"))
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.regexp_extract("o_orderpriority", r"^([0-9]+)", 1).alias("pri_num"),
+        F.col("o_orderpriority").rlike("HIGH|URGENT").alias("is_hot"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).alias("days_to_eoy"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_add(d, 90), "yyyy-MM-dd").alias("followup_date"),
+        F.quarter("o_orderdate").alias("q"),
+    )
