@@ -365,3 +365,73 @@ def text_heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") > 0.01 * F.col("n_total"))
         .select("token", "n")
     )
+
+
+def _training_mix_oracle() -> str:
+    from ..operators.sampling import _sql_strat_keep
+    from ..registry import QUERIES
+
+    quality_sql = QUERIES["text_quality_score"].oracle
+    return f"""
+    WITH scored AS ({quality_sql}),
+    kept AS (
+      SELECT d.doc_id, d.lang, d.text, s.quality
+      FROM documents d JOIN scored s ON s.doc_id = d.doc_id
+      WHERE s.quality >= {_QUALITY_MIN}
+    ),
+    deduped AS (
+      SELECT doc_id, lang, text, quality
+      FROM (
+        SELECT doc_id, lang, text, quality,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    ),
+    sampled AS (
+      SELECT * FROM deduped WHERE {_sql_strat_keep()}
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS total_tokens,
+           MIN(quality) AS min_quality,
+           MAX(quality) AS max_quality
+    FROM sampled
+    GROUP BY lang
+    """
+
+
+@register("pipeline_training_mix", oracle=_training_mix_oracle())
+def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-mix assembly as ONE lazy plan: quality filter →
+    exact dedup → per-language stratified consistent hash-sample
+    (rebalancing the mix) → per-language doc/token budget stats. The
+    capstone composition: four pipeline stages, still only two shuffles
+    (dedup window by fingerprint, final agg by lang) because the sample
+    is a pure map-side hash predicate and Catalyst fuses the quality
+    projection into the shared scan.
+    """
+    from pyspark.sql.window import Window
+
+    from ..operators.sampling import _strat_keep
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = text_quality_score(spark, sf_dir).select("doc_id", "quality")
+    kept = (
+        d.join(scored, "doc_id")
+        .filter(F.col("quality") >= _QUALITY_MIN)
+        .select("doc_id", "lang", "text", "quality")
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    sampled = deduped.filter(_strat_keep())
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), r"\s+")).cast("long")).alias(
+                "total_tokens"
+            ),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+        )
+    )
