@@ -109,6 +109,8 @@ def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     Vector shape: one pandas apply per batch (the per-payload work is
     where a real decoder call would sit)."""
     for pdf in it:
+        if pdf.empty:  # empty Arrow batches carry no dtype info — skip
+            continue
         meta = pdf["payload"].map(fake_decode_meta)
         yield pd.DataFrame(
             {
@@ -225,6 +227,8 @@ def _resize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     The real pipeline swaps ``real_resize_image`` in; batch shape,
     schema, and the bytes-in/bytes-out contract are unchanged."""
     for pdf in it:
+        if pdf.empty:
+            continue
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             w, h, _ = fake_decode_meta(payload)
@@ -287,6 +291,8 @@ def _feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import numpy as np
 
     for pdf in it:
+        if pdf.empty:
+            continue
         feats, norms, ids = [], [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             arr = np.frombuffer(payload or b"\x00", dtype=np.uint8)

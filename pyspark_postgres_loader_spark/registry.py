@@ -76,6 +76,7 @@ _PRIORITY = [
     "stream_static_enrich",
     "stream_stream_interval_join",
     "stream_stream_outer_attrib",
+    "stream_stream_full_outer_attrib",
     # text / corpus pipeline — no r1 rows
     "text_token_stats",
     "text_quality_score",
@@ -123,7 +124,6 @@ _PRIORITY = [
     "join_asof_latest_order",
     "join_range_price_band",
     "join_skew_salted_orders",
-    "window_range_frame_spend",
 ]
 
 

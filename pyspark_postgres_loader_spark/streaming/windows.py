@@ -450,3 +450,88 @@ def stream_stream_outer_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_outer",
     ).select("click_id", "user_id", "click_ts", "purchase_id")
     return _run_to_memory(joined, "append")
+
+
+@register(
+    "stream_stream_full_outer_attrib",
+    oracle="""
+    WITH wm AS (
+      SELECT LEAST(
+        (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+        (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+      ) AS w
+    )
+    SELECT CAST(COALESCE(c.event_id, -1) AS BIGINT) AS click_id,
+           COALESCE(c.user_id, p.user_id) AS user_id,
+           CAST(COALESCE(c.ts, TIMESTAMP '1970-01-01 00:00:00') AS TIMESTAMP)
+             AS click_ts,
+           CAST(COALESCE(p.event_id, -1) AS BIGINT) AS purchase_id,
+           CASE WHEN c.event_id IS NULL THEN 'purchase_only'
+                WHEN p.event_id IS NULL THEN 'click_only'
+                ELSE 'matched' END AS pair_type
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE (c.event_id IS NOT NULL AND p.event_id IS NOT NULL)
+       OR (p.event_id IS NULL AND c.ts + INTERVAL 30 MINUTE < (SELECT w FROM wm))
+       OR (c.event_id IS NULL AND p.ts < (SELECT w FROM wm))
+    """,
+)
+def stream_stream_full_outer_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: clicks attributed to
+    same-user purchases within 30 minutes, AND unmatched rows from BOTH
+    sides once the watermark provably closes their match window —
+    orphan purchases (no prior click) surface alongside unconverted
+    clicks, which left-outer alone cannot express.
+
+    Watermark-exact oracle: with final global watermark W = min of the
+    two streams' max event times, an unmatched click emits iff
+    click_ts + 30min < W (its candidate-purchase window is closed) and
+    an unmatched purchase emits iff purchase_ts < W (every click that
+    could still match it would have click_ts ≤ purchase_ts, i.e. be
+    late beyond the watermark). Rows whose windows are still open when
+    the source drains stay in state and are correctly absent.
+
+    The compare surface is null-free (ids coalesced to -1, orphan
+    click_ts to the epoch, plus an explicit pair_type) — null bigints
+    degrade to float64 differently per pandas bridge.
+    """
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "0 seconds")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "0 seconds")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "full_outer",
+    ).select(
+        F.coalesce("click_id", F.lit(-1)).cast("long").alias("click_id"),
+        F.coalesce("user_id", "p_user_id").alias("user_id"),
+        F.coalesce(
+            "click_ts", F.lit("1970-01-01 00:00:00").cast("timestamp")
+        ).alias("click_ts"),
+        F.coalesce("purchase_id", F.lit(-1)).cast("long").alias("purchase_id"),
+        F.when(F.col("click_id").isNull(), "purchase_only")
+        .when(F.col("purchase_id").isNull(), "click_only")
+        .otherwise("matched")
+        .alias("pair_type"),
+    )
+    return _run_to_memory(joined, "append")
