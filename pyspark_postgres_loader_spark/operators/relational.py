@@ -1159,3 +1159,79 @@ def scalar_regexp_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_add(d, 90), "yyyy-MM-dd").alias("followup_date"),
         F.quarter("o_orderdate").alias("q"),
     )
+
+
+@register(
+    "agg_bitwise_flags",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(bit_and(o_orderkey % 256) AS BIGINT) AS flags_and,
+           CAST(bit_or(o_orderkey % 256) AS BIGINT) AS flags_or,
+           CAST(bit_xor(o_orderkey % 256) AS BIGINT) AS flags_xor,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_bitwise_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate functions (bit_and/bit_or/bit_xor) over a
+    derived flag byte — the idiom for folding permission/feature
+    bitmasks. Fully commutative/associative, so map-side partial
+    aggregation applies like any sum."""
+    o = _t(spark, sf_dir, "orders")
+    flags = F.expr("o_orderkey % 256")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.expr("bit_and(o_orderkey % 256)").cast("long").alias("flags_and"),
+            F.expr("bit_or(o_orderkey % 256)").cast("long").alias("flags_or"),
+            F.expr("bit_xor(o_orderkey % 256)").cast("long").alias("flags_xor"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "scalar_explode_outer_arrays",
+    oracle="""
+    SELECT o_orderkey, COALESCE(qty, -1.0) AS qty, n_items
+    FROM (
+      SELECT o.o_orderkey,
+             l.qtys,
+             CAST(COALESCE(len(l.qtys), -1) AS BIGINT) AS n_items
+      FROM orders o
+      LEFT JOIN (SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys
+                 FROM lineitem WHERE l_quantity >= 49 GROUP BY l_orderkey) l
+        ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey % 200 = 0
+    ) LEFT JOIN LATERAL (SELECT unnest(qtys) AS qty) u ON TRUE
+    """,
+)
+def scalar_explode_outer_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``explode_outer``: lateral array fan-out that PRESERVES rows with
+    empty/null arrays (plain explode silently drops them — the classic
+    row-loss trap when a fraction of rows lack the nested data). Orders
+    with no qualifying big-quantity items survive with a -1 sentinel.
+    Compare surface is null-free; n_items counts the exploded arity.
+    """
+    o = _t(spark, sf_dir, "orders").filter(F.expr("o_orderkey % 200 = 0"))
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 49)
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list("l_quantity")).alias("qtys"))
+    )
+    j = o.join(l, o.o_orderkey == l.l_orderkey, "left").select(
+        "o_orderkey",
+        "qtys",
+        F.coalesce(F.size("qtys"), F.lit(-1)).alias("n_items_raw"),
+    )
+    return j.select(
+        "o_orderkey",
+        F.explode_outer("qtys").alias("qty_raw"),
+        "n_items_raw",
+    ).select(
+        "o_orderkey",
+        F.coalesce("qty_raw", F.lit(-1.0)).alias("qty"),
+        F.col("n_items_raw").cast("long").alias("n_items"),
+    )
