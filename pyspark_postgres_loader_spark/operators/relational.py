@@ -1235,3 +1235,38 @@ def scalar_explode_outer_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("qty_raw", F.lit(-1.0)).alias("qty"),
         F.col("n_items_raw").cast("long").alias("n_items"),
     )
+
+
+@register(
+    "agg_rollup_grouping_id",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with ``grouping()`` indicators — the only correct way to
+    tell a subtotal row's NULL from a data NULL (coalescing alone would
+    conflate them). grouping() is metadata from the Expand operator, so
+    this costs nothing beyond the rollup itself."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "g_flag",
+            "g_status",
+            "n",
+        )
+    )

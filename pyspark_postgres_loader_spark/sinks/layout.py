@@ -48,3 +48,26 @@ def write_bucketed_table(
     if sort_by:
         w = w.sortBy(sort_by)
     w.mode(mode).saveAsTable(table)
+
+
+def overwrite_partitions_dynamic(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+) -> None:
+    """Idempotent incremental write: replace ONLY the partitions present
+    in ``df``, leaving all other partitions untouched (Spark's dynamic
+    partitionOverwriteMode — static mode would wipe the whole root).
+    This is how a daily pipeline re-lands one day's partition at 100 TB
+    without rewriting history, and re-running the same day is a no-op
+    rather than a duplicate. The conf is scoped to this write and
+    restored after.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    saved = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.partitionBy(*partition_by).mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set(key, saved)

@@ -101,3 +101,37 @@ def read_jdbc_query(
         spark, url, user, password, None, None, None, None, fetchsize, **options
     ).option("query", query)
     return normalize_columns(reader.load())
+
+
+def read_jdbc_incremental(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    watermark_column: str,
+    last_value,
+    user: str | None = None,
+    password: str | None = None,
+    fetchsize: int = 10_000,
+    **options,
+) -> DataFrame:
+    """Incremental (change-capture) read: only rows with
+    ``watermark_column > last_value`` — the standard nightly-sync
+    pattern against an updated_at/sequence column. The predicate is
+    embedded in the pushed-down query text, so the DATABASE evaluates
+    it against its own index; Spark never sees unchanged rows. The
+    caller persists max(watermark_column) of each run as the next
+    ``last_value`` (exactly what a scheduler's state store holds).
+
+    ``last_value`` is rendered as a SQL literal: numbers verbatim,
+    everything else quoted with doubled single-quotes (safe for the
+    timestamp/ISO-string case this pattern uses).
+    """
+    if isinstance(last_value, (int, float)):
+        lit = str(last_value)
+    else:
+        esc = str(last_value).replace("'", "''")
+        lit = f"'{esc}'"
+    query = f"SELECT * FROM {table} WHERE {watermark_column} > {lit}"
+    return read_jdbc_query(
+        spark, url, query, user=user, password=password, fetchsize=fetchsize, **options
+    )
