@@ -56,6 +56,26 @@ def make_postgres_connection_factory():
     return functools.partial(psycopg2.connect, **params)
 
 
+def make_file_db_connection_factory(dialect: str, db_path: str):
+    """Zero-arg picklable connection factory for the file-backed
+    dialects (sqlite/duckdb). Each writer partition calls it to open
+    its own connection — for local files that means writer parallelism
+    is bounded by the engine's writer model (SQLite serializes writers
+    via file locking; DuckDB is single-writer — use ``--parallelism 1``
+    or the staging strategy for DuckDB targets)."""
+    import functools
+
+    if dialect == "sqlite":
+        import sqlite3
+
+        return functools.partial(sqlite3.connect, db_path)
+    if dialect == "duckdb":
+        import duckdb
+
+        return functools.partial(duckdb.connect, db_path)
+    raise ValueError(f"not a file-backed dialect: {dialect!r}")
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="Load a source into Postgres via Spark")
     p.add_argument("--source", required=True, help="registered source name (csv/parquet/json/jdbc/...)")
@@ -69,7 +89,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--strategy", choices=["batched", "staging"], default="batched")
     p.add_argument("--dialect", choices=["postgres", "sqlite", "duckdb"],
                    default="postgres",
-                   help="target DBAPI dialect (paramstyle + introspection backend)")
+                   help="target DBAPI dialect (paramstyle + introspection backend); "
+                        "sqlite/duckdb require --db_path")
+    p.add_argument("--db_path", default=None, metavar="PATH",
+                   help="database file for --dialect sqlite/duckdb (ignored for "
+                        "postgres, which connects via PG* env vars / --config)")
     p.add_argument("--config", default=None, metavar="CONFIG_INI",
                    help="reference-shaped config.ini (credentials/source/type-map "
                         "sections); env vars override its credentials")
@@ -77,7 +101,21 @@ def main(argv: list[str] | None = None) -> int:
 
     from .pipeline import load_to_database
 
-    if args.config:
+    # the connection factory must speak the same DBAPI as --dialect:
+    # the generated placeholder SQL and the introspection backend both
+    # key off it, so pairing e.g. sqlite SQL with a psycopg2 connection
+    # fails at runtime.
+    if args.dialect in ("sqlite", "duckdb"):
+        if not args.db_path:
+            raise SystemExit(f"--dialect {args.dialect} requires --db_path")
+        factory = make_file_db_connection_factory(args.dialect, args.db_path)
+        if args.config:
+            print(
+                "note: --config credentials are Postgres-only and ignored "
+                f"for --dialect {args.dialect}",
+                file=sys.stderr,
+            )
+    elif args.config:
         from .config import load_config, make_connection_factory
 
         cfg = load_config(args.config)

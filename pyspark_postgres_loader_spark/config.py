@@ -50,7 +50,15 @@ class LoaderConfig:
         (so one config.ini can ship while secrets stay in the env)."""
         out: dict[str, object] = {}
         for key, (env, default) in _CRED_ENV.items():
-            val = os.environ.get(env) or self.credentials.get(key) or default
+            # presence checks, not truthiness: PGPASSWORD="" must
+            # override an INI credential, and an empty INI value is a
+            # deliberate empty credential, not a fall-through
+            if env in os.environ:
+                val = os.environ[env]
+            elif key in self.credentials:
+                val = self.credentials[key]
+            else:
+                val = default
             out[key] = val
         out["port"] = int(out["port"])
         out["dbname"] = out.pop("database")

@@ -712,8 +712,11 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     Raw sketch values are engine-specific (Spark HLL++ vs DuckDB's own
     HLL) so they can never be value-compared; the differential instead
     asserts the sketch's ERROR CONTRACT against the oracle's exact
-    values — ``approx_parts_ok`` (HLL within its 5% rsd of the exact
-    distinct count) and ``approx_median_ok`` (GK median between the
+    values — ``approx_parts_ok`` (HLL within 3x its 0.05 rsd of the
+    exact distinct count; rsd is a standard deviation, not a bound, so
+    the contract uses the 3-sigma envelope — the same one
+    tests/test_sketch_bounds.py asserts — to stay scale-factor-stable)
+    and ``approx_median_ok`` (GK median between the
     exact 0.49/0.51 quantiles, i.e. within its 1/10000 rank accuracy)
     must come out TRUE, which the oracle states as literals. Tighter
     per-run bounds are asserted in tests/test_sketch_bounds.py.
@@ -730,7 +733,7 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.abs(approx_parts.cast("double") - exact_parts.cast("double"))
                 / exact_parts.cast("double")
-                <= 0.05
+                <= 0.15
             ).alias("approx_parts_ok"),
             ps.alias("ps"),
             F.percentile_approx("l_extendedprice", 0.5, 10000).alias("am"),

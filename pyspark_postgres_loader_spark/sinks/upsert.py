@@ -315,6 +315,19 @@ def upsert_via_staging(
             f"FROM {table} WHERE 1=0"
         )
         conn.commit()
+        # IF NOT EXISTS cannot retrofit _staged_seq onto a staging
+        # table created by an older version (or by the user); probe for
+        # it now so the failure is descriptive, not a column-count
+        # error from the staged INSERT.
+        try:
+            cur.execute(f"SELECT {_STAGED_SEQ} FROM {staging} WHERE 1=0")
+        except Exception as exc:
+            raise RuntimeError(
+                f"staging table {staging} exists but lacks the "
+                f"{_STAGED_SEQ} BIGINT column required for deterministic "
+                f"latest-wins merging; add it (ALTER TABLE {staging} ADD "
+                f"COLUMN {_STAGED_SEQ} BIGINT) or drop the table"
+            ) from exc
         cur.close()
     finally:
         conn.close()

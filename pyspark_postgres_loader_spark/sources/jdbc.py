@@ -14,6 +14,8 @@ upper_bound, num_partitions) so the scan fans out across executors.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 from .files import normalize_columns
@@ -122,10 +124,22 @@ def read_jdbc_incremental(
     caller persists max(watermark_column) of each run as the next
     ``last_value`` (exactly what a scheduler's state store holds).
 
-    ``last_value`` is rendered as a SQL literal: numbers verbatim,
-    everything else quoted with doubled single-quotes (safe for the
-    timestamp/ISO-string case this pattern uses).
+    ``last_value`` is rendered as a SQL literal: numbers verbatim
+    (bool is rejected — ``str(True)`` is not SQL), everything else
+    quoted with doubled single-quotes (safe for the timestamp/
+    ISO-string case this pattern uses). ``table`` and
+    ``watermark_column`` are interpolated into the pushed-down query
+    text and must be trusted identifiers; they are validated against a
+    conservative identifier shape (dotted names, optional quoting) so a
+    malformed value fails here rather than inside the database.
     """
+    if isinstance(last_value, bool):
+        raise TypeError(
+            "last_value must be a number or string-renderable watermark, not bool"
+        )
+    for ident, what in ((table, "table"), (watermark_column, "watermark_column")):
+        if not re.fullmatch(r'[A-Za-z_][\w$]*(\.[A-Za-z_][\w$]*)*|"[^"]+"(\."[^"]+")*', ident):
+            raise ValueError(f"{what} {ident!r} is not a plain or quoted SQL identifier")
     if isinstance(last_value, (int, float)):
         lit = str(last_value)
     else:

@@ -61,6 +61,21 @@ def test_credentials_loaded_and_env_overrides(ini, monkeypatch):
     assert cfg.connection_params()["host"] == "override.example.internal"
 
 
+def test_empty_env_var_still_overrides_ini(ini, monkeypatch):
+    """Env-wins is a PRESENCE rule: PGPASSWORD set to the empty string
+    must override the INI credential (an empty password is a real
+    credential, e.g. trust/peer auth), and an empty INI value must NOT
+    silently fall through to the built-in default."""
+    for var in ("PGHOST", "PGPORT", "PGDATABASE", "PGUSER", "PGPASSWORD"):
+        monkeypatch.delenv(var, raising=False)
+    monkeypatch.setenv("PGPASSWORD", "")
+    cfg = load_config(ini)
+    assert cfg.connection_params()["password"] == ""
+
+    cfg2 = LoaderConfig(credentials={"user": ""})
+    assert cfg2.connection_params()["user"] == ""
+
+
 def test_source_kinds_declared(ini):
     cfg = load_config(ini)
     assert cfg.source_kinds() == ["postgres", "s3"]
@@ -92,18 +107,67 @@ def test_empty_config_uses_defaults(tmp_path, monkeypatch):
     assert isinstance(cfg, LoaderConfig)
 
 
-def test_cli_accepts_config_flag(ini, monkeypatch, tmp_path, spark):
-    """End-to-end: CLI with --config drives a real load (SQLite target
-    via a monkeypatched factory builder — psycopg2 isn't installed, so
-    the factory construction path is swapped, everything else real)."""
+def test_cli_sqlite_dialect_end_to_end(ini, monkeypatch, tmp_path, spark, capsys):
+    """End-to-end: ``--dialect sqlite --db_path`` pairs the sqlite
+    paramstyle SQL with a real sqlite3 connection factory (no
+    monkeypatched factory — the dialect selects it). --config is
+    noted as ignored for file-backed dialects (its credentials are
+    Postgres-only)."""
+    import sqlite3
+
+    from pyspark_postgres_loader_spark import cli
+
+    src = tmp_path / "in.csv"
+    src.write_text("id,v\n1,a\n2,b\n")
+    db = str(tmp_path / "cli.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT)")
+    conn.commit()
+
+    monkeypatch.setattr(cli, "get_spark", lambda app_name: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    rc = cli.main([
+        "--source", "csv",
+        "--source_arg", f"path={src}",
+        "--source_arg", "header=true",
+        "--target_pg_table", "t",
+        "--dialect", "sqlite",
+        "--db_path", db,
+        "--config", ini,
+    ])
+    assert rc == 0
+    assert "ignored" in capsys.readouterr().err
+    rows = dict(conn.execute("SELECT id, v FROM t"))
+    assert rows == {1: "a", 2: "b"}
+    conn.close()
+
+
+def test_cli_file_dialect_requires_db_path(monkeypatch, tmp_path):
+    from pyspark_postgres_loader_spark import cli
+
+    with pytest.raises(SystemExit, match="db_path"):
+        cli.main([
+            "--source", "csv",
+            "--source_arg", "path=/dev/null",
+            "--target_pg_table", "t",
+            "--dialect", "duckdb",
+        ])
+
+
+def test_cli_config_factory_used_for_postgres_dialect(ini, monkeypatch, tmp_path, spark):
+    """With the default postgres dialect, --config builds the
+    connection factory from the INI credentials (factory builder
+    swapped to sqlite here — psycopg2 isn't installed — but the
+    selection logic and config plumbing are real)."""
     import functools
     import sqlite3
 
     from pyspark_postgres_loader_spark import cli, config
 
     src = tmp_path / "in.csv"
-    src.write_text("id,v\n1,a\n2,b\n")
-    db = str(tmp_path / "cli.db")
+    src.write_text("id,v\n1,a\n")
+    db = str(tmp_path / "cli_pg.db")
     conn = sqlite3.connect(db)
     conn.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT)")
     conn.commit()
@@ -117,17 +181,29 @@ def test_cli_accepts_config_flag(ini, monkeypatch, tmp_path, spark):
     monkeypatch.setattr(config, "make_connection_factory", fake_factory)
     monkeypatch.setattr(cli, "get_spark", lambda app_name: spark)
     monkeypatch.setattr(spark, "stop", lambda: None)
+    # the sink speaks sqlite in this swap, so force its dialect via the
+    # library default: postgres '%s' placeholders break sqlite3 — use a
+    # dialect-compatible fake that records and rewrites
+    import pyspark_postgres_loader_spark.pipeline as pipeline_mod
+
+    real_load = pipeline_mod.load_to_database
+
+    def spy_load(spark_, **kw):
+        captured["dialect"] = kw["dialect"]
+        kw["dialect"] = "sqlite"
+        return real_load(spark_, **kw)
+
+    monkeypatch.setattr(pipeline_mod, "load_to_database", spy_load)
 
     rc = cli.main([
         "--source", "csv",
         "--source_arg", f"path={src}",
         "--source_arg", "header=true",
         "--target_pg_table", "t",
-        "--dialect", "sqlite",
         "--config", ini,
     ])
     assert rc == 0
     assert captured["params"]["dbname"] == "analytics"
-    rows = dict(conn.execute("SELECT id, v FROM t"))
-    assert rows == {1: "a", 2: "b"}
+    assert captured["dialect"] == "postgres"
+    assert dict(conn.execute("SELECT id, v FROM t")) == {1: "a"}
     conn.close()

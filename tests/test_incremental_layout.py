@@ -37,6 +37,36 @@ def test_incremental_predicate_literal_rendering(spark, monkeypatch):
     read_jdbc_incremental(spark, "jdbc:postgresql://h/db", "ev", "name", "O'Brien")
     assert captured["query"] == "SELECT * FROM ev WHERE name > 'O''Brien'"
 
+    # dotted and quoted identifiers are legitimate
+    read_jdbc_incremental(spark, "jdbc:postgresql://h/db", "public.ev", "seq", 1)
+    assert captured["query"] == "SELECT * FROM public.ev WHERE seq > 1"
+    read_jdbc_incremental(spark, "jdbc:postgresql://h/db", '"Ev Table"', "seq", 1)
+    assert captured["query"] == 'SELECT * FROM "Ev Table" WHERE seq > 1'
+
+
+def test_incremental_rejects_bool_and_malformed_identifiers(spark, monkeypatch):
+    """bool is not a watermark (str(True) is not SQL), and table/column
+    are interpolated into query text so non-identifier shapes must fail
+    loudly here, not inside the database."""
+    import pytest
+
+    import pyspark_postgres_loader_spark.sources.jdbc as jdbc_mod
+
+    monkeypatch.setattr(
+        jdbc_mod, "read_jdbc_query", lambda spark_, url, query, **kw: spark_.range(0)
+    )
+
+    with pytest.raises(TypeError, match="bool"):
+        read_jdbc_incremental(spark, "jdbc:postgresql://h/db", "ev", "flag", True)
+    with pytest.raises(ValueError, match="identifier"):
+        read_jdbc_incremental(
+            spark, "jdbc:postgresql://h/db", "ev; DROP TABLE ev", "seq", 1
+        )
+    with pytest.raises(ValueError, match="identifier"):
+        read_jdbc_incremental(
+            spark, "jdbc:postgresql://h/db", "ev", "seq > 0 OR 1=1 --", 1
+        )
+
 
 def test_dynamic_partition_overwrite_preserves_siblings(spark, tmp_path):
     path = str(tmp_path / "part")

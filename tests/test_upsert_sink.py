@@ -187,6 +187,22 @@ def test_staging_merge_last_wins(spark, db):
     assert conn.execute("SELECT COUNT(*) FROM tgt2_staging").fetchone()[0] == 0
 
 
+def test_staging_table_missing_seq_column_fails_descriptively(spark, db):
+    """A staging table created by an older version (no _staged_seq)
+    survives CREATE TABLE IF NOT EXISTS; the sink must probe and raise
+    a message naming the column, not an opaque column-count error from
+    the staged INSERT."""
+    path, conn = db
+    conn.execute("CREATE TABLE tgt3 (id INTEGER PRIMARY KEY, v TEXT)")
+    conn.execute("CREATE TABLE tgt3_staging (id INTEGER, v TEXT)")  # legacy shape
+    conn.commit()
+    df = spark.createDataFrame([(1, "a")], "id int, v string")
+    with pytest.raises(RuntimeError, match="_staged_seq"):
+        upsert_via_staging(
+            df, functools.partial(_connect, path), "tgt3", ["id"], dialect=SQLITE
+        )
+
+
 def test_staging_merge_no_implicit_rowid_dependency(spark, db):
     """The merge must order by the explicit _staged_seq column (stamped
     Spark-side), never a dialect-implicit rowid: with parallelism > 1
