@@ -230,12 +230,10 @@ _MINHASH_AB = [( _rng.randrange(1, _MERSENNE), _rng.randrange(0, _MERSENNE))
                for _ in range(_K)]
 
 
-def _minhash_oracle() -> str:
-    """DuckDB replay of the full MinHash-LSH pipeline. Possible because
-    every hash is md5-derived (``mhash64``): base shingle hash, the 32
-    seed-42 affine permutations mod 2^31-1, and the per-band bucket hash
-    over '|'-joined signature values are all engine-agnostic integer
-    arithmetic both engines compute bit-identically."""
+def _minhash_cte_prefix() -> str:
+    """Shared DuckDB CTE chain: shingles → hashes → signatures →
+    (band, bucket) rows → bucket sizes. Used by both the candidate
+    oracle and the bucket-stats oracle so the two stay in lockstep."""
     m_cols = ",\n             ".join(
         f"MIN(({a} * h + {b}) % {_MERSENNE}) AS m{k}"
         for k, (a, b) in enumerate(_MINHASH_AB)
@@ -248,10 +246,7 @@ def _minhash_oracle() -> str:
         )
         for bi in range(_BANDS)
     )
-    jac = ("CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)"
-           " / len(list_distinct(list_concat(a.s, b.s)))")
-    return f"""
-    WITH sh AS (
+    return f"""WITH sh AS (
       SELECT doc_id,
              list_distinct(list_transform(range(1, len(w)-1),
                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
@@ -272,7 +267,19 @@ def _minhash_oracle() -> str:
       FROM sigs
     ), sizes AS (
       SELECT band, bucket, COUNT(*) AS cnt FROM buckets GROUP BY band, bucket
-    ), cands AS (
+    )"""
+
+
+def _minhash_oracle() -> str:
+    """DuckDB replay of the full MinHash-LSH pipeline. Possible because
+    every hash is md5-derived (``mhash64``): base shingle hash, the 32
+    seed-42 affine permutations mod 2^31-1, and the per-band bucket hash
+    over '|'-joined signature values are all engine-agnostic integer
+    arithmetic both engines compute bit-identically."""
+    jac = ("CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)"
+           " / len(list_distinct(list_concat(a.s, b.s)))")
+    return f"""
+    {_minhash_cte_prefix()}, cands AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       FROM buckets x
       JOIN buckets y ON x.band = y.band AND x.bucket = y.bucket
@@ -286,6 +293,79 @@ def _minhash_oracle() -> str:
     JOIN sh b ON b.doc_id = c.doc_b
     WHERE {jac} >= 0.5
     """
+
+
+def _lsh_buckets(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) rows: MinHash(K) signature per doc, then
+    one md5-derived bucket hash per band over its signature slice."""
+    base = sh.select(
+        "doc_id", F.explode("shingles").alias("s")
+    ).select("doc_id", F.pmod(mhash64("s"), F.lit(_MERSENNE)).alias("h"))
+    sig_cols = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE))).alias(f"m{k}")
+        for k, (a, b) in enumerate(_MINHASH_AB)
+    ]
+    sigs = base.groupBy("doc_id").agg(*sig_cols)
+    band_hashes = F.array(
+        *[
+            mhash64(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(bi)),
+                    *[F.col(f"m{bi * _ROWS + r}").cast("string") for r in range(_ROWS)],
+                )
+            ).alias(f"b{bi}")
+            for bi in range(_BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.posexplode(band_hashes).alias("band", "bucket"))
+
+
+@register(
+    "dedup_lsh_bucket_stats",
+    oracle=f"""
+    {_minhash_cte_prefix()}
+    SELECT band,
+           COUNT(*) AS n_buckets,
+           CAST(COALESCE(SUM(CASE WHEN cnt > 1 AND cnt <= {_MAX_BUCKET} THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS n_candidate_buckets,
+           CAST(COALESCE(SUM(CASE WHEN cnt > {_MAX_BUCKET} THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS n_overflow_buckets,
+           CAST(COALESCE(SUM(CASE WHEN cnt > {_MAX_BUCKET} THEN cnt ELSE 0 END), 0)
+               AS BIGINT) AS docs_in_overflow
+    FROM sizes GROUP BY band ORDER BY band
+    """,
+)
+def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability companion to ``dedup_minhash_lsh``: per LSH band,
+    how many buckets exist, how many feed candidate pairs, and — the
+    one that matters at 100 TB — how many OVERFLOW the ``_MAX_BUCKET``
+    skew cap and get their docs dropped from candidate generation.
+
+    The cap is a documented recall trade (a degenerate bucket cannot go
+    quadratic), but silent recall loss is not acceptable at scale: an
+    operator runs this alongside the dedup job and alerts when
+    ``docs_in_overflow`` is nonzero. One extra aggregation over the
+    (band, bucket) rows the dedup job already computes — no new scan
+    of the corpus, no driver-side state.
+    """
+    sh = _with_shingles(_spread(load_table(spark, sf_dir, "documents")))
+    sizes = _lsh_buckets(sh).groupBy("band", "bucket").agg(F.count("*").alias("cnt"))
+    cap = F.lit(_MAX_BUCKET)
+    return (
+        sizes.groupBy("band")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum(
+                ((F.col("cnt") > 1) & (F.col("cnt") <= cap)).cast("bigint")
+            ).alias("n_candidate_buckets"),
+            F.sum((F.col("cnt") > cap).cast("bigint")).alias("n_overflow_buckets"),
+            F.sum(
+                F.when(F.col("cnt") > cap, F.col("cnt")).otherwise(F.lit(0))
+            ).alias("docs_in_overflow"),
+        )
+        .orderBy("band")
+    )
 
 
 @register("dedup_minhash_lsh", oracle=_minhash_oracle())
@@ -304,31 +384,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle sets feed three subplans (signatures + two verify joins):
     # cache so the tokenize/shingle projection runs once
     sh = _with_shingles(_spread(load_table(spark, sf_dir, "documents"))).cache()
-
-    # signature: per doc, K minima over permuted shingle hashes
-    base = sh.select(
-        "doc_id", F.explode("shingles").alias("s")
-    ).select("doc_id", F.pmod(mhash64("s"), F.lit(_MERSENNE)).alias("h"))
-    sig_cols = [
-        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE))).alias(f"m{k}")
-        for k, (a, b) in enumerate(_MINHASH_AB)
-    ]
-    sigs = base.groupBy("doc_id").agg(*sig_cols)
-
-    # bands: hash r consecutive signature values per band → (band, bucket)
-    band_hashes = F.array(
-        *[
-            mhash64(
-                F.concat_ws(
-                    "|",
-                    F.lit(str(bi)),
-                    *[F.col(f"m{bi * _ROWS + r}").cast("string") for r in range(_ROWS)],
-                )
-            ).alias(f"b{bi}")
-            for bi in range(_BANDS)
-        ]
-    )
-    buckets = sigs.select("doc_id", F.posexplode(band_hashes).alias("band", "bucket"))
+    buckets = _lsh_buckets(sh)
 
     # candidate pairs: docs sharing a (band, bucket); cap bucket size
     grouped = (

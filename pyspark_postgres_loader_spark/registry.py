@@ -104,6 +104,8 @@ _PRIORITY = [
     "window_rank_supplier_revenue",
     "window_running_customer_spend",
     "window_top3_orders_per_customer",
+    # new in round 3 — never checked by definition
+    "dedup_lsh_bucket_stats",
     # r2-green flagship re-confirmation (fills the rest of the ~50 window)
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -120,7 +122,6 @@ _PRIORITY = [
     "dedup_connected_components",
     "ann_ivf_topk",
     "agg_approx_sketches",
-    "pipeline_clean_corpus",
 ]
 
 

@@ -102,6 +102,46 @@ def test_simhash_bucket_cap_prevents_quadratic_blowup(spark):
     )
 
 
+def test_lsh_bucket_cap_drops_degenerate_bucket_observably(spark, tmp_path):
+    """Adversarial corpus: 100 identical docs put every doc in ONE
+    bucket per band (> _MAX_BUCKET=64), so the cap drops them all from
+    candidate generation — the documented recall trade. The drop must
+    be OBSERVABLE: dedup_lsh_bucket_stats reports the overflowed
+    buckets and the docs inside them, so silent recall loss at scale
+    becomes an alertable number. An under-cap near-dup cluster in the
+    same corpus still comes through."""
+    from pyspark_postgres_loader_spark.operators.dedup import (
+        _BANDS,
+        _MAX_BUCKET,
+        dedup_lsh_bucket_stats,
+    )
+
+    hot = [(i, "identical degenerate document text repeated many times over") for i in range(100)]
+    cold = [(1000, "a genuinely unique duplicate pair of documents right here"),
+            (1001, "a genuinely unique duplicate pair of documents right here")]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(hot + cold, ["doc_id", "text"]).coalesce(1).write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).collect()
+    pair_docs = {d for r in pairs for d in (r.doc_a, r.doc_b)}
+    assert (1000, 1001) in {(r.doc_a, r.doc_b) for r in pairs}, "under-cap pair lost"
+    assert not any(d < 1000 for d in pair_docs), (
+        "hot bucket must be dropped by the cap, not pair-enumerated"
+    )
+
+    stats = {r.band: r for r in dedup_lsh_bucket_stats(spark, sf_dir).collect()}
+    assert set(stats) == set(range(_BANDS))
+    for band, r in stats.items():
+        # identical docs share one signature → one overflow bucket/band
+        assert r.n_overflow_buckets == 1, (band, r)
+        assert r.docs_in_overflow == 100, (band, r)
+        # the cold pair's bucket is a candidate bucket (cnt=2 <= cap)
+        assert r.n_candidate_buckets == 1, (band, r)
+    assert _MAX_BUCKET < 100  # the fixture actually exceeds the cap
+
+
 def test_connected_components_pointer_jump_beats_diameter(spark):
     """A path graph of 300 nodes (diameter 299 >> _CC_MAX_ITERS=12) must
     still converge: the pointer-jump halves remaining distance per

@@ -46,6 +46,39 @@ def test_topk_is_take_ordered_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_nondet_keep_pins_similarity_filter_above_projection(spark):
+    """Pin planctl.nondet_keep (the ``x + 0.0*rand(seed)`` taint): the
+    ``sim >= t`` filter must stay ABOVE the projection that computes the
+    expensive similarity, never folded into a join condition where
+    Catalyst would re-evaluate the expression per candidate pair with
+    no subexpression elimination (measured 24s -> 0.9s at sf0.1). If a
+    future Spark constant-folds ``0.0 * rand()``, the taint vanishes
+    and this fails loudly instead of silently restoring the slow plan.
+    """
+    cases = {
+        # query -> (filter output column, expensive expression token)
+        "dedup_ngram_jaccard": ("jaccard#", "array_intersect"),
+        "dedup_embedding_cosine": ("cosine#", "aggregate("),
+    }
+    for name, (filter_col, expensive) in cases.items():
+        plan = _plan(spark, name)
+        # the taint survived optimization
+        assert "rand(" in plan, f"{name}: nondet taint constant-folded away"
+        # the threshold filter references the projected column by name
+        filter_lines = [
+            ln for ln in plan.splitlines() if "Filter" in ln and filter_col in ln
+        ]
+        assert filter_lines, f"{name}: no Filter over the projected {filter_col} column"
+        # no join condition evaluates the expensive expression
+        join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+        assert join_lines, f"{name}: expected candidate joins in the plan"
+        for ln in join_lines:
+            assert expensive not in ln, f"{name}: {expensive} folded into a join:\n{ln}"
+    # jaccard's array_intersect must appear exactly once in the whole
+    # plan (once per candidate row, in the projection)
+    assert _plan(spark, "dedup_ngram_jaccard").count("array_intersect") == 1
+
+
 def test_word_count_has_partial_aggregation(spark):
     plan = _plan(spark, "text_word_count_topk")
     # map-side combine before the token shuffle
