@@ -361,9 +361,21 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Single-batch availableNow output equals the batch interval join,
     checked exactly by the oracle.
     """
-    # streaming SELF-join: both sides derive from one source, so the
-    # file stream is planned/scanned once per micro-batch, not twice
     ev = _events_stream(spark, sf_dir)
+    return _run_to_memory(attribution_join(ev, "inner", "2 hours"), "append")
+
+
+def attribution_join(ev: DataFrame, how: str, delay: str) -> DataFrame:
+    """Shared attribution-shape stream-stream join: clicks joined to
+    same-user purchases within 30 minutes AFTER the click, as
+    ``inner`` / ``left_outer`` / ``full_outer`` with watermark
+    ``delay`` on both sides. The three registered queries and the
+    checkpoint-recovery tests build on this one definition so their
+    semantics cannot drift apart.
+
+    Streaming SELF-join: both sides derive from one source ``ev``, so a
+    file stream is planned/scanned once per micro-batch, not twice.
+    """
     clicks = (
         ev.filter(F.col("event_type") == "click")
         .select(
@@ -371,7 +383,7 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id"),
             F.col("ts").alias("click_ts"),
         )
-        .withWatermark("click_ts", "2 hours")
+        .withWatermark("click_ts", delay)
     )
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
@@ -380,15 +392,35 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").alias("p_user_id"),
             F.col("ts").alias("purchase_ts"),
         )
-        .withWatermark("purchase_ts", "2 hours")
+        .withWatermark("purchase_ts", delay)
     )
     joined = clicks.join(
         purchases,
         (F.col("user_id") == F.col("p_user_id"))
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
-    ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
-    return _run_to_memory(joined, "append")
+        how,
+    )
+    if how == "inner":
+        return joined.select(
+            "click_id", "purchase_id", "user_id", "click_ts", "purchase_ts"
+        )
+    if how == "left_outer":
+        return joined.select("click_id", "user_id", "click_ts", "purchase_id")
+    # full_outer: null-free compare surface (see the registered query's
+    # docstring for why ids coalesce to -1 and orphan click_ts to epoch)
+    return joined.select(
+        F.coalesce("click_id", F.lit(-1)).cast("long").alias("click_id"),
+        F.coalesce("user_id", "p_user_id").alias("user_id"),
+        F.coalesce(
+            "click_ts", F.lit("1970-01-01 00:00:00").cast("timestamp")
+        ).alias("click_ts"),
+        F.coalesce("purchase_id", F.lit(-1)).cast("long").alias("purchase_id"),
+        F.when(F.col("click_id").isNull(), "purchase_only")
+        .when(F.col("purchase_id").isNull(), "click_only")
+        .otherwise("matched")
+        .alias("pair_type"),
+    )
 
 
 @register(
@@ -424,32 +456,7 @@ def stream_stream_outer_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     and are (correctly) absent from the output.
     """
     ev = _events_stream(spark, sf_dir)
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", "0 seconds")
-    )
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", "0 seconds")
-    )
-    joined = clicks.join(
-        purchases,
-        (F.col("user_id") == F.col("p_user_id"))
-        & (F.col("purchase_ts") >= F.col("click_ts"))
-        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
-        "left_outer",
-    ).select("click_id", "user_id", "click_ts", "purchase_id")
-    return _run_to_memory(joined, "append")
+    return _run_to_memory(attribution_join(ev, "left_outer", "0 seconds"), "append")
 
 
 @register(
@@ -498,40 +505,4 @@ def stream_stream_full_outer_attrib(spark: SparkSession, sf_dir: str) -> DataFra
     degrade to float64 differently per pandas bridge.
     """
     ev = _events_stream(spark, sf_dir)
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", "0 seconds")
-    )
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", "0 seconds")
-    )
-    joined = clicks.join(
-        purchases,
-        (F.col("user_id") == F.col("p_user_id"))
-        & (F.col("purchase_ts") >= F.col("click_ts"))
-        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
-        "full_outer",
-    ).select(
-        F.coalesce("click_id", F.lit(-1)).cast("long").alias("click_id"),
-        F.coalesce("user_id", "p_user_id").alias("user_id"),
-        F.coalesce(
-            "click_ts", F.lit("1970-01-01 00:00:00").cast("timestamp")
-        ).alias("click_ts"),
-        F.coalesce("purchase_id", F.lit(-1)).cast("long").alias("purchase_id"),
-        F.when(F.col("click_id").isNull(), "purchase_only")
-        .when(F.col("purchase_id").isNull(), "click_only")
-        .otherwise("matched")
-        .alias("pair_type"),
-    )
-    return _run_to_memory(joined, "append")
+    return _run_to_memory(attribution_join(ev, "full_outer", "0 seconds"), "append")

@@ -1,12 +1,17 @@
 """Checkpoint-recovery proof: a file stream killed between micro-batches
 resumes from its checkpoint — already-processed input is not reprocessed
-and the final result equals exactly-once output."""
+and the final result equals exactly-once output. Covers the stateless
+passthrough and all three stream-stream join modes (the full-outer join
+carries the most state: both sides buffered until the watermark closes
+their match windows)."""
 
 from __future__ import annotations
 
 import shutil
 import tempfile
+import time
 
+import pytest
 from pyspark.sql import functions as F
 
 from pyspark_postgres_loader_spark.tables import load_table
@@ -65,5 +70,96 @@ def test_stream_resumes_from_checkpoint_without_reprocessing(spark):
         out = spark.read.parquet(sink)
         assert out.count() == total  # nothing lost, nothing duplicated
         assert out.select("event_id").distinct().count() == total
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@pytest.mark.parametrize("how", ["inner", "left_outer", "full_outer"])
+def test_stream_stream_join_exactly_once_across_kill(spark, how):
+    """Kill a stream-stream attribution join between micro-batches and
+    resume from its checkpoint: the recovered multi-batch run must
+    produce EXACTLY the single-batch availableNow result (which the
+    oracle differential already pins to batch semantics) — no lost
+    join state, no re-emitted rows. The source is split into three
+    time-ordered files so watermarks advance across batches without
+    making any row late."""
+    from pyspark_postgres_loader_spark.streaming.windows import (
+        _run_to_memory,
+        attribution_join,
+    )
+
+    delay = "2 hours" if how == "inner" else "0 seconds"
+    work = tempfile.mkdtemp(prefix=f"recov_{how}_")
+    src, ckpt, sink = f"{work}/src", f"{work}/ckpt", f"{work}/sink"
+    try:
+        ev = load_table(spark, SF_DIR, "events")  # ts normalized to micros
+        lo, hi = ev.select(
+            F.expr("percentile(cast(ts as double), 0.33)"),
+            F.expr("percentile(cast(ts as double), 0.66)"),
+        ).first()
+        ev.filter(F.col("ts").cast("double") <= lo).coalesce(1).write.parquet(f"{src}/a")
+        ev.filter(
+            (F.col("ts").cast("double") > lo) & (F.col("ts").cast("double") <= hi)
+        ).coalesce(1).write.parquet(f"{src}/b")
+        ev.filter(F.col("ts").cast("double") > hi).coalesce(1).write.parquet(f"{src}/c")
+
+        schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+        def start():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(f"{src}/*")
+            )
+            return (
+                attribution_join(stream, how, delay)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(processingTime="100 milliseconds")
+                .start()
+            )
+
+        # expected: the registered single-batch semantics over the SAME
+        # (re-materialized) source, via the memory-sink harness
+        batch_ev = (
+            spark.readStream.schema(schema)
+            .parquet(f"{src}/*")
+        )
+        expected = {
+            tuple(r) for r in _run_to_memory(
+                attribution_join(batch_ev, how, delay), "append"
+            ).collect()
+        }
+
+        q = start()
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if any(b["numInputRows"] > 0 for b in (q.recentProgress or [])):
+                break
+            time.sleep(0.2)
+        q.stop()
+        q.awaitTermination()
+
+        q2 = start()
+        deadline = time.time() + 120
+        got = set()
+        while time.time() < deadline:
+            try:
+                got = {tuple(r) for r in spark.read.parquet(sink).collect()}
+            except Exception:
+                got = set()
+            if got == expected:
+                break
+            time.sleep(0.5)
+        q2.stop()
+        q2.awaitTermination()
+
+        assert got == expected, (
+            f"{how}: recovered output diverges: "
+            f"missing={len(expected - got)} extra={len(got - expected)}"
+        )
+        assert expected, f"{how}: fixture produced no joined rows"
     finally:
         shutil.rmtree(work, ignore_errors=True)
