@@ -24,6 +24,19 @@ HEADLINE = [
     "q17_small_quantity_revenue",
     "q18_large_volume_customer",
     "q10_returned_item_revenue",
+    "q6_revenue_forecast",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q19_disjunctive_predicates",
+    "q20_heavy_widget_suppliers",
+    "q22_idle_rich_customers",
+    "scd2_user_state_intervals",
+    "sessionize_events_30m",
+    "text_length_histogram",
+    "embedding_norm_stats",
     "join_semi_big_orders",
     "join_asof_latest_order",
     "join_range_price_band",
@@ -47,6 +60,8 @@ HEADLINE = [
     "dedup_connected_components",
     "agg_percentiles_by_status",
     "pipeline_clean_corpus",
+    "pipeline_training_mix",
+    "dedup_lsh_bucket_stats",
     "text_word_count_topk",
     "text_token_stats",
     "text_quality_score",
@@ -87,10 +102,12 @@ def main() -> None:
 
     spark.range(256).repartition(64).mapInPandas(_identity, "id long").count()
 
-    # two passes, per-query minimum: one pass measures codegen compile +
-    # machine noise as much as the query; the min is the reproducible cost
+    # three passes, per-query minimum: one pass measures codegen compile +
+    # machine noise as much as the query; the min is the reproducible cost.
+    # (r2 post-mortem: a concurrent process inflated BOTH passes of a
+    # 2-pass min by 3x on some queries; a third pass narrows that window)
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in HEADLINE:
             fn = queries[name]
             start = time.perf_counter()

@@ -397,3 +397,248 @@ def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 TPC-H-pattern additions (multi-dimension join shapes)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY sn.n_name, cn.n_name, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 pattern: bilateral trade volume between two nations by
+    year. Five-way join where every dimension chain (supplier→nation,
+    customer→nation) broadcasts; the only shuffle is the one fact-fact
+    join (lineitem ⋈ orders). The nation-pair disjunction evaluates
+    post-join but each single-side nation filter is derived and pushed:
+    the supplier/customer broadcast sides are pre-filtered to the two
+    nations, shrinking the hash tables ~12.5x (2 of 25 nations).
+    """
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey"), F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey"), F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    return (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .withColumn("l_year", F.year("l_shipdate").cast("bigint"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+           {sql_dsum("CASE WHEN sn.n_name = 'NATION_5' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+             / {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS mkt_share,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS region_revenue
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = cn.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 pattern: one nation's share of a region's revenue for a
+    part type, by order year. Seven-way join — every dimension
+    (part-filtered, customer→nation→region-filtered, supplier→nation)
+    broadcasts; lineitem ⋈ orders is again the single shuffle. The
+    share is a conditional-over-total ratio of exact decimal sums from
+    ONE aggregation pass (no second scan for the denominator).
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nat = _t(spark, sf_dir, "nation")
+    cn = nat.join(
+        F.broadcast(r), nat.n_regionkey == r.r_regionkey
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .select("c_custkey")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.select(F.col("n_nationkey"), F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_rev = F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+        .groupBy("o_year")
+        .agg(
+            dsum(nation_rev).alias("nation_revenue"),
+            dsum(rev).alias("region_revenue"),
+        )
+        .select(
+            "o_year",
+            (F.col("nation_revenue") / F.col("region_revenue")).alias("mkt_share"),
+            "region_revenue",
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 pattern: supplier(s) with the maximum quarterly
+    revenue. The scalar MAX subquery over the revenue view is
+    decorrelated into a 1-row broadcast joined back against the same
+    aggregate — the revenue view computes ONCE (cached), the max is one
+    more reduction over it, and the equality filter is exact because
+    both sides are the same decimal-sum double, not a re-computed
+    float. No window over the full supplier set, no second scan.
+    """
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    revenue = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+        .cache()
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q20_heavy_widget_suppliers",
+    oracle=f"""
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE '%widget%'
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l.l_suppkey
+      HAVING {sql_dsum('l.l_quantity')} > 100.0
+    )
+    ORDER BY s.s_suppkey
+    """,
+)
+def q20_heavy_widget_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 pattern: suppliers who moved more than a threshold
+    volume of a part family in a year. The IN (GROUP BY .. HAVING)
+    subquery decorrelates to aggregate → LEFT SEMI join, same plan
+    family as Q18: the qualifying supplier-key set is a reduced
+    aggregate (bounded by supplier cardinality), broadcasts, and the
+    supplier table never shuffles. Part filter broadcasts into the
+    fact scan side.
+    """
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    heavy = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(dsum("l_quantity").alias("tq"))
+        .filter(F.col("tq") > 100.0)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(heavy), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )

@@ -1273,3 +1273,205 @@ def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 TPC-H-pattern additions (the fixture schema's subset of the
+# classic suite — each one exercises a distinct plan pattern)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q6_revenue_forecast",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 pattern: pure scan-filter-aggregate, zero joins. The
+    whole query is one codegen stage: all three predicates push into
+    the parquet scan (shipdate as min/max row-group stats pruning),
+    only 4 of 11 columns are read, and the single global aggregate is
+    a partial-then-final pair with no data shuffle beyond one row per
+    partition. The 100 TB cost is exactly "read the pruned scan once".
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 pattern: the order-count distribution over customers,
+    including zero-order customers — the LEFT join with a predicate ON
+    the join (not a WHERE, which would silently turn it inner). Two
+    aggregations: per-customer count (shuffles on custkey — same key as
+    the join, so AQE reuses the partitioning), then the tiny
+    distribution aggregate over distinct counts.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle=f"""
+    SELECT 100.0 * {sql_dsum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+             / {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS promo_revenue_pct,
+           {sql_dsum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")} AS promo_revenue,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS total_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 pattern: promo revenue share for one month. The part
+    dimension broadcasts (no fact shuffle); the conditional aggregate
+    is a single pass — both sums come out of one partial-agg pipeline,
+    and the percentage is a driver-free scalar division of two exact
+    decimal sums (deterministic across engines).
+    """
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            dsum(promo).alias("promo_revenue"),
+            dsum(rev).alias("total_revenue"),
+        )
+        .select(
+            (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+                "promo_revenue_pct"
+            ),
+            "promo_revenue",
+            "total_revenue",
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+    SELECT {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 pattern: OR-of-ANDs across both join sides. Catalyst
+    cannot push the cross-side disjunction below the join, but it DOES
+    derive and push the single-side implications (brand IN (...) on the
+    part scan, quantity ranges on the lineitem scan) — the test for a
+    planner is that the scans are pre-filtered even though the full
+    predicate must evaluate post-join. Part stays broadcast.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    band = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(band)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    oracle=f"""
+    WITH avg_bal AS (
+      SELECT {sql_davg('c_acctbal')} AS a FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment,
+           COUNT(*) AS numcust,
+           {sql_dsum('c.c_acctbal')} AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT a FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 pattern: above-average-balance customers who never
+    ordered, grouped by segment. Two decorrelations in one query: the
+    scalar AVG subquery becomes a 1-row broadcast cross join (computed
+    once, never per-row), and NOT EXISTS becomes a LEFT ANTI join on
+    the (deduplicated, broadcastable) ordering-customer key set. The
+    customer table scans twice but shuffles zero times.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal").alias("a")
+    )
+    buyers = o.select("o_custkey").distinct()
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(buyers, c.c_custkey == buyers.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -415,3 +415,45 @@ def sim_label_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("label", "embedding").groupBy("label").applyInPandas(
         envelope, schema="label int, dim int, min_val double, max_val double"
     )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle=f"""
+    SELECT d.lang,
+           COUNT(*) AS n,
+           MIN(sqrt({_sql_dot('e.embedding', 'e.embedding')})) AS min_norm,
+           MAX(sqrt({_sql_dot('e.embedding', 'e.embedding')})) AS max_norm,
+           CAST(SUM(CASE WHEN sqrt({_sql_dot('e.embedding', 'e.embedding')}) < 0.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate
+    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding health check per language: L2-norm envelope and a
+    degenerate-vector count (norm < 0.5 — collapsed or zero vectors
+    that poison cosine search). The norm uses the deterministic
+    sequential-fold dot product (``_dot_dec``) so the doubles are
+    bit-identical across engines, and the per-group stats are min/max/
+    count only — full-precision doubles are never summed (the decimal
+    trick does not apply to computed norms; see
+    functions/deterministic.py). One broadcast join (documents'
+    (doc_id, lang) projection), one aggregation.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    norm = F.sqrt(_dot_dec(F.col("embedding"), F.col("embedding")))
+    return (
+        e.select("vec_id", norm.alias("norm"))
+        .join(F.broadcast(d), F.col("vec_id") == F.col("doc_id"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("norm").alias("min_norm"),
+            F.max("norm").alias("max_norm"),
+            F.sum((F.col("norm") < 0.5).cast("bigint")).alias("n_degenerate"),
+        )
+        .orderBy("lang")
+    )

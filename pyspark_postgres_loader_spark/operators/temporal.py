@@ -1,0 +1,178 @@
+"""Temporal / change-data-capture batch operators: slowly-changing-
+dimension (type 2) interval construction and gap-based batch
+sessionization over the events table.
+
+The reference has no temporal operators at all (its surface is load-
+and-upsert — psycopg2_database_helper.py); these are the batch
+counterparts of the streaming session windows (streaming/windows.py)
+and the incremental JDBC read (sources/jdbc.py:read_jdbc_incremental):
+together they cover the "events land append-only, downstream wants
+current-state / per-session views" pipeline.
+
+Scale notes (100 TB design):
+- Both operators are one shuffle each: a single hash partitioning on
+  ``user_id`` feeds every window function (same partition key, so the
+  sort for lag/lead/running-sum is reused across all of them within
+  one WholeStageCodegen span). No joins, no driver state.
+- Ordering within a key is pinned to (ts, event_id) — a total order —
+  so results are deterministic under any partitioning and any engine.
+- Per-user event counts are bounded (no key holds a material fraction
+  of the table), which is the precondition for window-over-key at
+  scale; a pathological hot user would need the salting pattern from
+  joins_advanced.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.deterministic import dsum, sql_dsum
+from ..registry import register
+from ..tables import load_table
+
+_GAP_SECONDS = 30 * 60  # sessionization gap
+# open-interval sentinel: must survive the driver's pandas bridge
+# (datetime64[ns] overflows past 2262-04-11, so no 9999-12-31)
+_SCD2_OPEN_END = "2200-01-01 00:00:00"
+
+
+@register(
+    "scd2_user_state_intervals",
+    oracle=f"""
+    WITH changes AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), state AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM changes
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id,
+           event_type AS state,
+           ts AS valid_from,
+           COALESCE(LEAD(ts) OVER w, TIMESTAMP '{_SCD2_OPEN_END}') AS valid_to,
+           CAST(LEAD(ts) OVER w IS NULL AS BOOLEAN) AS is_current
+    FROM state
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, valid_from
+    """,
+)
+def scd2_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from an append-only event
+    log: each user's ``event_type`` transitions become validity
+    intervals ``[valid_from, valid_to)`` with an open-ended current row
+    — the standard CDC materialization (Kimball SCD2) expressed as two
+    window passes over ONE partitioning:
+
+    1. drop rows that do not change the state (``lag`` compare), then
+    2. close each surviving interval with the next change's ``lead``.
+
+    Consecutive duplicate suppression before interval construction is
+    what distinguishes SCD2 from a raw event list — without it every
+    repeat event would open a spurious zero-information version.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+    # same partition key and prefix ordering: Catalyst reuses the sort
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w2)
+    return (
+        changes.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.coalesce(nxt, F.lit(_SCD2_OPEN_END).cast("timestamp")).alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from")
+    )
+
+
+@register(
+    "sessionize_events_30m",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN CAST(EXTRACT(EPOCH FROM ts) AS BIGINT)
+                       - LAG(CAST(EXTRACT(EPOCH FROM ts) AS BIGINT)) OVER w
+                       > {_GAP_SECONDS}
+                       OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+)
+def sessionize_events_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization: a session breaks after 30 idle
+    minutes. The batch twin of ``stream_session_windows`` (which uses
+    ``session_window`` + watermark): lag marks session starts, a
+    running sum numbers them, one aggregation summarizes each session.
+    All three window passes share the (user_id)×(ts, event_id)
+    partitioning+ordering, so physically it is ONE shuffle and ONE
+    sort; the final per-session aggregate reuses the same hash
+    partitioning (user_id is a prefix of the grouping key).
+
+    Gap comparison is on integer epoch seconds — identical arithmetic
+    in Spark (``unix_timestamp``) and DuckDB (``EXTRACT(EPOCH ..)``),
+    immune to interval-type semantics differences.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp("ts")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        (
+            F.lag(epoch).over(w).isNull()
+            | ((epoch - F.lag(epoch).over(w)) > _GAP_SECONDS)
+        )
+        .cast("int")
+        .alias("new_session"),
+    )
+    numbered = marked.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("session_seq"),
+    )
+    return (
+        numbered.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )

@@ -435,3 +435,43 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("quality").alias("max_quality"),
         )
     )
+
+
+@register(
+    "text_length_histogram",
+    oracle="""
+    SELECT CAST(n_chars // 50 AS BIGINT) AS bucket,
+           CAST(n_chars // 50 AS BIGINT) * 50 AS bucket_lo,
+           COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY bucket
+    """,
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (50-char buckets) — the first plot
+    anyone makes of a training corpus, and the shape filter for
+    truncation/padding budgets. Pure integer bucketing (no width_bucket
+    float edges) so the histogram is engine-exact; one hash aggregation
+    over a 1-column scan, fully partial-aggregated map-side.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.floor(F.col("n_chars") / 50).cast("bigint").alias("bucket"), "n_chars")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 50).alias("bucket_lo"),
+            "n_docs",
+            "min_chars",
+            "max_chars",
+        )
+        .orderBy("bucket")
+    )

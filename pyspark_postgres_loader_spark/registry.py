@@ -106,22 +106,22 @@ _PRIORITY = [
     "window_top3_orders_per_customer",
     # new in round 3 — never checked by definition
     "dedup_lsh_bucket_stats",
+    "q6_revenue_forecast",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q19_disjunctive_predicates",
+    "q20_heavy_widget_suppliers",
+    "q22_idle_rich_customers",
+    "scd2_user_state_intervals",
+    "sessionize_events_30m",
+    "text_length_histogram",
+    "embedding_norm_stats",
     # r2-green flagship re-confirmation (fills the rest of the ~50 window)
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q4_order_priority_exists",
-    "q17_small_quantity_revenue",
-    "join_asof_latest_order",
-    "join_range_price_band",
-    "join_skew_salted_orders",
-    "dedup_exact_fingerprint",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_connected_components",
-    "ann_ivf_topk",
-    "agg_approx_sketches",
 ]
 
 
@@ -139,6 +139,7 @@ def _ensure_loaded() -> None:
         relational,
         sampling,
         similarity,
+        temporal,
         text,
     )
     from .streaming import windows  # noqa: F401
