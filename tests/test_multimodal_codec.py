@@ -1,0 +1,141 @@
+"""Real-codec tests: pure-numpy PPM/BMP decode and nearest-neighbor
+resize, unit-level and end-to-end through the Spark mapInPandas
+pipeline (mixed corpus: real images take the real path, non-image
+payloads fall back to the deterministic fake)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark_postgres_loader_spark.operators.multimodal import (
+    _RESIZE_H,
+    _RESIZE_W,
+    fake_decode_meta,
+    real_decode_image,
+    real_resize_image,
+)
+
+
+def make_ppm(pixels: np.ndarray, comment: str | None = None) -> bytes:
+    h, w = pixels.shape[:2]
+    header = b"P6\n"
+    if comment:
+        header += b"# " + comment.encode() + b"\n"
+    header += f"{w} {h}\n255\n".encode()
+    return header + pixels.astype(np.uint8).tobytes()
+
+
+def make_bmp(pixels: np.ndarray, top_down: bool = False) -> bytes:
+    """Minimal 24bpp BI_RGB BMP: BITMAPFILEHEADER + BITMAPINFOHEADER."""
+    h, w = pixels.shape[:2]
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = pixels[:, :, ::-1]  # RGB → BGR
+    if not top_down:
+        rows = rows[::-1]  # bottom-up storage
+    body = b"".join(
+        rows[r].astype(np.uint8).tobytes().ljust(stride, b"\x00") for r in range(h)
+    )
+    data_off = 14 + 40
+    file_size = data_off + len(body)
+    header = (
+        b"BM"
+        + file_size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + data_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + (-h if top_down else h).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + body
+
+
+def _gradient(h: int, w: int) -> np.ndarray:
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[:, :, 0] = np.arange(w, dtype=np.uint8)[None, :] * 3 % 256
+    img[:, :, 1] = np.arange(h, dtype=np.uint8)[:, None] * 5 % 256
+    img[:, :, 2] = 7
+    return img
+
+
+def test_ppm_roundtrip_with_comment():
+    img = _gradient(13, 17)
+    w, h, decoded = real_decode_image(make_ppm(img, comment="created by test"))
+    assert (w, h) == (17, 13)
+    np.testing.assert_array_equal(decoded, img)
+
+
+def test_bmp_roundtrip_bottom_up_and_top_down():
+    # w=3 forces row padding (9 bytes data, 12-byte stride)
+    img = _gradient(5, 3)
+    for top_down in (False, True):
+        w, h, decoded = real_decode_image(make_bmp(img, top_down=top_down))
+        assert (w, h) == (3, 5)
+        np.testing.assert_array_equal(decoded, img)
+
+
+def test_compressed_and_non_image_raise_not_implemented():
+    with pytest.raises(NotImplementedError):
+        real_decode_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(NotImplementedError):
+        real_decode_image(b"just some text payload")
+    # 16-bit PPM is recognized but unsupported
+    with pytest.raises(NotImplementedError):
+        real_decode_image(b"P6\n2 2\n65535\n" + b"\x00" * 24)
+
+
+def test_truncated_ppm_header_fails_loudly():
+    with pytest.raises(ValueError):
+        real_decode_image(b"P6\n17 13")
+
+
+def test_resize_nearest_neighbor_exact_gather():
+    img = _gradient(4, 4)
+    down = real_resize_image(img, 2, 2)
+    # nearest with floor gather: rows/cols 0 and 2
+    np.testing.assert_array_equal(down, img[[0, 2]][:, [0, 2]])
+    up = real_resize_image(img, 8, 8)
+    assert up.shape == (8, 8, 3)
+    # every source pixel appears exactly in a 2x2 block
+    np.testing.assert_array_equal(up[::2, ::2], img)
+
+
+def test_mixed_corpus_through_spark_pipeline(spark):
+    """End-to-end: real images decode with REAL dimensions through
+    mapInPandas; text payloads in the same batch fall back to the fake.
+    This is the mixed-corpus contract a media pipeline needs — one
+    plan, per-payload codec dispatch."""
+    from pyspark_postgres_loader_spark.operators.multimodal import (
+        _DECODE_SCHEMA,
+        _RESIZE_SCHEMA,
+        _decode_batches,
+        _resize_batches,
+    )
+
+    ppm = make_ppm(_gradient(300, 250))
+    bmp = make_bmp(_gradient(100, 400))
+    txt = b"not an image at all"
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(ppm)), (2, "image", bytearray(bmp)),
+         (3, "text", bytearray(txt))],
+        "doc_id long, media_type string, payload binary",
+    )
+
+    meta = {r.doc_id: r for r in df.mapInPandas(_decode_batches, _DECODE_SCHEMA).collect()}
+    assert (meta[1].width, meta[1].height) == (250, 300)
+    assert (meta[2].width, meta[2].height) == (400, 100)
+    fw, fh, _ = fake_decode_meta(txt)
+    assert (meta[3].width, meta[3].height) == (fw, fh)
+
+    rs = {r.doc_id: r for r in
+          df.select("doc_id", "payload").mapInPandas(_resize_batches, _RESIZE_SCHEMA).collect()}
+    # real resample: clamped dims, exact pixel-budget byte count
+    assert (rs[1].resized_w, rs[1].resized_h) == (min(250, _RESIZE_W), min(300, _RESIZE_H))
+    assert rs[1].resized_bytes == rs[1].resized_w * rs[1].resized_h * 3
+    assert (rs[2].resized_w, rs[2].resized_h) == (min(400, _RESIZE_W), min(100, _RESIZE_H))
+    assert rs[2].resized_bytes == rs[2].resized_w * rs[2].resized_h * 3
