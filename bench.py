@@ -37,6 +37,7 @@ HEADLINE = [
     "sessionize_events_30m",
     "text_length_histogram",
     "embedding_norm_stats",
+    "pysource_synthetic_events",
     "join_semi_big_orders",
     "join_asof_latest_order",
     "join_range_price_band",

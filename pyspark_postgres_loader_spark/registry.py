@@ -119,9 +119,9 @@ _PRIORITY = [
     "sessionize_events_30m",
     "text_length_histogram",
     "embedding_norm_stats",
+    "pysource_synthetic_events",
     # r2-green flagship re-confirmation (fills the rest of the ~50 window)
     "q1_pricing_summary",
-    "q5_local_supplier_volume",
 ]
 
 
@@ -142,6 +142,7 @@ def _ensure_loaded() -> None:
         temporal,
         text,
     )
+    from .sources import pydatasource  # noqa: F401
     from .streaming import windows  # noqa: F401
 
     missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -1,0 +1,50 @@
+"""Custom Python DataSource tests: partitioned generation, determinism
+across partition layouts, option handling."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark_postgres_loader_spark.sources.pydatasource import (
+    SyntheticEventsDataSource,
+    _SyntheticEventsReader,
+)
+
+
+def _read(spark, **opts):
+    spark.dataSource.register(SyntheticEventsDataSource)
+    r = spark.read.format("synthetic_events")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_partition_count_and_row_split(spark):
+    df = _read(spark, n_rows=1000, n_partitions=7)
+    assert df.rdd.getNumPartitions() == 7
+    assert df.count() == 1000
+    # no duplicate or missing ids across partitions
+    assert df.select("event_id").distinct().count() == 1000
+
+
+def test_content_invariant_under_partition_layout(spark):
+    """Rows are a pure function of the row index — re-partitioning the
+    GENERATOR (not the data) must not change the dataset. This is the
+    property that lets the source scale out: n_partitions is a pure
+    parallelism knob."""
+    a = {tuple(r) for r in _read(spark, n_rows=500, n_partitions=1).collect()}
+    b = {tuple(r) for r in _read(spark, n_rows=500, n_partitions=13).collect()}
+    assert a == b
+    assert len(a) == 500
+
+
+def test_user_cardinality_option(spark):
+    df = _read(spark, n_rows=2000, n_partitions=4, n_users=7)
+    assert df.selectExpr("max(user_id)").first()[0] <= 6
+    assert df.selectExpr("count(distinct user_id)").first()[0] == 7
+
+
+def test_empty_and_invalid_options(spark):
+    assert _read(spark, n_rows=0).count() == 0
+    with pytest.raises(ValueError):
+        _SyntheticEventsReader({"n_rows": "10", "n_partitions": "0"})
