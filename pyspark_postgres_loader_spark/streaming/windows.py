@@ -506,3 +506,121 @@ def stream_stream_full_outer_attrib(spark: SparkSession, sf_dir: str) -> DataFra
     """
     ev = _events_stream(spark, sf_dir)
     return _run_to_memory(attribution_join(ev, "full_outer", "0 seconds"), "append")
+
+
+def _protobuf_available() -> bool:
+    """transformWithStateInPandas speaks a protobuf wire protocol to its
+    driver worker; without the google.protobuf package the stream
+    crashes at initialization. protobuf is not installed in this
+    container (and installs are not possible), so the TWS query
+    registers only where the dependency exists — the same
+    environment-imposed gating as the PIL/libvips image codecs
+    (operators/multimodal.py). applyInPandasWithState
+    (stream_stateful_user_stats) keeps arbitrary-stateful coverage in
+    every environment."""
+    import importlib.util
+
+    try:
+        # find_spec on a dotted name imports the parent package first,
+        # so a missing "google" namespace raises instead of returning None
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+def _register_tws(fn):
+    if _protobuf_available():  # pragma: no cover - env lacks protobuf
+        return register(
+            "stream_tws_user_value_totals",
+            oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(value AS DECIMAL(38,6)) ELSE 0 END) AS DOUBLE)
+             AS purchase_value
+    FROM events GROUP BY user_id
+    """,
+        )(fn)
+    return fn
+
+
+@_register_tws
+def stream_tws_user_value_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running value totals via ``transformWithStateInPandas``
+    — Spark 4's successor to ``applyInPandasWithState``
+    (``stream_stateful_user_stats`` keeps the legacy API covered):
+    typed named state (``ValueState``), an explicit processor
+    lifecycle, per-state TTL support, and timer hooks. State here is
+    one 3-field tuple per user.
+
+    Determinism without arrival order: values accumulate as exact
+    integer MICRO-units (``round(v * 1e6)`` — exact for the ≤6-decimal
+    contract every money/value column already obeys for ``dsum``), so
+    the running sum is order-independent and the final double equals
+    the oracle's decimal-sum cast bit-for-bit.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserValueTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n BIGINT, vmicro BIGINT, pmicro BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, vmicro, pmicro = (
+                self._state.get() if self._state.exists() else (0, 0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                micro = (pdf["value"] * 1_000_000).round().astype("int64")
+                vmicro += int(micro.sum())
+                pmicro += int(micro[pdf["event_type"] == "purchase"].sum())
+            self._state.update((n, vmicro, pmicro))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [vmicro / 1e6],
+                    "purchase_value": [pmicro / 1e6],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    out = (
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            UserValueTotals(),
+            outputStructType=(
+                "user_id long, n_events long, sum_value double, "
+                "purchase_value double"
+            ),
+            outputMode="update",
+            timeMode="none",
+        )
+    )
+    # transformWithState requires the RocksDB state store (the HDFS-
+    # backed default provider doesn't implement its column families);
+    # scope the provider to this stream's start, mirroring how
+    # _run_to_memory scopes the state-partition count
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        return _run_to_memory(out, "update")
+    finally:
+        if saved is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, saved)

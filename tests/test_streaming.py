@@ -53,3 +53,27 @@ def test_foreach_batch_upsert_idempotent(spark, sf_dir, tmp_path):
     stream_foreach_batch_to_sink(spark, sf_dir, writer)
     assert conn.execute("SELECT COUNT(*) FROM ev").fetchone()[0] == n_events
     conn.close()
+
+
+def test_tws_query_gated_on_protobuf():
+    """transformWithStateInPandas needs google.protobuf (its driver-
+    worker wire protocol); the query registers only where the
+    dependency exists, so the driver never sees a query that can only
+    crash. The processor implementation itself must stay importable
+    either way."""
+    import importlib.util
+
+    from pyspark_postgres_loader_spark.registry import QUERIES, _ensure_loaded
+    from pyspark_postgres_loader_spark.streaming.windows import (
+        _protobuf_available,
+        stream_tws_user_value_totals,
+    )
+
+    _ensure_loaded()
+    assert callable(stream_tws_user_value_totals)
+    try:
+        have = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        have = False
+    assert _protobuf_available() == have
+    assert ("stream_tws_user_value_totals" in QUERIES) == have
