@@ -22,7 +22,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from ..functions.deterministic import sql_dsum, sql_mhash64
 from ..registry import register
@@ -66,6 +71,9 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return _SyntheticEventsReader(self.options)
 
+    def streamReader(self, schema) -> "_SyntheticEventsStreamReader":
+        return _SyntheticEventsStreamReader(self.options)
+
 
 class _SyntheticEventsReader(DataSourceReader):
     def __init__(self, options):
@@ -99,6 +107,55 @@ class _SyntheticEventsReader(DataSourceReader):
                 _EVENT_TYPES[mhash64_py(f"t{i}") % len(_EVENT_TYPES)],
                 (mhash64_py(f"v{i}") % 1_000_000) / 100.0,
             )
+
+
+class _SyntheticEventsStreamReader(DataSourceStreamReader):
+    """Streaming side of the generator: the offset is simply the next
+    row index, advancing ``batch_rows`` per micro-batch up to
+    ``n_rows``. Offsets are plain dicts checkpointed by Spark, so a
+    killed query resumes exactly where the last committed batch ended —
+    rows are a pure function of the index, making replay idempotent
+    (the exactly-once story needs no source-side state beyond the
+    offset). Each batch's range splits into ``n_partitions`` executor-
+    side generator partitions like the batch reader."""
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 10000))
+        self.n_partitions = int(options.get("n_partitions", 4))
+        self.n_users = int(options.get("n_users", 100))
+        self.batch_rows = int(options.get("batch_rows", 1000))
+        if self.batch_rows < 1:
+            raise ValueError("batch_rows must be >= 1")
+        self._latest = 0
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def latestOffset(self) -> dict:
+        # bounded source: advance one batch per poll until drained
+        self._latest = min(self._latest + self.batch_rows, self.n_rows)
+        return {"i": self._latest}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["i"]), int(end["i"])
+        if hi <= lo:
+            return [_RangePartition(lo, lo)]
+        step = -(-(hi - lo) // self.n_partitions)
+        return [
+            _RangePartition(p, min(p + step, hi)) for p in range(lo, hi, step)
+        ]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        yield from _SyntheticEventsReader(
+            {
+                "n_rows": str(self.n_rows),
+                "n_partitions": str(self.n_partitions),
+                "n_users": str(self.n_users),
+            }
+        ).read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 _QUERY_ROWS = 20_000

@@ -48,3 +48,59 @@ def test_empty_and_invalid_options(spark):
     assert _read(spark, n_rows=0).count() == 0
     with pytest.raises(ValueError):
         _SyntheticEventsReader({"n_rows": "10", "n_partitions": "0"})
+
+
+def test_stream_reader_exactly_once_across_kill(spark, tmp_path):
+    """Streaming read of the custom source: offsets advance one batch
+    per poll, the query is killed mid-stream, and the resumed run must
+    land EXACTLY the batch dataset in the sink — offset checkpointing
+    plus pure-function-of-index generation give exactly-once without
+    any source-side dedup state."""
+    import time
+
+    ckpt, sink = str(tmp_path / "ckpt"), str(tmp_path / "sink")
+    n_rows = 3000
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+
+    def start():
+        return (
+            spark.readStream.format("synthetic_events")
+            .option("n_rows", n_rows)
+            .option("n_partitions", 3)
+            .option("batch_rows", 500)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if any(b["numInputRows"] > 0 for b in (q.recentProgress or [])):
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+
+    q2 = start()
+    deadline = time.time() + 90
+    count = 0
+    while time.time() < deadline:
+        try:
+            count = spark.read.parquet(sink).count()
+        except Exception:
+            count = 0
+        if count >= n_rows:
+            break
+        time.sleep(0.3)
+    q2.stop()
+    q2.awaitTermination()
+
+    got = {tuple(r) for r in spark.read.parquet(sink).collect()}
+    expected = {tuple(r) for r in _read(spark, n_rows=n_rows, n_partitions=3).collect()}
+    assert len(got) == n_rows
+    assert got == expected
