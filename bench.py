@@ -38,6 +38,8 @@ HEADLINE = [
     "text_length_histogram",
     "embedding_norm_stats",
     "pysource_synthetic_events",
+    "udtf_bigram_topk",
+    "cogroup_user_activity_profile",
     "join_semi_big_orders",
     "join_asof_latest_order",
     "join_range_price_band",

@@ -1,0 +1,148 @@
+"""Python UDTF (Spark 4 user-defined table function) and cogrouped
+``applyInPandas`` coverage — the two remaining Python-evaluation
+surfaces after scalar/grouped-map/grouped-state (SURVEY.md §2j).
+
+Both are SLOW-PATH tools by policy (everything expressible with
+built-ins elsewhere in this repo uses built-ins); they exist for logic
+that genuinely needs per-row fan-out with Python state (UDTF) or an
+aligned two-table group merge (cogroup). Scale notes:
+
+- The UDTF runs Arrow-batched and stateless per row — it parallelizes
+  like any projection; its cost is the Python boundary, so it belongs
+  after filters/column pruning (here: after the ``n_chars`` filter).
+- Cogroup shuffles BOTH sides once on the group key, then hands each
+  key's two frames to one Python worker — the distributed equivalent
+  of a per-key merge script, bounded by per-key group size.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import udtf
+
+from ..functions.deterministic import dsum, sql_dsum
+from ..registry import register
+from ..tables import load_table
+
+
+@udtf(returnType="pos int, bigram string")
+class BigramExplode:
+    """Emit (position, bigram) rows for a whitespace-tokenized text —
+    the UDTF shape (one input row → many output rows with per-row
+    Python logic). eval() must be deterministic: pure function of the
+    argument, no RNG, no external state."""
+
+    def eval(self, text: str):  # noqa: D102 - contract documented above
+        if not text:
+            return
+        toks = text.lower().split()
+        for i in range(len(toks) - 1):
+            yield i, f"{toks[i]} {toks[i + 1]}"
+
+
+@register(
+    "udtf_bigram_topk",
+    oracle="""
+    SELECT bigram, COUNT(*) AS n
+    FROM (
+      SELECT unnest(list_transform(
+               range(1, len(w)),
+               i -> w[i] || ' ' || w[i + 1])) AS bigram
+      FROM (SELECT regexp_split_to_array(lower(text), '\\s+') AS w
+            FROM documents WHERE n_chars >= 100)
+    )
+    GROUP BY bigram
+    HAVING COUNT(*) >= 50
+    ORDER BY n DESC, bigram
+    """,
+)
+def udtf_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent bigrams via a registered Python UDTF in a LATERAL join.
+    The length filter runs BEFORE the UDTF (prune first, then pay the
+    Python boundary); the count/HAVING is ordinary JVM-side hash
+    aggregation over the UDTF's output. (The pure-built-in formulation
+    lives in text.py — this query exists to cover the UDTF surface
+    with the same oracle-checked rigor, not to replace it.)
+    """
+    spark.udtf.register("bigram_explode", BigramExplode)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 100)
+    docs.createOrReplaceTempView("udtf_docs_in")
+    return spark.sql(
+        """
+        SELECT b.bigram, COUNT(*) AS n
+        FROM udtf_docs_in d, LATERAL bigram_explode(d.text) b
+        GROUP BY b.bigram
+        HAVING COUNT(*) >= 50
+        ORDER BY n DESC, bigram
+        """
+    )
+
+
+@register(
+    "cogroup_user_activity_profile",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, COUNT(*) AS n_events, {sql_dsum('value')} AS event_value
+      FROM events GROUP BY user_id
+    ), o AS (
+      SELECT o_custkey AS user_id, COUNT(*) AS n_orders,
+             {sql_dsum('o_totalprice')} AS order_value
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT COALESCE(e.user_id, o.user_id) AS user_id,
+           COALESCE(e.n_events, 0) AS n_events,
+           COALESCE(e.event_value, 0.0) AS event_value,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(o.order_value, 0.0) AS order_value
+    FROM e FULL JOIN o ON e.user_id = o.user_id
+    WHERE e.user_id IS NOT NULL OR o.user_id IS NOT NULL
+    ORDER BY user_id
+    """,
+)
+def cogroup_user_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table per-key merge via ``groupBy().cogroup().applyInPandas``:
+    each user's event batch and order batch arrive as two aligned pandas
+    frames in one Python call — the distributed form of a per-key merge
+    script (custom reconciliation, interleaving, as-of stitching).
+
+    Determinism: per-frame stats are order-independent (counts + exact
+    integer-micro sums, same trick as the TWS processor), so the output
+    is stable under any partitioning. The aggregate itself is
+    SQL-expressible (that's what makes it oracle-checkable) — the
+    cogroup surface, not this particular reduction, is what's covered.
+    """
+
+    def profile(key, events_pdf: pd.DataFrame, orders_pdf: pd.DataFrame) -> pd.DataFrame:
+        ev_micro = int((events_pdf["value"] * 1_000_000).round().astype("int64").sum())
+        ord_micro = int(
+            (orders_pdf["o_totalprice"] * 1_000_000).round().astype("int64").sum()
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [len(events_pdf)],
+                "event_value": [ev_micro / 1e6],
+                "n_orders": [len(orders_pdf)],
+                "order_value": [ord_micro / 1e6],
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_totalprice"
+    )
+    return (
+        ev.groupBy("user_id")
+        .cogroup(orders.groupBy("user_id"))
+        .applyInPandas(
+            profile,
+            schema=(
+                "user_id long, n_events long, event_value double, "
+                "n_orders long, order_value double"
+            ),
+        )
+        .orderBy("user_id")
+    )

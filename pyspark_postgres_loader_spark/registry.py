@@ -97,7 +97,8 @@ _PRIORITY = [
     "scalar_string_date_funcs",
     "setop_active_nations",
     "setop_customer_only_nations",
-    "setop_union_all_keys",
+    # setop_union_all_keys: r1-green + pytest-pinned; yields its window
+    # slot to the round-3 additions (cap is ~50 rows/round)
     "topk_orders_by_price",
     "window_lag_event_delta",
     "window_range_frame_spend",
@@ -120,8 +121,8 @@ _PRIORITY = [
     "text_length_histogram",
     "embedding_norm_stats",
     "pysource_synthetic_events",
-    # r2-green flagship re-confirmation (fills the rest of the ~50 window)
-    "q1_pricing_summary",
+    "udtf_bigram_topk",
+    "cogroup_user_activity_profile",
 ]
 
 
@@ -141,6 +142,7 @@ def _ensure_loaded() -> None:
         similarity,
         temporal,
         text,
+        udtf_ops,
     )
     from .sources import pydatasource  # noqa: F401
     from .streaming import windows  # noqa: F401
