@@ -33,6 +33,12 @@ HEADLINE = [
     "q19_disjunctive_predicates",
     "q20_heavy_widget_suppliers",
     "q22_idle_rich_customers",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_late_priority_counts",
+    "q16_supplier_part_counts",
+    "q21_waiting_supplier",
     "scd2_user_state_intervals",
     "sessionize_events_30m",
     "text_length_histogram",

@@ -104,39 +104,63 @@ def udtf_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cogroup_user_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-table per-key merge via ``groupBy().cogroup().applyInPandas``:
-    each user's event batch and order batch arrive as two aligned pandas
-    frames in one Python call — the distributed form of a per-key merge
-    script (custom reconciliation, interleaving, as-of stitching).
+    aligned event/order batches arrive as two pandas frames in one
+    Python call — the distributed form of a per-key merge script
+    (custom reconciliation, interleaving, as-of stitching).
 
-    Determinism: per-frame stats are order-independent (counts + exact
-    integer-micro sums, same trick as the TWS processor), so the output
-    is stable under any partitioning. The aggregate itself is
-    SQL-expressible (that's what makes it oracle-checkable) — the
-    cogroup surface, not this particular reduction, is what's covered.
+    Scale design — cogroup on a KEY BUCKET, not the raw key: Spark
+    invokes the Python function (and materializes one Arrow batch pair)
+    once per distinct cogroup key, so keying by raw user_id means
+    per-user Python/Arrow overhead — measured 38.7s at sf0.1 (~15k
+    users x ~2.5ms). Keying by ``pmod(user_id, 256)`` makes each call
+    handle ~60 users with the per-user merge VECTORIZED inside pandas
+    (groupby + outer join), amortizing the boundary cost ~60x while
+    producing identical rows; at 100 TB the bucket count scales with
+    the cluster, not with user cardinality. Same principle as Arrow
+    batch sizing: the unit of Python work must be a batch, never a key.
+
+    Determinism: per-user stats are counts + exact integer-micro sums
+    (same trick as the TWS processor), order-independent under any
+    partitioning; bucketing only regroups the inputs.
     """
 
     def profile(key, events_pdf: pd.DataFrame, orders_pdf: pd.DataFrame) -> pd.DataFrame:
-        ev_micro = int((events_pdf["value"] * 1_000_000).round().astype("int64").sum())
-        ord_micro = int(
-            (orders_pdf["o_totalprice"] * 1_000_000).round().astype("int64").sum()
+        ev = (
+            events_pdf.assign(
+                micro=(events_pdf["value"] * 1_000_000).round().astype("int64")
+            )
+            .groupby("user_id")
+            .agg(n_events=("user_id", "size"), ev_micro=("micro", "sum"))
         )
+        od = (
+            orders_pdf.assign(
+                micro=(orders_pdf["o_totalprice"] * 1_000_000).round().astype("int64")
+            )
+            .groupby("user_id")
+            .agg(n_orders=("user_id", "size"), ord_micro=("micro", "sum"))
+        )
+        merged = ev.join(od, how="outer").fillna(0).reset_index()
         return pd.DataFrame(
             {
-                "user_id": [key[0]],
-                "n_events": [len(events_pdf)],
-                "event_value": [ev_micro / 1e6],
-                "n_orders": [len(orders_pdf)],
-                "order_value": [ord_micro / 1e6],
+                "user_id": merged["user_id"].astype("int64"),
+                "n_events": merged["n_events"].astype("int64"),
+                "event_value": merged["ev_micro"] / 1e6,
+                "n_orders": merged["n_orders"].astype("int64"),
+                "order_value": merged["ord_micro"] / 1e6,
             }
         )
 
-    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "value", F.pmod("user_id", F.lit(256)).alias("bucket")
+    )
     orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("user_id"), "o_totalprice"
+        F.col("o_custkey").alias("user_id"),
+        "o_totalprice",
+        F.pmod("o_custkey", F.lit(256)).alias("bucket"),
     )
     return (
-        ev.groupBy("user_id")
-        .cogroup(orders.groupBy("user_id"))
+        ev.groupBy("bucket")
+        .cogroup(orders.groupBy("bucket"))
         .applyInPandas(
             profile,
             schema=(

@@ -93,14 +93,12 @@ _PRIORITY = [
     "agg_rollup_flag_status",
     "agg_stats_moments",
     "agg_unpivot_metrics",
-    "scalar_case_math",
-    "scalar_string_date_funcs",
-    "setop_active_nations",
-    "setop_customer_only_nations",
-    # setop_union_all_keys: r1-green + pytest-pinned; yields its window
-    # slot to the round-3 additions (cap is ~50 rows/round)
-    "topk_orders_by_price",
-    "window_lag_event_delta",
+    # setop_union_all_keys, setop_active_nations,
+    # setop_customer_only_nations, scalar_case_math,
+    # scalar_string_date_funcs, topk_orders_by_price,
+    # window_lag_event_delta: r1-green + pytest-pinned; these yield
+    # their window slots to never-driver-checked round-3 additions
+    # (cap is ~50 rows/round; never-checked > re-confirmation)
     "window_range_frame_spend",
     "window_rank_supplier_revenue",
     "window_running_customer_spend",
@@ -123,6 +121,12 @@ _PRIORITY = [
     "pysource_synthetic_events",
     "udtf_bigram_topk",
     "cogroup_user_activity_profile",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_late_priority_counts",
+    "q16_supplier_part_counts",
+    "q21_waiting_supplier",
 ]
 
 
@@ -142,6 +146,7 @@ def _ensure_loaded() -> None:
         similarity,
         temporal,
         text,
+        tpch_extra,
         udtf_ops,
     )
     from .sources import pydatasource  # noqa: F401
