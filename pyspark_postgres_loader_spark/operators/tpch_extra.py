@@ -104,8 +104,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    eps = ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey).select(
-        "l_partkey", "unit_cost", "s_name", "s_acctbal", "n_name"
+    # cached: both the per-part MIN and the equality join-back consume
+    # eps, and without the cache Spark scans + aggregates lineitem twice
+    # (no exchange reuse across the differing subplans). eps is bounded
+    # by distinct (part, supplier) pairs — ~7x smaller than lineitem.
+    eps = (
+        ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .select("l_partkey", "unit_cost", "s_name", "s_acctbal", "n_name")
+        .cache()
     )
     # alias the re-aggregated side: both frames descend from ``eps``, so
     # unaliased column refs would resolve ambiguously (self-join lineage)
