@@ -71,6 +71,14 @@ HEADLINE = [
     "pipeline_clean_corpus",
     "pipeline_training_mix",
     "dedup_lsh_bucket_stats",
+    "text_pii_redact",
+    "text_chunk_windows",
+    "pack_token_budget_bins",
+    "contamination_ngram_overlap",
+    "embedding_quantize_int8",
+    "mix_domain_weights",
+    "dedup_hyperplane_lsh",
+    "pipeline_filter_funnel",
     "text_word_count_topk",
     "text_token_stats",
     "text_quality_score",

@@ -457,3 +457,146 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH near-dup (the bucketed scale path for
+# embedding-cosine dedup — complements the id-blocked exact scan in
+# dedup.dedup_embedding_cosine and the IVF layout in ann_ivf_topk)
+# ---------------------------------------------------------------------------
+
+_HP_DIM = 64          # fixture embedding dimensionality
+_HP_PLANES = 16       # signature bits
+_HP_BAND_BITS = 8     # 2 bands x 8 bits
+_HP_MAX_BUCKET = 64   # same skew cap as the MinHash/SimHash buckets
+
+
+def _hp_component(p: int, i: int) -> float:
+    """Deterministic pseudo-random plane component in [-0.5, 0.5):
+    md5-derived, so BOTH engines see the exact same literal doubles
+    (the planes are materialized into the plan / oracle text — no RNG
+    state, no seed coupling to either engine)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"hp{p}x{i}".encode()).hexdigest()[:15], 16)
+    return h / 2**60 - 0.5
+
+
+_HP = [[_hp_component(p, i) for i in range(_HP_DIM)] for p in range(_HP_PLANES)]
+
+
+def _hp_oracle() -> str:
+    planes_values = ", ".join(
+        f"({p}, [{', '.join(repr(c) for c in _HP[p])}])" for p in range(_HP_PLANES)
+    )
+    cos = _sql_cosine("a.embedding", "b.embedding")
+    return f"""
+    WITH planes(p, plane) AS (VALUES {planes_values}),
+    dots AS (
+      SELECT e.vec_id, pl.p, {_sql_dot('e.embedding', 'pl.plane')} AS d
+      FROM embeddings e CROSS JOIN planes pl
+    ),
+    sigs AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN p < {_HP_BAND_BITS} AND d >= 0
+                           THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS b0,
+             CAST(SUM(CASE WHEN p >= {_HP_BAND_BITS} AND d >= 0
+                           THEN CAST(1 AS BIGINT) << (p - {_HP_BAND_BITS})
+                           ELSE 0 END) AS BIGINT) AS b1
+      FROM dots GROUP BY vec_id
+    ),
+    buckets AS (
+      SELECT vec_id, CAST(unnest([0, 1]) AS INTEGER) AS band,
+             unnest([b0, b1]) AS bval
+      FROM sigs
+    ),
+    sizes AS (SELECT band, bval, COUNT(*) AS cnt FROM buckets GROUP BY band, bval),
+    cands AS (
+      SELECT DISTINCT x.vec_id AS doc_a, y.vec_id AS doc_b
+      FROM buckets x
+      JOIN buckets y ON x.band = y.band AND x.bval = y.bval
+                    AND y.vec_id > x.vec_id
+      JOIN sizes z ON z.band = x.band AND z.bval = x.bval
+                  AND z.cnt > 1 AND z.cnt <= {_HP_MAX_BUCKET}
+    )
+    SELECT c.doc_a, c.doc_b, {cos} AS cosine
+    FROM cands c
+    JOIN embeddings a ON a.vec_id = c.doc_a
+    JOIN embeddings b ON b.vec_id = c.doc_b
+    WHERE {cos} >= {_PAIR_THRESHOLD}
+    """
+
+
+@register("dedup_hyperplane_lsh", oracle=_hp_oracle())
+def dedup_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via random-hyperplane LSH: a 16-bit sign
+    signature (bit p = sign of <v, h_p> for md5-derived hyperplane
+    h_p), banded 2×8 so a pair collides when EITHER band agrees
+    (P[match] rises steeply with cosine — the SimHash-for-vectors
+    construction), then exact-cosine verification of candidates only.
+
+    The scale story mirrors the MinHash pipeline: candidate generation
+    is an equi-join on (band, bucket) with the same ``_MAX_BUCKET``
+    skew cap (a degenerate bucket cannot go quadratic, and the drop is
+    observable via the same stats pattern as dedup_lsh_bucket_stats);
+    signatures are one map-side pass of 16 sequential-fold dot
+    products — no shuffle until the bucket join, never an all-pairs
+    product. Every double is bit-identical across engines (plane
+    literals shared verbatim, folds ordered, sign test on identical
+    values), so the full pipeline — not just the verify step — is
+    DuckDB-oracled.
+    """
+    e = _spread(load_table(spark, sf_dir, "embeddings"))
+    dots = [
+        _dot_dec(F.col("embedding"), F.array(*[F.lit(c) for c in _HP[p]]))
+        for p in range(_HP_PLANES)
+    ]
+    bits = [(d >= 0).cast("long") for d in dots]
+    b0 = sum(
+        (bits[p] * F.lit(1 << p) for p in range(1, _HP_BAND_BITS)),
+        start=bits[0],
+    )
+    b1 = sum(
+        (
+            bits[_HP_BAND_BITS + p] * F.lit(1 << p)
+            for p in range(1, _HP_BAND_BITS)
+        ),
+        start=bits[_HP_BAND_BITS],
+    )
+    sigs = e.select("vec_id", "embedding", b0.alias("b0"), b1.alias("b1"))
+    buckets = sigs.select(
+        "vec_id",
+        F.posexplode(F.array("b0", "b1")).alias("band", "bval"),
+    )
+    sizes = (
+        buckets.groupBy("band", "bval")
+        .agg(F.count("*").alias("cnt"))
+        .filter((F.col("cnt") > 1) & (F.col("cnt") <= _HP_MAX_BUCKET))
+    )
+    ok = buckets.join(sizes.select("band", "bval"), ["band", "bval"])
+    cands = (
+        ok.alias("x")
+        .join(
+            ok.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bval") == F.col("y.bval"))
+            & (F.col("y.vec_id") > F.col("x.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("doc_a"), F.col("y.vec_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("eb"))
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            _nondet_keep(_cosine(F.col("ea"), F.col("eb"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _PAIR_THRESHOLD)
+    )

@@ -81,28 +81,35 @@ _PRIORITY = [
     "scalar_explode_outer_arrays",
     "agg_rollup_grouping_id",
     "pipeline_training_mix",
+    # new in round 3 (training-data pipeline) — never checked by definition
+    "text_pii_redact",
+    "text_chunk_windows",
+    "pack_token_budget_bins",
+    "contamination_ngram_overlap",
+    "embedding_quantize_int8",
+    "mix_domain_weights",
+    "dedup_hyperplane_lsh",
+    "pipeline_filter_funnel",
     # green in r1 only — re-confirm (not seen by the driver since r1)
     "join_left_order_counts",
-    "join_semi_big_orders",
-    "join_anti_idle_customers",
     "agg_cube_flag_status",
     "agg_global_stats",
-    "agg_grouping_sets",
     "agg_percentiles_by_status",
-    "agg_pivot_status",
-    "agg_rollup_flag_status",
     "agg_stats_moments",
     "agg_unpivot_metrics",
     # setop_union_all_keys, setop_active_nations,
     # setop_customer_only_nations, scalar_case_math,
     # scalar_string_date_funcs, topk_orders_by_price,
-    # window_lag_event_delta: r1-green + pytest-pinned; these yield
-    # their window slots to never-driver-checked round-3 additions
-    # (cap is ~50 rows/round; never-checked > re-confirmation)
+    # window_lag_event_delta, join_semi_big_orders,
+    # join_anti_idle_customers, agg_pivot_status,
+    # agg_grouping_sets, agg_rollup_flag_status,
+    # window_rank_supplier_revenue, window_running_customer_spend,
+    # window_top3_orders_per_customer: r1-green + pytest-pinned; these
+    # yield their window slots to never-driver-checked round-3 additions
+    # (cap is ~50 rows/round; never-checked > re-confirmation; semi/anti
+    # joins re-exercised via q4/q16/q20-q22 rows, plain window funcs via
+    # window_distribution_funcs + window_range_frame_spend)
     "window_range_frame_spend",
-    "window_rank_supplier_revenue",
-    "window_running_customer_spend",
-    "window_top3_orders_per_customer",
     # new in round 3 — never checked by definition
     "dedup_lsh_bucket_stats",
     "q6_revenue_forecast",
@@ -127,6 +134,10 @@ _PRIORITY = [
     "q12_late_priority_counts",
     "q16_supplier_part_counts",
     "q21_waiting_supplier",
+    # r4 rotation TODO: head the r4 prefix with whatever this round's
+    # CORRECTNESS_r03 did NOT reach (prefix is exactly 50 — if the
+    # driver's window is shorter, the tail TPC-H names overflow) plus
+    # the 13 r1-green names commented above.
 ]
 
 
@@ -147,6 +158,7 @@ def _ensure_loaded() -> None:
         temporal,
         text,
         tpch_extra,
+        training,
         udtf_ops,
     )
     from .sources import pydatasource  # noqa: F401

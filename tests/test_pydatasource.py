@@ -78,7 +78,7 @@ def test_stream_reader_exactly_once_across_kill(spark, tmp_path):
         )
 
     q = start()
-    deadline = time.time() + 60
+    deadline = time.time() + 120
     while time.time() < deadline:
         if any(b["numInputRows"] > 0 for b in (q.recentProgress or [])):
             break
@@ -87,7 +87,9 @@ def test_stream_reader_exactly_once_across_kill(spark, tmp_path):
     q.awaitTermination()
 
     q2 = start()
-    deadline = time.time() + 90
+    # generous: under full-suite load (several concurrent Spark jobs on
+    # this box) 90s was not always enough for 6 batches to commit
+    deadline = time.time() + 240
     count = 0
     while time.time() < deadline:
         try:
