@@ -83,3 +83,38 @@ def test_word_count_has_partial_aggregation(spark):
     plan = _plan(spark, "text_word_count_topk")
     # map-side combine before the token shuffle
     assert "partial_count" in plan or "HashAggregate" in plan.split("Exchange", 1)[0]
+
+
+def test_pii_and_chunking_are_shuffle_free_projections(spark):
+    for name in ("text_pii_redact", "text_chunk_windows"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, f"{name} grew a shuffle"
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+            assert j not in plan, f"{name} grew a join"
+
+
+def test_contamination_broadcasts_benchmark_grams(spark):
+    plan = _plan(spark, "contamination_ngram_overlap")
+    # the held-out split's gram set and the per-doc hit set are both
+    # broadcast — the exploded corpus side must never shuffle-join
+    assert any(
+        "BroadcastHashJoin" in l and "LeftSemi" in l for l in plan.splitlines()
+    ), plan[:1500]
+    assert "SortMergeJoin" not in plan
+
+
+def test_packing_scans_once_and_keeps_offsets_window_tiny(spark):
+    plan = _plan(spark, "pack_token_budget_bins")
+    # the windowed slim projection is cached: BOTH consumers (offsets
+    # aggregate + final join) read InMemoryTableScan, so the parquet
+    # scan and the range shuffle run once (FileScan strings inside the
+    # InMemoryRelation description are prints, not executions)
+    assert plan.count("InMemoryTableScan") == 2, plan[:1500]
+    # final bin distribution joins offsets by broadcast, not shuffle
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_hyperplane_lsh_has_no_cartesian(spark):
+    plan = _plan(spark, "dedup_hyperplane_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
