@@ -79,6 +79,7 @@ HEADLINE = [
     "mix_domain_weights",
     "dedup_hyperplane_lsh",
     "pipeline_filter_funnel",
+    "dedup_incremental_ingest",
     "text_word_count_topk",
     "text_token_stats",
     "text_quality_score",
@@ -88,6 +89,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "sim_label_envelope",
     "multimodal_decode_meta",
+    "multimodal_audio_features",
     "stream_tumbling_hourly",
     "stream_sliding_2h_1h",
     "stream_session_windows",

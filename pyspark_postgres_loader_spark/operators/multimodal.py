@@ -5,7 +5,11 @@ Decode/resize are REAL for uncompressed raster formats — binary PPM
 (P6) and 24 bpp BMP parse with pure numpy (``real_decode_image``), and
 ``real_resize_image`` is a genuine nearest-neighbor resample; both are
 exercised end-to-end through the Spark pipeline in
-tests/test_multimodal_codec.py. Compressed formats (JPEG/PNG) need an
+tests/test_multimodal_codec.py. Audio is REAL for RIFF/WAVE 16-bit
+PCM: ``real_decode_audio`` walks the chunk list and extracts the PCM
+block (cross-checked against the stdlib ``wave`` writer), and
+``multimodal_audio_features`` runs build→parse→RMS/zero-cross fully
+unstubbed with a symbolic DuckDB oracle. Compressed formats (JPEG/PNG) need an
 entropy decoder the container lacks (no PIL/libvips), so those — and
 the fixture's text-derived payloads, which are not images at all —
 fall back to a clearly-marked deterministic fake with the same output
@@ -454,4 +458,146 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim",
         F.col("f32").cast("double").alias("feat"),
         "feat_norm",
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL audio path: RIFF/WAVE (PCM16) parse + features in pure numpy
+# ---------------------------------------------------------------------------
+
+_WAV_RATE = 8000
+
+
+def build_wav_pcm16(samples, rate: int = _WAV_RATE) -> bytes:
+    """Minimal RIFF/WAVE writer: 16-bit PCM mono. Used to fabricate
+    REAL wav payloads from deterministic sample formulas (and by tests
+    to cross-check against the stdlib ``wave`` writer)."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def real_decode_audio(payload: bytes):
+    """REAL RIFF/WAVE parser (pure numpy, no audio libs): walks the
+    chunk list (not fixed offsets — handles writers that emit extra
+    chunks like LIST/fact), requires 16-bit PCM, returns
+    ``(samples int16 ndarray, sample_rate)``. Raises
+    ``NotImplementedError`` for compressed codecs (MP3/AAC/FLAC need
+    decoders the container lacks) and ``ValueError`` for malformed
+    RIFF — mirroring the image codec contract."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    pos, rate, bits, channels, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("truncated fmt chunk")
+            audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if audio_fmt != 1:
+                raise NotImplementedError(
+                    f"only PCM wav supported (got format tag {audio_fmt})"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if bits != 16 or channels != 1:
+        raise NotImplementedError(
+            f"only 16-bit mono PCM supported (bits={bits}, channels={channels})"
+        )
+    return np.frombuffer(data, dtype="<i2"), rate
+
+
+def audio_features(samples) -> tuple[float, int]:
+    """(rms, zero_crossings) in exact-then-IEEE arithmetic: the square
+    sum is exact int64, the divide + sqrt are single IEEE double ops —
+    bit-reproducible by any engine (the DuckDB oracle replays them)."""
+    import numpy as np
+
+    s = samples.astype(np.int64)
+    rms = float(np.sqrt(np.sum(s * s) / len(s)))
+    zc = int(np.count_nonzero(s[:-1] * s[1:] < 0))
+    return rms, zc
+
+
+def _audio_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: fabricate the deterministic wav payload,
+    parse it with the REAL RIFF parser, compute features in numpy."""
+    import numpy as np
+
+    def _one(doc_id: int):
+        n = 256 + doc_id % 256
+        i = np.arange(n, dtype=np.int64)
+        samples = (doc_id * 31 + i * 7) % 65536 - 32768
+        wav = build_wav_pcm16(samples)
+        parsed, rate = real_decode_audio(wav)
+        assert np.array_equal(parsed.astype(np.int64), samples)
+        rms, zc = audio_features(parsed)
+        return len(parsed), rate, rms, zc
+
+    for pdf in it:
+        if pdf.empty:
+            continue
+        out = pdf["doc_id"].map(_one)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_samples": out.map(lambda t: t[0]).astype("int64"),
+                "sample_rate": out.map(lambda t: t[1]).astype("int32"),
+                "rms": out.map(lambda t: t[2]).astype("float64"),
+                "n_zero_cross": out.map(lambda t: t[3]).astype("int64"),
+            }
+        )
+
+
+@register(
+    "multimodal_audio_features",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, 256 + doc_id % 256 AS n FROM documents),
+    s AS (
+      SELECT doc_id, n,
+             list_transform(range(0, n),
+               i -> (doc_id * 31 + i * 7) % 65536 - 32768) AS smp
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST({_WAV_RATE} AS INTEGER) AS sample_rate,
+           sqrt(CAST(list_reduce(list_transform(smp, x -> x * x),
+                                 (a, b) -> a + b) AS DOUBLE) / n) AS rms,
+           CAST(len(list_filter(range(1, n),
+                                i -> smp[i] * smp[i + 1] < 0)) AS BIGINT)
+             AS n_zero_cross
+    FROM s
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the Spark pipeline: each doc fabricates
+    a deterministic 16-bit PCM wav payload (a stand-in for bytes read
+    from a parquet ``binary`` column), the genuine RIFF chunk-walking
+    parser extracts the PCM block, and numpy computes RMS + zero
+    crossings — no stubs anywhere on this path, no audio libraries.
+    The oracle replays the sample formula and the exact-int → single
+    IEEE-divide → sqrt feature math symbolically, so the whole
+    build→parse→analyze chain is cross-engine checked. Arrow batches
+    in/out; only ``doc_id`` crosses the boundary inbound."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        _audio_batches,
+        schema="doc_id long, n_samples long, sample_rate int, rms double, "
+        "n_zero_cross long",
     )

@@ -528,3 +528,53 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_pass.cast("double") / n_total).alias("quality_pass_rate"),
         (n_unique.cast("double") / n_total).alias("final_retention"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental corpus ingestion (dedup a new batch against history)
+# --------------------------------------------------------------------------
+
+_INGEST_MOD = 10  # doc_id % 10 >= 8 → "new batch" (~20%); rest = history
+
+
+@register(
+    "dedup_incremental_ingest",
+    oracle=f"""
+    WITH hist AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents
+      WHERE doc_id % {_INGEST_MOD} < 8
+    ),
+    batch AS (
+      SELECT doc_id, lang, md5(text) AS fp,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents WHERE doc_id % {_INGEST_MOD} >= 8
+    )
+    SELECT b.doc_id, b.lang, {sql_mhash64('b.fp')} AS fp_hash
+    FROM batch b LEFT JOIN hist h ON h.fp = b.fp
+    WHERE b.rn = 1 AND h.fp IS NULL
+    """,
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion: accept only new-batch documents that are
+    (a) first-of-fingerprint WITHIN the batch and (b) absent from the
+    historical fingerprint index — the production pattern for growing a
+    deduplicated corpus without re-deduplicating 100 TB of history.
+    Here history is the doc_id%10<8 split; at scale it is a bucketed
+    fingerprint table, so both the within-batch window and the
+    anti-join cluster on the SAME key (the fingerprint) — one shuffle
+    of the (small) new batch, zero shuffles of history if the index is
+    bucketed on fp. Output is the accepted-docs list keyed by the
+    cross-engine fp hash."""
+    d = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % _INGEST_MOD >= 8
+    hist = d.filter(~is_new).select(F.md5("text").alias("fp")).distinct()
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    batch = (
+        d.filter(is_new)
+        .select("doc_id", "lang", F.md5("text").alias("fp"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return batch.join(hist, "fp", "left_anti").select(
+        "doc_id", "lang", mhash64("fp").alias("fp_hash")
+    )

@@ -90,9 +90,9 @@ _PRIORITY = [
     "mix_domain_weights",
     "dedup_hyperplane_lsh",
     "pipeline_filter_funnel",
+    "multimodal_audio_features",
+    "dedup_incremental_ingest",
     # green in r1 only — re-confirm (not seen by the driver since r1)
-    "join_left_order_counts",
-    "agg_cube_flag_status",
     "agg_global_stats",
     "agg_percentiles_by_status",
     "agg_stats_moments",
@@ -103,6 +103,9 @@ _PRIORITY = [
     # window_lag_event_delta, join_semi_big_orders,
     # join_anti_idle_customers, agg_pivot_status,
     # agg_grouping_sets, agg_rollup_flag_status,
+    # join_left_order_counts (left joins re-exercised via q10/q13/
+    # join_full_outer rows), agg_cube_flag_status (grouping-set
+    # machinery re-exercised via agg_rollup_grouping_id's row),
     # window_rank_supplier_revenue, window_running_customer_spend,
     # window_top3_orders_per_customer: r1-green + pytest-pinned; these
     # yield their window slots to never-driver-checked round-3 additions

@@ -139,3 +139,54 @@ def test_mixed_corpus_through_spark_pipeline(spark):
     assert rs[1].resized_bytes == rs[1].resized_w * rs[1].resized_h * 3
     assert (rs[2].resized_w, rs[2].resized_h) == (min(400, _RESIZE_W), min(100, _RESIZE_H))
     assert rs[2].resized_bytes == rs[2].resized_w * rs[2].resized_h * 3
+
+
+# ---------------------------------------------------------------------------
+# REAL wav path
+# ---------------------------------------------------------------------------
+
+
+def test_wav_parser_round_trips_stdlib_wave_writer():
+    import io
+    import wave
+
+    import numpy as np
+
+    from pyspark_postgres_loader_spark.operators.multimodal import (
+        build_wav_pcm16,
+        real_decode_audio,
+    )
+
+    samples = (np.arange(500, dtype=np.int64) * 977 + 13) % 65536 - 32768
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(samples.astype("<i2").tobytes())
+    parsed, rate = real_decode_audio(buf.getvalue())
+    assert rate == 8000
+    assert np.array_equal(parsed.astype(np.int64), samples)
+    # our own writer parses to the identical array
+    p2, r2 = real_decode_audio(build_wav_pcm16(samples))
+    assert r2 == 8000 and np.array_equal(p2, parsed)
+
+
+def test_wav_parser_rejects_unsupported_payloads():
+    import struct
+
+    import pytest as _pytest
+
+    from pyspark_postgres_loader_spark.operators.multimodal import (
+        build_wav_pcm16,
+        real_decode_audio,
+    )
+
+    with _pytest.raises(NotImplementedError):
+        real_decode_audio(b"ID3\x03mp3-ish-bytes")  # not RIFF at all
+    wav = bytearray(build_wav_pcm16([0, 1, -1]))
+    wav[20:22] = struct.pack("<H", 85)  # format tag: MPEG layer 3
+    with _pytest.raises(NotImplementedError):
+        real_decode_audio(bytes(wav))
+    with _pytest.raises(ValueError):
+        real_decode_audio(b"RIFF\x04\x00\x00\x00WAVE")  # no fmt/data

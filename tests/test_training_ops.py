@@ -157,3 +157,22 @@ def test_packing_invariant_to_range_partition_count(spark, monkeypatch):
         )
         assert got == baseline, f"bins changed at numPartitions={n}"
     monkeypatch.setattr(DataFrame, "repartitionByRange", orig)
+
+
+def test_incremental_ingest_accepts_only_novel_fingerprints(spark):
+    d = load_table(spark, SF, "documents").select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    hist_fps = {
+        r.fp for r in d.filter(F.col("doc_id") % training._INGEST_MOD < 8).collect()
+    }
+    batch = d.filter(F.col("doc_id") % training._INGEST_MOD >= 8).collect()
+    accepted = QUERIES["dedup_incremental_ingest"].fn(spark, SF).collect()
+    by_fp = {}
+    for r in sorted(batch, key=lambda r: r.doc_id):
+        by_fp.setdefault(r.fp, r.doc_id)
+    expect_ids = {
+        did for fp, did in by_fp.items() if fp not in hist_fps
+    }
+    assert {r.doc_id for r in accepted} == expect_ids
+    assert len(accepted) == len({r.fp_hash for r in accepted})  # one per fp
