@@ -80,6 +80,7 @@ HEADLINE = [
     "dedup_hyperplane_lsh",
     "pipeline_filter_funnel",
     "dedup_incremental_ingest",
+    "layout_zorder_stats",
     "text_word_count_topk",
     "text_token_stats",
     "text_quality_score",

@@ -92,8 +92,8 @@ _PRIORITY = [
     "pipeline_filter_funnel",
     "multimodal_audio_features",
     "dedup_incremental_ingest",
+    "layout_zorder_stats",
     # green in r1 only — re-confirm (not seen by the driver since r1)
-    "agg_global_stats",
     "agg_percentiles_by_status",
     "agg_stats_moments",
     "agg_unpivot_metrics",
@@ -106,6 +106,8 @@ _PRIORITY = [
     # join_left_order_counts (left joins re-exercised via q10/q13/
     # join_full_outer rows), agg_cube_flag_status (grouping-set
     # machinery re-exercised via agg_rollup_grouping_id's row),
+    # agg_global_stats (global-agg path re-exercised via
+    # agg_stats_moments which stays below),
     # window_rank_supplier_revenue, window_running_customer_spend,
     # window_top3_orders_per_customer: r1-green + pytest-pinned; these
     # yield their window slots to never-driver-checked round-3 additions
@@ -154,6 +156,7 @@ def _ensure_loaded() -> None:
         dedup,
         joins_advanced,
         json_ops,
+        layout_stats,
         multimodal,
         relational,
         sampling,
