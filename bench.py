@@ -91,6 +91,7 @@ HEADLINE = [
     "sim_label_envelope",
     "multimodal_decode_meta",
     "multimodal_audio_features",
+    "multimodal_decode_quarantine",
     "stream_tumbling_hourly",
     "stream_sliding_2h_1h",
     "stream_session_windows",

@@ -601,3 +601,86 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_samples long, sample_rate int, rms double, "
         "n_zero_cross long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Decode quarantine: corrupt/unsupported payload routing
+# ---------------------------------------------------------------------------
+
+
+def _quarantine_payload(doc_id: int) -> bytes:
+    """Deterministic payload mix: a REAL tiny PPM (decodes), a
+    truncated PPM header (corrupt), or raw text-ish bytes
+    (unsupported codec)."""
+    m = doc_id % 5
+    if m == 0:
+        w, h = 1 + doc_id % 4, 1 + doc_id % 3
+        raster = bytes((doc_id + i) % 256 for i in range(w * h * 3))
+        return f"P6\n{w} {h}\n255\n".encode() + raster
+    if m == 1:
+        return b"P6\n10"  # header cut mid-dimension
+    return b"not-an-image payload " + str(doc_id).encode()
+
+
+def _quarantine_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: route each payload through the REAL decoder;
+    exceptions become quarantine classes instead of failing the job —
+    the read-side twin of the upsert sink's batch-bisection quarantine
+    (sinks/upsert.py): bad records are isolated and counted, good
+    records flow on."""
+
+    def _one(doc_id: int):
+        payload = _quarantine_payload(doc_id)
+        try:
+            w, h, _ = real_decode_image(payload)
+            return "ok", w * h
+        except NotImplementedError:
+            return "unsupported", 0
+        except ValueError:
+            return "corrupt", 0
+
+    for pdf in it:
+        if pdf.empty:
+            continue
+        out = pdf["doc_id"].map(_one)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "status": out.map(lambda t: t[0]),
+                "n_pixels": out.map(lambda t: t[1]).astype("int64"),
+            }
+        )
+
+
+@register(
+    "multimodal_decode_quarantine",
+    oracle="""
+    SELECT CASE WHEN doc_id % 5 = 0 THEN 'ok'
+                WHEN doc_id % 5 = 1 THEN 'corrupt'
+                ELSE 'unsupported' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0
+                         THEN (1 + doc_id % 4) * (1 + doc_id % 3)
+                         ELSE 0 END) AS BIGINT) AS total_pixels
+    FROM documents
+    GROUP BY status
+    """,
+)
+def multimodal_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-payload quarantine through the REAL decoder: each doc
+    fabricates a payload that is a genuine 1-12-pixel PPM, a truncated
+    header, or non-image bytes; the decode UDF catches the decoder's
+    typed failures and emits a status class instead of crashing the
+    stage. ``total_pixels`` comes from the decoded array's true shape,
+    so the oracle's closed-form replay proves the real decode ran for
+    every 'ok' row. At 100 TB this is the pattern that keeps one
+    corrupt blob from killing a 10k-task decode stage, with the drop
+    rate observable per class."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    routed = d.mapInPandas(
+        _quarantine_batches, schema="doc_id long, status string, n_pixels long"
+    )
+    return routed.groupBy("status").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_pixels").alias("total_pixels"),
+    )

@@ -93,10 +93,12 @@ _PRIORITY = [
     "multimodal_audio_features",
     "dedup_incremental_ingest",
     "layout_zorder_stats",
+    "multimodal_decode_quarantine",
     # green in r1 only — re-confirm (not seen by the driver since r1)
     "agg_percentiles_by_status",
     "agg_stats_moments",
-    "agg_unpivot_metrics",
+    # agg_unpivot_metrics yields too (unpivot is pytest-pinned and its
+    # melt path has no scale risk); never-checked > re-confirmation
     # setop_union_all_keys, setop_active_nations,
     # setop_customer_only_nations, scalar_case_math,
     # scalar_string_date_funcs, topk_orders_by_price,

@@ -190,3 +190,20 @@ def test_wav_parser_rejects_unsupported_payloads():
         real_decode_audio(bytes(wav))
     with _pytest.raises(ValueError):
         real_decode_audio(b"RIFF\x04\x00\x00\x00WAVE")  # no fmt/data
+
+
+def test_decode_quarantine_routes_without_failing(spark):
+    from pyspark_postgres_loader_spark.registry import QUERIES, _ensure_loaded
+
+    _ensure_loaded()
+    rows = {
+        r.status: r
+        for r in QUERIES["multimodal_decode_quarantine"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert set(rows) == {"ok", "corrupt", "unsupported"}
+    # the real decoder ran for every ok row: pixel totals are nonzero
+    assert rows["ok"].total_pixels > 0
+    assert rows["corrupt"].total_pixels == 0
+    assert rows["unsupported"].n_docs > rows["ok"].n_docs  # 3/5 of docs
