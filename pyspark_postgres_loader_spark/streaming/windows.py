@@ -30,10 +30,19 @@ from ..functions.deterministic import dsum, sql_dsum
 from ..registry import register
 from ..tables import load_table
 
-# events.ts is parquet TIMESTAMP(NANOS) → read as long ns (see
-# tables._normalize_event_ts) and convert after the scan
-_EVENT_SCHEMA = (
+# events.ts unit varies by fixture generation: TIMESTAMP(NANOS) parquet
+# (readable only as long, needs div 1000) in some rounds, plain
+# TIMESTAMP(MICROS) in others. The stream source must declare a schema
+# up front, so probe the file's physical type with a driver-side batch
+# schema read and pick the matching declaration — hardcoding the nanos
+# shape silently compresses micros fixtures 1000x (every event lands
+# within hours of the epoch) and explodes the interval-join surfaces.
+_EVENT_SCHEMA_TS_LONG = (
     "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+_EVENT_SCHEMA_TS_TIMESTAMP = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
     "value double, props string"
 )
 
@@ -45,13 +54,22 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session timezone — a non-UTC caller would diverge from the oracles).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(_EVENT_SCHEMA)
+    from pyspark.sql import types as T
+
+    ts_is_long = isinstance(
+        spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType,
+        T.LongType,
+    )
+    schema = _EVENT_SCHEMA_TS_LONG if ts_is_long else _EVENT_SCHEMA_TS_TIMESTAMP
+    stream = (
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    if ts_is_long:  # long nanos → truncate to micros (DuckDB parity)
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
 
 
 _STATE_PARTITIONS = 8  # state stores per stateful operator; see note below

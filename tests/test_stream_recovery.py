@@ -92,16 +92,17 @@ def test_stream_stream_join_exactly_once_across_kill(spark, how):
     work = tempfile.mkdtemp(prefix=f"recov_{how}_")
     src, ckpt, sink = f"{work}/src", f"{work}/ckpt", f"{work}/sink"
     try:
-        ev = load_table(spark, SF_DIR, "events")  # ts normalized to micros
+        ev = load_table(spark, SF_DIR, "events")
+        # split on epoch micros, not cast-to-double: load_table's ts may be
+        # TIMESTAMP_NTZ (micros fixtures) which has no double cast
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
         lo, hi = ev.select(
-            F.expr("percentile(cast(ts as double), 0.33)"),
-            F.expr("percentile(cast(ts as double), 0.66)"),
+            F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.33)"),
+            F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.66)"),
         ).first()
-        ev.filter(F.col("ts").cast("double") <= lo).coalesce(1).write.parquet(f"{src}/a")
-        ev.filter(
-            (F.col("ts").cast("double") > lo) & (F.col("ts").cast("double") <= hi)
-        ).coalesce(1).write.parquet(f"{src}/b")
-        ev.filter(F.col("ts").cast("double") > hi).coalesce(1).write.parquet(f"{src}/c")
+        ev.filter(ts_us <= lo).coalesce(1).write.parquet(f"{src}/a")
+        ev.filter((ts_us > lo) & (ts_us <= hi)).coalesce(1).write.parquet(f"{src}/b")
+        ev.filter(ts_us > hi).coalesce(1).write.parquet(f"{src}/c")
 
         schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
 
