@@ -90,6 +90,12 @@ HEADLINE = [
     "pipeline_filter_funnel",
     "dedup_incremental_ingest",
     "layout_zorder_stats",
+    "text_repetition_filter",
+    "split_train_val_test",
+    "search_bm25_topk",
+    "rollup_time_multigrain",
+    "funnel_view_click_purchase",
+    "cohort_weekly_retention",
     "text_word_count_topk",
     "text_token_stats",
     "text_quality_score",

@@ -1,0 +1,430 @@
+"""Round-4 analytics operators: corpus repetition filtering, dataset
+split assignment, keyword relevance search (BM25-style), multi-grain
+time rollups, funnel conversion, and cohort retention.
+
+No counterpart in the reference loader (SURVEY.md §2 — its surface ends
+at extract/transform/load); these extend the training-data-pipeline and
+warehouse-analytics surfaces. Shared design rules (same as
+operators/training.py):
+
+- hot paths are JVM-side codegen — higher-order array functions and
+  conditional aggregates, zero Python UDFs;
+- cross-row aggregates are exact (integers or DECIMAL); computed doubles
+  are combined per-row only, where IEEE 754 makes both engines agree
+  bit-for-bit on identical operand/op order (functions/deterministic.py);
+- shuffles only where an aggregation/join needs one; scalar/corpus-level
+  statistics travel as 1-row broadcasts, never via collect().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import mhash64, sql_dsum, sql_mhash64
+from ..registry import register
+from ..tables import load_table
+
+# --------------------------------------------------------------------------
+# Intra-document repetition filter (Gopher-style quality rule)
+# --------------------------------------------------------------------------
+
+# The fixture corpus is a near-uniform word soup, so natural duplicate
+# trigrams are rare; append a doc_id-derived repeated fragment so the
+# rule fires on deterministic, engine-identical input (same pattern as
+# text_pii_redact's enrichment).
+_REP_ENRICH_SQL = "text || repeat(' alpha beta gamma', CAST(doc_id % 5 AS INT))"
+_REP_KEEP_MICROS = 100000  # keep docs with < 10% duplicate trigrams
+
+
+@register(
+    "text_repetition_filter",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split({_REP_ENRICH_SQL}, ' ') AS words
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             [array_to_string(words[i:i+2], ' ')
+              FOR i IN range(1, len(words) - 1)] AS grams
+      FROM w WHERE len(words) >= 3
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_unique,
+           CAST((len(grams) - len(list_distinct(grams))) * 1000000
+                // len(grams) AS BIGINT) AS dup_micros,
+           (len(grams) - len(list_distinct(grams))) * 1000000
+             // len(grams) < {_REP_KEEP_MICROS} AS keep
+    FROM g
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition rule: fraction of
+    duplicate word trigrams, as exact integer micros (dup-count *
+    1e6 // total — no float division anywhere), and a keep flag at the
+    10% threshold.
+
+    Scale design: pure projection — trigrams are built per row with
+    ``transform(sequence(...), slice(...))`` inside whole-stage codegen
+    and never materialize as exploded rows, so there is NO shuffle and
+    no row-count blowup; at 100 TB this runs at scan speed. (Contrast
+    with explode→groupBy trigram counting, which would shuffle ~30x the
+    corpus.)"""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.select(
+        "doc_id",
+        F.expr(f"split({_REP_ENRICH_SQL}, ' ')").alias("words"),
+    ).filter(F.size("words") >= 3)
+    d = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, size(words) - 2),"
+            " i -> concat_ws(' ', slice(words, i, 3)))"
+        ).alias("grams"),
+    )
+    n_grams = F.size("grams").cast("long")
+    n_unique = F.size(F.array_distinct("grams")).cast("long")
+    dup_micros = F.expr(
+        "CAST((size(grams) - size(array_distinct(grams))) * 1000000"
+        " div size(grams) AS BIGINT)"
+    )
+    return d.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        n_unique.alias("n_unique"),
+        dup_micros.alias("dup_micros"),
+        (dup_micros < F.lit(_REP_KEEP_MICROS)).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split assignment
+# --------------------------------------------------------------------------
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lang, n_chars,
+             {sql_mhash64("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM b GROUP BY 1
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by content-stable
+    hash (``mhash64(doc_id) % 100``), with per-split size and coverage
+    stats. Hash-based assignment is the scale-correct form: it needs no
+    global sort or sampling state, any worker can recompute a doc's
+    split independently, and the split survives corpus growth —
+    properties a ``rand()`` split lacks.
+
+    One hash-key shuffle into a 3-group aggregate; all stats are exact
+    integers."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (mhash64(F.col("doc_id").cast("string")) % 100).alias("bucket")
+    d = d.select("doc_id", "lang", "n_chars", bucket)
+    split = (
+        F.when(F.col("bucket") < 90, "train")
+        .when(F.col("bucket") < 95, "val")
+        .otherwise("test")
+        .alias("split")
+    )
+    return (
+        d.select(split, "doc_id", "lang", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# BM25-style keyword relevance top-k
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("scan", "merge", "vector")
+_BM25_K = 25
+# Rational idf — (N - df + 0.5)/(df + 0.5), the BM25 idf WITHOUT the log:
+# log() is libm-dependent and engines may differ in the last ulp, while
+# +,-,*,/ are IEEE-correctly-rounded, so identical operand order gives
+# bit-identical doubles in Spark and DuckDB. Monotone in df like the
+# log form, so ranking semantics are preserved. k1=1.2, b=0.75 appear
+# as source literals on both sides (same parse → same double).
+_SCORE_TMPL = (
+    "((CAST(n_docs AS DOUBLE) - CAST({df} AS DOUBLE) + 0.5)"
+    " / (CAST({df} AS DOUBLE) + 0.5))"
+    " * ((CAST({tf} AS DOUBLE) * 2.2)"
+    " / (CAST({tf} AS DOUBLE) + 1.2 * (0.25 + 0.75 *"
+    " (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))"
+)
+
+
+def _bm25_score_sql() -> str:
+    terms = " + ".join(
+        _SCORE_TMPL.format(df=f"df_{t}", tf=f"tf_{t}") for t in _BM25_TERMS
+    )
+    return terms
+
+
+@register(
+    "search_bm25_topk",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id,
+             {", ".join(f"len(list_filter(string_split(text, ' '), w -> w = '{t}')) AS tf_{t}" for t in _BM25_TERMS)},
+             len(string_split(text, ' ')) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+             {", ".join(f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in _BM25_TERMS)}
+      FROM tf
+    )
+    SELECT doc_id, {", ".join(f"CAST(tf_{t} AS BIGINT) AS tf_{t}" for t in _BM25_TERMS)},
+           {_bm25_score_sql()} AS score
+    FROM tf CROSS JOIN stats
+    WHERE {" + ".join(f"tf_{t}" for t in _BM25_TERMS)} > 0
+    ORDER BY score DESC, doc_id
+    LIMIT {_BM25_K}
+    """,
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-style keyword relevance: top-25 documents for a 3-term
+    query, k1=1.2, b=0.75, rational idf (see _SCORE_TMPL note on why no
+    log). Term frequencies come from per-row higher-order ``filter()``
+    over the token array — NOT explode→groupBy — so the corpus is never
+    row-multiplied and the only wide operations are a 1-row global
+    stats aggregate (broadcast back) and the final
+    TakeOrderedAndProject top-k. At 100 TB: one scan for stats, one
+    scan for scoring, no shuffle proportional to tokens.
+
+    The score expression is generated from the SAME template as the
+    DuckDB oracle, so operand order — and hence every IEEE rounding —
+    is identical across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    tf_cols = [
+        F.expr(f"size(filter(split(text, ' '), w -> w = '{t}'))").alias(f"tf_{t}")
+        for t in _BM25_TERMS
+    ]
+    tf = d.select(
+        "doc_id", *tf_cols, F.expr("size(split(text, ' '))").alias("dl")
+    )
+    stats = tf.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    scored = (
+        tf.join(F.broadcast(stats))
+        .filter(sum(F.col(f"tf_{t}") for t in _BM25_TERMS) > 0)
+        .select(
+            "doc_id",
+            *[F.col(f"tf_{t}").cast("long").alias(f"tf_{t}") for t in _BM25_TERMS],
+            F.expr(_bm25_score_sql()).alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), "doc_id").limit(_BM25_K)
+
+
+# --------------------------------------------------------------------------
+# Multi-grain time rollup (hypertable-style continuous aggregate)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rollup_time_multigrain",
+    oracle=f"""
+    SELECT CASE WHEN GROUPING(date_trunc('hour', ts)) = 0 THEN 'hour'
+                WHEN GROUPING(date_trunc('day', ts)) = 0 THEN 'day'
+                ELSE 'month' END AS grain,
+           CAST(COALESCE(date_trunc('hour', ts), date_trunc('day', ts),
+                         date_trunc('month', ts)) AS TIMESTAMP) AS bucket_start,
+           COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((date_trunc('hour', ts)), (date_trunc('day', ts)),
+                            (date_trunc('month', ts)))
+    """,
+)
+def rollup_time_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: hourly, daily, and
+    monthly aggregates of the event stream in ONE pass via GROUPING
+    SETS (Catalyst Expand — each input row feeds all three grains
+    without three scans). The map-side partial aggregate collapses the
+    3x expansion before the single shuffle, so at 100 TB this costs one
+    scan + one shuffle of (distinct buckets) rows, not 3 full passes."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_rt")
+    return spark.sql(
+        f"""
+        SELECT CASE WHEN GROUPING(date_trunc('hour', ts)) = 0 THEN 'hour'
+                    WHEN GROUPING(date_trunc('day', ts)) = 0 THEN 'day'
+                    ELSE 'month' END AS grain,
+               CAST(COALESCE(date_trunc('hour', ts), date_trunc('day', ts),
+                             date_trunc('month', ts)) AS TIMESTAMP)
+                 AS bucket_start,
+               COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+        FROM events_rt
+        GROUP BY GROUPING SETS ((date_trunc('hour', ts)), (date_trunc('day', ts)),
+                                (date_trunc('month', ts)))
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Funnel conversion: view -> click -> purchase
+# --------------------------------------------------------------------------
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(v.t_view) AS n_view,
+           COUNT(c.t_click) AS n_click,
+           COUNT(p.t_purchase) AS n_purchase,
+           CAST(COALESCE(SUM(epoch_us(c.t_click) - epoch_us(v.t_view)), 0)
+                AS BIGINT) AS sum_view_to_click_us,
+           CAST(COALESCE(SUM(epoch_us(p.t_purchase) - epoch_us(c.t_click)), 0)
+                AS BIGINT) AS sum_click_to_purchase_us
+    FROM v LEFT JOIN c ON c.user_id = v.user_id
+           LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: first view, first click strictly after that
+    view, first purchase strictly after that click; per-stage user
+    counts and exact integer-microsecond stage-transition time sums.
+
+    Three staged aggregates, all keyed on user_id — the shuffles are
+    co-partitioned and the stage-2/3 inputs are filtered to single
+    event types before shuffling. The ordering constraint (click AFTER
+    view) is what a single conditional aggregate cannot express, hence
+    the staged shape; each stage's output is one row per user, so the
+    joins are agg-sized, not event-sized."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    us = lambda col: F.unix_micros(F.col(col).cast("timestamp"))  # noqa: E731
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.count("t_view").alias("n_view"),
+            F.count("t_click").alias("n_click"),
+            F.count("t_purchase").alias("n_purchase"),
+            F.coalesce(F.sum(us("t_click") - us("t_view")), F.lit(0))
+            .cast("long")
+            .alias("sum_view_to_click_us"),
+            F.coalesce(F.sum(us("t_purchase") - us("t_click")), F.lit(0))
+            .cast("long")
+            .alias("sum_click_to_purchase_us"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Weekly cohort retention
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cohort_weekly_retention",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+      FROM events
+    )
+    SELECT CAST(f.cohort_week AS TIMESTAMP) AS cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) // 7
+                AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM f JOIN a ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users grouped by first-seen
+    ISO week, activity counted per week offset. All shuffles are keyed
+    on user_id until the final (tiny: cohorts x offsets) aggregate; the
+    cohort frame is one row per user so the join is agg-sized. Exact
+    integer math throughout (day diff // 7)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    a = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        f.join(a, "user_id")
+        .select(
+            # timestamp, not date, on the compare surface: Spark DATE
+            # arrives as pandas object vs DuckDB datetime64 (hash-fail)
+            F.col("cohort_week").cast("timestamp").alias("cohort_week"),
+            (
+                F.datediff(
+                    F.col("active_week").cast("date"),
+                    F.col("cohort_week").cast("date"),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )

@@ -59,94 +59,72 @@ def all_oracles() -> dict[str, str]:
 _LOADED = False
 
 # Driver-facing ordering: the round driver walks ``queries()`` in dict
-# order and records correctness for a bounded prefix (~50 rows/round;
-# r1 and r2 each recorded exactly the first 50 registered). Round-3
-# rotation: (a) the 12 queries that have never received a driver row in
-# any round, (b) round-3 additions (new this round, never checked),
-# (c) the 22 queries green in r1 only and not re-checked since, then
-# (d) r2-green flagship re-confirmation fills the remaining window.
-# After this round every registered query has a driver-green row in
-# some round of 1-3.
+# order and records correctness for a bounded prefix (~50 rows/round).
+# Round-4 rotation (every registered query was driver-green in SOME
+# round of 1-3; the window now cycles by staleness):
+#   (a) round-4 additions (never checked),
+#   (b) all 9 streaming queries — their source-schema handling changed
+#       this round (events.ts fixture unit fix) and they were last
+#       checked in r2, so they carry the highest re-verification value,
+#   (c) the 19 queries whose only driver row is from round 1,
+#   (d) r2-stale flagships/likely-drift names fill the remaining slots.
 _PRIORITY = [
-    # never driver-checked in r1 or r2 (past the 50-row cap both rounds)
-    "q18_large_volume_customer",
-    "q10_returned_item_revenue",
-    "join_full_outer_event_coverage",
-    "setop_intersect_except_all",
-    "window_distribution_funcs",
-    "scalar_null_semantics",
-    "agg_string_concat",
-    "scalar_regexp_datetime",
-    "agg_bitwise_flags",
-    "scalar_explode_outer_arrays",
-    "agg_rollup_grouping_id",
-    "pipeline_training_mix",
-    # new in round 3 (training-data pipeline) — never checked by definition
-    "text_pii_redact",
-    "text_chunk_windows",
-    "pack_token_budget_bins",
-    "contamination_ngram_overlap",
-    "embedding_quantize_int8",
-    "mix_domain_weights",
-    "dedup_hyperplane_lsh",
-    "pipeline_filter_funnel",
-    "multimodal_audio_features",
-    "dedup_incremental_ingest",
-    "layout_zorder_stats",
-    "multimodal_decode_quarantine",
-    # green in r1 only — re-confirm (not seen by the driver since r1)
-    "agg_percentiles_by_status",
-    "agg_stats_moments",
-    # agg_unpivot_metrics yields too (unpivot is pytest-pinned and its
-    # melt path has no scale risk); never-checked > re-confirmation
-    # setop_union_all_keys, setop_active_nations,
-    # setop_customer_only_nations, scalar_case_math,
-    # scalar_string_date_funcs, topk_orders_by_price,
-    # window_lag_event_delta, join_semi_big_orders,
-    # join_anti_idle_customers, agg_pivot_status,
-    # agg_grouping_sets, agg_rollup_flag_status,
-    # join_left_order_counts (left joins re-exercised via q10/q13/
-    # join_full_outer rows), agg_cube_flag_status (grouping-set
-    # machinery re-exercised via agg_rollup_grouping_id's row),
-    # agg_global_stats (global-agg path re-exercised via
-    # agg_stats_moments which stays below),
-    # window_rank_supplier_revenue, window_running_customer_spend,
-    # window_top3_orders_per_customer: r1-green + pytest-pinned; these
-    # yield their window slots to never-driver-checked round-3 additions
-    # (cap is ~50 rows/round; never-checked > re-confirmation; semi/anti
-    # joins re-exercised via q4/q16/q20-q22 rows, plain window funcs via
-    # window_distribution_funcs + window_range_frame_spend)
-    "window_range_frame_spend",
-    # new in round 3 — never checked by definition
-    "dedup_lsh_bucket_stats",
-    "q6_revenue_forecast",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q19_disjunctive_predicates",
-    "q20_heavy_widget_suppliers",
-    "q22_idle_rich_customers",
-    "scd2_user_state_intervals",
-    "sessionize_events_30m",
-    "text_length_histogram",
-    "embedding_norm_stats",
-    "pysource_synthetic_events",
-    "udtf_bigram_topk",
-    "cogroup_user_activity_profile",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_late_priority_counts",
-    "q16_supplier_part_counts",
-    "q21_waiting_supplier",
-    # r4 rotation TODO: head the r4 prefix with whatever this round's
-    # CORRECTNESS_r03 did NOT reach (prefix is exactly 50 — if the
-    # driver's window is shorter, the tail TPC-H names overflow) plus
-    # the 13 r1-green names commented above.
+    # (a) new in round 4 — never checked
+    "text_repetition_filter",
+    "split_train_val_test",
+    "search_bm25_topk",
+    "rollup_time_multigrain",
+    "funnel_view_click_purchase",
+    "cohort_weekly_retention",
+    # (b) streaming: stream-source schema fix this round; last rows r2
+    "stream_tumbling_hourly",
+    "stream_sliding_2h_1h",
+    "stream_session_windows",
+    "stream_dedup_watermark",
+    "stream_stateful_user_stats",
+    "stream_static_enrich",
+    "stream_stream_interval_join",
+    "stream_stream_outer_attrib",
+    "stream_stream_full_outer_attrib",
+    # (c) r1-only driver rows — stalest re-confirmation debt
+    "join_left_order_counts",
+    "join_semi_big_orders",
+    "join_anti_idle_customers",
+    "agg_global_stats",
+    "agg_rollup_flag_status",
+    "agg_cube_flag_status",
+    "agg_grouping_sets",
+    "agg_pivot_status",
+    "window_top3_orders_per_customer",
+    "window_running_customer_spend",
+    "window_lag_event_delta",
+    "window_rank_supplier_revenue",
+    "topk_orders_by_price",
+    "setop_active_nations",
+    "setop_customer_only_nations",
+    "setop_union_all_keys",
+    "scalar_string_date_funcs",
+    "scalar_case_math",
+    "agg_unpivot_metrics",
+    # (d) r2-stale fill: flagship TPC-H + the ops whose helpers moved
+    # since r2 (planctl/deterministic refactors touch these plans)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q4_order_priority_exists",
+    "q17_small_quantity_revenue",
+    "cast_align_orders",
+    "join_asof_latest_order",
+    "join_range_price_band",
+    "join_skew_salted_orders",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_connected_components",
+    "ann_ivf_topk",
+    "sim_cosine_pairs",
+    "multimodal_payload_stats",
 ]
-
 
 def _ensure_loaded() -> None:
     """Import every module that registers queries (idempotent), then
@@ -155,6 +133,7 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from .operators import (  # noqa: F401
+        analytics_extra,
         dedup,
         joins_advanced,
         json_ops,
