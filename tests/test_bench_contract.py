@@ -1,0 +1,49 @@
+"""Bench output contract: the driver captures only the TAIL of stdout
+(~3000 chars) and parses the last line as JSON. Round 3's line carried
+84 per-query entries, overflowed the window, and was recorded as
+``parsed: null`` — these tests pin the budgeted-line fix."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+
+_spec = importlib.util.spec_from_file_location("bench", "bench.py")
+bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bench)
+
+
+def test_compact_line_fits_capture_window():
+    # worst case: every registered query present with a long name
+    timings = {f"some_rather_long_query_name_{i:04d}": i * 0.123 for i in range(200)}
+    line = bench._compact_line(99.9, timings, 0.1)
+    assert len(line) <= bench._LINE_BUDGET
+    assert len(line) < 2900  # hard driver window with margin
+
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total_wall"
+    assert parsed["value"] == 99.9
+    assert parsed["n_queries"] == 200
+    assert parsed["queries_elided"] + len(parsed["queries"]) == 200
+    # slowest-first retention: every kept entry >= every elided one
+    kept = set(parsed["queries"])
+    kept_min = min(parsed["queries"].values())
+    elided_max = max(
+        (t for n, t in timings.items() if n not in kept), default=float("-inf")
+    )
+    assert kept_min >= round(elided_max, 2) - 0.01
+
+
+def test_compact_line_small_set_keeps_everything():
+    timings = {"q1": 1.5, "q2": 0.25}
+    parsed = json.loads(bench._compact_line(1.75, timings, 0.01))
+    assert parsed["queries"] == {"q1": 1.5, "q2": 0.25}
+    assert parsed["queries_elided"] == 0
+
+
+def test_headline_names_are_registered():
+    from pyspark_postgres_loader_spark.registry import all_queries
+
+    registered = set(all_queries())
+    missing = [n for n in bench.HEADLINE if n not in registered]
+    assert not missing, f"HEADLINE names not registered: {missing}"
