@@ -96,6 +96,9 @@ HEADLINE = [
     "rollup_time_multigrain",
     "funnel_view_click_purchase",
     "cohort_weekly_retention",
+    "cdc_apply_changelog",
+    "path_top_transitions",
+    "ann_int8_rerank_topk",
     "text_word_count_topk",
     "text_token_stats",
     "text_quality_score",

@@ -600,3 +600,151 @@ def dedup_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= _PAIR_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8-quantized candidate scan + exact rerank (PQ-style two-phase ANN)
+# ---------------------------------------------------------------------------
+
+_RERANK_C = 32  # int8-scored candidates kept per query before rerank
+
+# Same absmax formula as training.embedding_quantize_int8: floor(x/s+0.5)
+# (not round - half-case ties differ per engine), clamp to [-127,127].
+_SQL_QUANT = """
+    quant AS (
+      SELECT vec_id, embedding,
+             CASE WHEN list_max(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE)))) = 0 THEN 1.0
+                  ELSE list_max(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE)))) / 127.0 END AS scale
+      FROM embeddings
+    ),
+    qt AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding,
+               x -> CAST(least(greatest(
+                 floor(CAST(x AS DOUBLE) / scale + 0.5), -127.0), 127.0)
+                 AS INTEGER)) AS qv
+      FROM quant
+    )
+"""
+
+
+@register(
+    "ann_int8_rerank_topk",
+    oracle=f"""
+    WITH {_SQL_QUANT},
+    qs AS (SELECT vec_id AS query_id, qv AS q_qv FROM qt
+           WHERE vec_id IN ({_QID_SQL})),
+    scored AS (
+      SELECT qs.query_id, v.vec_id,
+             CAST(list_sum(list_transform(list_zip(qs.q_qv, v.qv),
+               p -> p[1] * p[2])) AS BIGINT) AS int_score
+      FROM qt v JOIN qs ON v.vec_id <> qs.query_id
+    ),
+    cand AS (
+      SELECT query_id, vec_id, int_score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY int_score DESC, vec_id) AS rn
+      FROM scored
+    ),
+    top AS (SELECT query_id, vec_id, int_score FROM cand
+            WHERE rn <= {_RERANK_C}),
+    rr AS (
+      SELECT t.query_id, t.vec_id, t.int_score,
+             {_sql_cosine('qe.embedding', 'e.embedding')} AS cosine
+      FROM top t
+      JOIN embeddings e ON e.vec_id = t.vec_id
+      JOIN embeddings qe ON qe.vec_id = t.query_id
+    )
+    SELECT query_id, vec_id, int_score, cosine, rn AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, vec_id) AS rn FROM rr)
+    WHERE rn <= {_TOPK}
+    """,
+)
+def ann_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase ANN: int8-quantized integer-dot candidate scan, exact
+    full-precision cosine rerank of the survivors.
+
+    Phase 1 scores every (query, vector) pair in EXACT int64 arithmetic
+    over absmax-int8 codes (engine-identical by construction - no
+    floating point at all) and keeps the top {c} per query; the scored
+    shuffle carries only (query_id, vec_id, int_score) - the float
+    embeddings never travel. Phase 2 joins the |Q| x {c} candidate ids
+    back to the corpus for the exact cosine and final top-{k}.
+
+    Scale story: this is the PQ/int8 memory-bandwidth pattern - the
+    wide scan reads 64 bytes/vector instead of 256 (4x the vectors per
+    second at the same bandwidth), full precision touches only
+    |Q| x {c} rows; candidate recall vs the exact baseline is testable
+    against ann_bruteforce_topk."""
+    e = load_table(spark, sf_dir, "embeddings")
+    am = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    qt = (
+        e.withColumn("am", am)
+        .withColumn(
+            "scale",
+            F.when(F.col("am") == 0, F.lit(1.0)).otherwise(F.col("am") / 127.0),
+        )
+        .withColumn(
+            "qv",
+            F.transform(
+                "embedding",
+                lambda x: F.least(
+                    F.greatest(
+                        F.floor(x.cast("double") / F.col("scale") + 0.5),
+                        F.lit(-127.0),
+                    ),
+                    F.lit(127.0),
+                ).cast("int"),
+            ),
+        )
+        .select("vec_id", "embedding", "qv")
+    )
+    qs = qt.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    )
+    int_score = F.aggregate(
+        F.zip_with("q_qv", "qv", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
+    scored = (
+        qt.select("vec_id", "qv")
+        .join(F.broadcast(qs), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", int_score.alias("int_score"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("int_score"), F.asc("vec_id")
+    )
+    top = (
+        scored.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= _RERANK_C)
+        .select("query_id", "vec_id", "int_score")
+    )
+    corpus = e.select("vec_id", "embedding")
+    queries = e.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    ).filter(F.col("query_id").isin(*_QUERY_IDS))
+    rr = (
+        top.join(corpus, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "int_score",
+            _cosine(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        rr.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", "vec_id", "int_score", "cosine", "rank")
+    )
+
+
+ann_int8_rerank_topk.__doc__ = ann_int8_rerank_topk.__doc__.format(
+    c=_RERANK_C, k=_TOPK
+)

@@ -176,3 +176,108 @@ def sessionize_events_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+# --------------------------------------------------------------------------
+# Changelog apply (CDC MERGE semantics) and event-path transitions
+# --------------------------------------------------------------------------
+
+# event_type -> changelog op: the events fixture stands in for a CDC
+# feed (signup opens a row, activity updates it, error tombstones it).
+_CDC_OP_SQL = (
+    "CASE event_type WHEN 'signup' THEN 'insert' "
+    "WHEN 'error' THEN 'delete' ELSE 'update' END"
+)
+
+
+@register(
+    "cdc_apply_changelog",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, {_CDC_OP_SQL} AS op, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+      FROM events
+    )
+    SELECT user_id, op AS last_op, CAST(ts AS TIMESTAMP) AS last_ts,
+           value AS last_value, CAST(n_ops AS BIGINT) AS n_ops
+    FROM c WHERE rn = 1 AND op <> 'delete'
+    """,
+)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/CDC apply: treat the event stream as a keyed changelog
+    (insert/update/delete derived from event_type) and materialize the
+    current snapshot - latest op per key wins, delete tombstones drop
+    the row. One hash shuffle on the key feeding both window functions
+    (row_number + count share the partitioning; the sort is reused),
+    no joins, no driver state. This is the batch twin of the upsert
+    sink's keyed idempotence (sinks/upsert.py) expressed relationally:
+    replaying any prefix of the changelog then applying the rest gives
+    the same snapshot."""
+    ev = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    wn = Window.partitionBy("user_id")
+    c = ev.select(
+        "user_id",
+        op.alias("op"),
+        "ts",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n_ops"),
+    )
+    return c.filter((F.col("rn") == 1) & (F.col("op") != "delete")).select(
+        "user_id",
+        F.col("op").alias("last_op"),
+        F.col("ts").cast("timestamp").alias("last_ts"),
+        F.col("value").alias("last_value"),
+        F.col("n_ops").cast("long").alias("n_ops"),
+    )
+
+
+@register(
+    "path_top_transitions",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    g AS (
+      SELECT prev_type, event_type, COUNT(*) AS n
+      FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, event_type, CAST(n AS BIGINT) AS n,
+           CAST(n * 1000000 // SUM(n) OVER () AS BIGINT) AS share_micros
+    FROM g
+    """,
+)
+def path_top_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-path transition matrix: per-user consecutive event-type
+    bigrams (lag over the (ts, event_id) total order), global counts,
+    and each transition's share in exact integer micros. One user_id
+    shuffle for the lag, one tiny shuffle for the 25-row aggregate;
+    the share denominator is a window over the aggregated frame (25
+    rows), not a second scan."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    g = t.groupBy("prev_type", "event_type").agg(F.count("*").alias("n"))
+    return g.select(
+        "prev_type",
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.expr("CAST(n * 1000000 div SUM(n) OVER () AS BIGINT)").alias(
+            "share_micros"
+        ),
+    )

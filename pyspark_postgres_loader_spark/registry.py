@@ -76,6 +76,9 @@ _PRIORITY = [
     "rollup_time_multigrain",
     "funnel_view_click_purchase",
     "cohort_weekly_retention",
+    "cdc_apply_changelog",
+    "path_top_transitions",
+    "ann_int8_rerank_topk",
     # (b) streaming: stream-source schema fix this round; last rows r2
     "stream_tumbling_hourly",
     "stream_sliding_2h_1h",
