@@ -99,6 +99,7 @@ HEADLINE = [
     "cdc_apply_changelog",
     "path_top_transitions",
     "ann_int8_rerank_topk",
+    "anomaly_zscore_users",
     "text_word_count_topk",
     "text_token_stats",
     "text_quality_score",
@@ -167,8 +168,11 @@ def main() -> None:
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
-    print(_compact_line(total, timings, sf))
+    # stop Spark BEFORE printing: its log4j console output interleaves
+    # on stdout here, and the driver parses the LAST line of the tail —
+    # a shutdown log line after the JSON would break the parse
     spark.stop()
+    print(_compact_line(total, timings, sf), flush=True)
 
 
 # Keep comfortably inside the driver's ~3000-char stdout tail window.

@@ -428,3 +428,86 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
     )
+
+
+# --------------------------------------------------------------------------
+# Per-key z-score anomaly detection
+# --------------------------------------------------------------------------
+
+_Z_THRESHOLD = 2.5
+
+
+@register(
+    "anomaly_zscore_users",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v2
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT user_id, n, sum_v / n AS mean_v,
+             sqrt((sum_v2 - sum_v * (sum_v / n)) / (n - 1)) AS std_v
+      FROM s WHERE n > 1
+    )
+    SELECT m.user_id, CAST(m.n AS BIGINT) AS n, m.mean_v, m.std_v,
+           CAST(SUM(CASE WHEN abs((e.value - m.mean_v) / m.std_v)
+                              > {_Z_THRESHOLD}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN m ON m.user_id = e.user_id
+    GROUP BY m.user_id, m.n, m.mean_v, m.std_v
+    """,
+)
+def anomaly_zscore_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score outlier detection: mean/std from exact decimal
+    sums (order-independent, hence engine-identical — see
+    functions/deterministic.py), then a second co-partitioned pass
+    flags events with |z| > {thr}.
+
+    The variance uses sum_v2 - sum_v*(sum_v/n) with that exact operand
+    order on both engines, so every IEEE rounding matches bit-for-bit.
+    Two shuffles, both keyed on user_id (stats agg, then flag agg); the
+    stats frame is one row per user so the join is agg-sized. At scale
+    the same shape holds: no global pass, no driver state, skew bounded
+    by per-user event counts."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    dec = "decimal(38,6)"
+    s = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast(dec)).cast("double").alias("sum_v"),
+        F.sum((F.col("value") * F.col("value")).cast(dec))
+        .cast("double")
+        .alias("sum_v2"),
+    )
+    m = s.filter(F.col("n") > 1).select(
+        "user_id",
+        "n",
+        (F.col("sum_v") / F.col("n")).alias("mean_v"),
+        F.sqrt(
+            (F.col("sum_v2") - F.col("sum_v") * (F.col("sum_v") / F.col("n")))
+            / (F.col("n") - 1)
+        ).alias("std_v"),
+    )
+    z = F.abs((F.col("value") - F.col("mean_v")) / F.col("std_v"))
+    return (
+        ev.join(m, "user_id")
+        .groupBy("user_id", "n", "mean_v", "std_v")
+        .agg(
+            F.sum(F.when(z > _Z_THRESHOLD, 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n"),
+            "mean_v",
+            "std_v",
+            "n_outliers",
+        )
+    )
+
+
+anomaly_zscore_users.__doc__ = anomaly_zscore_users.__doc__.format(
+    thr=_Z_THRESHOLD
+)
