@@ -118,3 +118,63 @@ def test_hyperplane_lsh_has_no_cartesian(spark):
     plan = _plan(spark, "dedup_hyperplane_lsh")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_repetition_filter_is_shuffle_free_projection(spark):
+    """Trigram dup-fraction is built per-row with transform/slice —
+    an Exchange here would mean it regressed to explode→groupBy."""
+    plan = _plan(spark, "text_repetition_filter")
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode
+
+
+def test_bm25_broadcasts_stats_and_takes_ordered_topk(spark):
+    """Corpus stats travel as a 1-row broadcast; the top-k must be
+    TakeOrderedAndProject, not a global sort; tf must come from per-row
+    array filters (no Generate/explode, no token shuffle)."""
+    plan = _plan(spark, "search_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_multigrain_rollup_is_one_expand_one_exchange(spark):
+    """hour/day/month in one pass: a single Expand feeding a partial
+    aggregate BEFORE the one shuffle (3 scans or 3 shuffles = regression)."""
+    plan = _plan(spark, "rollup_time_multigrain")
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_int8_rerank_scored_shuffle_excludes_embeddings(spark):
+    """Phase-1 candidate shuffle must carry only (query_id, vec_id,
+    int_score) — the 64-float embedding arrays stay out of the wide
+    exchange and are joined back only for the candidate rerank. Spark
+    additionally pre-prunes with a map-side partial WindowGroupLimit,
+    so only ~top-C rows per query cross the wire at all."""
+    plan = _plan(spark, "ann_int8_rerank_topk")
+    lines = plan.splitlines()
+    scored_exchanges = [
+        i
+        for i, l in enumerate(lines)
+        if "Exchange hashpartitioning(query_id" in l
+    ]
+    assert scored_exchanges, plan[:1500]
+    for i in scored_exchanges:
+        below = "\n".join(lines[i + 1 : i + 4])
+        # map-side top-C pruning before the shuffle
+        assert "WindowGroupLimit" in below and "Partial" in below, below
+        # the projection feeding this exchange computes int_score from
+        # the int8 codes — the float embedding column must not appear
+        proj = next(l for l in lines[i + 1 : i + 6] if "+- Project [" in l)
+        assert "int_score" in proj and "embedding#" not in proj, proj
+
+
+def test_cdc_apply_single_shuffle_shared_by_windows(spark):
+    """row_number + count share one user_id hash partitioning."""
+    plan = _plan(spark, "cdc_apply_changelog")
+    assert plan.count("Exchange hashpartitioning") == 1
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert j not in plan
