@@ -55,7 +55,7 @@ class BigramExplode:
             FROM documents WHERE n_chars >= 100)
     )
     GROUP BY bigram
-    HAVING COUNT(*) >= 50
+    HAVING COUNT(*) >= 10
     ORDER BY n DESC, bigram
     """,
 )
@@ -75,7 +75,7 @@ def udtf_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT b.bigram, COUNT(*) AS n
         FROM udtf_docs_in d, LATERAL bigram_explode(d.text) b
         GROUP BY b.bigram
-        HAVING COUNT(*) >= 50
+        HAVING COUNT(*) >= 10
         ORDER BY n DESC, bigram
         """
     )
