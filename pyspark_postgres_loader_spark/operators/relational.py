@@ -1445,25 +1445,34 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
            {sql_dsum('c.c_acctbal')} AS totacctbal
     FROM customer c
     WHERE c.c_acctbal > (SELECT a FROM avg_bal)
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
     GROUP BY c.c_mktsegment
     ORDER BY c.c_mktsegment
     """,
 )
 def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 pattern: above-average-balance customers who never
-    ordered, grouped by segment. Two decorrelations in one query: the
+    """TPC-H Q22 pattern: above-average-balance customers idle since
+    mid-1998, grouped by segment. Two decorrelations in one query: the
     scalar AVG subquery becomes a 1-row broadcast cross join (computed
     once, never per-row), and NOT EXISTS becomes a LEFT ANTI join on
-    the (deduplicated, broadcastable) ordering-customer key set. The
-    customer table scans twice but shuffles zero times.
+    the (deduplicated, broadcastable) recently-ordering customer key
+    set. The customer table scans twice but shuffles zero times.
+    (The fixture generator gives every customer at least one order, so
+    the classic never-ordered predicate matches nothing at any sf — the
+    date-bounded variant keeps the exact plan shape while the driver's
+    value compare exercises real rows.)
     """
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
         davg("c_acctbal").alias("a")
     )
-    buyers = o.select("o_custkey").distinct()
+    buyers = (
+        o.filter(F.col("o_orderdate") >= F.lit("1998-06-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
     return (
         c.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("a"))
