@@ -226,13 +226,19 @@ def join_semi_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
     """,
 )
 def join_anti_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join: customers with no orders (NOT EXISTS)."""
+    """Left-anti join: customers with no order since mid-1998
+    (NOT EXISTS). Date-bounded because the fixture generator gives
+    every customer at least one order ever — the unbounded predicate
+    matched nothing at any sf, making the driver compare vacuous."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-06-01 00:00:00").cast("timestamp")
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -488,16 +494,27 @@ def setop_active_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "setop_customer_only_nations",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000.0
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000.0
     """,
 )
 def setop_customer_only_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT: nations with customers but no suppliers (set semantics —
-    ``subtract`` is EXCEPT DISTINCT, unlike ``exceptAll``'s bag diff)."""
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    """EXCEPT: nations with a rich customer but no rich supplier (set
+    semantics — ``subtract`` is EXCEPT DISTINCT, unlike ``exceptAll``'s
+    bag diff). Balance-bounded because all 25 nations have both
+    customers and suppliers in the fixtures — the unbounded EXCEPT was
+    always empty and verified nothing."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000.0)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000.0)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
     return c.subtract(s)
 
 
