@@ -416,8 +416,8 @@ def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer c ON c.c_custkey = o.o_custkey
     JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
     JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
-    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_3'))
       AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY sn.n_name, cn.n_name, l_year
@@ -439,7 +439,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = _t(spark, sf_dir, "orders")
     n = _t(spark, sf_dir, "nation").filter(
-        F.col("n_name").isin("NATION_1", "NATION_2")
+        F.col("n_name").isin("NATION_3", "NATION_2")
     )
     s = (
         _t(spark, sf_dir, "supplier")
@@ -462,8 +462,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .filter(
-            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
-            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_3"))
         )
         .withColumn("l_year", F.year("l_shipdate").cast("bigint"))
         .groupBy("supp_nation", "cust_nation", "l_year")

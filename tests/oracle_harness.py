@@ -93,6 +93,7 @@ def compare_query(spark, sf_dir: str, name: str) -> None:
     pd.testing.assert_frame_equal(
         s_pdf, d_pdf, check_exact=True, check_dtype=False
     )
+    return len(s_rows)
 
 
 def _canon_pdf(pdf):

@@ -15,9 +15,22 @@ ORACLE_QUERIES = sorted(n for n, s in QUERIES.items() if s.oracle is not None)
 ROWS_ONLY_QUERIES = sorted(n for n, s in QUERIES.items() if s.oracle is None)
 
 
+# Queries allowed to return an empty set at sf0.001 (none today: an
+# empty result makes the value compare vacuous — rows/schema/hash all
+# "match" on nothing, which is how q22/udtf_bigram_topk shipped broken
+# predicates for two rounds). Add a name ONLY with a comment on why
+# empty is semantically required.
+VACUOUS_OK: frozenset[str] = frozenset()
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_match(spark, sf_dir, name):
-    compare_query(spark, sf_dir, name)
+    n_rows = compare_query(spark, sf_dir, name)
+    if name not in VACUOUS_OK:
+        assert n_rows > 0, (
+            f"{name}: oracle 'match' over an EMPTY result proves nothing - "
+            "tighten the fixture predicate or allowlist with a reason"
+        )
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
