@@ -100,6 +100,7 @@ HEADLINE = [
     "path_top_transitions",
     "ann_int8_rerank_topk",
     "anomaly_zscore_users",
+    "json_variant_nested",
     "text_word_count_topk",
     "text_token_stats",
     "text_quality_score",

@@ -97,3 +97,60 @@ def json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("val").alias("max_val"),
         )
     )
+
+
+# JSON text built identically on both engines (ints/bools only: double
+# -> string rendering is engine-specific, so no floats enter the text).
+_VARIANT_JSON_SQL = (
+    "'{\"user\": {\"id\": ' || CAST(user_id AS VARCHAR) || "
+    "', \"vip\": ' || CAST(user_id % 7 = 0 AS VARCHAR) || "
+    "'}, \"ids\": [' || CAST(user_id AS VARCHAR) || ', ' || "
+    "CAST(event_id AS VARCHAR) || ']}'"
+)
+
+
+@register(
+    "json_variant_nested",
+    oracle=f"""
+    WITH j AS (
+      SELECT event_id, props, {_VARIANT_JSON_SQL} AS doc
+      FROM events WHERE event_id < 500
+    )
+    SELECT event_id,
+           CAST(json_extract_string(doc, '$.user.id') AS BIGINT) AS uid,
+           CAST(json_extract_string(doc, '$.user.vip') AS BOOLEAN) AS vip,
+           CAST(json_extract_string(doc, '$.ids[1]') AS BIGINT) AS second_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM j
+    """,
+)
+def json_variant_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type: a nested
+    JSON document (object-in-object plus array) is parsed once with
+    ``parse_json`` and fields come out via typed ``variant_get`` paths
+    — object traversal ($.user.id), array indexing ($.ids[1]), and a
+    second shredded source (props.k). VARIANT keeps the parsed binary
+    form, so repeated path access does NOT re-parse the text the way
+    stacked get_json_object calls do — at scale this is the difference
+    between one parse and one parse per extracted field. Pure
+    projection: zero shuffles."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    doc = F.concat(
+        F.lit('{"user": {"id": '),
+        F.col("user_id").cast("string"),
+        F.lit(', "vip": '),
+        (F.col("user_id") % 7 == 0).cast("string"),
+        F.lit('}, "ids": ['),
+        F.col("user_id").cast("string"),
+        F.lit(", "),
+        F.col("event_id").cast("string"),
+        F.lit("]}"),
+    )
+    v = e.select("event_id", "props", F.parse_json(doc).alias("v"))
+    return v.select(
+        "event_id",
+        F.variant_get("v", "$.user.id", "bigint").alias("uid"),
+        F.variant_get("v", "$.user.vip", "boolean").alias("vip"),
+        F.variant_get("v", "$.ids[1]", "bigint").alias("second_id"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )

@@ -80,6 +80,7 @@ _PRIORITY = [
     "path_top_transitions",
     "ann_int8_rerank_topk",
     "anomaly_zscore_users",
+    "json_variant_nested",
     # (b) streaming: stream-source schema fix this round; last rows r2
     "stream_tumbling_hourly",
     "stream_sliding_2h_1h",
