@@ -26,7 +26,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from ..functions.deterministic import sql_dsum, sql_mhash64
@@ -215,3 +217,114 @@ def pysource_synthetic_events(spark, sf_dir: str):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom Python DataSource WRITER: staged part files + atomic manifest commit
+# ---------------------------------------------------------------------------
+
+
+class _PartFileCommit(WriterCommitMessage):
+    """Per-task commit message: the staged file this task produced and
+    how many rows it holds. Only data that survives the driver round
+    trip belongs here (plain picklable fields)."""
+
+    def __init__(self, staged_path: str, n_rows: int):
+        self.staged_path = staged_path
+        self.n_rows = n_rows
+
+
+class ManifestJsonlSinkDataSource(DataSource):
+    """``df.write.format("manifest_jsonl").option("path", dir).save()`` —
+    a custom Python sink with the classic two-phase commit protocol the
+    reference's loader lacks entirely (its upsert sink commits per
+    batch; a mid-load failure leaves earlier batches visible —
+    psycopg2_database_helper.py:287-357):
+
+    - each task writes its partition to ``_staging/<uuid>.jsonl`` and
+      returns a commit message (executor side, no coordination);
+    - ``commit()`` runs ONCE on the driver after every task succeeded:
+      staged files move into the target and ``_MANIFEST.json`` is
+      written last — readers that honor the manifest see the dataset
+      atomically (the manifest names exactly the committed files);
+    - ``abort()`` removes the staging directory, so a failed/killed
+      write publishes NOTHING.
+
+    At scale this is the same contract as Spark's file commit protocol
+    (v2) / Iceberg-style manifest publishing: task parallelism with a
+    single tiny driver-side publish step, no partial visibility.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_jsonl"
+
+    def writer(self, schema, overwrite: bool):
+        return _ManifestJsonlWriter(self.options, [f.name for f in schema.fields])
+
+
+class _ManifestJsonlWriter(DataSourceWriter):
+    def __init__(self, options, columns):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("manifest_jsonl requires .option('path', ...)")
+        self.columns = list(columns)
+
+    # -- executor side -----------------------------------------------------
+    def write(self, iterator) -> _PartFileCommit:
+        import json
+        import os
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(staging, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                rec = {c: _jsonable(v) for c, v in zip(self.columns, row)}
+                f.write(json.dumps(rec, sort_keys=True) + "\n")
+                n += 1
+        return _PartFileCommit(staged, n)
+
+    # -- driver side, exactly once ----------------------------------------
+    def commit(self, messages) -> None:
+        import json
+        import os
+        import shutil
+
+        final_files, total = [], 0
+        for m in messages:
+            name = os.path.basename(m.staged_path)
+            dest = os.path.join(self.path, name)
+            shutil.move(m.staged_path, dest)
+            final_files.append(name)
+            total += m.n_rows
+        manifest = {
+            "files": sorted(final_files),
+            "total_rows": total,
+            "columns": self.columns,
+        }
+        tmp = os.path.join(self.path, "_MANIFEST.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST.json"))  # atomic
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(
+            __import__("os").path.join(self.path, "_staging"), ignore_errors=True
+        )
+
+
+def _jsonable(v):
+    """JSON-safe cell rendering (timestamps → isoformat, Decimal → str)."""
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    return v
