@@ -101,6 +101,8 @@ HEADLINE = [
     "ann_int8_rerank_topk",
     "anomaly_zscore_users",
     "json_variant_nested",
+    "pandas_udf_nfc_norm",
+    "agg_corr_qty_price",
     "text_word_count_topk",
     "text_token_stats",
     "text_quality_score",

@@ -1501,3 +1501,78 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "agg_corr_qty_price",
+    oracle="""
+    WITH d AS (
+      -- DECIMAL(19,6), not (18,6): DuckDB multiplies width-18 decimals
+      -- in int64 and overflows on price*price; width 19 forces hugeint.
+      -- Spark keeps (18,6) (its product rules already promote exactly);
+      -- the VALUES are identical either way.
+      SELECT l_returnflag,
+             CAST(l_quantity AS DECIMAL(19,6)) AS qx,
+             CAST(l_extendedprice AS DECIMAL(19,6)) AS qy
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(qx) AS DOUBLE) AS sx,
+             CAST(SUM(qy) AS DOUBLE) AS sy,
+             CAST(SUM(qx * qy) AS DOUBLE) AS sxy,
+             CAST(SUM(qx * qx) AS DOUBLE) AS sxx,
+             CAST(SUM(qy * qy) AS DOUBLE) AS syy
+      FROM d GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           ROUND((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr_qp
+    FROM s ORDER BY l_returnflag
+    """,
+)
+def agg_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group WITHOUT the built-in ``corr``:
+    Spark's corr folds doubles in partition order (run-to-run stable but
+    engine-divergent), so the moments are accumulated as exact
+    DECIMAL(38,6) sums — order-independent — and the final correlation
+    is assembled per-group from those exact values with pinned operand
+    order (every +,-,*,/,sqrt is IEEE-correctly-rounded, so both
+    engines produce the same bits). One shuffle; partial aggregation
+    map-side; the assembly runs on G rows, not N.
+
+    Moment subtlety: products are formed in DECIMAL (factor-cast THEN
+    multiply), never cast from a computed double — a ~1e10 double's 6th
+    decimal lies beyond its 17 significant digits, and the engines'
+    double->decimal conversions disagree out there (observed: syy
+    differing at the 1e-4 digit, amplified ~1e5x by the cancellation in
+    the corr numerator)."""
+    l = _t(spark, sf_dir, "lineitem")
+    dec = "decimal(18,6)"
+    d = l.select(
+        "l_returnflag",
+        F.col("l_quantity").cast(dec).alias("qx"),
+        F.col("l_extendedprice").cast(dec).alias("qy"),
+    )
+    s = d.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("qx").cast("double").alias("sx"),
+        F.sum("qy").cast("double").alias("sy"),
+        F.sum(F.col("qx") * F.col("qy")).cast("double").alias("sxy"),
+        F.sum(F.col("qx") * F.col("qx")).cast("double").alias("sxx"),
+        F.sum(F.col("qy") * F.col("qy")).cast("double").alias("syy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        # round to 9 decimals: the exact-decimal moments agree
+        # bit-for-bit, but each engine's decimal->double conversion of
+        # 16+-digit values can differ in the last ulp (~1e-16) - far
+        # below the 1e-9 compare surface
+        F.round(corr, 9).alias("corr_qp"),
+    ).orderBy("l_returnflag")

@@ -475,3 +475,68 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Arrow-vectorized scalar pandas_udf: Unicode NFC normalization
+# --------------------------------------------------------------------------
+
+# Decomposed "e" + COMBINING ACUTE (U+0065 U+0301) — NFC folds it to the
+# single codepoint U+00E9. Injected as a Python literal on the Spark
+# side and chr(769) in DuckDB (Spark's char() wraps at 256, so it
+# cannot build the combining char in SQL text).
+_NFC_DECOMPOSED = "é"
+
+
+@register(
+    "pandas_udf_nfc_norm",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             text || repeat(' caf' || 'e' || chr(769),
+                            CAST(doc_id % 3 AS INT)) AS enriched
+      FROM documents WHERE doc_id < 400
+    )
+    SELECT doc_id,
+           CAST(length(enriched) AS BIGINT) AS len_before,
+           CAST(length(nfc_normalize(enriched)) AS BIGINT) AS len_after,
+           {sql_mhash64('nfc_normalize(enriched)')} AS norm_hash
+    FROM t
+    """,
+)
+def pandas_udf_nfc_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization through an Arrow-vectorized scalar
+    ``pandas_udf`` — the ONE text operation in this repo that genuinely
+    needs Python: Spark has no NFC built-in (DuckDB does, which is what
+    makes the differential possible). Docs are enriched with decomposed
+    e+COMBINING-ACUTE sequences so normalization changes real bytes;
+    ``len_before > len_after`` for every doc_id % 3 != 0 row and the
+    md5-derived hash pins the exact normalized text.
+
+    Scale shape: pure projection; the UDF is Arrow-batched (zero
+    per-row Python call overhead, one buffer per batch) and only
+    (doc_id, enriched) crosses the boundary. This is the sanctioned
+    slow-path pattern — filter and prune BEFORE the Python stage."""
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: this module uses `from __future__ import
+    # annotations`, which stringifies them and breaks pandas_udf's
+    # signature inference — the returnType argument carries the contract
+    @pandas_udf("string")
+    def nfc(s):
+        return s.str.normalize("NFC")
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    enriched = F.concat(
+        F.col("text"),
+        F.expr(
+            f"repeat(' caf{_NFC_DECOMPOSED}', CAST(doc_id % 3 AS INT))"
+        ),
+    )
+    t = d.select("doc_id", enriched.alias("enriched"))
+    return t.select(
+        "doc_id",
+        F.length("enriched").cast("long").alias("len_before"),
+        F.length(nfc("enriched")).cast("long").alias("len_after"),
+        mhash64(nfc("enriched")).alias("norm_hash"),
+    )

@@ -81,6 +81,8 @@ _PRIORITY = [
     "ann_int8_rerank_topk",
     "anomaly_zscore_users",
     "json_variant_nested",
+    "pandas_udf_nfc_norm",
+    "agg_corr_qty_price",
     # (b) streaming: stream-source schema fix this round; last rows r2
     "stream_tumbling_hourly",
     "stream_sliding_2h_1h",
