@@ -103,6 +103,7 @@ HEADLINE = [
     "json_variant_nested",
     "pandas_udf_nfc_norm",
     "agg_corr_qty_price",
+    "ingest_corrupt_json_quarantine",
     "text_word_count_topk",
     "text_token_stats",
     "text_quality_score",

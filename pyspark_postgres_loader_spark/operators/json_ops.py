@@ -154,3 +154,58 @@ def json_variant_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get("v", "$.ids[1]", "bigint").alias("second_id"),
         F.get_json_object("props", "$.k").cast("bigint").alias("k"),
     )
+
+
+@register(
+    "ingest_corrupt_json_quarantine",
+    oracle="""
+    WITH t AS (
+      SELECT event_type,
+             CASE WHEN event_id % 37 = 0 THEN 'corrupt! ' || props
+                  ELSE props END AS raw
+      FROM events
+    ),
+    p AS (
+      SELECT event_type,
+             CASE WHEN json_valid(raw)
+                  THEN CAST(json_extract_string(raw, '$.k') AS BIGINT)
+                  END AS k
+      FROM t
+    )
+    SELECT event_type,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quarantined,
+           CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_valid,
+           CAST(SUM(COALESCE(k, 0)) AS BIGINT) AS sum_k
+    FROM p GROUP BY event_type
+    """,
+)
+def ingest_corrupt_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-side bad-record quarantine for semi-structured ingestion:
+    deterministically corrupted JSON rows (prefix garbage — the one
+    corruption class both engines classify identically; Spark's Jackson
+    tolerates TRAILING garbage that DuckDB rejects, so that class is
+    not generated) parse to NULL under from_json's PERMISSIVE mode and
+    are counted per group instead of failing the job — the text-
+    ingestion sibling of the multimodal decode quarantine and the
+    sink's batch-bisection quarantine. Pure projection + one group-by;
+    corrupt rows cost a failed parse, not a stage retry."""
+    e = load_table(spark, sf_dir, "events")
+    raw = F.when(
+        F.col("event_id") % 37 == 0, F.concat(F.lit("corrupt! "), F.col("props"))
+    ).otherwise(F.col("props"))
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    k = F.from_json(raw, schema)["k"]
+    p = e.select("event_type", k.alias("k"))
+    return p.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_quarantined"),
+        F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_valid"),
+        F.sum(F.coalesce(F.col("k"), F.lit(0))).cast("long").alias("sum_k"),
+    )
