@@ -122,6 +122,7 @@ HEADLINE = [
     "stream_static_enrich",
     "stream_stream_interval_join",
     "stream_stream_outer_attrib",
+    "stream_chained_window_rollup",
 ]
 
 

@@ -84,6 +84,7 @@ _PRIORITY = [
     "pandas_udf_nfc_norm",
     "agg_corr_qty_price",
     "ingest_corrupt_json_quarantine",
+    "stream_chained_window_rollup",
     # (b) streaming: stream-source schema fix this round; last rows r2
     "stream_tumbling_hourly",
     "stream_sliding_2h_1h",

@@ -642,3 +642,66 @@ def stream_tws_user_value_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, saved)
+
+
+@register(
+    "stream_chained_window_rollup",
+    oracle=f"""
+    WITH inner_w AS (
+      SELECT CAST(time_bucket(INTERVAL 10 MINUTE, ts) AS TIMESTAMP) AS w10,
+             event_type,
+             COUNT(*) AS n,
+             {sql_dsum('value')} AS sum_value
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT CAST(time_bucket(INTERVAL 1 HOUR, w10) AS TIMESTAMP) AS hour_start,
+           event_type,
+           CAST(SUM(n) AS BIGINT) AS n,
+           {sql_dsum('sum_value')} AS sum_value
+    FROM inner_w
+    WHERE time_bucket(INTERVAL 1 HOUR, w10) + INTERVAL 1 HOUR
+          <= (SELECT MAX(ts) FROM events)
+    GROUP BY 1, 2
+    """,
+)
+def stream_chained_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query: a 10-minute
+    tumbling aggregate feeds a second, hourly window aggregate keyed on
+    ``window_time`` of the first — the multi-stateful-operator pipeline
+    (pre-aggregate then roll up) that required workarounds before Spark
+    3.5 allowed stateful chaining. State cost: the inner operator holds
+    only open 10-minute windows, the outer only open hours — the hourly
+    rollup never sees raw events, so its state is 6x smaller than
+    aggregating events directly would be at the same grain.
+
+    Watermark-exact oracle (delay 0s): an hourly window emits iff its
+    end <= the final watermark W = max(ts) — and any 10-minute window
+    inside such an hour necessarily closed first, so the batch
+    equivalent is the nested two-level aggregate with the same
+    hour-closed predicate. The two-level decimal-sum nesting is
+    mirrored EXACTLY (summing the inner double partials, not the raw
+    values) so the low bits match.
+    """
+    ev = _events_stream(spark, sf_dir)
+    inner = (
+        ev.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+    )
+    outer = (
+        inner.groupBy(
+            F.window(F.window_time("w"), "1 hour").alias("h"), "event_type"
+        )
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            dsum("sum_value").alias("sum_value2"),
+        )
+    )
+    out = _run_to_memory(outer, "append")
+    return out.select(
+        F.col("h.start").alias("hour_start"),
+        "event_type",
+        "n",
+        F.col("sum_value2").alias("sum_value"),
+    )
