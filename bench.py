@@ -104,6 +104,7 @@ HEADLINE = [
     "pandas_udf_nfc_norm",
     "agg_corr_qty_price",
     "ingest_corrupt_json_quarantine",
+    "embedding_label_centroids",
     "text_word_count_topk",
     "text_token_stats",
     "text_quality_score",

@@ -748,3 +748,82 @@ def ann_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ann_int8_rerank_topk.__doc__ = ann_int8_rerank_topk.__doc__.format(
     c=_RERANK_C, k=_TOPK
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroid (cross-row vector aggregation, the k-means/IVF primitive)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    WITH e AS (
+      SELECT label,
+             unnest(range(1, len(embedding) + 1)) AS dim,
+             unnest(embedding) AS v
+      FROM embeddings
+    ),
+    c AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*) AS cv,
+             COUNT(*) AS n_vecs
+      FROM e GROUP BY label, dim
+    ),
+    f AS (
+      SELECT label, list(cv ORDER BY dim) AS cvec, MAX(n_vecs) AS n_vecs
+      FROM c GROUP BY label
+    )
+    SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(cvec, x -> x * x)), (a, b) -> a + b) AS norm_sq,
+           list_max(list_transform(cvec, x -> abs(x))) AS max_abs_component
+    FROM f ORDER BY label
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column — CROSS-ROW vector
+    aggregation (element-wise mean over many vectors), the primitive
+    k-means/IVF training is built from; every other vector op in this
+    repo is per-row. Dims explode to (label, dim, value) and aggregate
+    as exact decimal sums, so the centroid components are
+    order-independent; the component list is re-assembled in dim order
+    (sort_array over (dim, cv) structs — collect_list alone is
+    partition-order nondeterministic) and folded sequentially for the
+    norm, mirroring DuckDB's list_reduce fold exactly.
+
+    Scale: the explode is x64 rows but the shuffle key (label, dim) has
+    |labels| x 64 cells with map-side partial aggregation collapsing
+    each partition's contribution first — the wire carries cells, not
+    exploded rows. One more tiny shuffle re-groups 64 cells per label.
+
+    float32 trap: the decimal cast must be CAST(CAST(v AS DOUBLE) AS
+    DECIMAL) — engines round a raw FLOAT->DECIMAL cast differently
+    (observed 4e-8 divergence in centroid components); float->double
+    widening is exact and identical everywhere, and double->decimal of
+    sub-1 values is within double's 17 significant digits."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select("label", (F.col("pos") + 1).alias("dim"), "v")
+    c = ex.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("v").cast("double").cast("decimal(38,6)")).cast("double")
+            / F.count("*")
+        ).alias(
+            "cv"
+        ),
+        F.count("*").alias("n_vecs"),
+    )
+    f = c.groupBy("label").agg(
+        F.sort_array(F.collect_list(F.struct("dim", "cv"))).alias("pairs"),
+        F.max("n_vecs").cast("long").alias("n_vecs"),
+    )
+    cvec = F.transform("pairs", lambda p: p["cv"])
+    return f.select(
+        "label",
+        "n_vecs",
+        F.aggregate(cvec, F.lit(0.0), lambda a, b: a + b * b).alias("norm_sq"),
+        F.array_max(F.transform(cvec, F.abs)).alias("max_abs_component"),
+    ).orderBy("label")

@@ -85,6 +85,7 @@ _PRIORITY = [
     "agg_corr_qty_price",
     "ingest_corrupt_json_quarantine",
     "stream_chained_window_rollup",
+    "embedding_label_centroids",
     # (b) streaming: stream-source schema fix this round; last rows r2
     "stream_tumbling_hourly",
     "stream_sliding_2h_1h",
