@@ -164,3 +164,102 @@ def test_stream_stream_join_exactly_once_across_kill(spark, how):
         assert expected, f"{how}: fixture produced no joined rows"
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_chained_window_rollup_exactly_once_across_kill(spark):
+    """Kill/resume for the CHAINED stateful pipeline (10-min tumbling
+    aggregate -> hourly window_time re-aggregate): two operators'
+    state stores must both recover coherently, and the recovered
+    multi-batch run must equal the single-run availableNow result.
+    Time-ordered source files keep the watermark monotone across
+    batches without making any row late (delay 0s)."""
+    from pyspark_postgres_loader_spark.streaming.windows import (
+        _run_to_memory,
+        dsum,
+    )
+
+    work = tempfile.mkdtemp(prefix="recov_chain_")
+    src, ckpt, sink = f"{work}/src", f"{work}/ckpt", f"{work}/sink"
+    try:
+        ev = load_table(spark, SF_DIR, "events")
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+        lo, hi = ev.select(
+            F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.33)"),
+            F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.66)"),
+        ).first()
+        ev.filter(ts_us <= lo).coalesce(1).write.parquet(f"{src}/a")
+        ev.filter((ts_us > lo) & (ts_us <= hi)).coalesce(1).write.parquet(f"{src}/b")
+        ev.filter(ts_us > hi).coalesce(1).write.parquet(f"{src}/c")
+
+        schema = (
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+
+        def chained(stream):
+            inner = (
+                stream.withWatermark("ts", "0 seconds")
+                .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+                .agg(F.count("*").alias("n"), dsum("value").alias("sv"))
+            )
+            return (
+                inner.groupBy(
+                    F.window(F.window_time("w"), "1 hour").alias("h"), "event_type"
+                )
+                .agg(F.sum("n").cast("long").alias("n"), dsum("sv").alias("sv2"))
+                .select(
+                    F.col("h.start").alias("hour_start"), "event_type", "n", "sv2"
+                )
+            )
+
+        def start():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(f"{src}/*")
+            )
+            return (
+                chained(stream)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(processingTime="100 milliseconds")
+                .start()
+            )
+
+        batch_stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+        expected = {
+            tuple(r) for r in _run_to_memory(chained(batch_stream), "append").collect()
+        }
+        assert expected
+
+        q = start()
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if any(b["numInputRows"] > 0 for b in (q.recentProgress or [])):
+                break
+            time.sleep(0.2)
+        q.stop()
+        q.awaitTermination()
+
+        q2 = start()
+        deadline = time.time() + 120
+        got = set()
+        while time.time() < deadline:
+            try:
+                got = {tuple(r) for r in spark.read.parquet(sink).collect()}
+            except Exception:
+                got = set()
+            if got == expected:
+                break
+            time.sleep(0.5)
+        q2.stop()
+        q2.awaitTermination()
+
+        assert got == expected, (
+            f"chained rollup recovery diverges: "
+            f"missing={len(expected - got)} extra={len(got - expected)}"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
