@@ -105,6 +105,7 @@ HEADLINE = [
     "agg_corr_qty_price",
     "ingest_corrupt_json_quarantine",
     "embedding_label_centroids",
+    "rollup_incremental_merge",
     "text_word_count_topk",
     "text_token_stats",
     "text_quality_score",

@@ -86,6 +86,7 @@ _PRIORITY = [
     "ingest_corrupt_json_quarantine",
     "stream_chained_window_rollup",
     "embedding_label_centroids",
+    "rollup_incremental_merge",
     # (b) streaming: stream-source schema fix this round; last rows r2
     "stream_tumbling_hourly",
     "stream_sliding_2h_1h",
