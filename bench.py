@@ -106,6 +106,7 @@ HEADLINE = [
     "ingest_corrupt_json_quarantine",
     "embedding_label_centroids",
     "rollup_incremental_merge",
+    "timeseries_forward_fill",
     "text_word_count_topk",
     "text_token_stats",
     "text_quality_score",

@@ -574,3 +574,56 @@ def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("day", "event_type", "n", F.col("sum_value2").alias("sum_value"))
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series forward fill (gap imputation)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "timeseries_forward_fill",
+    oracle="""
+    WITH m AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id, user_id, v,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING
+           ) AS v_filled
+    FROM m
+    """,
+)
+def timeseries_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key forward fill (gap imputation): every 7th reading is
+    masked to NULL, then repaired with the most recent non-null value
+    in the key's (ts, event_id) total order — ``last(ignorenulls)``
+    over a running frame, the standard sensor/metric backfill. Leading
+    NULLs (no prior observation) stay NULL by design. One hash shuffle
+    on the key; the running frame is computed in a single sort pass
+    per partition."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return m.select(
+        "event_id",
+        "user_id",
+        "v",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    )

@@ -87,6 +87,7 @@ _PRIORITY = [
     "stream_chained_window_rollup",
     "embedding_label_centroids",
     "rollup_incremental_merge",
+    "timeseries_forward_fill",
     # (b) streaming: stream-source schema fix this round; last rows r2
     "stream_tumbling_hourly",
     "stream_sliding_2h_1h",
