@@ -107,6 +107,7 @@ HEADLINE = [
     "embedding_label_centroids",
     "rollup_incremental_merge",
     "timeseries_forward_fill",
+    "fuzzy_name_pairs",
     "text_word_count_topk",
     "text_token_stats",
     "text_quality_score",

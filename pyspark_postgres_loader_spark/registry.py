@@ -88,6 +88,7 @@ _PRIORITY = [
     "embedding_label_centroids",
     "rollup_incremental_merge",
     "timeseries_forward_fill",
+    "fuzzy_name_pairs",
     # (b) streaming: stream-source schema fix this round; last rows r2
     "stream_tumbling_hourly",
     "stream_sliding_2h_1h",
