@@ -658,7 +658,15 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n^2 / blocks) an unbounded within-block self-join degrades to on
     a hot block. Levenshtein runs JVM-side (both engines implement the
     same classic DP), and the equi-part of the join condition (nation)
-    drives the shuffle key."""
+    drives the shuffle key.
+
+    The edit distance is computed BEHIND planctl.nondet_keep: without
+    the taint Catalyst merges the dist filter into the join condition
+    and orders the O(len^2) DP BEFORE the cheap id-range prune — every
+    within-nation pair pays a levenshtein (measured 21s at sf0.1;
+    0.9s with the taint). Same planner hazard as dedup_ngram_jaccard."""
+    from ..functions.planctl import nondet_keep
+
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_name"
     )
@@ -672,7 +680,11 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("nk_b"),
         F.col("c_name").alias("name_b"),
     )
-    dist = F.levenshtein("name_a", "name_b")
+    # nondet_keep works in double (0.0*rand); small ints are exact in
+    # double, so the round trip long->double->long is value-preserving
+    dist = nondet_keep(F.levenshtein("name_a", "name_b").cast("double")).cast(
+        "long"
+    )
     return (
         a.join(
             b,
@@ -680,8 +692,8 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("id_b") > F.col("id_a"))
             & (F.col("id_b") <= F.col("id_a") + _FUZZY_WINDOW),
         )
-        .filter(dist <= _FUZZY_MAX_DIST)
-        .select("id_a", "id_b", dist.cast("long").alias("dist"))
+        .select("id_a", "id_b", dist.alias("dist"))
+        .filter(F.col("dist") <= _FUZZY_MAX_DIST)
     )
 
 

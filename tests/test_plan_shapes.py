@@ -178,3 +178,16 @@ def test_cdc_apply_single_shuffle_shared_by_windows(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
         assert j not in plan
+
+
+def test_fuzzy_pairs_keeps_levenshtein_out_of_join_condition(spark):
+    """nondet_keep pin for the record-linkage join: without the taint
+    Catalyst merges the edit-distance filter into the join condition
+    and orders the O(len^2) DP before the cheap id-range prune (every
+    within-block pair pays a levenshtein - measured 21s vs 0.6s at
+    sf0.1)."""
+    plan = _plan(spark, "fuzzy_name_pairs")
+    join_lines = [l for l in plan.splitlines() if "Join" in l]
+    assert join_lines
+    for l in join_lines:
+        assert "levenshtein" not in l, l
