@@ -108,6 +108,7 @@ HEADLINE = [
     "rollup_incremental_merge",
     "timeseries_forward_fill",
     "fuzzy_name_pairs",
+    "sample_quota_per_lang",
     "text_word_count_topk",
     "text_token_stats",
     "text_quality_score",

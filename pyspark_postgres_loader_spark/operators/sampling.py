@@ -114,3 +114,47 @@ def bernoulli_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.sampleBy("lang", fractions=_LANG_FRACTIONS, seed=_SEED).select(
         "doc_id", "lang", "n_chars"
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-quota sampling: deterministic top-k per stratum
+# --------------------------------------------------------------------------
+
+_QUOTA_K = 40
+
+
+@register(
+    "sample_quota_per_lang",
+    oracle=f"""
+    SELECT lang, doc_id, n_chars
+    FROM (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {sql_mhash64("concat_ws('|', 'quota-v1', CAST(doc_id AS VARCHAR))")}, doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= {_QUOTA_K}
+    """,
+)
+def sample_quota_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sample: EXACTLY min(k, |stratum|) docs
+    per language, chosen by hash order — the rate-based samplers above
+    give binomially-noisy counts, but an eval set or per-domain budget
+    needs exact counts. Hash-ordering (not rand()) keeps membership
+    deterministic across engines/runs/cluster sizes, and a member only
+    leaves the sample if the stratum shrinks. One shuffle on the
+    stratum key; Spark plans a map-side partial WindowGroupLimit, so
+    only ~k rows per stratum per partition cross the wire."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    h = mhash64(
+        F.concat_ws("|", F.lit("quota-v1"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _QUOTA_K)
+        .select("lang", "doc_id", "n_chars")
+    )

@@ -89,6 +89,7 @@ _PRIORITY = [
     "rollup_incremental_merge",
     "timeseries_forward_fill",
     "fuzzy_name_pairs",
+    "sample_quota_per_lang",
     # (b) streaming: stream-source schema fix this round; last rows r2
     "stream_tumbling_hourly",
     "stream_sliding_2h_1h",
