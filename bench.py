@@ -128,6 +128,7 @@ HEADLINE = [
     "stream_stream_interval_join",
     "stream_stream_outer_attrib",
     "stream_chained_window_rollup",
+    "stream_session_dynamic_gap",
 ]
 
 

@@ -90,6 +90,7 @@ _PRIORITY = [
     "timeseries_forward_fill",
     "fuzzy_name_pairs",
     "sample_quota_per_lang",
+    "stream_session_dynamic_gap",
     # (b) streaming: stream-source schema fix this round; last rows r2
     "stream_tumbling_hourly",
     "stream_sliding_2h_1h",

@@ -705,3 +705,70 @@ def stream_chained_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("sum_value2").alias("sum_value"),
     )
+
+
+@register(
+    "stream_session_dynamic_gap",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN INTERVAL 45 MINUTE
+                  ELSE INTERVAL 15 MINUTE END AS gap
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, gap,
+             CASE WHEN MAX(ts + gap) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR ts >= MAX(ts + gap) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  )
+                  THEN 1 ELSE 0 END AS new_session
+      FROM g
+    ),
+    numbered AS (
+      SELECT user_id, ts, gap,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts + gap) AS TIMESTAMP) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a PER-EVENT gap expression: purchases hold
+    a session open 45 minutes, everything else 15 — the
+    dynamic-gap form of ``session_window`` (a Column, not a constant),
+    which fixed-gap sessionization cannot express. State cost is
+    identical to static sessions (merging window state per key);
+    the gap is evaluated per row map-side.
+
+    Batch-exact oracle: sessions merge while an event starts before
+    the running max end (strict), so the batch twin flags a new
+    session at ts >= max over prior (ts_i + gap_i) in the same
+    (ts, event_id) total order, and a session's end is the max event
+    end, not last-event end — an early long-gap purchase can outlast
+    later short-gap events."""
+    ev = _events_stream(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "purchase", "45 minutes").otherwise(
+        "15 minutes"
+    )
+    agg = (
+        ev.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "complete")
