@@ -62,12 +62,15 @@ _LOADED = False
 # order and records correctness for a bounded prefix (~50 rows/round).
 # Round-4 rotation (every registered query was driver-green in SOME
 # round of 1-3; the window now cycles by staleness):
-#   (a) round-4 additions (never checked),
-#   (b) all 9 streaming queries — their source-schema handling changed
-#       this round (events.ts fixture unit fix) and they were last
-#       checked in r2, so they carry the highest re-verification value,
-#   (c) the 19 queries whose only driver row is from round 1,
-#   (d) r2-stale flagships/likely-drift names fill the remaining slots.
+#   (a) the 22 round-4 additions (never driver-checked),
+#   (b) all 9 pre-existing streaming queries — their source-schema
+#       handling changed this round (events.ts fixture unit fix) and
+#       they were last checked in r2,
+#   (c) the 19 queries whose only driver row is from round 1.
+# (a)+(b)+(c) = 50 = the window; the r2-stale flagships listed after
+# (d) overflow it this round — they are pytest-green, were re-swept
+# green at sf0.01 on a vanilla session during round 4, and rotate into
+# the round-5 window next.
 _PRIORITY = [
     # (a) new in round 4 — never checked
     "text_repetition_filter",
