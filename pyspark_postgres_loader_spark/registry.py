@@ -62,12 +62,12 @@ _LOADED = False
 # order and records correctness for a bounded prefix (~50 rows/round).
 # Round-4 rotation (every registered query was driver-green in SOME
 # round of 1-3; the window now cycles by staleness):
-#   (a) the 22 round-4 additions (never driver-checked),
+#   (a) the 21 round-4 additions (never driver-checked),
 #   (b) all 9 pre-existing streaming queries — their source-schema
 #       handling changed this round (events.ts fixture unit fix) and
 #       they were last checked in r2,
 #   (c) the 19 queries whose only driver row is from round 1.
-# (a)+(b)+(c) = 50 = the window; the r2-stale flagships listed after
+# (a)+(b)+(c) = 49, so slot 50 reaches q1; the r2-stale names after
 # (d) overflow it this round — they are pytest-green, were re-swept
 # green at sf0.01 on a vanilla session during round 4, and rotate into
 # the round-5 window next.
