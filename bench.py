@@ -109,6 +109,8 @@ HEADLINE = [
     "timeseries_forward_fill",
     "fuzzy_name_pairs",
     "sample_quota_per_lang",
+    "window_share_of_total",
+    "timeseries_time_weighted_avg",
     "text_word_count_topk",
     "text_token_stats",
     "text_quality_score",

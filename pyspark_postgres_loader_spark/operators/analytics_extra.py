@@ -700,3 +700,130 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 fuzzy_name_pairs.__doc__ = fuzzy_name_pairs.__doc__.format(
     w=_FUZZY_WINDOW, d=_FUZZY_MAX_DIST
 )
+
+
+# --------------------------------------------------------------------------
+# Share-of-total within a hierarchy (ratio_to_report)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_share_of_total",
+    oracle=f"""
+    WITH n AS (
+      SELECT n.n_regionkey AS regionkey, c.c_nationkey AS nationkey,
+             {sql_dsum('o.o_totalprice')} AS nation_rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    )
+    , r AS (
+      SELECT regionkey,
+             CAST(SUM(CAST(nation_rev AS DECIMAL(38,6))) AS DOUBLE)
+               AS region_rev
+      FROM n GROUP BY regionkey
+    )
+    SELECT n.regionkey, n.nationkey, n.nation_rev,
+           n.nation_rev / r.region_rev AS region_share
+    FROM n JOIN r ON r.regionkey = n.regionkey
+    """,
+)
+def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ratio_to_report: each nation's revenue share within its region —
+    an aggregate frame re-windowed by the parent hierarchy level. The
+    share pass runs over the AGGREGATED frame (|nations| rows), never
+    the fact table, so it is free at any scale. The denominator is NOT
+    a window SUM over doubles — that is summation-order-dependent and
+    measurably diverges between engines even on 5-row partitions
+    (observed last-ulp mismatches) — but a decimal-exact region
+    aggregate broadcast-joined back, so both engines divide identical
+    operands."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    from pyspark.sql import Window
+
+    agg = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_regionkey").alias("regionkey"),
+            F.col("c_nationkey").alias("nationkey"),
+        )
+        .agg(dsum("o_totalprice").alias("nation_rev"))
+    )
+    totals = agg.groupBy("regionkey").agg(
+        F.sum(F.col("nation_rev").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("region_rev")
+    )
+    return agg.join(F.broadcast(totals), "regionkey").select(
+        "regionkey",
+        "nationkey",
+        "nation_rev",
+        (F.col("nation_rev") / F.col("region_rev")).alias("region_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average (interval-weighted mean per key)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "timeseries_time_weighted_avg",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, value,
+             epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id))
+               - epoch_us(ts) AS dt_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(dt_us) AS BIGINT) AS observed_us,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(19,6)) * dt_us) AS DOUBLE)
+             / SUM(dt_us), 9) AS twa_value
+    FROM d WHERE dt_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def timeseries_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per key: each reading holds until the next
+    one (step interpolation), so its weight is the microsecond interval
+    to the successor (lead over the (ts,event_id) total order); the
+    final reading has no successor and drops out, exactly like a
+    monitoring TWA over a closed window. Weights are exact integer
+    micros; the weighted sum is per-row double * int cast to exact
+    decimal, so the aggregate is order-independent and engine-identical.
+    One key shuffle shared by the lead window and the aggregate."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    d = ev.select(
+        "user_id",
+        "value",
+        (F.unix_micros(F.lead("ts").over(w).cast("timestamp")) - us("ts")).alias(
+            "dt_us"
+        ),
+    ).filter(F.col("dt_us").isNotNull())
+    return d.groupBy("user_id").agg(
+        F.sum("dt_us").cast("long").alias("observed_us"),
+        # factor-cast-then-multiply (numeric trap #1): value*dt is
+        # ~1e14 with 6 decimals = 21 significant digits, beyond a
+        # computed double's 17 - the product must be formed IN decimal.
+        # Spark factor at (18,6); DuckDB at (19,6) to force hugeint
+        # storage (same trap as agg_corr_qty_price); values identical.
+        # ...and the weighted sum is a 16+-digit decimal whose ->double
+        # conversion differs in the last ulp per engine (numeric trap
+        # #2) - 9-decimal compare surface, same as agg_corr_qty_price
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)") * F.col("dt_us"))
+            .cast("double")
+            / F.sum("dt_us"),
+            9,
+        ).alias("twa_value"),
+    )

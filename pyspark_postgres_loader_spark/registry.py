@@ -94,6 +94,8 @@ _PRIORITY = [
     "fuzzy_name_pairs",
     "sample_quota_per_lang",
     "stream_session_dynamic_gap",
+    "window_share_of_total",
+    "timeseries_time_weighted_avg",
     # (b) streaming: stream-source schema fix this round; last rows r2
     "stream_tumbling_hourly",
     "stream_sliding_2h_1h",
