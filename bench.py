@@ -111,6 +111,8 @@ HEADLINE = [
     "sample_quota_per_lang",
     "window_share_of_total",
     "timeseries_time_weighted_avg",
+    "xml_roundtrip_extract",
+    "multimodal_byte_histogram_arrow",
     "text_word_count_topk",
     "text_token_stats",
     "text_quality_score",

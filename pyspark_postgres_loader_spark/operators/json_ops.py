@@ -209,3 +209,44 @@ def ingest_corrupt_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFram
         .alias("n_valid"),
         F.sum(F.coalesce(F.col("k"), F.lit(0))).cast("long").alias("sum_k"),
     )
+
+
+@register(
+    "xml_roundtrip_extract",
+    oracle="""
+    SELECT event_id,
+           user_id AS xml_uid,
+           CAST(event_id * 7 % 1000 AS BIGINT) AS xml_metric,
+           event_type AS xml_type
+    FROM events WHERE event_id < 500
+    """,
+)
+def xml_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion surface (Spark 4 ``from_xml``): an XML document
+    built deterministically from row fields — attribute, element, and
+    nested element — is parsed back and every extracted field must
+    equal its source column. DuckDB has no XML parser, so the oracle is
+    the ROUND-TRIP identity: it selects the source columns directly,
+    and any parse/extraction defect (attribute vs element confusion,
+    type coercion, entity handling) breaks the match. Pure projection,
+    zero shuffles; the parse is JVM-side codegen like from_json."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    xml = F.concat(
+        F.lit('<rec uid="'),
+        F.col("user_id"),
+        F.lit('"><metric>'),
+        F.col("event_id") * 7 % 1000,
+        F.lit("</metric><meta><type>"),
+        F.col("event_type"),
+        F.lit("</type></meta></rec>"),
+    )
+    parsed = F.from_xml(
+        xml,
+        "struct<_uid: bigint, metric: bigint, meta: struct<type: string>>",
+    )
+    return e.select(
+        "event_id",
+        parsed["_uid"].alias("xml_uid"),
+        parsed["metric"].alias("xml_metric"),
+        parsed["meta"]["type"].alias("xml_type"),
+    )

@@ -684,3 +684,72 @@ def multimodal_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_pixels").alias("total_pixels"),
     )
+
+
+_ARROW_HIST_SCHEMA = (
+    "doc_id long, n_distinct_bytes long, sum_codes long, max_byte long"
+)
+
+
+def _byte_hist_batches(it):
+    """mapInArrow worker: Arrow RecordBatches in, RecordBatches out.
+
+    Unlike the mapInPandas surfaces above, rows never materialize as
+    pandas objects — each payload is viewed as a numpy uint8 buffer
+    (np.frombuffer over the Arrow value bytes, zero-copy) and reduced
+    with vectorized numpy. This is the right shape for byte-level
+    work (checksums, histograms, magic-number sniffing) where pandas
+    object-dtype boxing would dominate the runtime."""
+    import numpy as np
+    import pyarrow as pa
+
+    for batch in it:
+        if batch.num_rows == 0:
+            continue
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = batch.column("payload")
+        nd, sc, mb = [], [], []
+        for i in range(batch.num_rows):
+            buf = np.frombuffer(payloads[i].as_py(), dtype=np.uint8)
+            nd.append(len(np.unique(buf)))
+            sc.append(int(buf.sum(dtype=np.int64)))
+            mb.append(int(buf.max()) if buf.size else 0)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(doc_ids, pa.int64()),
+                pa.array(nd, pa.int64()),
+                pa.array(sc, pa.int64()),
+                pa.array(mb, pa.int64()),
+            ],
+            ["doc_id", "n_distinct_bytes", "sum_codes", "max_byte"],
+        )
+
+
+@register(
+    "multimodal_byte_histogram_arrow",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             [ord(substring(text, i, 1)) FOR i IN range(1, len(text) + 1)]
+               AS codes
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_distinct(codes)) AS BIGINT) AS n_distinct_bytes,
+           CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+           CAST(list_max(codes) AS BIGINT) AS max_byte
+    FROM c
+    """,
+)
+def multimodal_byte_histogram_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level payload statistics through ``mapInArrow`` — the
+    Arrow-native sibling of the mapInPandas decode surfaces: payload
+    bytes are reduced as numpy uint8 views of the Arrow buffers with
+    no pandas boxing, the execution shape for checksums / histograms /
+    magic-number sniffing. Only (doc_id, payload) crosses the Python
+    boundary; integer-exact outputs make the DuckDB oracle (ord() over
+    the same ASCII payload text) bit-exact. Zero shuffles."""
+    d = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return d.select("doc_id", "payload").mapInArrow(
+        _byte_hist_batches, _ARROW_HIST_SCHEMA
+    )

@@ -96,6 +96,8 @@ _PRIORITY = [
     "stream_session_dynamic_gap",
     "window_share_of_total",
     "timeseries_time_weighted_avg",
+    "xml_roundtrip_extract",
+    "multimodal_byte_histogram_arrow",
     # (b) streaming: stream-source schema fix this round; last rows r2
     "stream_tumbling_hourly",
     "stream_sliding_2h_1h",
