@@ -96,9 +96,9 @@ def test_stream_reader_exactly_once_across_kill(spark, tmp_path):
     # full-suite load: a resumed query occasionally makes no progress)
     # is killed and resumed again — every extra kill/resume cycle is
     # itself part of the exactly-once claim being tested
-    for _attempt in range(4):
+    for _attempt in range(6):
         q2 = start()
-        deadline = time.time() + 90
+        deadline = time.time() + 120
         while time.time() < deadline:
             if q2.exception() is not None:
                 break
@@ -106,11 +106,15 @@ def test_stream_reader_exactly_once_across_kill(spark, tmp_path):
                 break
             time.sleep(0.3)
         exc = q2.exception()
+        status, progress = q2.status, q2.lastProgress
         q2.stop()
         q2.awaitTermination()
         if sink_count() >= n_rows:
             break
-        print(f"resume attempt {_attempt}: count={sink_count()} exc={exc}")
+        print(
+            f"resume attempt {_attempt}: count={sink_count()} exc={exc} "
+            f"status={status} lastProgress={progress}"
+        )
 
     got = {tuple(r) for r in spark.read.parquet(sink).collect()}
     expected = {tuple(r) for r in _read(spark, n_rows=n_rows, n_partitions=3).collect()}
