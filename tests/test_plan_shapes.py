@@ -191,3 +191,13 @@ def test_fuzzy_pairs_keeps_levenshtein_out_of_join_condition(spark):
     assert join_lines
     for l in join_lines:
         assert "levenshtein" not in l, l
+
+
+def test_xml_and_arrow_histogram_are_shuffle_free(spark):
+    """Both newest ingestion surfaces are pure projections — a shuffle
+    or join appearing here means a regression in their shape."""
+    for name in ("xml_roundtrip_extract", "multimodal_byte_histogram_arrow"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, f"{name} grew a shuffle"
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+            assert j not in plan, f"{name} grew a join"
