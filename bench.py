@@ -6,14 +6,15 @@ Each query is materialized through the ``noop`` sink so the full plan
 executes (a bare ``count()`` would let Catalyst prune projection-only
 work). Timings are wall-clock per query; ``value`` is the total.
 
-Output-size contract (r3 post-mortem): the round driver captures only
-the TAIL of stdout (~3000 chars). Round 3's line carried 84 per-query
-entries, overflowed that window, lost its opening brace, and recorded
-``parsed: null`` — the round had no bench number. The line printed here
-is therefore budgeted to ``_LINE_BUDGET`` chars: the total always fits;
-per-query entries are included in priority order until the budget is
-hit, and the FULL per-query map is written to ``BENCH_DETAIL.json``
-(committed) for the judge.
+Output-size contract (r3+r4 post-mortems): the round driver captures
+EXACTLY 2000 chars of stdout tail (both BENCH_r03.json and
+BENCH_r04.json tails are len 2000 with ``parsed: null`` — the line's
+opening brace was clipped; r4's 2200-char budget still overflowed).
+The line printed here is therefore budgeted to ``_LINE_BUDGET = 1800``
+chars (headroom under 2000 for a trailing newline / stray log line):
+the total always fits; per-query entries are included slowest-first
+until the budget is hit, and the FULL per-query map is written to
+``BENCH_DETAIL.json`` (committed) for the judge.
 """
 
 from __future__ import annotations
@@ -161,9 +162,13 @@ def main() -> None:
     # machine noise as much as the query; the min is the reproducible cost.
     # (r2 post-mortem: a concurrent process inflated BOTH passes of a
     # 2-pass min by 3x on some queries; a third pass narrows that window)
+    # Time the FULL registry: HEADLINE order first (stable round-over-
+    # round comparability for the long-lived names), then every other
+    # registered query so no query is in the "untimed" class.
+    bench_names = list(HEADLINE) + sorted(n for n in queries if n not in HEADLINE)
     timings: dict[str, float] = {}
     for _ in range(3):
-        for name in HEADLINE:
+        for name in bench_names:
             fn = queries[name]
             start = time.perf_counter()
             df = fn(spark, sf_dir)
@@ -190,8 +195,10 @@ def main() -> None:
     print(_compact_line(total, timings, sf), flush=True)
 
 
-# Keep comfortably inside the driver's ~3000-char stdout tail window.
-_LINE_BUDGET = 2200
+# The driver's stdout-tail window is EXACTLY 2000 chars (measured on
+# BENCH_r03/BENCH_r04, both len(tail)==2000 and parsed:null). Stay at
+# 1800 for newline/stray-line headroom. Do not raise this.
+_LINE_BUDGET = 1800
 
 
 def _compact_line(total: float, timings: dict[str, float], sf: float) -> str:

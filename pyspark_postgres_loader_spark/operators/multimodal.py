@@ -710,7 +710,8 @@ def _byte_hist_batches(it):
         payloads = batch.column("payload")
         nd, sc, mb = [], [], []
         for i in range(batch.num_rows):
-            buf = np.frombuffer(payloads[i].as_py(), dtype=np.uint8)
+            # NULL payload (doc with NULL text) reduces like an empty one
+            buf = np.frombuffer(payloads[i].as_py() or b"", dtype=np.uint8)
             nd.append(len(np.unique(buf)))
             sc.append(int(buf.sum(dtype=np.int64)))
             mb.append(int(buf.max()) if buf.size else 0)
@@ -729,15 +730,29 @@ def _byte_hist_batches(it):
     "multimodal_byte_histogram_arrow",
     oracle="""
     WITH c AS (
+      -- expand each codepoint into its UTF-8 bytes so the oracle sees
+      -- the SAME byte stream Spark's encode(text,'UTF-8') produces:
+      -- codepoint==byte only holds for ASCII, and the fixture can
+      -- change between rounds. NULL/empty text reduces to 0s.
       SELECT doc_id,
-             [ord(substring(text, i, 1)) FOR i IN range(1, len(text) + 1)]
-               AS codes
+             flatten([
+               CASE WHEN cp < 128 THEN [cp]
+                    WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
+                    WHEN cp < 65536 THEN [224 + cp // 4096,
+                                          128 + (cp // 64) % 64,
+                                          128 + cp % 64]
+                    ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64,
+                          128 + (cp // 64) % 64, 128 + cp % 64]
+               END
+               FOR cp IN [ord(substring(COALESCE(text, ''), i, 1))
+                          FOR i IN range(1, len(COALESCE(text, '')) + 1)]
+             ]) AS codes
       FROM documents
     )
     SELECT doc_id,
            CAST(len(list_distinct(codes)) AS BIGINT) AS n_distinct_bytes,
-           CAST(list_sum(codes) AS BIGINT) AS sum_codes,
-           CAST(list_max(codes) AS BIGINT) AS max_byte
+           CAST(COALESCE(list_sum(codes), 0) AS BIGINT) AS sum_codes,
+           CAST(COALESCE(list_max(codes), 0) AS BIGINT) AS max_byte
     FROM c
     """,
 )
@@ -747,8 +762,9 @@ def multimodal_byte_histogram_arrow(spark: SparkSession, sf_dir: str) -> DataFra
     bytes are reduced as numpy uint8 views of the Arrow buffers with
     no pandas boxing, the execution shape for checksums / histograms /
     magic-number sniffing. Only (doc_id, payload) crosses the Python
-    boundary; integer-exact outputs make the DuckDB oracle (ord() over
-    the same ASCII payload text) bit-exact. Zero shuffles."""
+    boundary; integer-exact outputs make the DuckDB oracle (codepoint →
+    UTF-8 byte expansion over the same text) bit-exact for any
+    fixture content. Zero shuffles."""
     d = with_binary_payload(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", "payload").mapInArrow(
         _byte_hist_batches, _ARROW_HIST_SCHEMA

@@ -172,15 +172,17 @@ def stream_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_windows",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     ), numbered AS (
+      -- same (ts, event_id) total order as flagged: ordering by ts
+      -- alone makes session membership nondeterministic on ts ties
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged
     )
@@ -717,7 +719,7 @@ def stream_chained_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     flagged AS (
-      SELECT user_id, ts, gap,
+      SELECT user_id, ts, event_id, gap,
              CASE WHEN MAX(ts + gap) OVER (
                     PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
@@ -730,8 +732,10 @@ def stream_chained_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM g
     ),
     numbered AS (
+      -- same (ts, event_id) total order as flagged: ordering by ts
+      -- alone makes session membership nondeterministic on ts ties
       SELECT user_id, ts, gap,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged
     )

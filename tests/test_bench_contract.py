@@ -1,7 +1,8 @@
-"""Bench output contract: the driver captures only the TAIL of stdout
-(~3000 chars) and parses the last line as JSON. Round 3's line carried
-84 per-query entries, overflowed the window, and was recorded as
-``parsed: null`` — these tests pin the budgeted-line fix."""
+"""Bench output contract: the driver captures EXACTLY 2000 chars of
+stdout tail and parses the last line as JSON. Rounds 3 AND 4 both
+overflowed that window (r4 budgeted 2200 on a wrong ~3000 assumption)
+and were recorded as ``parsed: null`` — these tests pin the 1800-char
+budget as a LITERAL so a bad constant can't self-certify."""
 
 from __future__ import annotations
 
@@ -17,8 +18,11 @@ def test_compact_line_fits_capture_window():
     # worst case: every registered query present with a long name
     timings = {f"some_rather_long_query_name_{i:04d}": i * 0.123 for i in range(200)}
     line = bench._compact_line(99.9, timings, 0.1)
-    assert len(line) <= bench._LINE_BUDGET
-    assert len(line) < 2900  # hard driver window with margin
+    # LITERAL bound: the driver tail is exactly 2000 chars; 1800 leaves
+    # headroom. Do not replace with `<= bench._LINE_BUDGET` — r4's test
+    # did that and let a too-large constant (2200) pass itself.
+    assert len(line) <= 1800
+    assert bench._LINE_BUDGET <= 1800
 
     parsed = json.loads(line)
     assert parsed["metric"] == "headline_queries_total_wall"
