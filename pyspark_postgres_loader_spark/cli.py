@@ -34,18 +34,37 @@ def _parse_source_args(pairs: list[str]) -> dict[str, str]:
     return out
 
 
-def make_postgres_connection_factory():
-    """Zero-arg picklable psycopg2 connection factory from PG* env vars.
-    Import is deferred and guarded: psycopg2 is optional."""
+def make_postgres_connection_factory(pg_python_package: str = "psycopg2"):
+    """Zero-arg picklable connection factory from PG* env vars.
+
+    ``pg_python_package`` mirrors the reference's ``--pg_python_package``
+    (main.py:18-22): ``psycopg2`` yields the sync driver directly;
+    ``asyncpg`` yields ``asyncpg.connect`` lifted through
+    ``async_adapter.adapt_async_factory`` so the same sink machinery
+    drives the async driver. Imports are deferred and guarded: both
+    drivers are optional dependencies."""
     import functools
 
     params = {
         "host": os.environ.get("PGHOST", "localhost"),
         "port": int(os.environ.get("PGPORT", "5432")),
-        "dbname": os.environ.get("PGDATABASE", "postgres"),
         "user": os.environ.get("PGUSER", "postgres"),
         "password": os.environ.get("PGPASSWORD", ""),
     }
+    database = os.environ.get("PGDATABASE", "postgres")
+    if pg_python_package == "asyncpg":
+        try:
+            import asyncpg
+        except ImportError as exc:  # pragma: no cover - env without asyncpg
+            raise SystemExit(
+                "asyncpg is required for --pg_python_package asyncpg; "
+                "install it or use the default psycopg2 driver"
+            ) from exc
+        from .sinks.async_adapter import adapt_async_factory
+
+        return adapt_async_factory(
+            functools.partial(asyncpg.connect, database=database, **params)
+        )
     try:
         import psycopg2
     except ImportError as exc:  # pragma: no cover - env without psycopg2
@@ -53,7 +72,7 @@ def make_postgres_connection_factory():
             "psycopg2 is required for the Postgres CLI sink; install it or "
             "use the library API with another DBAPI connection_factory"
         ) from exc
-    return functools.partial(psycopg2.connect, **params)
+    return functools.partial(psycopg2.connect, dbname=database, **params)
 
 
 def make_file_db_connection_factory(dialect: str, db_path: str):
@@ -87,6 +106,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--partition_cols", nargs="*", default=None,
                    help="column names to hash-partition writers by")
     p.add_argument("--strategy", choices=["batched", "staging"], default="batched")
+    p.add_argument("--pg_python_package", choices=["psycopg2", "asyncpg"],
+                   default="psycopg2",
+                   help="Postgres driver package (reference main.py:18-22): "
+                        "asyncpg drives the sink through the async adapter "
+                        "with $n placeholder SQL; only meaningful with "
+                        "--dialect postgres")
     p.add_argument("--dialect", choices=["postgres", "sqlite", "duckdb"],
                    default="postgres",
                    help="target DBAPI dialect (paramstyle + introspection backend); "
@@ -104,7 +129,18 @@ def main(argv: list[str] | None = None) -> int:
     # the connection factory must speak the same DBAPI as --dialect:
     # the generated placeholder SQL and the introspection backend both
     # key off it, so pairing e.g. sqlite SQL with a psycopg2 connection
-    # fails at runtime.
+    # fails at runtime. The asyncpg driver additionally switches the
+    # placeholder dialect to $n — same sink, different SQL text.
+    dialect = args.dialect
+    if args.pg_python_package == "asyncpg":
+        if args.dialect != "postgres":
+            raise SystemExit("--pg_python_package asyncpg requires --dialect postgres")
+        if args.config:
+            raise SystemExit(
+                "--pg_python_package asyncpg reads credentials from PG* env "
+                "vars; --config is not supported with the async driver"
+            )
+        dialect = "asyncpg"
     if args.dialect in ("sqlite", "duckdb"):
         if not args.db_path:
             raise SystemExit(f"--dialect {args.dialect} requires --db_path")
@@ -128,7 +164,7 @@ def main(argv: list[str] | None = None) -> int:
             )
         factory = make_connection_factory(cfg)
     else:
-        factory = make_postgres_connection_factory()
+        factory = make_postgres_connection_factory(args.pg_python_package)
 
     spark = get_spark(app_name="Postgres Loader")
     try:
@@ -138,7 +174,7 @@ def main(argv: list[str] | None = None) -> int:
             source_args=_parse_source_args(args.source_arg),
             target_table=args.target_pg_table,
             connection_factory=factory,
-            dialect=args.dialect,
+            dialect=dialect,
             batch_size=args.batch_size,
             parallelism=args.parallelism,
             partition_cols=args.partition_cols,

@@ -59,33 +59,56 @@ ORDER BY kcu.constraint_name, kcu.ordinal_position
 """
 
 
-def fetch_target_schema_pg(conn, table: str) -> dict[str, str]:
+def _to_numbered(sql: str) -> str:
+    """``%s`` placeholders → asyncpg-style ``$1..$n`` in order."""
+    out, n = [], 0
+    for part in sql.split("%s"):
+        out.append(part)
+        n += 1
+        out.append(f"${n}")
+    out.pop()  # one trailing placeholder too many
+    return "".join(out)
+
+
+def fetch_target_schema_pg(conn, table: str, *, numbered: bool = False) -> dict[str, str]:
     """Ordered {column: pg_type} for the target table (≈ sql.py:2-24)."""
     schema, name = _split_table(table)
+    sql = _to_numbered(PG_COLUMNS_SQL) if numbered else PG_COLUMNS_SQL
     cur = conn.cursor()
-    cur.execute(PG_COLUMNS_SQL, (schema, name))
+    cur.execute(sql, (schema, name))
     out = {col: dtype for col, dtype in cur.fetchall()}
     cur.close()
     return out
 
 
-def fetch_unique_key_pg(conn, table: str) -> list[str] | None:
+def fetch_unique_key_pg(conn, table: str, *, numbered: bool = False) -> list[str] | None:
     """Primary key, else the first unique constraint, else None →
     insert-only mode (≈ sql.py:26-80 + load_postgres_from_spark_df.py:207-224)."""
     schema, name = _split_table(table)
+    xlate = _to_numbered if numbered else (lambda s: s)
     cur = conn.cursor()
-    cur.execute(PG_PRIMARY_KEY_SQL, (schema, name))
+    cur.execute(xlate(PG_PRIMARY_KEY_SQL), (schema, name))
     pk = [r[0] for r in cur.fetchall()]
     if pk:
         cur.close()
         return pk
-    cur.execute(PG_UNIQUE_KEY_SQL, (schema, name))
+    cur.execute(xlate(PG_UNIQUE_KEY_SQL), (schema, name))
     rows = cur.fetchall()
     cur.close()
     if not rows:
         return None
     first = rows[0][0]  # arbitrary-but-deterministic first constraint
     return [col for cname, col in rows if cname == first]
+
+
+def fetch_target_schema_asyncpg(conn, table: str) -> dict[str, str]:
+    """The pg introspector with asyncpg's ``$n`` placeholders — used
+    when the sink runs through ``async_adapter`` over real asyncpg."""
+    return fetch_target_schema_pg(conn, table, numbered=True)
+
+
+def fetch_unique_key_asyncpg(conn, table: str) -> list[str] | None:
+    return fetch_unique_key_pg(conn, table, numbered=True)
 
 
 # --- SQLite backend (integration tests without a Postgres server) ----------
@@ -178,6 +201,7 @@ def fetch_unique_key_duckdb(conn, table: str) -> list[str] | None:
 
 INTROSPECTORS = {
     "postgres": (fetch_target_schema_pg, fetch_unique_key_pg),
+    "asyncpg": (fetch_target_schema_asyncpg, fetch_unique_key_asyncpg),
     "sqlite": (fetch_target_schema_sqlite, fetch_unique_key_sqlite),
     "duckdb": (fetch_target_schema_duckdb, fetch_unique_key_duckdb),
 }

@@ -28,14 +28,33 @@ from collections.abc import Callable
 class _AdapterCursor:
     def __init__(self, owner: "SyncConnectionAdapter"):
         self._owner = owner
+        self._rows: list[tuple] = []
 
     def execute(self, sql: str, params: tuple = ()) -> None:
         self._owner._begin_if_needed()
-        self._owner._run(self._owner._conn.execute(sql, *params))
+        conn = self._owner._conn
+        # asyncpg separates statement execution (``execute`` → status
+        # string) from result retrieval (``fetch`` → Records). Catalog
+        # introspection needs results, so route through ``fetch`` when
+        # the driver has it — it runs any statement, returning [] for
+        # plain DML/DDL — and keep the rows for fetchone/fetchall.
+        fetch = getattr(conn, "fetch", None)
+        if fetch is not None:
+            self._rows = [tuple(r) for r in self._owner._run(fetch(sql, *params))]
+        else:
+            self._owner._run(conn.execute(sql, *params))
+            self._rows = []
 
     def executemany(self, sql: str, rows: list[tuple]) -> None:
         self._owner._begin_if_needed()
+        self._rows = []
         self._owner._run(self._owner._conn.executemany(sql, rows))
+
+    def fetchone(self) -> tuple | None:
+        return self._rows[0] if self._rows else None
+
+    def fetchall(self) -> list[tuple]:
+        return list(self._rows)
 
     def close(self) -> None:  # cursors are views over the connection
         pass

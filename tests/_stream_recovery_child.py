@@ -1,0 +1,115 @@
+"""Subprocess payload for the stream-recovery exactly-once test.
+
+Runs the kill/resume scenario in a FRESH JVM + SparkSession so the
+check is isolated from the shared session-scoped test SparkSession.
+Under the full suite that shared session accumulates listener backlog
+and competing jobs, and a resumed streaming query occasionally made no
+progress inside the deadline — two rounds of in-place hardening
+(retries, wider deadlines) still flaked. Process isolation removes the
+contention instead of out-waiting it.
+
+Exit code 0 = exactly-once held; 1 = mismatch / stall (details on
+stdout for the parent test to surface).
+
+Usage: python _stream_recovery_child.py <workdir>
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+
+def main(workdir: str) -> int:
+    from pyspark.sql import SparkSession
+
+    from pyspark_postgres_loader_spark.sources.pydatasource import (
+        SyntheticEventsDataSource,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("stream-recovery-child")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    try:
+        ckpt, sink = f"{workdir}/ckpt", f"{workdir}/sink"
+        n_rows = 3000
+        spark.dataSource.register(SyntheticEventsDataSource)
+
+        def start():
+            return (
+                spark.readStream.format("synthetic_events")
+                .option("n_rows", n_rows)
+                .option("n_partitions", 3)
+                .option("batch_rows", 500)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="100 milliseconds")
+                .start()
+            )
+
+        def sink_count() -> int:
+            try:
+                return spark.read.parquet(sink).count()
+            except Exception:
+                return 0
+
+        # first run: wait for at least one batch to land, then kill
+        q = start()
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if any(b["numInputRows"] > 0 for b in (q.recentProgress or [])):
+                break
+            time.sleep(0.2)
+        q.stop()
+        q.awaitTermination()
+
+        # resume until drained; every extra kill/resume cycle is itself
+        # part of the exactly-once claim being tested
+        for _attempt in range(6):
+            q2 = start()
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if q2.exception() is not None:
+                    break
+                if sink_count() >= n_rows:
+                    break
+                time.sleep(0.3)
+            exc = q2.exception()
+            q2.stop()
+            q2.awaitTermination()
+            if sink_count() >= n_rows:
+                break
+            print(f"resume attempt {_attempt}: count={sink_count()} exc={exc}")
+
+        got = {tuple(r) for r in spark.read.parquet(sink).collect()}
+        batch = (
+            spark.read.format("synthetic_events")
+            .option("n_rows", n_rows)
+            .option("n_partitions", 3)
+            .load()
+        )
+        expected = {tuple(r) for r in batch.collect()}
+        if len(got) != n_rows:
+            print(f"FAIL: sink has {len(got)} distinct rows, want {n_rows}")
+            return 1
+        if got != expected:
+            print(
+                f"FAIL: sink content differs from batch dataset "
+                f"(only-in-sink={len(got - expected)}, "
+                f"missing={len(expected - got)})"
+            )
+            return 1
+        print("OK: exactly-once held across kill/resume")
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1]))
