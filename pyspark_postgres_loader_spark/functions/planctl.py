@@ -44,9 +44,29 @@ def spread(df: DataFrame) -> DataFrame:
     repartition would be a full shuffle of the corpus for nothing, so
     it is skipped whenever the input already has at least half the
     target parallelism.
+
+    The width probe is driver-side METADATA only — ``df.rdd`` (the old
+    gate) forced a logical-plan→RDD conversion per query build, real
+    driver overhead at high query volume. Scan width is estimated as
+    max(input file count, plan-stats bytes / maxPartitionBytes): many
+    small files each open ≥1 split, and one giant file opens
+    size/maxPartitionBytes splits, so the max lower-bounds both shapes
+    without touching an RDD. Non-file plans (memory ranges in tests)
+    report 0 files / tiny stats → treated as narrow; repartitioning
+    those is the desired outcome anyway.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 >= target:
+    try:
+        max_split = int(
+            df.sparkSession.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728"
+            ).lower().rstrip("b")
+        )
+    except ValueError:  # "128m"-style setting: exact value doesn't matter
+        max_split = 128 * 1024 * 1024
+    size_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    width = max(len(df.inputFiles()), size_bytes // max_split)
+    if width * 2 >= target:
         return df
     return df.repartition(target)

@@ -34,3 +34,34 @@ def test_spread_preserves_content_and_widens(spark):
     s = spread(df)
     assert s.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     assert sorted(r.id for r in s.collect()) == list(range(500))
+
+
+def test_spread_gate_never_converts_plan_to_rdd(spark, monkeypatch):
+    """The narrowness gate must stay driver-side metadata: the old
+    ``df.rdd.getNumPartitions()`` probe forced a plan→RDD conversion on
+    EVERY query build (measurable driver overhead at query volume).
+    Poison the .rdd property — spread() must not touch it."""
+    from pyspark.sql import DataFrame
+
+    def _boom(self):
+        raise AssertionError("spread() gate converted the plan to an RDD")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(_boom))
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = spread(df)  # must not raise
+    assert out.count() > 0
+
+
+def test_spread_skips_shuffle_on_wide_file_scan(spark, monkeypatch):
+    """A scan whose estimated width already meets the target
+    parallelism is returned UNCHANGED — at 100 TB the scan is wide and
+    an unconditional repartition would shuffle the corpus for nothing.
+    Simulated by shrinking maxPartitionBytes so the fixture file counts
+    as many splits."""
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    try:
+        df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        s = spread(df)
+        assert s is df  # no Repartition node added
+    finally:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
