@@ -9,7 +9,7 @@ projections: ZERO shuffles).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.deterministic import mhash64, sql_mhash64
@@ -539,4 +539,86 @@ def pandas_udf_nfc_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("enriched").cast("long").alias("len_before"),
         F.length(nfc("enriched")).cast("long").alias("len_after"),
         mhash64(nfc("enriched")).alias("norm_hash"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Winsorized corpus statistics (outlier-robust quality aggregates)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "quality_winsorize_doclen",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS len FROM documents
+    ),
+    r AS (
+      SELECT lang, len,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY len) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM d
+    ),
+    q AS (
+      SELECT lang,
+             MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.05 * n) AS BIGINT))
+                      THEN len END) AS p05,
+             MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                      THEN len END) AS p95
+      FROM r GROUP BY lang
+    )
+    SELECT d.lang, q.p05, q.p95,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEAST(GREATEST(d.len, q.p05), q.p95)) AS BIGINT)
+             AS winsorized_total_len
+    FROM d JOIN q ON d.lang = q.lang
+    GROUP BY d.lang, q.p05, q.p95
+    """,
+)
+def quality_winsorize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust corpus statistics: per-language document length
+    winsorized at the discrete p05/p95 ranks. Rank-based discrete
+    percentiles (the value at row ceil(q*n) of the sorted column) are
+    used instead of interpolated ``percentile``/``quantile_cont``
+    because element SELECTION is bit-exact across engines while
+    interpolation arithmetic need not be; ties on len make the rank
+    row ambiguous but its VALUE deterministic. Integer-exact sums —
+    no double accumulation anywhere. Plan: one shuffle by lang for the
+    ranking window, a tiny per-lang quantile table broadcast back onto
+    the fact side, then a map-side clamp + integer aggregation. The
+    quantile table is |langs| rows no matter the corpus size."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").cast("long").alias("len")
+    )
+    w_rank = Window.partitionBy("lang").orderBy("len")
+    w_all = Window.partitionBy("lang")
+    r = d.select(
+        "lang",
+        "len",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    q = r.groupBy("lang").agg(
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.greatest(F.lit(1), F.ceil(0.05 * F.col("n")).cast("long")),
+                F.col("len"),
+            )
+        ).alias("p05"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.95 * F.col("n")).cast("long"), F.col("len")
+            )
+        ).alias("p95"),
+    )
+    return (
+        d.join(F.broadcast(q), "lang")
+        .groupBy("lang", "p05", "p95")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.least(F.greatest(F.col("len"), F.col("p05")), F.col("p95")))
+            .alias("winsorized_total_len"),
+        )
+        .select("lang", "p05", "p95", "n_docs", "winsorized_total_len")
     )

@@ -578,3 +578,197 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.join(hist, "fp", "left_anti").select(
         "doc_id", "lang", mhash64("fp").alias("fp_hash")
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-prefiltered decontamination (the large-heldout scale path)
+# --------------------------------------------------------------------------
+
+_BLOOM_M = 1 << 18  # bit positions; 2 hash slices of the 60-bit gram hash
+
+
+@register(
+    "contamination_bloom_prefilter",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(lower(text), '\\s+') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, w,
+             unnest(generate_series(1, greatest(len(w) - {_NGRAM - 1}, 1))) AS i
+      FROM d
+    ),
+    gr AS (
+      SELECT doc_id,
+             {sql_mhash64(f"array_to_string(w[i : i+{_NGRAM - 1}], ' ')")} AS gh
+      FROM g
+    ),
+    bg AS (SELECT DISTINCT gh FROM gr WHERE doc_id % {_BENCH_MOD} = 0),
+    bits AS (
+      SELECT DISTINCT b FROM (
+        SELECT gh % {_BLOOM_M} AS b FROM bg
+        UNION ALL
+        SELECT (gh // {_BLOOM_M}) % {_BLOOM_M} AS b FROM bg
+      )
+    ),
+    corpus AS (
+      SELECT doc_id, gh FROM gr WHERE doc_id % {_BENCH_MOD} <> 0
+    ),
+    cand AS (
+      SELECT DISTINCT doc_id FROM corpus
+      WHERE gh % {_BLOOM_M} IN (SELECT b FROM bits)
+        AND (gh // {_BLOOM_M}) % {_BLOOM_M} IN (SELECT b FROM bits)
+    ),
+    conf AS (
+      SELECT DISTINCT corpus.doc_id FROM corpus JOIN bg USING (gh)
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(COUNT(cand.doc_id) AS BIGINT) AS n_bloom_candidates,
+           CAST(COUNT(conf.doc_id) AS BIGINT) AS n_contaminated
+    FROM d
+    LEFT JOIN cand ON d.doc_id = cand.doc_id
+    LEFT JOIN conf ON d.doc_id = conf.doc_id
+    WHERE d.doc_id % {_BENCH_MOD} <> 0
+    GROUP BY d.lang
+    """,
+)
+def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with an explicit Bloom prefilter — the scale path
+    when the held-out gram set is too large to broadcast as exact
+    hashes. Two 18-bit slices of the 60-bit gram hash index a
+    2^18-position bit set built from the benchmark split (doc_id %
+    {mod} == 0); the bit set is orders of magnitude smaller than the
+    gram set (positions dedupe), broadcasts cheaply, and prefilters
+    corpus grams map-side with NO false negatives. Only the bloom
+    survivors (~FP-rate of the corpus) reach the exact confirm join, so
+    the expensive exact match runs on a sliver of the data. The final
+    counts are EXACT (bloom false positives are removed by the confirm
+    join), which is what makes this oracle-checkable bit-for-bit; the
+    per-lang candidate count exposes the measured FP overhead.
+
+    Spark's own runtime bloom pruning (injected for selective shuffle
+    joins; pinned by tests/test_bloom_pruning.py) is the implicit
+    sibling; this operator is the EXPLICIT form usable when the
+    planner's heuristics don't fire — ``bloom_filter_agg`` is not a
+    public SQL function, so the bit set is composed from relational ops
+    (distinct positions + broadcast semi-joins), which has the same
+    no-false-negative contract and survives any Spark version."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split(F.lower(F.col("text")), r"\s+").alias("w")
+    )
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(w) - {_NGRAM - 1}, 1)), "
+        f"i -> array_join(slice(w, i, {_NGRAM}), ' '))"
+    )
+    g = d.select("doc_id", F.explode(grams).alias("gram")).select(
+        "doc_id", mhash64("gram").alias("gh")
+    )
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    bench_g = g.filter(is_bench).select("gh").distinct()
+    p1 = F.col("gh") % _BLOOM_M
+    p2 = F.expr(f"(gh div {_BLOOM_M}) % {_BLOOM_M}")
+    bits = (
+        bench_g.select(p1.alias("b"))
+        .unionAll(bench_g.select(p2.alias("b")))
+        .distinct()
+    )
+    corpus = g.filter(~is_bench)
+    cand = (
+        corpus.join(F.broadcast(bits), p1 == F.col("b"), "left_semi")
+        .join(F.broadcast(bits), p2 == F.col("b"), "left_semi")
+        .select("doc_id", "gh")
+    )
+    # ONE consumer of the bloom survivors: a left join against the exact
+    # bench set marks true hits, then a single per-doc aggregation
+    # yields both flags — two separate distinct()s would recompute the
+    # corpus gram-explode (8× corpus rows) twice
+    flags = (
+        cand.join(
+            F.broadcast(bench_g.withColumn("exact", F.lit(1))), "gh", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.lit(1)).alias("bloom_hit"),
+            F.max("exact").alias("conf_hit"),
+        )
+    )
+    return (
+        d.filter(~is_bench)
+        .select("doc_id", "lang")
+        .join(flags, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_checked"),
+            F.count("bloom_hit").alias("n_bloom_candidates"),
+            F.count("conf_hit").alias("n_contaminated"),
+        )
+    )
+
+
+contamination_bloom_prefilter.__doc__ = contamination_bloom_prefilter.__doc__.format(
+    mod=_BENCH_MOD
+)
+
+
+# --------------------------------------------------------------------------
+# Sequence-model training examples: per-user ordered event sequences
+# --------------------------------------------------------------------------
+
+_SEQ_MAX = 32  # cap events per user sequence (context-length budget)
+
+
+@register(
+    "train_user_event_sequences",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, ts, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           string_agg(event_type, '|' ORDER BY rn) AS seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(ts) AS TIMESTAMP) AS first_ts,
+           CAST(MAX(ts) AS TIMESTAMP) AS last_ts
+    FROM r
+    WHERE rn <= {_SEQ_MAX}
+    GROUP BY user_id
+    """,
+)
+def train_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-model training construction: each user's first
+    {n} events in (ts, event_id) total order, serialized as a
+    '|'-joined event-type string (array cells would defeat the driver's
+    row hash, and a delimited string is what a tokenizer consumes
+    anyway). One shuffle partitions by user for the ranking window; the
+    per-user truncation happens BEFORE collect_list, so unbounded
+    activity histories never materialize — at 100 TB the state per user
+    is bounded by the cap, not by how active the user was."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    capped = ev.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _SEQ_MAX
+    )
+    return capped.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x.event_type,
+            ),
+            "|",
+        ).alias("seq"),
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+train_user_event_sequences.__doc__ = train_user_event_sequences.__doc__.format(
+    n=_SEQ_MAX
+)

@@ -72,10 +72,12 @@ _LOADED = False
 #       determinism, multimodal_byte_histogram_arrow UTF-8/empty-row
 #       guard) — a changed oracle needs a fresh driver row,
 #   (c) all 41 r2-latest names,
-#   (d) 3 r3-latest fill to reach slot 50.
-# (a)+(b)+(c)+(d) = 3+3+41+3 = 50 exactly. After the boundary: the
-# remaining 47 r3-latest names, then the 47 r4-latest ones — if the
-# driver checks more than 50 rows it continues in staleness order.
+#   (d) the 3 operators ADDED in round 5 (bloom decontamination,
+#       user event sequences, winsorized doc-length stats) — never
+#       driver-checked, so they take the last window slots.
+# (a)+(b)+(c)+(d) = 3+3+41+3 = 50 exactly. After the boundary: the 50
+# r3-latest names, then the 47 r4-latest ones — if the driver checks
+# more than 50 rows it continues in staleness order.
 _PRIORITY = [
     # (a) r1-stale — only driver row is round 1 (3)
     "scalar_string_date_funcs",
@@ -127,11 +129,14 @@ _PRIORITY = [
     "pipeline_clean_corpus",
     "text_word_count_topk",
     "text_heavy_hitters_approx",
-    # (d) r3 fill to slot 50 (3)
+    # (d) the 3 NEW round-5 operators — never driver-checked
+    "contamination_bloom_prefilter",
+    "train_user_event_sequences",
+    "quality_winsorize_doclen",
+    # --- window boundary (50) --- r3 names (50), then r4 (47)
     "dedup_lsh_bucket_stats",
     "embedding_norm_stats",
     "dedup_hyperplane_lsh",
-    # --- window boundary (50) --- remaining r3 (47), then r4 (48)
     "q18_large_volume_customer",
     "q10_returned_item_revenue",
     "q7_volume_shipping",
