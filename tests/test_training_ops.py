@@ -176,3 +176,57 @@ def test_incremental_ingest_accepts_only_novel_fingerprints(spark):
     }
     assert {r.doc_id for r in accepted} == expect_ids
     assert len(accepted) == len({r.fp_hash for r in accepted})  # one per fp
+
+
+def test_bloom_prefilter_matches_exact_contamination(spark):
+    """The bloom path must agree with the plain exact decontamination
+    on the contaminated counts (no false negatives by construction),
+    and candidates must dominate confirmations (FP rate >= 0)."""
+    bloom = {
+        r.lang: r
+        for r in QUERIES["contamination_bloom_prefilter"].fn(spark, SF).collect()
+    }
+    exact = {
+        r.lang: r
+        for r in QUERIES["contamination_ngram_overlap"].fn(spark, SF).collect()
+    }
+    assert set(bloom) == set(exact)
+    for lang, b in bloom.items():
+        assert b.n_contaminated == exact[lang].n_contaminated
+        assert b.n_checked == exact[lang].n_checked
+        assert b.n_bloom_candidates >= b.n_contaminated  # no false negatives
+
+
+def test_event_sequences_capped_and_ordered(spark):
+    rows = QUERIES["train_user_event_sequences"].fn(spark, SF).collect()
+    ev = load_table(spark, SF, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert len(rows) == n_users  # every user gets a sequence
+    for r in rows:
+        assert 1 <= r.n_events <= training._SEQ_MAX
+        assert len(r.seq.split("|")) == r.n_events
+        assert r.first_ts <= r.last_ts
+    # per-user totals: capped count == min(total events, cap)
+    totals = {
+        r.user_id: r.n for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    for r in rows:
+        assert r.n_events == min(totals[r.user_id], training._SEQ_MAX)
+
+
+def test_winsorize_bounds_and_clamping(spark):
+    from pyspark_postgres_loader_spark.operators import text as text_ops  # noqa: F401
+
+    rows = QUERIES["quality_winsorize_doclen"].fn(spark, SF).collect()
+    d = load_table(spark, SF, "documents").select(
+        "lang", F.length("text").cast("long").alias("len")
+    )
+    for r in rows:
+        assert r.p05 <= r.p95
+        lens = sorted(
+            x.len for x in d.filter(F.col("lang") == r.lang).collect()
+        )
+        assert lens[0] <= r.p05 and r.p95 <= lens[-1]
+        clamped = sum(min(max(v, r.p05), r.p95) for v in lens)
+        assert clamped == r.winsorized_total_len
+        assert r.n_docs == len(lens)
