@@ -281,3 +281,65 @@ def path_top_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_micros"
         ),
     )
+
+
+@register(
+    "timeseries_ohlc_hourly",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, bucket,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+           MAX(value) AS high_value,
+           MIN(value) AS low_value,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+           {sql_dsum("value")} AS volume,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM b
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def timeseries_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per (event_type, hour) bucket, the first/last
+    value in the (ts, event_id) total order plus min/max/volume — the
+    classic time-series resample (candlestick) shape the reference's
+    load-only surface has no answer to.
+
+    Scale notes: open/close use ``min_by``/``max_by`` over a
+    ``struct(ts, event_id)`` ordering key, so the whole resample is ONE
+    hash aggregation — no window function, hence no per-key sort and no
+    second shuffle. Partials carry a constant-size (value, key) pair
+    per bucket, so map-side combine reduces each partition to
+    |buckets| rows before the exchange; at 100 TB the shuffle volume is
+    O(event_types x hours), independent of row count. The DuckDB oracle
+    mirrors the total order with two ROW_NUMBER windows (engine-neutral
+    phrasing of the same first/last semantics); volume uses the
+    decimal-exact sum so both engines agree bitwise.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("bucket"),
+            "value",
+            key.alias("ord"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.min_by("value", F.col("ord")).alias("open_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.max_by("value", F.col("ord")).alias("close_value"),
+            dsum("value").alias("volume"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .orderBy("event_type", "bucket")
+    )

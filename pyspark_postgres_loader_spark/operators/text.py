@@ -622,3 +622,97 @@ def quality_winsorize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("lang", "p05", "p95", "n_docs", "winsorized_total_len")
     )
+
+
+# boilerplate bigram doc-frequency threshold, in whole percent of the
+# corpus (integer-exact: df * 100 >= _BOILER_PCT * n_docs on both
+# engines, no float comparison)
+_BOILER_PCT = 8
+
+
+@register(
+    "text_boilerplate_share",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+      FROM documents
+    ),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w)),
+               i -> w[i] || ' ' || w[i+1])) AS gs
+      FROM w WHERE len(w) >= 2
+    ),
+    e AS (SELECT doc_id, unnest(gs) AS g FROM g),
+    dfreq AS (SELECT g, COUNT(*) AS df FROM e GROUP BY g),
+    boiler AS (
+      SELECT g FROM dfreq, nd WHERE df * 100 >= {_BOILER_PCT} * n_docs
+    )
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler,
+           CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS boiler_share
+    FROM e LEFT JOIN boiler b ON e.g = b.g
+    GROUP BY e.doc_id
+    ORDER BY e.doc_id
+    """,
+)
+def text_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate detection (the C4/RefinedWeb cleaning
+    step): bigrams whose document frequency exceeds ``_BOILER_PCT`` %
+    of the corpus are "boilerplate" (headers, nav text, license
+    blurbs); each doc reports its distinct-bigram count and the share
+    of them that are boilerplate — the downstream filter predicate.
+
+    Scale notes (100 TB): per-doc bigram generation is a pure
+    projection (higher-order ``transform`` over the split array, JVM
+    codegen, no Python). The doc-frequency aggregate shuffles DISTINCT
+    (doc, bigram) pairs once; the boilerplate set it yields is tiny by
+    construction (df >= 8 % of docs caps it at 12.5 ngrams per doc on
+    average — a few thousand strings corpus-wide), so marking docs is
+    a BROADCAST left join — no second big shuffle. The corpus size
+    feeds the threshold as a broadcast 1-row aggregate, not a driver
+    round-trip. Threshold compare is integer-exact cross-engine
+    (``df * 100 >= pct * n_docs``).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.col("text")), r"\s+")
+    grams = F.expr(
+        "array_distinct(transform(sequence(1, size(w)-1),"
+        " i -> concat_ws(' ', element_at(w, i), element_at(w, i+1))))"
+    )
+    e = (
+        d.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select("doc_id", F.explode(grams).alias("g"))
+    )
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    boiler = (
+        e.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * 100 >= _BOILER_PCT * F.col("n_docs"))
+        .select("g", F.lit(1).alias("is_boiler"))
+    )
+    return (
+        e.join(F.broadcast(boiler), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0)))
+            .cast("long")
+            .alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_boiler",
+            (F.col("n_boiler").cast("double") / F.col("n_bigrams")).alias(
+                "boiler_share"
+            ),
+        )
+        .orderBy("doc_id")
+    )

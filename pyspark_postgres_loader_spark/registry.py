@@ -71,13 +71,16 @@ _LOADED = False
 #       (stream_session_dynamic_gap + stream_session_windows tie-break
 #       determinism, multimodal_byte_histogram_arrow UTF-8/empty-row
 #       guard) — a changed oracle needs a fresh driver row,
-#   (c) all 41 r2-latest names,
-#   (d) the 3 operators ADDED in round 5 (bloom decontamination,
+#   (e) the 3 operators added in round-5 session 2 (OHLC resample,
+#       boilerplate share, expectations report) — never driver-checked,
+#   (c) 38 of the 41 r2-latest names (the last 3 displaced by (e)),
+#   (d) the 3 round-5-session-1 operators (bloom decontamination,
 #       user event sequences, winsorized doc-length stats) — never
 #       driver-checked, so they take the last window slots.
-# (a)+(b)+(c)+(d) = 3+3+41+3 = 50 exactly. After the boundary: the 50
-# r3-latest names, then the 47 r4-latest ones — if the driver checks
-# more than 50 rows it continues in staleness order.
+# (a)+(b)+(e)+(c)+(d) = 3+3+3+38+3 = 50 exactly. After the boundary:
+# the 3 displaced r2 names (round-6 rotation debt), the 50 r3-latest
+# names, then the 47 r4-latest ones — if the driver checks more than
+# 50 rows it continues in staleness order.
 _PRIORITY = [
     # (a) r1-stale — only driver row is round 1 (3)
     "scalar_string_date_funcs",
@@ -87,7 +90,12 @@ _PRIORITY = [
     "stream_session_dynamic_gap",
     "stream_session_windows",
     "multimodal_byte_histogram_arrow",
-    # (c) r2-latest — stalest bulk (41)
+    # (e) NEW in round 5 session 2 — never driver-checked (3)
+    "timeseries_ohlc_hourly",
+    "text_boilerplate_share",
+    "quality_expectations_report",
+    # (c) r2-latest — stalest bulk (38; the last 3 r2 names were pushed
+    # past the boundary to make room for (e) — see boundary comment)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -126,14 +134,17 @@ _PRIORITY = [
     "text_lang_id",
     "text_fingerprint",
     "text_rolling_hash",
-    "pipeline_clean_corpus",
-    "text_word_count_topk",
-    "text_heavy_hitters_approx",
-    # (d) the 3 NEW round-5 operators — never driver-checked
+    # (d) the 3 round-5-session-1 operators — never driver-checked
     "contamination_bloom_prefilter",
     "train_user_event_sequences",
     "quality_winsorize_doclen",
-    # --- window boundary (50) --- r3 names (50), then r4 (47)
+    # --- window boundary (50): (a)3+(b)3+(e)3+(c)38+(d)3 ---
+    # Overflow head: the 3 r2-stale names displaced by group (e) —
+    # they stay r2-stale into round 6 and lead its rotation debt.
+    "pipeline_clean_corpus",
+    "text_word_count_topk",
+    "text_heavy_hitters_approx",
+    # then the r3 names (50), then r4 (47)
     "dedup_lsh_bucket_stats",
     "embedding_norm_stats",
     "dedup_hyperplane_lsh",
@@ -241,6 +252,7 @@ def _ensure_loaded() -> None:
     from .operators import (  # noqa: F401
         analytics_extra,
         dedup,
+        expectations,
         joins_advanced,
         json_ops,
         layout_stats,
