@@ -71,14 +71,15 @@ _LOADED = False
 #       (stream_session_dynamic_gap + stream_session_windows tie-break
 #       determinism, multimodal_byte_histogram_arrow UTF-8/empty-row
 #       guard) — a changed oracle needs a fresh driver row,
-#   (e) the 3 operators added in round-5 session 2 (OHLC resample,
-#       boilerplate share, expectations report) — never driver-checked,
-#   (c) 38 of the 41 r2-latest names (the last 3 displaced by (e)),
+#   (e) the 4 operators added in round-5 session 2 (OHLC resample,
+#       boilerplate share, expectations report, aHash near-dup) —
+#       never driver-checked,
+#   (c) 37 of the 41 r2-latest names (the last 4 displaced by (e)),
 #   (d) the 3 round-5-session-1 operators (bloom decontamination,
 #       user event sequences, winsorized doc-length stats) — never
 #       driver-checked, so they take the last window slots.
-# (a)+(b)+(e)+(c)+(d) = 3+3+3+38+3 = 50 exactly. After the boundary:
-# the 3 displaced r2 names (round-6 rotation debt), the 50 r3-latest
+# (a)+(b)+(e)+(c)+(d) = 3+3+4+37+3 = 50 exactly. After the boundary:
+# the 4 displaced r2 names (round-6 rotation debt), the 50 r3-latest
 # names, then the 47 r4-latest ones — if the driver checks more than
 # 50 rows it continues in staleness order.
 _PRIORITY = [
@@ -90,11 +91,12 @@ _PRIORITY = [
     "stream_session_dynamic_gap",
     "stream_session_windows",
     "multimodal_byte_histogram_arrow",
-    # (e) NEW in round 5 session 2 — never driver-checked (3)
+    # (e) NEW in round 5 session 2 — never driver-checked (4)
     "timeseries_ohlc_hourly",
     "text_boilerplate_share",
     "quality_expectations_report",
-    # (c) r2-latest — stalest bulk (38; the last 3 r2 names were pushed
+    "multimodal_ahash_near_dup",
+    # (c) r2-latest — stalest bulk (37; the last 4 r2 names were pushed
     # past the boundary to make room for (e) — see boundary comment)
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -133,14 +135,14 @@ _PRIORITY = [
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",
-    "text_rolling_hash",
     # (d) the 3 round-5-session-1 operators — never driver-checked
     "contamination_bloom_prefilter",
     "train_user_event_sequences",
     "quality_winsorize_doclen",
-    # --- window boundary (50): (a)3+(b)3+(e)3+(c)38+(d)3 ---
-    # Overflow head: the 3 r2-stale names displaced by group (e) —
+    # --- window boundary (50): (a)3+(b)3+(e)4+(c)37+(d)3 ---
+    # Overflow head: the 4 r2-stale names displaced by group (e) —
     # they stay r2-stale into round 6 and lead its rotation debt.
+    "text_rolling_hash",
     "pipeline_clean_corpus",
     "text_word_count_topk",
     "text_heavy_hitters_approx",

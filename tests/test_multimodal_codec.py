@@ -207,3 +207,61 @@ def test_decode_quarantine_routes_without_failing(spark):
     assert rows["ok"].total_pixels > 0
     assert rows["corrupt"].total_pixels == 0
     assert rows["unsupported"].n_docs > rows["ok"].n_docs  # 3/5 of docs
+
+
+# --- perceptual average-hash near-dup ---------------------------------------
+
+
+def test_ppm_roundtrip_is_exact():
+    import numpy as np
+
+    from pyspark_postgres_loader_spark.operators.multimodal import (
+        build_ppm,
+        real_decode_image,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    w, h, back = real_decode_image(build_ppm(img))
+    assert (w, h) == (9, 5)
+    assert (back == img).all()
+
+
+def test_ahash_collapses_noise_but_separates_groups():
+    from pyspark_postgres_loader_spark.operators.multimodal import (
+        _AHASH_GROUPS,
+        _ahash_payload,
+        average_hash,
+        real_decode_image,
+    )
+
+    def h(doc_id):
+        return average_hash(real_decode_image(_ahash_payload(doc_id))[2])
+
+    # same group, byte-distinct payloads (real noise robustness, not a
+    # degenerate identical-bytes fixture), identical hash
+    for a, b in [(0, _AHASH_GROUPS), (5, 5 + 3 * _AHASH_GROUPS)]:
+        assert _ahash_payload(a) != _ahash_payload(b)
+        assert h(a) == h(b)
+    # distinct groups -> distinct hashes
+    hashes = {h(g) for g in range(_AHASH_GROUPS)}
+    assert len(hashes) == _AHASH_GROUPS
+
+
+def test_ahash_near_dup_buckets_are_group_pure(spark):
+    from pyspark_postgres_loader_spark.operators.multimodal import _AHASH_GROUPS
+    from pyspark_postgres_loader_spark.registry import QUERIES, _ensure_loaded
+    from pyspark_postgres_loader_spark.tables import load_table
+
+    _ensure_loaded()
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["multimodal_ahash_near_dup"].fn(spark, sf).collect()
+    assert len(rows) == _AHASH_GROUPS
+    # every doc is accounted for and each bucket is exactly one residue
+    # class of doc_id % _AHASH_GROUPS (canonical = smallest id = residue)
+    n_docs = load_table(spark, sf, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sorted(r.canonical_doc_id for r in rows) == list(range(_AHASH_GROUPS))
+    for r in rows:
+        assert r.n_dups == r.n_docs - 1
+        assert r.n_docs in (n_docs // _AHASH_GROUPS, n_docs // _AHASH_GROUPS + 1)
