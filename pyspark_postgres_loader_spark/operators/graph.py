@@ -1,0 +1,128 @@
+"""Graph analytics over the customer↔supplier purchase graph:
+fixed-iteration PageRank in exact integer (micro-rank) arithmetic.
+
+The reference has no graph surface at all; together with the
+connected-components dup-cluster resolver (dedup.py:connected_
+components) this covers the two iterative-algorithm shapes a Spark
+analytics engine needs: fixpoint label propagation (CC, data-dependent
+round count, convergence check) and fixed-K mass propagation
+(PageRank, deterministic round count, no driver feedback).
+
+Why integer micros instead of doubles: per-iteration contributions are
+summed across in-neighbors, and float summation order differs between
+Spark's 32-partition partial aggregation and DuckDB's single-node scan
+— the hash compare would fail spuriously. ``(pr * 85) div (deg * 100)``
+(damping 0.85 as an exact ratio, floor division) keeps every
+intermediate a BIGINT: associative, order-independent, bit-identical in
+both engines. The floor loses <1 micro-rank per edge per round — at
+rank scale 10^6 that is a 10^-4 relative error, far below any ranking
+decision, and (unlike float error) the SAME error in both engines.
+
+Scale notes (100 TB design):
+- Per iteration: ONE equi-join of the edge list with the current rank
+  vector on ``u`` (both sides hash-partitioned on u; pre-partitioning /
+  bucketing the edge list by u makes every iteration's join
+  shuffle-free on the edge side — the big side never re-shuffles), then
+  ONE groupBy(v) aggregation. Degree rides along in the edge list
+  (joined once up front, materialized via ``localCheckpoint``), so the
+  iteration body is join + agg, nothing else.
+- Rank vectors are O(|V|) — orders of magnitude smaller than edges;
+  they are the only thing that re-shuffles each round.
+- Celebrity nodes (huge in-degree) skew the groupBy(v); AQE skew-join
+  handles moderate skew, and the salted-aggregate pattern
+  (joins_advanced.py:join_skew_salted_orders) is the explicit fix for
+  pathological hubs.
+- Fixed K=5 rounds: no driver-side convergence loop, so the whole job
+  is 5 stages of deterministic shape — the plan a scheduler can reason
+  about. ``localCheckpoint`` per round truncates lineage exactly like
+  connected_components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+
+_PR_ITERS = 5
+_PR_INIT = 1_000_000  # micro-rank per node
+_PR_BASE = 150_000  # (1 - 0.85) * _PR_INIT, exact
+
+
+def _pagerank_oracle() -> str:
+    """Chained-CTE replay of the K fixed iterations (chained, not
+    WITH RECURSIVE: aggregation inside a recursive term is not portable
+    ANSI, and K is a compile-time constant here)."""
+    parts = [
+        """pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+    deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+    r0 AS (SELECT u, CAST({init} AS BIGINT) AS pr FROM deg)""".format(init=_PR_INIT)
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        parts.append(
+            """r{i} AS (
+      SELECT e.v AS u, CAST({base} + SUM((r.pr * 85) // (d.deg * 100)) AS BIGINT) AS pr
+      FROM edges e JOIN r{p} r ON e.u = r.u JOIN deg d ON e.u = d.u
+      GROUP BY e.v)""".format(i=i, p=i - 1, base=_PR_BASE)
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + """
+    SELECT u AS node, CAST(u % 2 = 1 AS BOOLEAN) AS is_supplier,
+           pr AS rank_micros
+    FROM r{k} ORDER BY node""".format(k=_PR_ITERS)
+    )
+
+
+@register("graph_pagerank_custsupp", oracle=_pagerank_oracle())
+def graph_pagerank_custsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, {k} fixed iterations, exact micro-rank
+    integer arithmetic) over the undirected customer↔supplier graph
+    induced by lineitem⋈orders. Customers map to even node ids
+    (``2*custkey``), suppliers to odd (``2*suppkey+1``) — one BIGINT
+    namespace, no string keys. See module docstring for the
+    determinism and scale design.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = edges.groupBy("u").agg(F.count("*").alias("deg"))
+    # degree rides along with every edge so the iteration body joins
+    # ONE table with the rank vector; materialize it once
+    edges_deg = edges.join(deg, "u").localCheckpoint()
+
+    rank = deg.select("u", F.lit(_PR_INIT).cast("long").alias("pr"))
+    for _ in range(_PR_ITERS):
+        contrib = edges_deg.join(rank, "u").select(
+            F.col("v"),
+            F.expr("(pr * 85) div (deg * 100)").alias("c"),
+        )
+        rank = (
+            contrib.groupBy(F.col("v").alias("u"))
+            .agg((F.lit(_PR_BASE) + F.sum("c")).cast("long").alias("pr"))
+            .localCheckpoint()
+        )
+    return rank.select(
+        F.col("u").alias("node"),
+        (F.col("u") % 2 == 1).alias("is_supplier"),
+        F.col("pr").alias("rank_micros"),
+    ).orderBy("node")
+
+
+graph_pagerank_custsupp.__doc__ = graph_pagerank_custsupp.__doc__.format(k=_PR_ITERS)

@@ -71,15 +71,15 @@ _LOADED = False
 #       (stream_session_dynamic_gap + stream_session_windows tie-break
 #       determinism, multimodal_byte_histogram_arrow UTF-8/empty-row
 #       guard) — a changed oracle needs a fresh driver row,
-#   (e) the 4 operators added in round-5 session 2 (OHLC resample,
-#       boilerplate share, expectations report, aHash near-dup) —
-#       never driver-checked,
-#   (c) 37 of the 41 r2-latest names (the last 4 displaced by (e)),
+#   (e) the 5 operators added in round-5 session 2 (OHLC resample,
+#       boilerplate share, expectations report, aHash near-dup,
+#       integer-exact PageRank) — never driver-checked,
+#   (c) 36 of the 41 r2-latest names (the last 5 displaced by (e)),
 #   (d) the 3 round-5-session-1 operators (bloom decontamination,
 #       user event sequences, winsorized doc-length stats) — never
 #       driver-checked, so they take the last window slots.
-# (a)+(b)+(e)+(c)+(d) = 3+3+4+37+3 = 50 exactly. After the boundary:
-# the 4 displaced r2 names (round-6 rotation debt), the 50 r3-latest
+# (a)+(b)+(e)+(c)+(d) = 3+3+5+36+3 = 50 exactly. After the boundary:
+# the 5 displaced r2 names (round-6 rotation debt), the 50 r3-latest
 # names, then the 47 r4-latest ones — if the driver checks more than
 # 50 rows it continues in staleness order.
 _PRIORITY = [
@@ -91,12 +91,13 @@ _PRIORITY = [
     "stream_session_dynamic_gap",
     "stream_session_windows",
     "multimodal_byte_histogram_arrow",
-    # (e) NEW in round 5 session 2 — never driver-checked (4)
+    # (e) NEW in round 5 session 2 — never driver-checked (5)
     "timeseries_ohlc_hourly",
     "text_boilerplate_share",
     "quality_expectations_report",
     "multimodal_ahash_near_dup",
-    # (c) r2-latest — stalest bulk (37; the last 4 r2 names were pushed
+    "graph_pagerank_custsupp",
+    # (c) r2-latest — stalest bulk (36; the last 5 r2 names were pushed
     # past the boundary to make room for (e) — see boundary comment)
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -134,14 +135,14 @@ _PRIORITY = [
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",
-    "text_fingerprint",
     # (d) the 3 round-5-session-1 operators — never driver-checked
     "contamination_bloom_prefilter",
     "train_user_event_sequences",
     "quality_winsorize_doclen",
-    # --- window boundary (50): (a)3+(b)3+(e)4+(c)37+(d)3 ---
-    # Overflow head: the 4 r2-stale names displaced by group (e) —
+    # --- window boundary (50): (a)3+(b)3+(e)5+(c)36+(d)3 ---
+    # Overflow head: the 5 r2-stale names displaced by group (e) —
     # they stay r2-stale into round 6 and lead its rotation debt.
+    "text_fingerprint",
     "text_rolling_hash",
     "pipeline_clean_corpus",
     "text_word_count_topk",
@@ -255,6 +256,7 @@ def _ensure_loaded() -> None:
         analytics_extra,
         dedup,
         expectations,
+        graph,
         joins_advanced,
         json_ops,
         layout_stats,
