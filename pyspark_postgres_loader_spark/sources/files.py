@@ -50,3 +50,29 @@ def read_format(spark: SparkSession, fmt: str, path: str, **options) -> DataFram
     pass-through — the reference's arbitrary-format capability
     (get_s3_data_as_df.py:33-39) without enumerating formats."""
     return normalize_columns(spark.read.format(fmt).options(**options).load(path))
+
+
+def configure_s3(
+    spark: SparkSession,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    endpoint: str | None = None,
+    path_style_access: bool | None = None,
+) -> None:
+    """Set the ``fs.s3a.*`` Hadoop configuration the reference's S3
+    source relies on implicitly (get_s3_data_as_df.py assumes an
+    already-authenticated EMR runtime). Reader *options* do NOT reach
+    the Hadoop FS layer — credentials/endpoint MUST go through the
+    Hadoop configuration, which is the subtle plumbing difference this
+    helper (and its test) pins. Only explicitly-passed settings are
+    written, so an instance-profile/IRSA runtime keeps its defaults.
+    """
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    if access_key is not None:
+        conf.set("fs.s3a.access.key", access_key)
+    if secret_key is not None:
+        conf.set("fs.s3a.secret.key", secret_key)
+    if endpoint is not None:
+        conf.set("fs.s3a.endpoint", endpoint)
+    if path_style_access is not None:
+        conf.set("fs.s3a.path.style.access", str(path_style_access).lower())
