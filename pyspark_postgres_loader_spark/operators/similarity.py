@@ -33,7 +33,7 @@ from pyspark.sql.window import Window
 
 from ..functions.planctl import nondet_keep as _nondet_keep
 from ..functions.planctl import spread as _spread
-from ..registry import register
+from ..registry import QUERIES, register
 from ..tables import load_table
 
 _QUERY_IDS = tuple(range(8))  # fixed query set for top-k operators
@@ -827,3 +827,80 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(cvec, F.lit(0.0), lambda a, b: a + b * b).alias("norm_sq"),
         F.array_max(F.transform(cvec, F.abs)).alias("max_abs_component"),
     ).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# ANN quality: recall of the IVF probe path vs brute-force ground truth
+# ---------------------------------------------------------------------------
+
+
+def _recall_oracle() -> str:
+    """Compose the two existing oracles (nested WITH in a CTE body is
+    ANSI) and count the per-query overlap — the oracle measures the
+    SAME approximation the Spark side does, so recall itself is
+    value-compared, not just the two top-k lists."""
+    bf = QUERIES["ann_bruteforce_topk"].oracle
+    ivf = QUERIES["ann_ivf_topk"].oracle
+    return f"""
+    WITH bf AS ({bf}),
+    ivf AS ({ivf}),
+    hits AS (
+      SELECT bf.query_id, COUNT(*) AS n_hits
+      FROM bf JOIN ivf ON bf.query_id = ivf.query_id
+                      AND bf.vec_id = ivf.vec_id
+      GROUP BY bf.query_id
+    ),
+    truth AS (SELECT query_id, COUNT(*) AS k FROM bf GROUP BY query_id)
+    SELECT t.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(t.k AS BIGINT) AS k,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.k AS recall
+    FROM truth t LEFT JOIN hits h ON t.query_id = h.query_id
+    ORDER BY t.query_id
+    """
+
+
+@register("ann_recall_report", oracle=None, doc="placeholder")  # oracle set below
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF probe path against the brute-force ground
+    truth, per query — the measurement that turns "approximate" from a
+    hope into a number. A production pipeline runs this on a sampled
+    query set after every index build/param change (cells, nprobe) and
+    alerts on regression.
+
+    Scale notes: ground truth is only ever computed for the FIXED probe
+    query sample (|Q| rows broadcast against the corpus — the one
+    deliberate O(|Q|·N) pass, amortized per index build, never per
+    query); the IVF side is the production path itself. The overlap
+    join is |Q|·k rows — driver-trivial at any corpus size. Recall is
+    integer-count / integer-k: bit-exact cross-engine.
+    """
+    bf = ann_bruteforce_topk(spark, sf_dir).select("query_id", "vec_id")
+    ivf = ann_ivf_topk(spark, sf_dir).select("query_id", "vec_id")
+    hits = (
+        bf.join(ivf, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    truth = bf.groupBy("query_id").agg(F.count("*").alias("k"))
+    return (
+        truth.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.col("k").cast("long").alias("k"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("k")
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# the oracle composes the two earlier registrations, so it can only be
+# rendered after they exist; patch the frozen spec in place
+from dataclasses import replace as _dc_replace  # noqa: E402
+
+QUERIES["ann_recall_report"] = _dc_replace(
+    QUERIES["ann_recall_report"], oracle=_recall_oracle()
+)

@@ -27,3 +27,19 @@ def test_int8_rerank_recall_vs_bruteforce(spark, sf_dir):
         assert isinstance(r.int_score, int)
         assert -1.0001 <= r.cosine <= 1.0001
         assert 1 <= r.rank <= 10
+
+
+def test_ivf_recall_report_floor(spark):
+    from pyspark_postgres_loader_spark.registry import QUERIES, _ensure_loaded
+
+    _ensure_loaded()
+    rows = QUERIES["ann_recall_report"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r.k == 10
+        assert 0 <= r.n_hits <= r.k
+        assert abs(r.recall - r.n_hits / r.k) < 1e-12
+    mean_recall = sum(r.recall for r in rows) / len(rows)
+    # nprobe=4 of 16 cells recovers ~90% on the fixture; alert well
+    # below that so a silent index/param regression fails the suite
+    assert mean_recall >= 0.75, mean_recall
