@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from ..functions.deterministic import mhash64, sql_mhash64
 from ..functions.planctl import nondet_keep as _nondet_keep
 from ..functions.planctl import spread as _spread
-from ..registry import register
+from ..registry import QUERIES, register
 from ..tables import load_table
 
 # --- shared text→shingle plumbing (word 3-shingles) ------------------------
@@ -791,3 +791,75 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     return connected_components(edges)
+
+
+def _keep_best_oracle() -> str:
+    """Compose the CC oracle (nested WITH RECURSIVE) with the keep
+    policy; the policy itself is integer-only (n_chars, doc_id), so the
+    composed result is bit-exact wherever CC is."""
+    cc_sql = QUERIES["dedup_connected_components"].oracle
+    return f"""
+    WITH cc AS ({cc_sql}),
+    m AS (
+      SELECT c.cluster_id, d.doc_id, d.n_chars
+      FROM cc c JOIN documents d ON c.doc_id = d.doc_id
+    ),
+    sel AS (
+      SELECT cluster_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM m
+    ),
+    agg AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+             MAX(n_chars) AS kept_n_chars
+      FROM m GROUP BY cluster_id
+    )
+    SELECT a.cluster_id, k.doc_id AS kept_doc_id, a.kept_n_chars,
+           a.n_members, CAST(a.n_members - 1 AS BIGINT) AS n_dropped
+    FROM agg a JOIN (SELECT cluster_id, doc_id FROM sel WHERE rn = 1) k
+      ON a.cluster_id = k.cluster_id
+    ORDER BY a.cluster_id
+    """
+
+
+@register("dedup_cluster_keep_best", oracle=None, doc="placeholder")
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop DECISION on top of dup-cluster resolution: per
+    connected component, keep the longest document (``n_chars`` max,
+    smallest ``doc_id`` on ties — the standard near-dup keep heuristic)
+    and count the drops. This is the step that turns cluster labels
+    into an actionable delete list; the policy is integer-only so the
+    whole composition stays value-oracled.
+
+    Scale notes: one join of the O(#clustered docs) CC output with the
+    doc-stats projection, then ONE hash aggregation — the keeper is
+    selected with ``max_by`` over a ``(n_chars, -doc_id)`` struct
+    ordering key, so there is no per-cluster window sort (same
+    window-free shape as timeseries_ohlc_hourly). Cluster sizes are
+    bounded by the capped candidate generation upstream, so no hot
+    aggregation key.
+    """
+    cc = dedup_connected_components(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    m = cc.join(d, "doc_id")
+    return (
+        m.groupBy("cluster_id")
+        .agg(
+            F.max_by(
+                "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nid"))
+            ).alias("kept_doc_id"),
+            F.max("n_chars").alias("kept_n_chars"),
+            F.count("*").cast("long").alias("n_members"),
+            (F.count("*") - 1).cast("long").alias("n_dropped"),
+        )
+        .select("cluster_id", "kept_doc_id", "kept_n_chars", "n_members", "n_dropped")
+        .orderBy("cluster_id")
+    )
+
+
+from dataclasses import replace as _dc_replace  # noqa: E402
+
+QUERIES[
+    "dedup_cluster_keep_best"
+] = _dc_replace(QUERIES["dedup_cluster_keep_best"], oracle=_keep_best_oracle())

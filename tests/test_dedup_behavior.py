@@ -157,3 +157,44 @@ def test_connected_components_pointer_jump_beats_diameter(spark):
     labels = {r.doc_id: r.cluster_id for r in connected_components(edges).collect()}
     assert set(labels.values()) == {0}, "single path component labels to min id 0"
     assert len(labels) == n
+
+
+def test_cluster_keep_best_policy(spark):
+    from pyspark_postgres_loader_spark.registry import QUERIES, _ensure_loaded
+    from pyspark_postgres_loader_spark.tables import load_table
+
+    _ensure_loaded()
+    sf = "/root/testdata/sf0.001"
+    cc = {
+        (r.doc_id, r.cluster_id)
+        for r in QUERIES["dedup_connected_components"].fn(spark, sf).collect()
+    }
+    chars = {
+        r.doc_id: r.n_chars
+        for r in load_table(spark, sf, "documents").select("doc_id", "n_chars").collect()
+    }
+    rows = QUERIES["dedup_cluster_keep_best"].fn(spark, sf).collect()
+    # one decision row per cluster, covering every clustered doc
+    assert {r.cluster_id for r in rows} == {c for _, c in cc}
+    assert sum(r.n_members for r in rows) == len(cc)
+    for r in rows:
+        members = sorted(d for d, c in cc if c == r.cluster_id)
+        assert r.n_members == len(members) >= 2
+        assert r.n_dropped == r.n_members - 1
+        # keeper is the longest member, smallest doc_id on ties
+        best = max(members, key=lambda d: (chars[d], -d))
+        assert r.kept_doc_id == best
+        assert r.kept_n_chars == chars[best]
+
+
+def test_cluster_keep_best_plan_is_window_free(spark):
+    from pyspark_postgres_loader_spark.registry import QUERIES, _ensure_loaded
+
+    _ensure_loaded()
+    df = QUERIES["dedup_cluster_keep_best"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the keeper selection must ride the count/max aggregation via
+    # max_by, not add a per-cluster window sort; the only Window nodes
+    # allowed are the ones inside the reused CC/jaccard subtree
+    tail = plan.split("SortAggregate")[0]
+    assert "Window" not in tail

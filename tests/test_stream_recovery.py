@@ -75,95 +75,39 @@ def test_stream_resumes_from_checkpoint_without_reprocessing(spark):
 
 
 @pytest.mark.parametrize("how", ["inner", "left_outer", "full_outer"])
-def test_stream_stream_join_exactly_once_across_kill(spark, how):
+def test_stream_stream_join_exactly_once_across_kill(tmp_path, how):
     """Kill a stream-stream attribution join between micro-batches and
     resume from its checkpoint: the recovered multi-batch run must
     produce EXACTLY the single-batch availableNow result (which the
     oracle differential already pins to batch semantics) — no lost
-    join state, no re-emitted rows. The source is split into three
-    time-ordered files so watermarks advance across batches without
-    making any row late."""
-    from pyspark_postgres_loader_spark.streaming.windows import (
-        _run_to_memory,
-        attribution_join,
+    join state, no re-emitted rows.
+
+    Runs in a SUBPROCESS with a fresh SparkSession (see
+    _join_recovery_child.py): on the shared session-scoped session the
+    resumed query flaked under full-suite load (r5: [inner] failed in
+    one full run, [left_outer] in another, each green in isolation) —
+    the same contention mode the datasource recovery test hit in r4,
+    fixed the same structural way instead of widening deadlines."""
+    import os
+    import subprocess
+    import sys
+
+    child = os.path.join(os.path.dirname(__file__), "_join_recovery_child.py")
+    env = dict(os.environ)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(child)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, child, str(tmp_path), how],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        env=env,
     )
-
-    delay = "2 hours" if how == "inner" else "0 seconds"
-    work = tempfile.mkdtemp(prefix=f"recov_{how}_")
-    src, ckpt, sink = f"{work}/src", f"{work}/ckpt", f"{work}/sink"
-    try:
-        ev = load_table(spark, SF_DIR, "events")
-        # split on epoch micros, not cast-to-double: load_table's ts may be
-        # TIMESTAMP_NTZ (micros fixtures) which has no double cast
-        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
-        lo, hi = ev.select(
-            F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.33)"),
-            F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.66)"),
-        ).first()
-        ev.filter(ts_us <= lo).coalesce(1).write.parquet(f"{src}/a")
-        ev.filter((ts_us > lo) & (ts_us <= hi)).coalesce(1).write.parquet(f"{src}/b")
-        ev.filter(ts_us > hi).coalesce(1).write.parquet(f"{src}/c")
-
-        schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
-
-        def start():
-            stream = (
-                spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", "1")
-                .parquet(f"{src}/*")
-            )
-            return (
-                attribution_join(stream, how, delay)
-                .writeStream.format("parquet")
-                .option("path", sink)
-                .option("checkpointLocation", ckpt)
-                .outputMode("append")
-                .trigger(processingTime="100 milliseconds")
-                .start()
-            )
-
-        # expected: the registered single-batch semantics over the SAME
-        # (re-materialized) source, via the memory-sink harness
-        batch_ev = (
-            spark.readStream.schema(schema)
-            .parquet(f"{src}/*")
-        )
-        expected = {
-            tuple(r) for r in _run_to_memory(
-                attribution_join(batch_ev, how, delay), "append"
-            ).collect()
-        }
-
-        q = start()
-        deadline = time.time() + 90
-        while time.time() < deadline:
-            if any(b["numInputRows"] > 0 for b in (q.recentProgress or [])):
-                break
-            time.sleep(0.2)
-        q.stop()
-        q.awaitTermination()
-
-        q2 = start()
-        deadline = time.time() + 120
-        got = set()
-        while time.time() < deadline:
-            try:
-                got = {tuple(r) for r in spark.read.parquet(sink).collect()}
-            except Exception:
-                got = set()
-            if got == expected:
-                break
-            time.sleep(0.5)
-        q2.stop()
-        q2.awaitTermination()
-
-        assert got == expected, (
-            f"{how}: recovered output diverges: "
-            f"missing={len(expected - got)} extra={len(got - expected)}"
-        )
-        assert expected, f"{how}: fixture produced no joined rows"
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    assert proc.returncode == 0, (
+        f"join-recovery child failed (rc={proc.returncode}, how={how})\n"
+        f"--- stdout ---\n{proc.stdout[-4000:]}\n"
+        f"--- stderr ---\n{proc.stderr[-2000:]}"
+    )
 
 
 def test_chained_window_rollup_exactly_once_across_kill(spark):
