@@ -71,16 +71,16 @@ _LOADED = False
 #       (stream_session_dynamic_gap + stream_session_windows tie-break
 #       determinism, multimodal_byte_histogram_arrow UTF-8/empty-row
 #       guard) — a changed oracle needs a fresh driver row,
-#   (e) the 7 operators added in round-5 session 2 (OHLC resample,
+#   (e) the 8 operators added in round-5 session 2 (OHLC resample,
 #       boilerplate share, expectations report, aHash near-dup,
-#       integer-exact PageRank, ANN recall report, cluster keep-best)
-#       — never driver-checked,
-#   (c) 34 of the 41 r2-latest names (the last 7 displaced by (e)),
+#       integer-exact PageRank, ANN recall report, cluster keep-best,
+#       streaming OHLC) — never driver-checked,
+#   (c) 33 of the 41 r2-latest names (the last 8 displaced by (e)),
 #   (d) the 3 round-5-session-1 operators (bloom decontamination,
 #       user event sequences, winsorized doc-length stats) — never
 #       driver-checked, so they take the last window slots.
-# (a)+(b)+(e)+(c)+(d) = 3+3+7+34+3 = 50 exactly. After the boundary:
-# the 7 displaced r2 names (round-6 rotation debt), the 50 r3-latest
+# (a)+(b)+(e)+(c)+(d) = 3+3+8+33+3 = 50 exactly. After the boundary:
+# the 8 displaced r2 names (round-6 rotation debt), the 50 r3-latest
 # names, then the 47 r4-latest ones — if the driver checks more than
 # 50 rows it continues in staleness order.
 _PRIORITY = [
@@ -100,7 +100,8 @@ _PRIORITY = [
     "graph_pagerank_custsupp",
     "ann_recall_report",
     "dedup_cluster_keep_best",
-    # (c) r2-latest — stalest bulk (34; the last 7 r2 names were pushed
+    "stream_ohlc_hourly",
+    # (c) r2-latest — stalest bulk (33; the last 8 r2 names were pushed
     # past the boundary to make room for (e) — see boundary comment)
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -135,14 +136,14 @@ _PRIORITY = [
     "scalar_higher_order_array",
     "sample_uniform_docs",
     "sample_stratified_by_lang",
-    "text_token_stats",
     # (d) the 3 round-5-session-1 operators — never driver-checked
     "contamination_bloom_prefilter",
     "train_user_event_sequences",
     "quality_winsorize_doclen",
-    # --- window boundary (50): (a)3+(b)3+(e)7+(c)34+(d)3 ---
-    # Overflow head: the 7 r2-stale names displaced by group (e) —
+    # --- window boundary (50): (a)3+(b)3+(e)8+(c)33+(d)3 ---
+    # Overflow head: the 8 r2-stale names displaced by group (e) —
     # they stay r2-stale into round 6 and lead its rotation debt.
+    "text_token_stats",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",

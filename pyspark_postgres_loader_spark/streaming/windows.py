@@ -776,3 +776,70 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "complete")
+
+
+@register(
+    "stream_ohlc_hourly",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type, CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS window_start,
+             value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, time_bucket(INTERVAL 1 HOUR, ts)
+               ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, time_bucket(INTERVAL 1 HOUR, ts)
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, window_start,
+           CAST(window_start + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+           MAX(value) AS high_value,
+           MIN(value) AS low_value,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+           {sql_dsum('value')} AS volume,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM b
+    GROUP BY event_type, window_start
+    """,
+)
+def stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC candlesticks: the batch resample
+    (operators/temporal.py:timeseries_ohlc_hourly) as a watermarked
+    tumbling-window aggregation — ``min_by``/``max_by`` over the
+    (ts, event_id) struct total order work unchanged inside a
+    streaming groupBy, so open/close need no stateful custom operator.
+
+    Scale notes: state per (event_type, hour window) is one constant
+    size OHLC buffer — the same O(series x open-windows) bound as the
+    plain tumbling count, NOT O(events); the watermark closes windows
+    2 h after event time, bounding open-window count. The oracle is
+    the batch OHLC SQL phrased over time_bucket (streaming result ==
+    batch semantics, the property every query in this module pins).
+    """
+    ev = _events_stream(spark, sf_dir)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .select("event_type", "ts", "value", key.alias("ord"))
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.min_by("value", F.col("ord")).alias("open_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.max_by("value", F.col("ord")).alias("close_value"),
+            dsum("value").alias("volume"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "open_value",
+            "high_value",
+            "low_value",
+            "close_value",
+            "volume",
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "complete")

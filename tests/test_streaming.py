@@ -77,3 +77,22 @@ def test_tws_query_gated_on_protobuf():
         have = False
     assert _protobuf_available() == have
     assert ("stream_tws_user_value_totals" in QUERIES) == have
+
+
+def test_stream_ohlc_equals_batch_resample(spark):
+    from pyspark_postgres_loader_spark.registry import QUERIES, _ensure_loaded
+
+    _ensure_loaded()
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        (r.event_type, r.bucket, r.open_value, r.high_value, r.low_value,
+         r.close_value, r.volume, r.n_events)
+        for r in QUERIES["timeseries_ohlc_hourly"].fn(spark, sf).collect()
+    }
+    stream = {
+        (r.event_type, r.window_start, r.open_value, r.high_value, r.low_value,
+         r.close_value, r.volume, r.n_events)
+        for r in QUERIES["stream_ohlc_hourly"].fn(spark, sf).collect()
+    }
+    # the streaming tumbling-window aggregation IS the batch resample
+    assert stream == batch
