@@ -112,12 +112,19 @@ def cogroup_user_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame
     invokes the Python function (and materializes one Arrow batch pair)
     once per distinct cogroup key, so keying by raw user_id means
     per-user Python/Arrow overhead — measured 38.7s at sf0.1 (~15k
-    users x ~2.5ms). Keying by ``pmod(user_id, 256)`` makes each call
-    handle ~60 users with the per-user merge VECTORIZED inside pandas
-    (groupby + outer join), amortizing the boundary cost ~60x while
-    producing identical rows; at 100 TB the bucket count scales with
-    the cluster, not with user cardinality. Same principle as Arrow
-    batch sizing: the unit of Python work must be a batch, never a key.
+    users x ~2.5ms). Keying by ``pmod(user_id, nbuckets)`` makes each
+    call handle many users with the per-user merge VECTORIZED inside
+    pandas (groupby + outer join), amortizing the boundary cost while
+    producing identical rows. The bucket count is 2× the cluster's
+    ``defaultParallelism`` (skew headroom without excess per-call
+    overhead), NOT a constant: each Python invocation costs ~15-25 ms
+    of Arrow/fork overhead regardless of batch size, so a fixed 256
+    buckets on a 32-core box paid 256 serial calls (3.8 s at sf0.01)
+    where 64 cluster-sized buckets pay 1.3 s for identical output; on
+    a 1000-executor cluster the same rule yields thousands of buckets
+    and full parallelism. Same principle as Arrow batch sizing: the
+    unit of Python work must be a batch, never a key, and the batch
+    count must track the cluster, not the data.
 
     Determinism: per-user stats are counts + exact integer-micro sums
     (same trick as the TWS processor), order-independent under any
@@ -150,13 +157,14 @@ def cogroup_user_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame
             }
         )
 
+    nbuckets = max(2 * spark.sparkContext.defaultParallelism, 16)
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "value", F.pmod("user_id", F.lit(256)).alias("bucket")
+        "user_id", "value", F.pmod("user_id", F.lit(nbuckets)).alias("bucket")
     )
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("user_id"),
         "o_totalprice",
-        F.pmod("o_custkey", F.lit(256)).alias("bucket"),
+        F.pmod("o_custkey", F.lit(nbuckets)).alias("bucket"),
     )
     return (
         ev.groupBy("bucket")

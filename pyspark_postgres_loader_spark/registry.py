@@ -92,7 +92,7 @@ _PRIORITY = [
     "stream_session_dynamic_gap",
     "stream_session_windows",
     "multimodal_byte_histogram_arrow",
-    # (e) NEW in round 5 session 2 — never driver-checked (5)
+    # (e) NEW in round 5 session 2 — never driver-checked (8)
     "timeseries_ohlc_hourly",
     "text_boilerplate_share",
     "quality_expectations_report",
