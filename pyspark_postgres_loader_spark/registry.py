@@ -75,14 +75,16 @@ _LOADED = False
 #       boilerplate share, expectations report, aHash near-dup,
 #       integer-exact PageRank, ANN recall report, cluster keep-best,
 #       streaming OHLC) — never driver-checked,
-#   (c) 33 of the 41 r2-latest names (the last 8 displaced by (e)),
+#   (f) the 2 round-5-session-3 operators (fixed-iteration k-means,
+#       cluster-diversity sampling) — never driver-checked,
+#   (c) 31 of the 41 r2-latest names (the last 10 displaced by (e)+(f)),
 #   (d) the 3 round-5-session-1 operators (bloom decontamination,
 #       user event sequences, winsorized doc-length stats) — never
 #       driver-checked, so they take the last window slots.
-# (a)+(b)+(e)+(c)+(d) = 3+3+8+33+3 = 50 exactly. After the boundary:
-# the 8 displaced r2 names (round-6 rotation debt), the 50 r3-latest
-# names, then the 47 r4-latest ones — if the driver checks more than
-# 50 rows it continues in staleness order.
+# (a)+(b)+(e)+(f)+(c)+(d) = 3+3+8+2+31+3 = 50 exactly. After the
+# boundary: the 10 displaced r2 names (round-6 rotation debt), the 50
+# r3-latest names, then the 47 r4-latest ones — if the driver checks
+# more than 50 rows it continues in staleness order.
 _PRIORITY = [
     # (a) r1-stale — only driver row is round 1 (3)
     "scalar_string_date_funcs",
@@ -101,6 +103,9 @@ _PRIORITY = [
     "ann_recall_report",
     "dedup_cluster_keep_best",
     "stream_ohlc_hourly",
+    # (f) NEW in round 5 session 3 — never driver-checked (2)
+    "cluster_kmeans_embeddings",
+    "sample_cluster_diversity",
     # (c) r2-latest — stalest bulk (33; the last 8 r2 names were pushed
     # past the boundary to make room for (e) — see boundary comment)
     "q1_pricing_summary",
@@ -134,15 +139,15 @@ _PRIORITY = [
     "multimodal_feature_extract",
     "agg_approx_sketches",
     "scalar_higher_order_array",
-    "sample_uniform_docs",
-    "sample_stratified_by_lang",
     # (d) the 3 round-5-session-1 operators — never driver-checked
     "contamination_bloom_prefilter",
     "train_user_event_sequences",
     "quality_winsorize_doclen",
-    # --- window boundary (50): (a)3+(b)3+(e)8+(c)33+(d)3 ---
-    # Overflow head: the 8 r2-stale names displaced by group (e) —
+    # --- window boundary (50): (a)3+(b)3+(e)8+(f)2+(c)31+(d)3 ---
+    # Overflow head: the 10 r2-stale names displaced by (e)+(f) —
     # they stay r2-stale into round 6 and lead its rotation debt.
+    "sample_uniform_docs",
+    "sample_stratified_by_lang",
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",
@@ -258,6 +263,7 @@ def _ensure_loaded() -> None:
         return
     from .operators import (  # noqa: F401
         analytics_extra,
+        clustering,
         dedup,
         expectations,
         graph,

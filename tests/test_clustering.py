@@ -1,0 +1,86 @@
+"""Semantic invariants for the k-means operators (the oracle
+differential pins exact values; these pin the algebra that must hold
+at ANY scale or k)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_postgres_loader_spark.operators import clustering
+from pyspark_postgres_loader_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def final_assign(spark, sf_dir):
+    df = clustering._kmeans_final_assignment(spark, sf_dir).cache()
+    yield df
+    df.unpersist()
+
+
+def test_assignment_is_a_partition(final_assign, spark, sf_dir):
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert final_assign.count() == n_vecs
+    assert final_assign.select("vec_id").distinct().count() == n_vecs
+
+
+def test_clusters_bounded_and_nonempty(final_assign):
+    rows = final_assign.groupBy("cluster").count().collect()
+    assert 1 <= len(rows) <= clustering._K
+    assert all(0 <= r["cluster"] < clustering._K for r in rows)
+    assert all(r["count"] > 0 for r in rows)
+
+
+def test_sq_dist_nonnegative(final_assign):
+    assert final_assign.filter(F.col("sq_dist") < 0).count() == 0
+
+
+def test_assignment_is_argmin(final_assign, spark, sf_dir):
+    """Every vector's recorded sq_dist is <= its distance to every
+    OTHER final centroid (the defining property of the assign step)."""
+    corpus = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents0 = corpus.filter(F.col("vec_id") < clustering._K).select(
+        F.col("vec_id").alias("cluster"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("c_emb"),
+    )
+    cents = cents0
+    for _ in range(clustering._ITERS):
+        cents = clustering._recompute(clustering._assign(corpus, cents))
+    all_d = (
+        corpus.crossJoin(F.broadcast(cents.withColumnRenamed("cluster", "other")))
+        .select(
+            "vec_id",
+            "other",
+            clustering._sqdist(F.col("embedding"), F.col("c_emb")).alias("d_other"),
+        )
+    )
+    violations = (
+        final_assign.select("vec_id", "sq_dist")
+        .join(all_d, "vec_id")
+        .filter(F.col("d_other") < F.col("sq_dist") - F.lit(1e-12))
+        .count()
+    )
+    assert violations == 0
+
+
+def test_diversity_sample_shape(spark, sf_dir):
+    qs = __import__(
+        "pyspark_postgres_loader_spark.registry", fromlist=["all_queries"]
+    ).all_queries()
+    picks = qs["sample_cluster_diversity"](spark, sf_dir).toPandas()
+    per = picks.groupby("cluster").size()
+    assert (per <= clustering._DIVERSITY_PER_CLUSTER).all()
+    # ranks are dense 1..m within each cluster
+    for _, grp in picks.groupby("cluster"):
+        assert sorted(grp["pick_rank"]) == list(range(1, len(grp) + 1))
+
+
+def test_kmeans_plan_broadcasts_centroids_and_prunes_scan(spark, sf_dir):
+    """Assignment must be map-side (broadcast centroid join, no shuffle
+    of the corpus for scoring) and the scan must read only the two
+    needed columns."""
+    df = clustering._kmeans_final_assignment(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "label" not in optimized  # unused column pruned from the scan
