@@ -716,3 +716,186 @@ def text_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (per-document top terms)
+# ---------------------------------------------------------------------------
+
+_TFIDF_TOPN = 3
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM toks WHERE token <> '' GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    )
+    SELECT doc_id, token, score, CAST(rn AS INTEGER) AS rank FROM (
+      SELECT tf.doc_id, tf.token,
+             CAST(tf.tf * (n.n_docs + 1) AS DOUBLE) / (df.df + 1) AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf * (n.n_docs + 1) AS DOUBLE) / (df.df + 1)
+                        DESC, tf.token
+             ) AS rn
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    ) WHERE rn <= {_TFIDF_TOPN}
+    ORDER BY doc_id, rank
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-{n} terms by tf-idf with the
+    RATIONAL idf ``(N+1)/(df+1)`` — same policy as BM25 here: ``log()``
+    is libm-dependent across engines while ``*,/`` are IEEE-correctly
+    rounded, and idf is monotone in either form so per-document ranking
+    is preserved. The score is ONE double division of exact integers
+    (``tf*(N+1)`` stays BIGINT), hence bit-identical everywhere.
+
+    Scale: tf is a (doc, token) hash agg with map-side combine; the
+    df side joins back keyed by token — a shuffle hash join whose hot
+    keys (stopwords) are exactly the AQE skew-join case; N is the usual
+    broadcast 1-row aggregate. Per-doc top-{n} is a window rank, never
+    a global sort.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            (
+                (F.col("tf") * (F.col("n_docs") + 1)).cast("double")
+                / (F.col("df") + 1)
+            ).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TFIDF_TOPN)
+        .select("doc_id", "token", "score", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
+text_tfidf_top_terms.__doc__ = text_tfidf_top_terms.__doc__.format(n=_TFIDF_TOPN)
+
+
+# ---------------------------------------------------------------------------
+# Character-diversity quality score (Simpson index, log-free)
+# ---------------------------------------------------------------------------
+
+_DIVERSITY_ALPHABET = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _simpson_sql_exprs():
+    """SQL text for the Simpson diversity index ``1 - sum(p_i^2)`` over
+    the fixed buckets a..z + other. The Spark build
+    (:func:`_simpson_spark_exprs`) runs the SAME loop in the same term
+    order so every IEEE operation matches term-for-term; this SQL-only
+    half exists separately because oracle strings are built at import
+    time, before any SparkContext exists."""
+    sql_counts = [
+        f"(length(lc) - length(replace(lc, '{ch}', ''))) AS c_{ch}"
+        for ch in _DIVERSITY_ALPHABET
+    ]
+    letter_sum_sql = None
+    for ch in _DIVERSITY_ALPHABET:
+        s = f"c_{ch}"
+        letter_sum_sql = s if letter_sum_sql is None else f"({letter_sum_sql} + {s})"
+    acc_sql = None
+    for ch in list(_DIVERSITY_ALPHABET) + ["other"]:
+        cnt_sql = f"(len - {letter_sum_sql})" if ch == "other" else f"c_{ch}"
+        p_sql = f"(CAST({cnt_sql} AS DOUBLE) / len)"
+        t_sql = f"({p_sql} * {p_sql})"
+        acc_sql = t_sql if acc_sql is None else f"({acc_sql} + {t_sql})"
+    simpson_sql = f"CASE WHEN len > 0 THEN 1.0 - {acc_sql} ELSE 0.0 END"
+    return sql_counts, simpson_sql
+
+
+def _simpson_spark_exprs():
+    """Spark-Column twin of :func:`_simpson_sql_exprs` — same loop,
+    same term order. Built lazily (Column construction needs an active
+    SparkContext in this environment)."""
+    lc = F.col("lc")
+    counts = [
+        (F.length(lc) - F.length(F.translate(lc, ch, ""))).alias(f"c_{ch}")
+        for ch in _DIVERSITY_ALPHABET
+    ]
+    letter_sum_col = None
+    for ch in _DIVERSITY_ALPHABET:
+        c = F.col(f"c_{ch}")
+        letter_sum_col = c if letter_sum_col is None else letter_sum_col + c
+    acc_col = None
+    for ch in list(_DIVERSITY_ALPHABET) + ["other"]:
+        cnt_col = (F.col("len") - letter_sum_col) if ch == "other" else F.col(f"c_{ch}")
+        p_col = cnt_col.cast("double") / F.col("len")
+        t_col = p_col * p_col
+        acc_col = t_col if acc_col is None else acc_col + t_col
+    simpson_col = F.when(F.col("len") > 0, F.lit(1.0) - acc_col).otherwise(F.lit(0.0))
+    return counts, simpson_col
+
+
+def _char_diversity_oracle() -> str:
+    sql_counts, simpson_sql = _simpson_sql_exprs()
+    return f"""
+    WITH base AS (
+      SELECT doc_id, lower(text) AS lc, length(lower(text)) AS len
+      FROM documents
+    ), counted AS (
+      SELECT doc_id, len, {', '.join(sql_counts)} FROM base
+    )
+    SELECT doc_id, len AS n_chars_used, {simpson_sql} AS simpson_diversity
+    FROM counted ORDER BY doc_id
+    """
+
+
+@register("quality_char_diversity", oracle=_char_diversity_oracle())
+def quality_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-diversity quality signal: the Simpson index
+    ``1 - sum(p_i^2)`` over fixed buckets (a..z + everything-else) —
+    near 0 flags degenerate single-character spam, high values flag
+    diverse text. Deliberately LOG-FREE (no Shannon entropy): ``+,-,*,/``
+    are IEEE-correctly-rounded so the fixed-order term sum is
+    bit-identical across engines, where ``ln`` differs in the last ulp.
+
+    Per-bucket counts use the ``len - len(translate(c,''))`` trick —
+    27 codegen string ops per row, NO explode of the corpus into
+    per-character rows (at 100 TB that explode is ~500x row inflation;
+    this stays a pure map-side projection).
+    """
+    counts, simpson_col = _simpson_spark_exprs()
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.lower(F.col("text")).alias("lc"),
+        F.length(F.lower(F.col("text"))).alias("len"),
+    )
+    counted = base.select("doc_id", "len", *counts)
+    return counted.select(
+        "doc_id",
+        F.col("len").alias("n_chars_used"),
+        simpson_col.alias("simpson_diversity"),
+    ).orderBy("doc_id")

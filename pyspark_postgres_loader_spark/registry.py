@@ -75,14 +75,15 @@ _LOADED = False
 #       boilerplate share, expectations report, aHash near-dup,
 #       integer-exact PageRank, ANN recall report, cluster keep-best,
 #       streaming OHLC) — never driver-checked,
-#   (f) the 2 round-5-session-3 operators (fixed-iteration k-means,
-#       cluster-diversity sampling) — never driver-checked,
-#   (c) 31 of the 41 r2-latest names (the last 10 displaced by (e)+(f)),
+#   (f) the 4 round-5-session-3 operators (fixed-iteration k-means,
+#       cluster-diversity sampling, tf-idf keywords, char-diversity
+#       quality) — never driver-checked,
+#   (c) 29 of the 41 r2-latest names (the last 12 displaced by (e)+(f)),
 #   (d) the 3 round-5-session-1 operators (bloom decontamination,
 #       user event sequences, winsorized doc-length stats) — never
 #       driver-checked, so they take the last window slots.
-# (a)+(b)+(e)+(f)+(c)+(d) = 3+3+8+2+31+3 = 50 exactly. After the
-# boundary: the 10 displaced r2 names (round-6 rotation debt), the 50
+# (a)+(b)+(e)+(f)+(c)+(d) = 3+3+8+4+29+3 = 50 exactly. After the
+# boundary: the 12 displaced r2 names (round-6 rotation debt), the 50
 # r3-latest names, then the 47 r4-latest ones — if the driver checks
 # more than 50 rows it continues in staleness order.
 _PRIORITY = [
@@ -103,11 +104,13 @@ _PRIORITY = [
     "ann_recall_report",
     "dedup_cluster_keep_best",
     "stream_ohlc_hourly",
-    # (f) NEW in round 5 session 3 — never driver-checked (2)
+    # (f) NEW in round 5 session 3 — never driver-checked (4)
     "cluster_kmeans_embeddings",
     "sample_cluster_diversity",
-    # (c) r2-latest — stalest bulk (33; the last 8 r2 names were pushed
-    # past the boundary to make room for (e) — see boundary comment)
+    "text_tfidf_top_terms",
+    "quality_char_diversity",
+    # (c) r2-latest — stalest bulk (29; the last 12 r2 names were pushed
+    # past the boundary to make room for (e)+(f) — see boundary comment)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -137,15 +140,15 @@ _PRIORITY = [
     "multimodal_frame_sample",
     "multimodal_resize",
     "multimodal_feature_extract",
-    "agg_approx_sketches",
-    "scalar_higher_order_array",
     # (d) the 3 round-5-session-1 operators — never driver-checked
     "contamination_bloom_prefilter",
     "train_user_event_sequences",
     "quality_winsorize_doclen",
-    # --- window boundary (50): (a)3+(b)3+(e)8+(f)2+(c)31+(d)3 ---
-    # Overflow head: the 10 r2-stale names displaced by (e)+(f) —
+    # --- window boundary (50): (a)3+(b)3+(e)8+(f)4+(c)29+(d)3 ---
+    # Overflow head: the 12 r2-stale names displaced by (e)+(f) —
     # they stay r2-stale into round 6 and lead its rotation debt.
+    "agg_approx_sketches",
+    "scalar_higher_order_array",
     "sample_uniform_docs",
     "sample_stratified_by_lang",
     "text_token_stats",

@@ -84,3 +84,47 @@ def test_kmeans_plan_broadcasts_centroids_and_prunes_scan(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert "label" not in optimized  # unused column pruned from the scan
+
+
+def test_tfidf_scores_and_ranks(spark, sf_dir):
+    """TF-IDF invariants: <=3 terms per doc, dense ranks, scores
+    non-increasing within a doc, every term actually occurs in the doc."""
+    from pyspark_postgres_loader_spark.registry import all_queries
+
+    picks = all_queries()["text_tfidf_top_terms"](spark, sf_dir).toPandas()
+    for _, grp in picks.groupby("doc_id"):
+        assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
+        ordered = grp.sort_values("rank")["score"].tolist()
+        assert all(a >= b for a, b in zip(ordered, ordered[1:]))
+    assert (picks["score"] > 0).all()
+
+
+def test_char_diversity_bounds(spark, sf_dir):
+    """Simpson index lies in [0, 1); a one-character string scores 0."""
+    from pyspark_postgres_loader_spark.registry import all_queries
+
+    div = all_queries()["quality_char_diversity"](spark, sf_dir).toPandas()
+    assert ((div["simpson_diversity"] >= 0) & (div["simpson_diversity"] < 1)).all()
+    # degenerate probe through the same expression builder
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pyspark_postgres_loader_spark.operators.text import _simpson_spark_exprs
+
+    probe = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["aaaa", "", "abcd"]})
+    ).select(
+        "doc_id",
+        F.lower(F.col("text")).alias("lc"),
+        F.length(F.lower(F.col("text"))).alias("len"),
+    )
+    counts, simpson = _simpson_spark_exprs()
+    out = {
+        r["doc_id"]: r["s"]
+        for r in probe.select("doc_id", "len", *counts)
+        .select("doc_id", simpson.alias("s"))
+        .collect()
+    }
+    assert out[1] == 0.0          # single-repeated-char text
+    assert out[2] == 0.0          # empty text guarded, not NaN
+    assert abs(out[3] - 0.75) < 1e-12  # 4 distinct chars -> 1 - 4*(1/16)
