@@ -343,3 +343,117 @@ def timeseries_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Concurrency gauge: sweep line over session intervals
+# --------------------------------------------------------------------------
+
+
+@register(
+    "concurrency_gauge_hourly",
+    oracle=None,  # set below: composes the sessionize oracle via nested WITH
+)
+def concurrency_gauge_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per hour — the interval-overlap gauge
+    (how many users were mid-session at once), computed by SWEEP LINE:
+    each session contributes (+1 at start, -1 at end), the running sum
+    of deltas over the global (ts, delta DESC, user_id, session_seq)
+    order is the live concurrency, and the per-hour MAX over the
+    event points in that hour is the gauge. Ties process +1 before -1
+    (inclusive overlap), with (user_id, session_seq) as the unique
+    tail so both engines see one total order.
+
+    Scale: the global running sum uses the same range-partition +
+    per-partition window + broadcast partition-offset pattern as
+    ``pack_token_budget_bins`` — no single global-window partition over
+    the deltas. Input is 2 rows per SESSION (orders of magnitude below
+    event count); output is one row per hour.
+    """
+    sessions = sessionize_events_30m(spark, sf_dir).select(
+        "user_id", "session_seq", "session_start", "session_end"
+    )
+    starts = sessions.select(
+        F.col("session_start").alias("ts"),
+        F.lit(1).alias("delta"),
+        "user_id",
+        "session_seq",
+    )
+    ends = sessions.select(
+        F.col("session_end").alias("ts"),
+        F.lit(-1).alias("delta"),
+        "user_id",
+        "session_seq",
+    )
+    deltas = starts.unionAll(ends)
+
+    order_cols = [
+        F.col("ts").asc(),
+        F.col("delta").desc(),
+        F.col("user_id").asc(),
+        F.col("session_seq").asc(),
+    ]
+    d = deltas.repartitionByRange(32, *order_cols).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # cached for the same ReuseExchange reason as pack_token_budget_bins
+    d2 = d.withColumn("local_cs", F.sum("delta").over(w_local)).cache()
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        d2.groupBy("pid")
+        .agg(F.sum("delta").alias("ptot"))
+        .select("pid", F.coalesce(F.sum("ptot").over(w_off), F.lit(0)).alias("off"))
+    )
+    run = d2.join(F.broadcast(offsets), "pid").select(
+        "ts", (F.col("off") + F.col("local_cs")).cast("bigint").alias("conc")
+    )
+    return (
+        run.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.max("conc").alias("max_concurrent"))
+        .orderBy("hour")
+    )
+
+
+def _concurrency_oracle() -> str:
+    """Replays the sweep line over the SAME session set by nesting the
+    sessionize oracle as a CTE (the composition pattern
+    ann_recall_report established)."""
+    from ..registry import QUERIES
+
+    sess = QUERIES["sessionize_events_30m"].oracle
+    return f"""
+    WITH sessions AS ({sess}),
+    deltas AS (
+      SELECT session_start AS ts, 1 AS delta, user_id, session_seq
+      FROM sessions
+      UNION ALL
+      SELECT session_end AS ts, -1 AS delta, user_id, session_seq
+      FROM sessions
+    ),
+    run AS (
+      SELECT ts,
+             SUM(delta) OVER (ORDER BY ts, delta DESC, user_id, session_seq
+                              ROWS UNBOUNDED PRECEDING) AS conc
+      FROM deltas
+    )
+    SELECT date_trunc('hour', ts) AS hour,
+           CAST(MAX(conc) AS BIGINT) AS max_concurrent
+    FROM run GROUP BY hour ORDER BY hour
+    """
+
+
+# registered with oracle=None above so the decorator could run before
+# this helper existed; patch the real composed oracle in now.
+from ..registry import QUERIES as _Q  # noqa: E402
+
+_Q["concurrency_gauge_hourly"] = _Q["concurrency_gauge_hourly"].__class__(
+    name="concurrency_gauge_hourly",
+    fn=_Q["concurrency_gauge_hourly"].fn,
+    oracle=_concurrency_oracle(),
+    doc=_Q["concurrency_gauge_hourly"].doc,
+)
