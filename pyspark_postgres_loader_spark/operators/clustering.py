@@ -4,26 +4,43 @@ training-data curation pipeline needs (topic balancing, diversity
 sampling, cluster-level dedup; the reference has no counterpart —
 capability extension per SURVEY.md §2l).
 
-Determinism contract (same as operators/similarity.py): every distance
-is a SEQUENTIAL left-to-right double fold whose order is matched across
-engines, centroid init is the first ``K`` vectors by ``vec_id``, argmin
-ties break on cluster id, and centroid recomputation sums exact
-``DECIMAL(38,6)`` casts (order-independent) before one double divide —
-so a fixed number of Lloyd iterations is bit-reproducible in both Spark
-and DuckDB, and the oracle replays the whole algorithm in SQL.
+Determinism contract — INTEGER-EXACT, the PageRank recipe
+(operators/graph.py), not the decimal-sum one: a first cut kept
+float/decimal arithmetic and drifted ~1e-8 per Lloyd round (Spark and
+DuckDB cast float→decimal through different representations), which the
+6-decimal value-hash caught. Instead the input vectors are quantized
+ONCE to integer micro-units — ``round(x * 1e6)`` never sees an exact
+.5 tie (x*1e6 = n.5 would need x = odd/2e6, whose 5^6 denominator
+factor no binary float has), so both engines round identically — and
+from there everything is exact:
+
+- squared distances are BIGINT sums of BIGINT squares (64 dims x
+  (2e6)^2 << 2^63), associative, order-independent;
+- argmin ties break on cluster id;
+- centroid update is ``floor(sum/count)`` where the division is ONE
+  IEEE double op on identical operands (sums << 2^53) — both engines
+  produce the same double, hence the same floor;
+- the only float outputs are final ``micro^2 / 1e12`` rescales: one
+  IEEE division of an exactly-representable integer.
+
+So a fixed number of Lloyd iterations is bit-reproducible in both
+Spark and DuckDB, and the oracle replays the whole algorithm as
+unrolled CTEs.
 
 Scale design (100 TB):
-- Centroids are a k x d table (8 x 64 here) — ALWAYS broadcast; each
-  assignment pass is map-side only, no shuffle of the corpus.
+- Centroids are a k x d table (8 x 64 here) — folded into ONE
+  broadcast array-of-structs row; every assignment pass is a pure
+  map-side projection (``array_min`` argmin), NO shuffle of the corpus.
 - Centroid recomputation is posexplode (N x d rows) + groupBy(cluster,
   dim): partial aggregation combines map-side, so the shuffle carries
-  only ~k*d rows per input partition regardless of N.
-- Iteration count is FIXED (no data-dependent convergence loop), so the
-  logical plan is statically known and Catalyst sees the whole
-  pipeline; lineage depth is 2*iters+1, well inside planner limits.
-- The corpus is re-read per assignment pass; at 100 TB you'd persist
-  the (vec_id, embedding) projection or rely on parquet column pruning
-  (the scan reads exactly 2 columns — asserted in test_plan_shapes).
+  only ~k*d rows per input partition regardless of N — the ONLY
+  shuffle per Lloyd round.
+- Iteration count is FIXED (no data-dependent convergence loop), so
+  the logical plan is statically known; lineage depth is 2*iters+1.
+- The corpus is re-read per assignment pass; at 100 TB persist the
+  2-column (vec_id, quantized embedding) projection between rounds
+  (the scan here reads exactly 2 pruned columns — asserted in
+  test_clustering).
 """
 
 from __future__ import annotations
@@ -36,80 +53,109 @@ from ..functions.planctl import spread as _spread
 from ..registry import register
 from ..tables import load_table
 
-_K = 8        # clusters; init = embeddings of vec_id 0.._K-1
+_K = 8        # clusters; init = quantized embeddings of vec_id 0.._K-1
 _ITERS = 3    # fixed Lloyd iterations (assign -> update), then final assign
 _DIVERSITY_PER_CLUSTER = 5
+_MICRO = 1_000_000  # quantization: micro-units per embedding unit
+
+
+def _quantize(v: Column) -> Column:
+    """float array -> BIGINT micro-unit array; round() never meets an
+    exact .5 (see module docstring), so both engines agree bit-for-bit."""
+    return F.transform(v, lambda x: F.round(x.cast("double") * _MICRO).cast("long"))
+
+
+_SQL_QUANTIZE = (
+    "list_transform({v}, x -> "
+    f"CAST(round(CAST(x AS DOUBLE) * {_MICRO}) AS BIGINT))"
+)
 
 
 def _sqdist(v: Column, c: Column) -> Column:
-    """Squared L2 distance via the matched-order sequential fold
-    (see similarity._dot_dec for why this is cross-engine stable)."""
-    diffs = F.zip_with(
-        v, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-    )
-    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+    """Integer squared L2 distance between micro-unit vectors — exact
+    BIGINT arithmetic, order-independent."""
+    diffs = F.zip_with(v, c, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def _sql_sqdist(v: str, c: str) -> str:
-    """DuckDB rendering of :func:`_sqdist` (1-based list indexing,
-    0.0 prepended so the fold sequence matches Spark's aggregate)."""
+    """DuckDB rendering of :func:`_sqdist` (1-based list indexing)."""
     return (
-        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
         f"list_transform(range(1, len({v}) + 1), i -> "
-        f"(CAST({v}[i] AS DOUBLE) - {c}[i]) * "
-        f"(CAST({v}[i] AS DOUBLE) - {c}[i]))), (acc, x) -> acc + x)"
+        f"({v}[i] - {c}[i]) * ({v}[i] - {c}[i]))), (acc, x) -> acc + x)"
     )
 
 
 def _assign(corpus: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the k x d centroid table,
-    score map-side, argmin with a deterministic (sq_dist, cluster)
-    tie-break. Returns (vec_id, embedding, cluster, sq_dist)."""
-    w = Window.partitionBy("vec_id").orderBy(F.asc("sq_dist"), F.asc("cluster"))
+    """Nearest-centroid assignment with ZERO data shuffle: the k x d
+    centroid table folds into ONE broadcast array-of-structs row, and
+    the per-row argmin is ``array_min`` over (sq_dist, cluster) structs
+    — struct ordering is lexicographic, so equal distances tie-break on
+    the lower cluster id, matching the oracle's ``ORDER BY dist,
+    cluster`` ROW_NUMBER argmin. (A first cut used a
+    ``Window.partitionBy(vec_id)`` argmin — that shuffled the whole
+    corpus once per Lloyd round; this keeps every assignment map-side,
+    leaving the k*d-row centroid update as the only shuffle per round.)
+    Returns (vec_id, emb_micro, cluster, sq_dist)."""
+    cents_arr = cents.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("cluster"), F.col("c_micro")))
+        ).alias("cents")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                _sqdist(F.col("emb_micro"), c["c_micro"]).alias("sq_dist"),
+                c["cluster"].alias("cluster"),
+            ),
+        )
+    )
     return (
-        corpus.crossJoin(F.broadcast(cents))
+        corpus.crossJoin(F.broadcast(cents_arr))
+        .withColumn("best", best)
         .select(
             "vec_id",
-            "embedding",
-            "cluster",
-            _sqdist(F.col("embedding"), F.col("c_emb")).alias("sq_dist"),
+            "emb_micro",
+            F.col("best.cluster").alias("cluster"),
+            F.col("best.sq_dist").alias("sq_dist"),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
     )
 
 
 def _recompute(assigned: DataFrame) -> DataFrame:
-    """New centroids as per-dimension means: posexplode to (cluster,
-    dim, val), exact-decimal sum / count per (cluster, dim) — partial
-    aggregation keeps the shuffle at ~k*d rows per partition — then
-    re-assemble the dim-ordered double array per cluster."""
+    """New centroids as floored per-dimension means in micro-units:
+    posexplode to (cluster, dim, val), BIGINT sum + count per (cluster,
+    dim) — partial aggregation keeps the shuffle at ~k*d rows per
+    partition — then ``floor(sum/count)``: one IEEE double division of
+    identical small integers, so both engines floor the same value.
+    Re-assembles the dim-ordered BIGINT array per cluster."""
     exploded = assigned.select(
-        "cluster", F.posexplode("embedding").alias("dim", "val")
+        "cluster", F.posexplode("emb_micro").alias("dim", "val")
     )
     means = exploded.groupBy("cluster", "dim").agg(
-        (F.sum(F.col("val").cast("decimal(38,6)")).cast("double") / F.count("val")).alias(
-            "mean"
-        )
+        F.floor(F.sum("val").cast("double") / F.count("val"))
+        .cast("long")
+        .alias("mean_micro")
     )
     return means.groupBy("cluster").agg(
         F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "mean"))),
-            lambda s: s["mean"],
-        ).alias("c_emb")
+            F.array_sort(F.collect_list(F.struct("dim", "mean_micro"))),
+            lambda s: s["mean_micro"],
+        ).alias("c_micro")
     )
 
 
 def _kmeans_final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared pipeline: _ITERS Lloyd rounds, then the assignment under
-    the final centroids. Returns (vec_id, embedding, cluster, sq_dist)."""
+    the final centroids. Returns (vec_id, emb_micro, cluster, sq_dist
+    [micro^2])."""
     corpus = _spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", "embedding"
+        "vec_id", _quantize(F.col("embedding")).alias("emb_micro")
     )
     cents = corpus.filter(F.col("vec_id") < _K).select(
-        F.col("vec_id").alias("cluster"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("c_emb"),
+        F.col("vec_id").alias("cluster"), F.col("emb_micro").alias("c_micro")
     )
     for _ in range(_ITERS):
         cents = _recompute(_assign(corpus, cents))
@@ -120,41 +166,42 @@ def _kmeans_oracle_ctes() -> str:
     """The Lloyd rounds unrolled as DuckDB CTEs (fixed iteration count
     makes the whole algorithm SQL-expressible)."""
     sq = _sql_sqdist
+    quant = _SQL_QUANTIZE.format(v="embedding")
     parts = [
-        "corpus AS (SELECT vec_id, embedding FROM embeddings)",
+        f"corpus AS (SELECT vec_id, {quant} AS emb_micro FROM embeddings)",
         f"""cents0 AS (
-      SELECT vec_id AS cluster,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb
-      FROM embeddings WHERE vec_id < {_K})""",
+      SELECT vec_id AS cluster, emb_micro AS c_micro
+      FROM corpus WHERE vec_id < {_K})""",
     ]
     for t in range(_ITERS):
         parts.append(f"""assign{t} AS (
-      SELECT vec_id, embedding, cluster FROM (
-        SELECT c.vec_id, c.embedding, ct.cluster,
+      SELECT vec_id, emb_micro, cluster FROM (
+        SELECT c.vec_id, c.emb_micro, ct.cluster,
                ROW_NUMBER() OVER (
                  PARTITION BY c.vec_id
-                 ORDER BY {sq('c.embedding', 'ct.c_emb')} ASC, ct.cluster
+                 ORDER BY {sq('c.emb_micro', 'ct.c_micro')} ASC, ct.cluster
                ) AS rn
         FROM corpus c CROSS JOIN cents{t} ct
       ) WHERE rn = 1)""")
         parts.append(f"""cents{t + 1} AS (
-      SELECT cluster, array_agg(mean ORDER BY dim) AS c_emb FROM (
+      SELECT cluster, array_agg(mean_micro ORDER BY dim) AS c_micro FROM (
         SELECT cluster, dim,
-               CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE) / COUNT(val) AS mean
+               CAST(floor(CAST(SUM(val) AS DOUBLE) / COUNT(val)) AS BIGINT)
+                 AS mean_micro
         FROM (
           SELECT cluster,
-                 generate_subscripts(embedding, 1) - 1 AS dim,
-                 unnest(embedding) AS val
+                 generate_subscripts(emb_micro, 1) - 1 AS dim,
+                 unnest(emb_micro) AS val
           FROM assign{t}
         ) GROUP BY cluster, dim
       ) GROUP BY cluster)""")
     parts.append(f"""final_assign AS (
       SELECT vec_id, cluster, sq_dist FROM (
         SELECT c.vec_id, ct.cluster,
-               {sq('c.embedding', 'ct.c_emb')} AS sq_dist,
+               {sq('c.emb_micro', 'ct.c_micro')} AS sq_dist,
                ROW_NUMBER() OVER (
                  PARTITION BY c.vec_id
-                 ORDER BY {sq('c.embedding', 'ct.c_emb')} ASC, ct.cluster
+                 ORDER BY {sq('c.emb_micro', 'ct.c_micro')} ASC, ct.cluster
                ) AS rn
         FROM corpus c CROSS JOIN cents{_ITERS} ct
       ) WHERE rn = 1)""")
@@ -166,7 +213,7 @@ def _kmeans_oracle_ctes() -> str:
     oracle=f"""
     {_kmeans_oracle_ctes()}
     SELECT cluster, COUNT(*) AS n_vectors,
-           CAST(SUM(CAST(sq_dist AS DECIMAL(38,6))) AS DOUBLE) AS inertia,
+           CAST(SUM(sq_dist) AS DOUBLE) / {_MICRO * _MICRO} AS inertia,
            MIN(vec_id) AS min_vec_id
     FROM final_assign
     GROUP BY cluster
@@ -175,17 +222,18 @@ def _kmeans_oracle_ctes() -> str:
 )
 def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration Lloyd k-means (k={k}, {iters} rounds) over the
-    64-dim embeddings: per-cluster size, exact-decimal inertia, and the
-    smallest member id. The whole algorithm — init, {iters} assign/update
-    rounds, final assignment — is deterministic and replayed by the
-    DuckDB oracle as unrolled CTEs.
+    64-dim embeddings, computed entirely in integer micro-units:
+    per-cluster size, inertia (exact BIGINT sum rescaled by one IEEE
+    division), and the smallest member id. The whole algorithm — init,
+    {iters} assign/update rounds, final assignment — is bit-deterministic
+    and replayed by the DuckDB oracle as unrolled CTEs.
     """
     final = _kmeans_final_assignment(spark, sf_dir)
     return (
         final.groupBy("cluster")
         .agg(
             F.count("*").alias("n_vectors"),
-            F.sum(F.col("sq_dist").cast("decimal(38,6)")).cast("double").alias("inertia"),
+            (F.sum("sq_dist").cast("double") / (_MICRO * _MICRO)).alias("inertia"),
             F.min("vec_id").alias("min_vec_id"),
         )
         .orderBy("cluster")
@@ -201,7 +249,9 @@ cluster_kmeans_embeddings.__doc__ = cluster_kmeans_embeddings.__doc__.format(
     "sample_cluster_diversity",
     oracle=f"""
     {_kmeans_oracle_ctes()}
-    SELECT cluster, vec_id, sq_dist, CAST(rn AS INTEGER) AS pick_rank FROM (
+    SELECT cluster, vec_id,
+           CAST(sq_dist AS DOUBLE) / {_MICRO * _MICRO} AS sq_dist,
+           CAST(rn AS INTEGER) AS pick_rank FROM (
       SELECT cluster, vec_id, sq_dist,
              ROW_NUMBER() OVER (
                PARTITION BY cluster ORDER BY sq_dist ASC, vec_id
@@ -215,9 +265,10 @@ def sample_cluster_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity sampling: the {m} vectors closest to each k-means
     centroid — one small, spread-out representative set per region of
     embedding space (the standard cluster-then-sample curation recipe).
-    Per-cluster top-m is a window rank over the final assignment; at
-    scale this is TakeOrderedAndProject-per-group after the broadcast
-    assignment pass, never a global sort.
+    Per-cluster top-m is a window rank over the final assignment (an
+    integer argsort, so rank ties are impossible to get wrong across
+    engines); at scale this is TakeOrderedAndProject-per-group after
+    the map-side assignment pass, never a global sort.
     """
     final = _kmeans_final_assignment(spark, sf_dir)
     w = Window.partitionBy("cluster").orderBy(F.asc("sq_dist"), F.asc("vec_id"))
@@ -225,6 +276,12 @@ def sample_cluster_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         final.select("cluster", "vec_id", "sq_dist")
         .withColumn("pick_rank", F.row_number().over(w))
         .filter(F.col("pick_rank") <= _DIVERSITY_PER_CLUSTER)
+        .select(
+            "cluster",
+            "vec_id",
+            (F.col("sq_dist").cast("double") / (_MICRO * _MICRO)).alias("sq_dist"),
+            "pick_rank",
+        )
         .orderBy("cluster", "pick_rank")
     )
 

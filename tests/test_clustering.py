@@ -37,13 +37,14 @@ def test_sq_dist_nonnegative(final_assign):
 
 def test_assignment_is_argmin(final_assign, spark, sf_dir):
     """Every vector's recorded sq_dist is <= its distance to every
-    OTHER final centroid (the defining property of the assign step)."""
-    corpus = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents0 = corpus.filter(F.col("vec_id") < clustering._K).select(
-        F.col("vec_id").alias("cluster"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("c_emb"),
+    OTHER final centroid (the defining property of the assign step) —
+    exact integer comparison, no tolerance needed."""
+    corpus = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", clustering._quantize(F.col("embedding")).alias("emb_micro")
     )
-    cents = cents0
+    cents = corpus.filter(F.col("vec_id") < clustering._K).select(
+        F.col("vec_id").alias("cluster"), F.col("emb_micro").alias("c_micro")
+    )
     for _ in range(clustering._ITERS):
         cents = clustering._recompute(clustering._assign(corpus, cents))
     all_d = (
@@ -51,13 +52,15 @@ def test_assignment_is_argmin(final_assign, spark, sf_dir):
         .select(
             "vec_id",
             "other",
-            clustering._sqdist(F.col("embedding"), F.col("c_emb")).alias("d_other"),
+            clustering._sqdist(F.col("emb_micro"), F.col("c_micro")).alias(
+                "d_other"
+            ),
         )
     )
     violations = (
         final_assign.select("vec_id", "sq_dist")
         .join(all_d, "vec_id")
-        .filter(F.col("d_other") < F.col("sq_dist") - F.lit(1e-12))
+        .filter(F.col("d_other") < F.col("sq_dist"))
         .count()
     )
     assert violations == 0
