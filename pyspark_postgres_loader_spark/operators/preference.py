@@ -7,23 +7,25 @@ blocks.
 
 Scale design — the naive formulation is a quadratic NOT EXISTS
 self-join (the oracle uses exactly that, fine at gate scale, fatal at
-100 TB). The distributed form decomposes dominance by PRICE BAND
-(``floor(price / W)``):
+100 TB). The distributed form is SORT-BASED, decomposed by PRICE BAND
+(``floor(price / W)``) so no window ever spans the whole data:
 
-1. rows in a strictly higher band always have strictly higher price,
-   so their entire dominance effect collapses to ONE number per band —
-   the prefix-max order date over higher bands (a ~#bands-row window,
-   broadcast back);
-2. rows in a lower band can never dominate (their price is strictly
-   lower);
-3. only SAME-band rows need the pairwise check — an equi-join on the
-   band key whose cost is sum(band_size^2), bounded by the band width
-   the same way every dedup candidate generator here caps its buckets.
+1. collapse to one row per (band, price): the max date per price group
+   — a hash aggregation;
+2. "dominated by a strictly higher price in MY band" = per-band prefix
+   max of group dates over descending distinct prices (a window over
+   per-band DISTINCT PRICES, parallel across bands);
+3. "dominated by any higher band" = per-band prefix max over ~#bands
+   rows (tiny, broadcast back) — higher bands always have strictly
+   higher prices, lower bands can never dominate;
+4. "dominated within my own price group" = group max date strictly
+   later than mine.
 
-Both halves are hash joins + tiny windows; no global-window partition,
-no cartesian product. At 100 TB, narrow W (or split hot bands on a
-salt) until bands fit the executor budget — result values are
-invariant to W.
+One aggregation, two windows (one per-band, one #bands-sized), one
+hash join back — NO pairwise join anywhere (a first cut pair-joined
+same-band rows: Σ band_size² work, 28 s at sf0.1 vs ~1 s for this
+form, and hopeless at 100 TB). Result values are invariant to W; W
+only controls per-band window width.
 """
 
 from __future__ import annotations
@@ -68,47 +70,51 @@ def skyline_orders_price_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") / F.lit(_SKY_BAND_WIDTH)).alias("band"),
     )
 
-    # (1) dominance from strictly higher bands: prefix-max date.
-    # The window runs over #bands rows (~60), not over the data.
-    band_max = o.groupBy("band").agg(F.max("o_orderdate").alias("bmax"))
+    # Dominance facts, decomposed sort-wise (NO pairwise join anywhere —
+    # a first cut pair-joined same-band rows, which is Σ band_size² work
+    # and took 28 s at sf0.1; this formulation is linear + windows):
+    # a row is dominated iff
+    #   (a) some STRICTLY higher price carries date >= its date, or
+    #   (b) its own price group carries a strictly later date.
+    # (a) splits into "higher price in my band" (per-band window over
+    # DISTINCT prices) and "any price in a higher band" (per-band
+    # prefix-max over ~#bands rows).
+    grp = o.groupBy("band", "o_totalprice").agg(
+        F.max("o_orderdate").alias("grp_max")
+    )
+    w_in = (
+        Window.partitionBy("band")
+        .orderBy(F.desc("o_totalprice"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grp = grp.withColumn("in_band_prefix", F.max("grp_max").over(w_in))
+
+    band_max = grp.groupBy("band").agg(F.max("grp_max").alias("bmax"))
     w_higher = Window.orderBy(F.desc("band")).rowsBetween(
         Window.unboundedPreceding, -1
     )
     higher = band_max.select(
-        "band", F.max("bmax").over(w_higher).alias("higher_max_date")
+        "band", F.max("bmax").over(w_higher).alias("higher_band_prefix")
     )
 
-    # (3) same-band pairwise dominance: equi-join on band only.
-    rival = o.select(
-        F.col("band").alias("r_band"),
-        F.col("o_orderkey").alias("r_key"),
-        F.col("o_totalprice").alias("r_price"),
-        F.col("o_orderdate").alias("r_date"),
-    )
-    dominated_in_band = (
-        o.join(rival, o["band"] == rival["r_band"])
-        .filter(
-            (F.col("r_price") >= F.col("o_totalprice"))
-            & (F.col("r_date") >= F.col("o_orderdate"))
-            & (
-                (F.col("r_price") > F.col("o_totalprice"))
-                | (F.col("r_date") > F.col("o_orderdate"))
-            )
-        )
-        .select(F.col("o_orderkey").alias("dom_key"))
-        .distinct()
+    info = grp.join(F.broadcast(higher), "band").select(
+        "band",
+        "o_totalprice",
+        "grp_max",
+        # greatest() ignores nulls: max date over ALL strictly higher
+        # prices, null when this is the global max price
+        F.greatest("in_band_prefix", "higher_band_prefix").alias("strict_dom"),
     )
 
     return (
-        o.join(F.broadcast(higher), "band", "left")
+        o.join(info, ["band", "o_totalprice"])
         .filter(
-            F.col("higher_max_date").isNull()
-            | (F.col("higher_max_date") < F.col("o_orderdate"))
-        )
-        .join(
-            dominated_in_band,
-            F.col("o_orderkey") == F.col("dom_key"),
-            "left_anti",
+            ~(
+                F.coalesce(
+                    F.col("strict_dom") >= F.col("o_orderdate"), F.lit(False)
+                )
+                | (F.col("grp_max") > F.col("o_orderdate"))
+            )
         )
         .select("o_orderkey", "o_totalprice", "o_orderdate")
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
