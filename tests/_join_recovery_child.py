@@ -85,9 +85,13 @@ def main(workdir: str, how: str) -> int:
             print(f"{how}: fixture produced no joined rows")
             return 1
 
-        # run 1: wait for the first committed batch, then kill
+        # run 1: wait for the first committed batch, then kill.
+        # Deadlines here are a last-resort envelope, not the fix — the
+        # fresh JVM is; but a saturated machine (full suite + other
+        # JVMs) can still starve this child, and a passing run clears
+        # these in seconds either way.
         q = start()
-        deadline = time.time() + 120
+        deadline = time.time() + 240
         while time.time() < deadline:
             if any(b["numInputRows"] > 0 for b in (q.recentProgress or [])):
                 break
@@ -97,7 +101,7 @@ def main(workdir: str, how: str) -> int:
 
         # run 2: resume from the checkpoint, poll until converged
         q2 = start()
-        deadline = time.time() + 180
+        deadline = time.time() + 420
         got: set = set()
         while time.time() < deadline:
             try:
