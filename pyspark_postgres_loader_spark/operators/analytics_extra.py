@@ -827,3 +827,94 @@ def timeseries_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("twa_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Robust (median/MAD) per-user anomaly detection
+# --------------------------------------------------------------------------
+
+_MAD_K = 3.0       # flag |value - median| > K * 1.4826 * MAD
+_MAD_SCALE = 1.4826  # the normal-consistency constant
+
+
+@register(
+    "anomaly_mad_robust",
+    oracle=f"""
+    WITH med AS (
+      SELECT user_id, COUNT(*) AS n,
+             quantile_cont(value, 0.5) AS med_v
+      FROM events GROUP BY user_id
+    ),
+    mad AS (
+      SELECT e.user_id,
+             quantile_cont(abs(e.value - m.med_v), 0.5) AS mad_v
+      FROM events e JOIN med m ON m.user_id = e.user_id
+      GROUP BY e.user_id
+    )
+    SELECT m.user_id, CAST(m.n AS BIGINT) AS n, m.med_v, d.mad_v,
+           CAST(SUM(CASE WHEN abs(e.value - m.med_v)
+                              > {_MAD_K} * ({_MAD_SCALE} * d.mad_v)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e
+    JOIN med m ON m.user_id = e.user_id
+    JOIN mad d ON d.user_id = e.user_id
+    WHERE d.mad_v > 0
+    GROUP BY m.user_id, m.n, m.med_v, d.mad_v
+    """,
+)
+def anomaly_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user outlier detection — median/MAD instead of
+    mean/std (the ``anomaly_zscore_users`` twin that a heavy-tailed
+    value distribution doesn't fool: one wild event inflates std and
+    masks itself; the median absolute deviation barely moves).
+
+    Flags events with |value − median| > {k}·(1.4826·MAD); users whose
+    MAD is exactly 0 (constant-valued) are excluded as degenerate —
+    deterministic on both engines. Exact grouped medians use the
+    Spark ``percentile`` / DuckDB ``quantile_cont`` pairing the
+    percentile operators already pin as bit-compatible; the deviation
+    and threshold arithmetic is the same IEEE expression on both sides.
+
+    Three passes, every one keyed on user_id (median agg → MAD agg →
+    flag agg) with agg-sized join frames — co-partitioned, no global
+    pass, no driver state. Exact per-user medians buffer one user's
+    values per group; at 100 TB swap both ``percentile`` calls for
+    ``percentile_approx`` (same shape, bounded memory) when per-user
+    cardinality is unbounded.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    med = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.expr("percentile(value, 0.5)").alias("med_v"),
+    )
+    mad = (
+        ev.join(med.select("user_id", "med_v"), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.expr("percentile(abs(value - med_v), 0.5)").alias("mad_v")
+        )
+    )
+    dev = F.abs(F.col("value") - F.col("med_v"))
+    return (
+        ev.join(med, "user_id")
+        .join(mad, "user_id")
+        .filter(F.col("mad_v") > 0)
+        .groupBy("user_id", "n", "med_v", "mad_v")
+        .agg(
+            F.sum(
+                F.when(dev > _MAD_K * (_MAD_SCALE * F.col("mad_v")), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n"),
+            "med_v",
+            "mad_v",
+            "n_outliers",
+        )
+    )
+
+
+anomaly_mad_robust.__doc__ = anomaly_mad_robust.__doc__.format(k=_MAD_K)

@@ -88,3 +88,35 @@ def test_centroid_norm_bounded_by_max_vector_norm(spark, sf_dir):
         .first()[0]
     )
     assert all(r.norm_sq <= max_norm_sq + 1e-9 for r in rows)
+
+
+def test_mad_robust_vs_zscore_masking(spark, sf_dir):
+    """MAD invariants: outlier counts bounded by n, MAD strictly
+    positive after the degenerate filter, and the flagged count equals
+    a pandas recomputation on one sampled user."""
+    import numpy as np
+
+    from pyspark_postgres_loader_spark.operators.analytics_extra import (
+        _MAD_K,
+        _MAD_SCALE,
+    )
+    from pyspark_postgres_loader_spark.registry import all_queries
+    from pyspark_postgres_loader_spark.tables import load_table
+
+    mad = all_queries()["anomaly_mad_robust"](spark, sf_dir).toPandas()
+    assert (mad["mad_v"] > 0).all()
+    assert (mad["n_outliers"] <= mad["n"]).all()
+
+    user = int(mad.iloc[0]["user_id"])
+    vals = (
+        load_table(spark, sf_dir, "events")
+        .filter(f"user_id = {user}")
+        .select("value")
+        .toPandas()["value"]
+        .to_numpy()
+    )
+    med = np.median(vals)
+    m = np.median(np.abs(vals - med))
+    expected = int((np.abs(vals - med) > _MAD_K * (_MAD_SCALE * m)).sum())
+    row = mad[mad["user_id"] == user].iloc[0]
+    assert int(row["n_outliers"]) == expected
