@@ -67,3 +67,46 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def tune_for_cluster(
+    spark: SparkSession,
+    total_cores: int,
+    partitions_per_core: int = 3,
+    max_partition_bytes: int = 128 * 1024 * 1024,
+    broadcast_threshold_mb: int = 64,
+) -> dict[str, str]:
+    """Re-derive the scale-sensitive knobs for a real cluster and apply
+    them to the live session. Returns the applied settings.
+
+    The local factory sizes everything for fixtures (4 MB splits,
+    32 shuffle partitions); on a 1000-executor deployment the same
+    plans want:
+
+    - ``shuffle.partitions`` ≈ 2-3× total task slots: enough tasks
+      that one straggler doesn't serialize a stage, few enough that
+      per-task overhead and tiny shuffle files don't dominate. AQE
+      coalesces down when a stage's data is small, so oversizing is
+      the safe direction.
+    - ``files.maxPartitionBytes`` back at the 128 MB default: with
+      100 TB of parquet that still yields ~800k splits — parallelism
+      is never scan-bound at scale, and larger splits amortize
+      footer/dictionary decode.
+    - a broadcast threshold sized to executor memory headroom (64 MB
+      default here): every dimension that fits broadcast saves a
+      full fact shuffle — the single biggest plan lever this engine
+      relies on (SCALE.md).
+
+    Runtime-settable conf only (safe on an active session); cluster
+    managers own memory/executor topology at submit time.
+    """
+    applied = {
+        "spark.sql.shuffle.partitions": str(total_cores * partitions_per_core),
+        "spark.sql.files.maxPartitionBytes": str(max_partition_bytes),
+        "spark.sql.autoBroadcastJoinThreshold": str(
+            broadcast_threshold_mb * 1024 * 1024
+        ),
+    }
+    for k, v in applied.items():
+        spark.conf.set(k, v)
+    return applied

@@ -207,3 +207,27 @@ def test_cli_config_factory_used_for_postgres_dialect(ini, monkeypatch, tmp_path
     assert captured["dialect"] == "postgres"
     assert dict(conn.execute("SELECT id, v FROM t")) == {1: "a"}
     conn.close()
+
+
+def test_tune_for_cluster_applies_and_returns(spark):
+    from pyspark_postgres_loader_spark.session import tune_for_cluster
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.files.maxPartitionBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        applied = tune_for_cluster(spark, total_cores=4000)
+        assert applied["spark.sql.shuffle.partitions"] == "12000"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "12000"
+        assert (
+            spark.conf.get("spark.sql.files.maxPartitionBytes")
+            == str(128 * 1024 * 1024)
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
