@@ -139,3 +139,92 @@ def quality_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "violations",
         (F.col("violations") == 0).alias("passed"),
     ).orderBy("check_name")
+
+
+# --------------------------------------------------------------------------
+# Column profile (the ANALYZE TABLE / profiling shape)
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderpriority",
+]
+
+
+@register(
+    "profile_orders_columns",
+    oracle=f"""
+    WITH agg AS (
+      SELECT COUNT(*) AS n_rows,
+             {', '.join(
+                 f"COUNT({c}) AS nn_{c}, "
+                 f"COUNT(DISTINCT {c}) AS nd_{c}, "
+                 f"CAST(MIN({c}) AS VARCHAR) AS mn_{c}, "
+                 f"CAST(MAX({c}) AS VARCHAR) AS mx_{c}"
+                 for c in _PROFILE_COLS
+             )}
+      FROM orders
+    )
+    {' UNION ALL '.join(
+        f"SELECT '{c}' AS column_name, n_rows, "
+        f"n_rows - nn_{c} AS n_null, nd_{c} AS n_distinct, "
+        f"mn_{c} AS min_val, mx_{c} AS max_val FROM agg"
+        for c in _PROFILE_COLS
+    )}
+    ORDER BY column_name
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile — the ANALYZE TABLE shape a warehouse runs before
+    choosing join strategies: per column, row/null/exact-distinct
+    counts and min/max (rendered as strings so one report schema covers
+    heterogeneous column types). The whole profile is ONE scan: every
+    per-column statistic is a conditional aggregate in the same
+    aggregation (map-side partials reduce each partition to one row;
+    the multiple DISTINCTs are the expensive part — Spark expands them
+    into one multi-column distinct aggregate, the same cost class as
+    the uniqueness expectation above). The unpivot (``stack``) runs on
+    the 1-row aggregate, never on data. At 100 TB swap exact distincts
+    for ``approx_count_distinct`` (HLL) — same shape, one pass, bounded
+    memory — mirroring the sketch/error-contract pattern of
+    ``agg_approx_sketches``.
+
+    Timestamps are excluded from the showcase column set: their string
+    rendering differs between engines ('2000-01-01 00:00:00' vs
+    '2000-01-01 00:00:00.000000'), which is a formatting, not a value,
+    difference — numeric and varchar columns render identically.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_rows - nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in _PROFILE_COLS
+    )
+    return (
+        one.select(
+            "n_rows",
+            F.expr(
+                f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+                "(column_name, n_null, n_distinct, min_val, max_val)"
+            ),
+        )
+        .select(
+            "column_name",
+            "n_rows",
+            F.col("n_null").cast("long").alias("n_null"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            "min_val",
+            "max_val",
+        )
+        .orderBy("column_name")
+    )

@@ -75,16 +75,17 @@ _LOADED = False
 #       boilerplate share, expectations report, aHash near-dup,
 #       integer-exact PageRank, ANN recall report, cluster keep-best,
 #       streaming OHLC) — never driver-checked,
-#   (f) the 7 round-5-session-3 operators (fixed-iteration k-means,
+#   (f) the 8 round-5-session-3 operators (fixed-iteration k-means,
 #       cluster-diversity sampling, tf-idf keywords, char-diversity
 #       quality, banded 2-D skyline, sweep-line concurrency gauge,
-#       median/MAD robust anomaly) — never driver-checked,
-#   (c) 26 of the 41 r2-latest names (the last 15 displaced by (e)+(f)),
+#       median/MAD robust anomaly, column profile) — never
+#       driver-checked,
+#   (c) 25 of the 41 r2-latest names (the last 16 displaced by (e)+(f)),
 #   (d) the 3 round-5-session-1 operators (bloom decontamination,
 #       user event sequences, winsorized doc-length stats) — never
 #       driver-checked, so they take the last window slots.
-# (a)+(b)+(e)+(f)+(c)+(d) = 3+3+8+7+26+3 = 50 exactly. After the
-# boundary: the 15 displaced r2 names (round-6 rotation debt), the 50
+# (a)+(b)+(e)+(f)+(c)+(d) = 3+3+8+8+25+3 = 50 exactly. After the
+# boundary: the 16 displaced r2 names (round-6 rotation debt), the 50
 # r3-latest names, then the 47 r4-latest ones — if the driver checks
 # more than 50 rows it continues in staleness order.
 _PRIORITY = [
@@ -105,7 +106,7 @@ _PRIORITY = [
     "ann_recall_report",
     "dedup_cluster_keep_best",
     "stream_ohlc_hourly",
-    # (f) NEW in round 5 session 3 — never driver-checked (7)
+    # (f) NEW in round 5 session 3 — never driver-checked (8)
     "cluster_kmeans_embeddings",
     "sample_cluster_diversity",
     "text_tfidf_top_terms",
@@ -113,7 +114,8 @@ _PRIORITY = [
     "skyline_orders_price_date",
     "concurrency_gauge_hourly",
     "anomaly_mad_robust",
-    # (c) r2-latest — stalest bulk (26; the last 15 r2 names were pushed
+    "profile_orders_columns",
+    # (c) r2-latest — stalest bulk (25; the last 16 r2 names were pushed
     # past the boundary to make room for (e)+(f) — see boundary comment)
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -140,14 +142,14 @@ _PRIORITY = [
     "json_props_by_event_type",
     "json_from_json_struct",
     "json_map_explode",
-    "multimodal_decode_meta",
     # (d) the 3 round-5-session-1 operators — never driver-checked
     "contamination_bloom_prefilter",
     "train_user_event_sequences",
     "quality_winsorize_doclen",
-    # --- window boundary (50): (a)3+(b)3+(e)8+(f)7+(c)26+(d)3 ---
-    # Overflow head: the 15 r2-stale names displaced by (e)+(f) —
+    # --- window boundary (50): (a)3+(b)3+(e)8+(f)8+(c)25+(d)3 ---
+    # Overflow head: the 16 r2-stale names displaced by (e)+(f) —
     # they stay r2-stale into round 6 and lead its rotation debt.
+    "multimodal_decode_meta",
     "multimodal_frame_sample",
     "multimodal_resize",
     "multimodal_feature_extract",
