@@ -772,3 +772,51 @@ def train_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 train_user_event_sequences.__doc__ = train_user_event_sequences.__doc__.format(
     n=_SEQ_MAX
 )
+
+
+# --------------------------------------------------------------------------
+# Deterministic global shuffle (training-order assignment)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "train_global_shuffle",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                   doc_id) AS BIGINT) AS shuffle_pos
+    FROM documents
+    """,
+)
+def train_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-data ordering: every
+    document gets a stable pseudo-random position ``shuffle_pos`` —
+    rank under ``md5(doc_id)`` (a keyed permutation both engines
+    compute identically) — so the training order is reproducible
+    across runs, resumable mid-epoch, and independent of input file
+    layout.
+
+    Scale shape (same scheme as ``pack_token_budget_bins``): a global
+    ``ROW_NUMBER() OVER (ORDER BY ...)`` would funnel 100 TB through
+    one window partition, so instead the rows are ``repartitionByRange``
+    on the hash key, ranked per-partition, and offset by a broadcast of
+    per-partition counts (≤ #partitions rows). The result is invariant
+    to where the sampled range boundaries land."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    d = d.repartitionByRange(32, "h", "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("pid").orderBy("h", "doc_id")
+    ranked = d.withColumn("local_rn", F.row_number().over(w_local)).cache()
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranked.groupBy("pid")
+        .agg(F.count("*").alias("n"))
+        .select("pid", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off"))
+    )
+    return ranked.join(F.broadcast(offsets), "pid").select(
+        "doc_id",
+        (F.col("off") + F.col("local_rn")).cast("long").alias("shuffle_pos"),
+    )

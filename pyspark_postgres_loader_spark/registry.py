@@ -80,12 +80,16 @@ _LOADED = False
 #       quality, banded 2-D skyline, sweep-line concurrency gauge,
 #       median/MAD robust anomaly, column profile) — never
 #       driver-checked,
-#   (c) 25 of the 41 r2-latest names (the last 16 displaced by (e)+(f)),
+#   (g) the 3 round-5-session-4 operators (foreachBatch→upsert
+#       incremental load, dropDuplicatesWithinWatermark dedup,
+#       deterministic global shuffle) — never driver-checked,
+#   (c) 22 of the 41 r2-latest names (the last 19 displaced by
+#       (e)+(f)+(g)),
 #   (d) the 3 round-5-session-1 operators (bloom decontamination,
 #       user event sequences, winsorized doc-length stats) — never
 #       driver-checked, so they take the last window slots.
-# (a)+(b)+(e)+(f)+(c)+(d) = 3+3+8+8+25+3 = 50 exactly. After the
-# boundary: the 16 displaced r2 names (round-6 rotation debt), the 50
+# (a)+(b)+(e)+(f)+(g)+(c)+(d) = 3+3+8+8+3+22+3 = 50 exactly. After the
+# boundary: the 19 displaced r2 names (round-6 rotation debt), the 50
 # r3-latest names, then the 47 r4-latest ones — if the driver checks
 # more than 50 rows it continues in staleness order.
 _PRIORITY = [
@@ -115,8 +119,13 @@ _PRIORITY = [
     "concurrency_gauge_hourly",
     "anomaly_mad_robust",
     "profile_orders_columns",
-    # (c) r2-latest — stalest bulk (25; the last 16 r2 names were pushed
-    # past the boundary to make room for (e)+(f) — see boundary comment)
+    # (g) NEW in round 5 session 4 — never driver-checked (3)
+    "stream_upsert_incremental",
+    "stream_dedup_exactly_once",
+    "train_global_shuffle",
+    # (c) r2-latest — stalest bulk (22; the last 19 r2 names were pushed
+    # past the boundary to make room for (e)+(f)+(g) — see boundary
+    # comment)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -139,16 +148,16 @@ _PRIORITY = [
     "ann_bruteforce_topk",
     "sim_label_envelope",
     "dedup_embedding_cosine",
-    "json_props_by_event_type",
-    "json_from_json_struct",
-    "json_map_explode",
     # (d) the 3 round-5-session-1 operators — never driver-checked
     "contamination_bloom_prefilter",
     "train_user_event_sequences",
     "quality_winsorize_doclen",
-    # --- window boundary (50): (a)3+(b)3+(e)8+(f)8+(c)25+(d)3 ---
-    # Overflow head: the 16 r2-stale names displaced by (e)+(f) —
+    # --- window boundary (50): (a)3+(b)3+(e)8+(f)8+(g)3+(c)22+(d)3 ---
+    # Overflow head: the 19 r2-stale names displaced by (e)+(f)+(g) —
     # they stay r2-stale into round 6 and lead its rotation debt.
+    "json_props_by_event_type",
+    "json_from_json_struct",
+    "json_map_explode",
     "multimodal_decode_meta",
     "multimodal_frame_sample",
     "multimodal_resize",
@@ -291,7 +300,7 @@ def _ensure_loaded() -> None:
         udtf_ops,
     )
     from .sources import pydatasource  # noqa: F401
-    from .streaming import windows  # noqa: F401
+    from .streaming import incremental, windows  # noqa: F401
 
     missing = [n for n in _PRIORITY if n not in QUERIES]
     if missing:

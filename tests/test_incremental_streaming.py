@@ -1,0 +1,68 @@
+"""Behavior tests for the streaming incremental-load bridge and the
+deterministic global shuffle (beyond the DuckDB differential, which
+already pins their values)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_postgres_loader_spark.operators.training import train_global_shuffle
+from pyspark_postgres_loader_spark.streaming.incremental import (
+    stream_dedup_exactly_once,
+    stream_upsert_incremental,
+)
+from pyspark_postgres_loader_spark.tables import load_table
+
+
+def test_upsert_incremental_is_repeatable(spark, sf_dir):
+    """Two full runs (fresh target + checkpoint each) agree exactly —
+    the load is a pure function of the source, not of scheduling."""
+    a = {tuple(r) for r in stream_upsert_incremental(spark, sf_dir).collect()}
+    b = {tuple(r) for r in stream_upsert_incremental(spark, sf_dir).collect()}
+    assert a == b
+    assert len(a) > 0
+    # one row per (user, type) pair present in the source
+    pairs = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert len(a) == pairs
+
+
+def test_dedup_within_watermark_removes_all_duplicates(spark, sf_dir):
+    out = stream_dedup_exactly_once(spark, sf_dir)
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert out.count() == n_events  # doubled input, exactly-once output
+    assert out.select("event_id").distinct().count() == n_events
+
+
+def test_global_shuffle_is_a_permutation(spark, sf_dir):
+    out = train_global_shuffle(spark, sf_dir)
+    n = load_table(spark, sf_dir, "documents").count()
+    stats = out.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("shuffle_pos").alias("d"),
+        F.min("shuffle_pos").alias("lo"),
+        F.max("shuffle_pos").alias("hi"),
+    ).first()
+    assert (stats.n, stats.d, stats.lo, stats.hi) == (n, n, 1, n)
+
+
+def test_global_shuffle_invariant_to_input_layout(spark, sf_dir, monkeypatch):
+    """Positions must not depend on how the input happens to be
+    partitioned (range-boundary placement is sampled per run)."""
+    base = {(r.doc_id, r.shuffle_pos) for r in train_global_shuffle(spark, sf_dir).collect()}
+
+    import pyspark_postgres_loader_spark.operators.training as tr
+
+    real = tr.load_table
+
+    def skewed_load(spark_, sf_dir_, name):
+        df = real(spark_, sf_dir_, name)
+        return df.repartition(7) if name == "documents" else df
+
+    monkeypatch.setattr(tr, "load_table", skewed_load)
+    alt = {(r.doc_id, r.shuffle_pos) for r in train_global_shuffle(spark, sf_dir).collect()}
+    assert base == alt
