@@ -289,3 +289,68 @@ def sample_cluster_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 sample_cluster_diversity.__doc__ = sample_cluster_diversity.__doc__.format(
     m=_DIVERSITY_PER_CLUSTER
 )
+
+
+# --------------------------------------------------------------------------
+# One-pass Gram / covariance matrix (the PCA / whitening primitive)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_gram_matrix",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             unnest(range(0, len(embedding))) AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+                  AS BIGINT) AS qv
+      FROM embeddings
+    )
+    SELECT CAST(a.dim AS INT) AS i, CAST(b.dim AS INT) AS j,
+           CAST(SUM(a.qv * b.qv) AS DOUBLE) / 1e12 AS gram
+    FROM q a JOIN q b USING (vec_id)
+    WHERE a.dim <= b.dim
+    GROUP BY 1, 2
+    """,
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Gram matrix X'X over the embedding corpus — the
+    primitive under PCA, whitening, and linear-probe covariance: the
+    d x d result (upper triangle, d=64 → 2080 rows) is tiny, so the
+    right 100 TB shape computes PARTIAL Gram matrices inside each Arrow
+    batch (numpy int64 matmul over the batch's rows) and ships only d²
+    rows per batch to a (i, j) groupBy — corpus rows never shuffle, and
+    downstream eigen-decomposition is a driver/consumer-side operation
+    on a matrix that fits in L2 cache.
+
+    Determinism: vectors quantize to integer micro-units with FLOOR
+    (not round — numpy rint is half-even while SQL round is half-away,
+    so a .5 tie would diverge; floor is identical everywhere), batch
+    matmuls and the cross-batch decimal sum are exact integers, and the
+    only float op is the final 1e-12 rescale of an exactly-representable
+    integer. Per-batch int64 partials bound the magnitude (10k-row Arrow
+    batches × (2e6)² products << 2^63); the cross-batch sum goes through
+    decimal(38,0) so no row-count scale can overflow it.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def gram_partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Q = np.floor(X * 1e6).astype(np.int64)
+            g = Q.T @ Q
+            iu, ju = np.triu_indices(g.shape[0])
+            yield pd.DataFrame(
+                {"i": iu.astype(np.int32), "j": ju.astype(np.int32),
+                 "p": g[iu, ju]}
+            )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    partials = e.mapInPandas(gram_partials, "i int, j int, p long")
+    return partials.groupBy("i", "j").agg(
+        (F.sum(F.col("p").cast("decimal(38,0)")).cast("double") / F.lit(1e12))
+        .alias("gram")
+    )

@@ -1576,3 +1576,62 @@ def agg_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         # below the 1e-9 compare surface
         F.round(corr, 9).alias("corr_qp"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch rollup (hierarchical distinct counts, datasketches HLL)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_hll_mergeable",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           TRUE AS merged_estimate_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def rollup_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical distinct counts via MERGEABLE sketches: per
+    (event_type, day) HLL sketches (``hll_sketch_agg``, Apache
+    DataSketches) are unioned up to per-event_type totals with
+    ``hll_union_agg`` — distinct-count rollup without re-touching raw
+    rows, which is THE 100 TB pattern (daily sketch partials persist
+    a few KB each; any ad-hoc grain — week, month, all-time — is a
+    sketch union over partials, never a rescan; ``approx_count_distinct``
+    sketches, by contrast, are consumed inside one aggregation and
+    can't be stored or re-merged).
+
+    Like ``agg_approx_sketches``, raw sketch bytes are engine-specific,
+    so the differential pins the ERROR CONTRACT: the merged estimate
+    must land within the 3-sigma envelope of HLL at lgConfigK=12
+    (rsd = 1.04/sqrt(2^12) ≈ 1.6 %), which the oracle states as a
+    literal TRUE next to the exact values. The exact countDistinct
+    branch exists only for this differential — production keeps the
+    sketch path alone.
+    """
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", 12).alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", False)).alias("est"),
+        F.countDistinct("day").cast("long").alias("n_days"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    tol = 3 * 1.04 / (2**12) ** 0.5
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "exact_users",
+        "n_days",
+        (
+            F.abs(F.col("est").cast("double") - F.col("exact_users").cast("double"))
+            / F.col("exact_users").cast("double")
+            <= F.lit(tol)
+        ).alias("merged_estimate_ok"),
+    )

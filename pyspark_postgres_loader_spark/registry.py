@@ -80,10 +80,11 @@ _LOADED = False
 #       quality, banded 2-D skyline, sweep-line concurrency gauge,
 #       median/MAD robust anomaly, column profile) — never
 #       driver-checked,
-#   (g) the 3 round-5-session-4 operators (foreachBatch→upsert
-#       incremental load, dropDuplicatesWithinWatermark dedup,
-#       deterministic global shuffle) — never driver-checked,
-#   (c) 22 of the 41 r2-latest names (the last 19 displaced by
+#   (g) the 5 round-5-session-4 operators (foreachBatch→upsert
+#       incremental load, exactly-once streaming dedup, deterministic
+#       global shuffle, one-pass Gram matrix, mergeable HLL rollup) —
+#       never driver-checked,
+#   (c) 20 of the 41 r2-latest names (the last 21 displaced by
 #       (e)+(f)+(g)),
 #   (d) the 3 round-5-session-1 operators (bloom decontamination,
 #       user event sequences, winsorized doc-length stats) — never
@@ -119,11 +120,13 @@ _PRIORITY = [
     "concurrency_gauge_hourly",
     "anomaly_mad_robust",
     "profile_orders_columns",
-    # (g) NEW in round 5 session 4 — never driver-checked (3)
+    # (g) NEW in round 5 session 4 — never driver-checked (5)
     "stream_upsert_incremental",
     "stream_dedup_exactly_once",
     "train_global_shuffle",
-    # (c) r2-latest — stalest bulk (22; the last 19 r2 names were pushed
+    "embedding_gram_matrix",
+    "rollup_hll_mergeable",
+    # (c) r2-latest — stalest bulk (20; the last 21 r2 names were pushed
     # past the boundary to make room for (e)+(f)+(g) — see boundary
     # comment)
     "q1_pricing_summary",
@@ -146,15 +149,15 @@ _PRIORITY = [
     "dedup_distinct_user_event",
     "dedup_latest_event_per_user_type",
     "ann_bruteforce_topk",
-    "sim_label_envelope",
-    "dedup_embedding_cosine",
     # (d) the 3 round-5-session-1 operators — never driver-checked
     "contamination_bloom_prefilter",
     "train_user_event_sequences",
     "quality_winsorize_doclen",
-    # --- window boundary (50): (a)3+(b)3+(e)8+(f)8+(g)3+(c)22+(d)3 ---
-    # Overflow head: the 19 r2-stale names displaced by (e)+(f)+(g) —
+    # --- window boundary (50): (a)3+(b)3+(e)8+(f)8+(g)5+(c)20+(d)3 ---
+    # Overflow head: the 21 r2-stale names displaced by (e)+(f)+(g) —
     # they stay r2-stale into round 6 and lead its rotation debt.
+    "sim_label_envelope",
+    "dedup_embedding_cosine",
     "json_props_by_event_type",
     "json_from_json_struct",
     "json_map_explode",

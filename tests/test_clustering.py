@@ -131,3 +131,27 @@ def test_char_diversity_bounds(spark, sf_dir):
     assert out[1] == 0.0          # single-repeated-char text
     assert out[2] == 0.0          # empty text guarded, not NaN
     assert abs(out[3] - 0.75) < 1e-12  # 4 distinct chars -> 1 - 4*(1/16)
+
+
+def test_gram_matrix_matches_numpy(spark, sf_dir):
+    """The distributed batch-partial Gram equals a single-machine numpy
+    computation over the full corpus, entry for entry (exact integers
+    under the hood, so equality is exact, not approximate)."""
+    import numpy as np
+
+    from pyspark_postgres_loader_spark.operators.clustering import (
+        embedding_gram_matrix,
+    )
+    from pyspark_postgres_loader_spark.tables import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").select("embedding").collect()
+    X = np.stack([np.asarray(r.embedding) for r in rows]).astype(np.float64)
+    Q = np.floor(X * 1e6).astype(np.int64)
+    ref = (Q.T @ Q).astype(np.float64) / 1e12
+
+    out = {(r.i, r.j): r.gram for r in embedding_gram_matrix(spark, sf_dir).collect()}
+    d = ref.shape[0]
+    assert len(out) == d * (d + 1) // 2  # upper triangle, diagonal included
+    for (i, j), g in out.items():
+        assert i <= j
+        assert g == ref[i, j], (i, j, g, ref[i, j])
