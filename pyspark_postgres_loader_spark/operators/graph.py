@@ -126,3 +126,66 @@ def graph_pagerank_custsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 graph_pagerank_custsupp.__doc__ = graph_pagerank_custsupp.__doc__.format(k=_PR_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# Recursive-CTE hierarchy traversal (Spark 4 WITH RECURSIVE)
+# ---------------------------------------------------------------------------
+
+# The digit-tree over user ids: parent(u) = floor(u / 10), roots are
+# single-digit ids. Deterministic, derived purely from the fixture, and
+# present at every scale factor (depth grows with log10 of the user
+# population).
+_HIERARCHY_SQL = """
+    WITH RECURSIVE tree(user_id, depth, root_id, path) AS (
+      SELECT user_id, 0 AS depth, user_id AS root_id,
+             CAST(user_id AS {str}) AS path
+      FROM {users} WHERE user_id < 10
+      UNION ALL
+      SELECT u.user_id, t.depth + 1, t.root_id,
+             t.path || '/' || CAST(u.user_id AS {str})
+      FROM {users} u JOIN tree t
+        ON CAST(FLOOR(u.user_id / 10) AS BIGINT) = t.user_id
+      WHERE u.user_id >= 10
+    )
+    SELECT t.user_id, t.depth, t.root_id, t.path,
+           c.n_events
+    FROM tree t
+    JOIN (SELECT user_id, COUNT(*) AS n_events
+          FROM {events} GROUP BY user_id) c
+      ON c.user_id = t.user_id
+"""
+
+
+@register(
+    "hierarchy_recursive_cte",
+    oracle=_HIERARCHY_SQL.format(
+        users="(SELECT DISTINCT user_id FROM events)",
+        events="events",
+        str="VARCHAR",
+    ),
+)
+def hierarchy_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy traversal with Spark 4's ``WITH RECURSIVE`` (planned
+    as an iterative union loop — SQL recursion executed by Catalyst,
+    no driver-side Python loop): walks the digit-tree over user ids
+    (parent = id div 10) computing depth, root, and materialized path
+    per node, then joins per-user event counts. The SAME recursive SQL
+    text runs on DuckDB, so the full traversal is value-compared.
+
+    Scale notes: each recursion level is one equi-join of the frontier
+    (nodes at depth k) against the vertex set — frontier-sized, never
+    edge-set-sized, and the level count is bounded by tree depth
+    (log10 of the id space here). For unbounded/deep graphs prefer the
+    pointer-doubling connected-components operator (dedup.py) whose
+    round count is log2(diameter); recursive CTEs shine for
+    bounded-depth hierarchies (org charts, BOMs, category trees) where
+    the declarative form lets Catalyst plan each level's join."""
+    ev = load_table(spark, sf_dir, "events")
+    users_view = "users_hier_v"
+    events_view = "events_hier_v"
+    ev.select("user_id").distinct().createOrReplaceTempView(users_view)
+    ev.createOrReplaceTempView(events_view)
+    return spark.sql(
+        _HIERARCHY_SQL.format(users=users_view, events=events_view, str="STRING")
+    )
