@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..sinks.sql_builder import SQLITE
 from ..sinks.upsert import upsert_dataframe
+from ..tables import load_table
 from .windows import _events_stream, _run_to_memory
 
 _TARGET_DDL = (
@@ -162,3 +163,84 @@ def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "ts", "user_id", "event_type", "value")
     )
     return _run_to_memory(out, "append")
+
+
+_EVENT_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@register(
+    "stream_late_data_drop",
+    oracle="""
+    WITH m AS (SELECT date_trunc('hour', max(ts)) AS h FROM events)
+    SELECT CAST(time_bucket(INTERVAL 1 HOUR, e.ts) AS TIMESTAMP)
+             AS window_start,
+           e.event_type, COUNT(*) AS n
+    FROM events e, m
+    WHERE e.ts >= m.h - INTERVAL 48 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data discard made OBSERVABLE: the other stream_*
+    queries run availableNow over one file (single batch — the
+    watermark never actually drops anything), so this one replays the
+    events as THREE source files / micro-batches
+    (``maxFilesPerTrigger=1``, batch order pinned by file mtime):
+
+    - batch 0: the most recent 24 hours → advances the watermark to
+      max(ts) − 2h at commit;
+    - batch 1: the 24 hours before that — Spark's LATE-EVENT filter
+      intentionally lags the eviction watermark by one batch
+      (two-watermark semantics, so a just-committed watermark never
+      retroactively drops in-flight data), so this batch must still be
+      accepted, which is exactly what the buffer slice proves;
+    - batch 2: everything older than 48 hours — now ≥46h behind the
+      lagged filter watermark, every row is LATE and must be dropped
+      (`numRowsDroppedByWatermark` > 0).
+
+    The memory table therefore equals the hourly rollup of the recent
+    48 hours alone — what the oracle computes with a plain WHERE — and
+    an engine that failed to discard late input would hash-mismatch.
+    All three split lines are hour-aligned (windows are hour-aligned),
+    so no window can straddle two accepted batches and double-emit in
+    update mode. State stays bounded by the 2h horizon; the split
+    lines are fixture plumbing, not query parameters."""
+    import glob
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.date_trunc("hour", F.max("ts")).alias("h"))
+    c24 = F.col("h") - F.expr("INTERVAL 24 HOURS")
+    c48 = F.col("h") - F.expr("INTERVAL 48 HOURS")
+    with_h = ev.join(F.broadcast(mx))
+    slices = [
+        ("batch0_recent", with_h.filter(F.col("ts") >= c24)),
+        ("batch1_buffer", with_h.filter((F.col("ts") >= c48) & (F.col("ts") < c24))),
+        ("batch2_late", with_h.filter(F.col("ts") < c48)),
+    ]
+    src = tempfile.mkdtemp(prefix="late_src_")
+    for i, (name, df) in enumerate(slices):
+        outdir = os.path.join(src, "_write_" + name)
+        df.select(*_EVENT_COLS).coalesce(1).write.mode("overwrite").parquet(outdir)
+        part = glob.glob(os.path.join(outdir, "part-*.parquet"))[0]
+        dst = os.path.join(src, name + ".parquet")
+        shutil.copy(part, dst)
+        shutil.rmtree(outdir)
+        t = 1_000_000_000 + i * 100  # strictly increasing mtimes → batch order
+        os.utime(dst, (t, t))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+    return _run_to_memory(agg, "update")

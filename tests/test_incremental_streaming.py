@@ -66,3 +66,32 @@ def test_global_shuffle_invariant_to_input_layout(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(tr, "load_table", skewed_load)
     alt = {(r.doc_id, r.shuffle_pos) for r in train_global_shuffle(spark, sf_dir).collect()}
     assert base == alt
+
+
+def test_late_data_drop_discards_old_batch(spark, sf_dir):
+    """The 3-batch replay must output FEWER windows than the full batch
+    rollup (the pre-48h majority arrives late and is dropped) and must
+    exactly equal the batch rollup of the recent 48 hours."""
+    from pyspark_postgres_loader_spark.streaming.incremental import (
+        stream_late_data_drop,
+    )
+
+    out = stream_late_data_drop(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    full = ev.groupBy(
+        F.window("ts", "1 hour"), "event_type"
+    ).count()
+    h = ev.agg(F.date_trunc("hour", F.max("ts")).alias("h"))
+    recent = (
+        ev.join(F.broadcast(h))
+        .filter(F.col("ts") >= F.col("h") - F.expr("INTERVAL 48 HOURS"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    n_out, n_full, n_recent = out.count(), full.count(), recent.count()
+    assert n_out < n_full  # late windows really were discarded
+    assert n_out == n_recent
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in recent.collect()}
+    assert got == want
