@@ -1648,12 +1648,14 @@ def rollup_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            CASE WHEN l_discount = 0 THEN NULL
                 ELSE l_extendedprice / l_discount END AS safe_ratio,
-           TRY_CAST(CASE WHEN l_linenumber % 2 = 0
-                         THEN CAST(l_orderkey AS VARCHAR)
-                         ELSE l_returnflag END AS BIGINT) AS maybe_int,
-           CASE WHEN l_orderkey <= 1
-                THEN 9223372036854775806 + l_orderkey
-                ELSE NULL END AS guarded_overflow,
+           TRY_CAST(CASE WHEN l_orderkey % 991 = 0
+                         THEN l_returnflag
+                         ELSE CAST(l_orderkey AS VARCHAR) END
+                    AS BIGINT) AS maybe_int,
+           CASE WHEN l_orderkey % 997 = 0
+                THEN CASE WHEN l_orderkey = 0
+                          THEN 9223372036854775807 ELSE NULL END
+                ELSE l_orderkey END AS guarded_overflow,
            (range(1, l_linenumber + 1))[3] AS third_or_null
     FROM lineitem
     """,
@@ -1661,27 +1663,37 @@ def rollup_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scalar_try_ansi_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error-safe scalar functions under ANSI mode (Spark 4 default):
     ``try_divide`` (÷0 → NULL instead of DIVIDE_BY_ZERO), ``try_cast``
-    (unparseable → NULL; the fixture mixes castable numerics with
-    letter flags so both outcomes occur), ``try_add`` (bigint overflow
-    → NULL; succeeds only for l_orderkey=1), ``try_element_at``
-    (out-of-range → NULL, in-range for 3+-line orders). The oracle
-    phrases the same semantics with guards/TRY_CAST/list-indexing —
-    DuckDB's own out-of-range and cast-failure behavior is already
-    NULL. Pure projection, zero shuffles; at 100 TB the value of
-    ``try_*`` is that one poison row degrades to NULL instead of
-    killing a 1000-executor stage."""
+    (unparseable → NULL), ``try_add`` (bigint overflow → NULL),
+    ``try_element_at`` (out-of-range → NULL). Poison inputs are
+    injected on ~0.1 % of rows (``l_orderkey % 991/997``) so both
+    outcomes occur at every scale factor. The oracle phrases the same
+    semantics with guards/TRY_CAST/list indexing — DuckDB's own
+    out-of-range and cast-failure behavior is already NULL.
+
+    Perf note (measured, sf0.1): each failing ``try_cast``/``try_add``
+    row costs a caught JVM exception — an all-rows-failing variant ran
+    ~100× slower than this one (11 s vs 0.1 s for the try_add column
+    alone). ``try_*`` is the right tool when poison rows are RARE (one
+    bad row must not kill a 1000-executor stage); at high failure
+    rates, express the guard as a CASE predicate instead, which stays
+    branch-only inside codegen. Pure projection, zero shuffles."""
     l = _t(spark, sf_dir, "lineitem")
     maybe_str = F.when(
-        F.col("l_linenumber") % 2 == 0, F.col("l_orderkey").cast("string")
-    ).otherwise(F.col("l_returnflag"))
+        F.col("l_orderkey") % 991 == 0, F.col("l_returnflag")
+    ).otherwise(F.col("l_orderkey").cast("string"))
+    # overflows (→ NULL) only on the %997 rows with l_orderkey > 0:
+    # MAX - orderkey + orderkey == MAX exactly at orderkey == 0
+    big = F.when(
+        F.col("l_orderkey") % 997 == 0, F.lit(9223372036854775807)
+    ).otherwise(F.lit(0))
     return l.select(
         "l_orderkey",
         "l_linenumber",
         F.try_divide("l_extendedprice", "l_discount").alias("safe_ratio"),
         maybe_str.try_cast("bigint").alias("maybe_int"),
-        F.try_add(F.lit(9223372036854775806), F.col("l_orderkey")).alias(
-            "guarded_overflow"
-        ),
+        F.when(F.col("l_orderkey") % 997 == 0, F.try_add(big, F.col("l_orderkey")))
+        .otherwise(F.col("l_orderkey"))
+        .alias("guarded_overflow"),
         F.try_element_at(
             F.sequence(F.lit(1), F.col("l_linenumber")), F.lit(3)
         ).alias("third_or_null"),
