@@ -796,27 +796,43 @@ def train_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     across runs, resumable mid-epoch, and independent of input file
     layout.
 
-    Scale shape (same scheme as ``pack_token_budget_bins``): a global
-    ``ROW_NUMBER() OVER (ORDER BY ...)`` would funnel 100 TB through
-    one window partition, so instead the rows are ``repartitionByRange``
-    on the hash key, ranked per-partition, and offset by a broadcast of
-    per-partition counts (≤ #partitions rows). The result is invariant
+    Scale shape: a global ``ROW_NUMBER() OVER (ORDER BY ...)`` would
+    funnel 100 TB through one window partition. Instead the rows are
+    ``repartitionByRange`` on the hash key, sorted within partitions,
+    and the per-partition rank comes from ``monotonically_increasing_id``
+    (sequential within a partition once the sort fixed the order) minus
+    the partition's broadcast minimum — NOT from a
+    ``Window.partitionBy(pid)``, which would hash-exchange the full
+    corpus a second time (Catalyst can't see that pid ≡ the current
+    layout; measured as an extra full-data Exchange in the window
+    variant's plan). Total data movement: ONE range shuffle; the
+    offsets are a ≤ #partitions-row broadcast. The result is invariant
     to where the sampled range boundaries land."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("h"))
+        .repartitionByRange(32, "h", "doc_id")
+        .sortWithinPartitions("h", "doc_id")
+        .select(
+            "doc_id",
+            F.spark_partition_id().alias("pid"),
+            F.monotonically_increasing_id().alias("mid"),
+        )
+        .cache()  # offsets + final projection must see ONE mid assignment
     )
-    d = d.repartitionByRange(32, "h", "doc_id").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    w_local = Window.partitionBy("pid").orderBy("h", "doc_id")
-    ranked = d.withColumn("local_rn", F.row_number().over(w_local)).cache()
     w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
-        ranked.groupBy("pid")
-        .agg(F.count("*").alias("n"))
-        .select("pid", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off"))
+        d.groupBy("pid")
+        .agg(F.count("*").alias("n"), F.min("mid").alias("mn"))
+        .select(
+            "pid",
+            "mn",
+            F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off"),
+        )
     )
-    return ranked.join(F.broadcast(offsets), "pid").select(
+    return d.join(F.broadcast(offsets), "pid").select(
         "doc_id",
-        (F.col("off") + F.col("local_rn")).cast("long").alias("shuffle_pos"),
+        (F.col("off") + (F.col("mid") - F.col("mn")) + 1)
+        .cast("long")
+        .alias("shuffle_pos"),
     )
