@@ -918,3 +918,124 @@ def anomaly_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 anomaly_mad_robust.__doc__ = anomaly_mad_robust.__doc__.format(k=_MAD_K)
+
+
+# --------------------------------------------------------------------------
+# Missing-value imputation (group-median fill) and per-group OLS trend
+# --------------------------------------------------------------------------
+
+
+@register(
+    "repair_impute_group_median",
+    oracle="""
+    WITH marked AS (
+      SELECT event_id, event_type, value,
+             (event_id % 13 = 0) AS was_missing
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med_v
+      FROM marked WHERE NOT was_missing GROUP BY event_type
+    )
+    SELECT m.event_id, m.event_type,
+           CASE WHEN m.was_missing THEN d.med_v ELSE m.value END
+             AS value_imputed,
+           m.was_missing
+    FROM marked m JOIN med d ON d.event_type = m.event_type
+    """,
+)
+def repair_impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value repair: rows flagged missing (a deterministic
+    ~7.7 % of event_ids stand in for NULL sensor readings) are filled
+    with the per-event_type median of the PRESENT values — the robust
+    imputation a feature pipeline applies before training. Exact
+    grouped median via the Spark ``percentile`` / DuckDB
+    ``quantile_cont`` pairing (pinned bit-compatible by the percentile
+    ops); the |groups|-row median table broadcasts back, so the repair
+    is one aggregation plus a map-side join. At unbounded per-group
+    cardinality swap in ``percentile_approx`` (same shape, bounded
+    memory)."""
+    ev = load_table(spark, sf_dir, "events")
+    marked = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.col("event_id") % 13 == 0).alias("was_missing"),
+    )
+    med = (
+        marked.filter(~F.col("was_missing"))
+        .groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("med_v"))
+    )
+    return marked.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("was_missing"), F.col("med_v"))
+        .otherwise(F.col("value"))
+        .alias("value_imputed"),
+        "was_missing",
+    )
+
+
+# days between epoch and 2024-01-01 (the fixture's time origin): keeps
+# the regression abscissa small so x**2 sums stay inside DECIMAL(38,6)
+_X0_US = 1_704_067_200_000_000
+
+
+@register(
+    "trend_value_slope_per_user",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id,
+             (epoch_us(ts) - {_X0_US}) / 86400000000.0 AS x,
+             value AS y
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, COUNT(*) AS n,
+             {sql_dsum('x')} AS sx, {sql_dsum('y')} AS sy,
+             {sql_dsum('x * y')} AS sxy, {sql_dsum('x * x')} AS sxx
+      FROM p GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n,
+           (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0)
+             AS slope_per_day
+    FROM s
+    """,
+)
+def trend_value_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend (value vs. time, slope per day) from exact
+    decimal power sums — the same recipe as ``agg_stats_moments``:
+    the engine-native ``regr_slope`` runs a streaming estimator whose
+    float accumulation order differs across engines, so instead each
+    row computes x, y, x·y, x² as doubles (IEEE-identical per row),
+    the cross-row sums go through DECIMAL(38,6) (exact,
+    order-independent), and the closed-form slope is a fixed per-row
+    double expression of identical operands. The abscissa is days
+    since the corpus origin so x² stays small. One hash aggregation;
+    NULLIF guards single-instant users."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.select(
+        "user_id",
+        (
+            (F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(_X0_US))
+            / F.lit(86400000000.0)
+        ).alias("x"),
+        F.col("value").alias("y"),
+    )
+    s = p.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        dsum("x").alias("sx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n")
+    return s.select(
+        "user_id",
+        n.cast("long").alias("n"),
+        (
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.nullif(n * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0))
+        ).alias("slope_per_day"),
+    )
