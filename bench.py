@@ -167,16 +167,32 @@ def main() -> None:
     # registered query so no query is in the "untimed" class.
     bench_names = list(HEADLINE) + sorted(n for n in queries if n not in HEADLINE)
     timings: dict[str, float] = {}
+    # Per-query error isolation: one broken query must not cost the
+    # round's bench record (the failure mode that lost r3+r4 was line
+    # size, but an exception before the print would lose it the same
+    # way). Failures are skipped on later passes and reported in the
+    # output instead of crashing the run.
+    errors: dict[str, str] = {}
     for _ in range(3):
         for name in bench_names:
+            if name in errors:
+                continue
             fn = queries[name]
             start = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001 — record, don't crash
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                timings.pop(name, None)
+                continue
             elapsed = round(time.perf_counter() - start, 3)
             timings[name] = min(timings.get(name, elapsed), elapsed)
 
-    skew = _skew_bench(spark, sf_dir)
+    try:
+        skew = _skew_bench(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        skew = {"error": f"{type(exc).__name__}: {exc}"[:200]}
 
     total = round(sum(timings.values()), 3)
     detail = {
@@ -184,6 +200,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "n_queries": len(timings),
+        "n_errors": len(errors),
+        "errors": errors,
         "passes": 3,
         "queries": timings,
         "skew_mitigation": skew,
@@ -195,7 +213,7 @@ def main() -> None:
     # on stdout here, and the driver parses the LAST line of the tail —
     # a shutdown log line after the JSON would break the parse
     spark.stop()
-    print(_compact_line(total, timings, sf), flush=True)
+    print(_compact_line(total, timings, sf, len(errors)), flush=True)
 
 
 # The driver's stdout-tail window is EXACTLY 2000 chars (measured on
@@ -308,7 +326,9 @@ def _skew_bench(spark, sf_dir: str) -> dict:
     }
 
 
-def _compact_line(total: float, timings: dict[str, float], sf: float) -> str:
+def _compact_line(
+    total: float, timings: dict[str, float], sf: float, n_errors: int = 0
+) -> str:
     """One parseable JSON line under ``_LINE_BUDGET`` chars.
 
     The scalar fields (metric/value/sf) always fit; per-query entries are
@@ -322,6 +342,7 @@ def _compact_line(total: float, timings: dict[str, float], sf: float) -> str:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
+        "n_errors": n_errors,
         "queries_elided": 0,
         "detail": "BENCH_DETAIL.json",
         "queries": {},

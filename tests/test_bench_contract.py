@@ -51,3 +51,9 @@ def test_headline_names_are_registered():
     registered = set(all_queries())
     missing = [n for n in bench.HEADLINE if n not in registered]
     assert not missing, f"HEADLINE names not registered: {missing}"
+
+
+def test_compact_line_reports_error_count():
+    line = bench._compact_line(1.0, {"q": 1.0}, 0.1, n_errors=3)
+    assert json.loads(line)["n_errors"] == 3
+    assert len(line) <= 1800
