@@ -45,6 +45,53 @@ _TARGET_DDL = (
     " last_ts_us BIGINT, PRIMARY KEY (user_id, event_type))"
 )
 
+_EVENT_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def _time_split_source(spark: SparkSession, sf_dir: str, n_slices: int) -> str:
+    """Replay plumbing: write the events table as ``n_slices``
+    contiguous-time parquet files into a temp dir with strictly
+    increasing mtimes, so a ``maxFilesPerTrigger=1`` file stream
+    processes them as time-ordered micro-batches (the file source
+    picks files oldest-mtime-first)."""
+    import glob
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("ts").alias("lo"),
+        F.max("ts").alias("hi"),
+    )
+    sliced = ev.join(F.broadcast(bounds)).withColumn(
+        "slice",
+        F.least(
+            F.lit(n_slices - 1),
+            F.floor(
+                (F.unix_micros(F.col("ts").cast("timestamp"))
+                 - F.unix_micros(F.col("lo").cast("timestamp")))
+                * n_slices
+                / (
+                    F.unix_micros(F.col("hi").cast("timestamp"))
+                    - F.unix_micros(F.col("lo").cast("timestamp"))
+                    + 1
+                )
+            ).cast("int"),
+        ),
+    )
+    src = tempfile.mkdtemp(prefix="time_split_src_")
+    for i in range(n_slices):
+        outdir = os.path.join(src, f"_write_{i}")
+        sliced.filter(F.col("slice") == i).select(*_EVENT_COLS).coalesce(
+            1
+        ).write.mode("overwrite").parquet(outdir)
+        part = glob.glob(os.path.join(outdir, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"slice{i}.parquet")
+        shutil.copy(part, dst)
+        shutil.rmtree(outdir)
+        t = 1_000_000_000 + i * 100
+        os.utime(dst, (t, t))
+    return src
+
 
 def _connect(path: str):
     """Top-level (picklable) connection factory for executor-side use."""
@@ -77,10 +124,15 @@ def stream_upsert_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     topology would add a conditional update (``WHERE excluded.ts >
     target.ts``) or the staging merge, per SCALE.md.
 
-    The target here is a SQLite file (the environment's stand-in for
-    Postgres — same sink code path, sql_builder dialect swap);
-    ``parallelism=1`` because SQLite is single-writer. Postgres takes
-    the reference's partitioned parallel writers unchanged.
+    The source is replayed as THREE time-ordered files / micro-batches
+    (``maxFilesPerTrigger=1``, mtime-pinned order — the same plumbing
+    as ``stream_late_data_drop``), so later batches genuinely
+    OVERWRITE earlier upserts for keys active across batches; a
+    single-batch run would never exercise the conflict path. The
+    target is a SQLite file (the environment's stand-in for Postgres —
+    same sink code path, sql_builder dialect swap); ``parallelism=1``
+    because SQLite is single-writer. Postgres takes the reference's
+    partitioned parallel writers unchanged.
     """
     fd, path = tempfile.mkstemp(suffix=".db", prefix="stream_upsert_")
     os.close(fd)
@@ -117,9 +169,13 @@ def stream_upsert_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"{stats.rows_rejected} rows: {stats.error_messages[:3]}"
                 )
 
+        src = _time_split_source(spark, sf_dir, n_slices=3)
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
         q = (
-            _events_stream(spark, sf_dir)
-            .writeStream.foreachBatch(load_batch)
+            stream.writeStream.foreachBatch(load_batch)
             .trigger(availableNow=True)
             .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_upsert_"))
             .start()
@@ -163,9 +219,6 @@ def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "ts", "user_id", "event_type", "value")
     )
     return _run_to_memory(out, "append")
-
-
-_EVENT_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
 @register(

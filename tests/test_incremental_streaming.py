@@ -4,6 +4,7 @@ already pins their values)."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pyspark_postgres_loader_spark.operators.training import train_global_shuffle
@@ -95,3 +96,47 @@ def test_late_data_drop_discards_old_batch(spark, sf_dir):
     got = {tuple(r) for r in out.collect()}
     want = {tuple(r) for r in recent.collect()}
     assert got == want
+
+
+def test_upsert_incremental_exercises_cross_batch_overwrites(spark, sf_dir):
+    """The 3-slice replay must contain keys active in MORE than one
+    time slice — i.e. the sink's conflict/overwrite path really runs —
+    and the final value for such a key must come from its LAST event."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    sliced = ev.join(F.broadcast(b)).withColumn(
+        "slice",
+        F.least(
+            F.lit(2),
+            F.floor(
+                (F.unix_micros(F.col("ts").cast("timestamp"))
+                 - F.unix_micros(F.col("lo").cast("timestamp"))) * 3
+                / (F.unix_micros(F.col("hi").cast("timestamp"))
+                   - F.unix_micros(F.col("lo").cast("timestamp")) + 1)
+            ).cast("int"),
+        ),
+    )
+    multi = (
+        sliced.groupBy("user_id", "event_type")
+        .agg(F.countDistinct("slice").alias("ns"))
+        .filter(F.col("ns") > 1)
+    )
+    assert multi.count() > 0  # conflict path exercised
+
+    from pyspark_postgres_loader_spark.streaming.incremental import (
+        stream_upsert_incremental,
+    )
+
+    out = {(r.user_id, r.event_type): (r.last_value, r.last_ts_us)
+           for r in stream_upsert_incremental(spark, sf_dir).collect()}
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    latest = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(multi.select("user_id", "event_type"), ["user_id", "event_type"])
+    )
+    for r in latest.collect():
+        lv, lt = out[(r.user_id, r.event_type)]
+        assert lv == r.value
