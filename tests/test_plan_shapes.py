@@ -201,3 +201,42 @@ def test_xml_and_arrow_histogram_are_shuffle_free(spark):
         assert "Exchange" not in plan, f"{name} grew a shuffle"
         for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
             assert j not in plan, f"{name} grew a join"
+
+
+def test_gram_matrix_shuffles_only_partials(spark):
+    """embedding_gram_matrix: corpus rows reach only MapInPandas; the
+    sole exchange carries (i, j) partials (d^2 per batch), partial-
+    aggregated map-side first. No join, no corpus-wide shuffle."""
+    plan = _plan(spark, "embedding_gram_matrix")
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert j not in plan
+    # partial aggregation below the exchange (map-side combine)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_try_ansi_safe_is_projection_only(spark):
+    """scalar_try_ansi_safe: pure per-row projection — no exchange of
+    any kind; the try_* expressions stay inside codegen."""
+    plan = _plan(spark, "scalar_try_ansi_safe")
+    assert "Exchange" not in plan, plan[:1500]
+    assert "Join" not in plan
+
+
+def test_global_shuffle_has_no_full_data_pid_window(spark):
+    """train_global_shuffle: exactly ONE range shuffle of the data; the
+    pid-keyed hash exchange exists only under the tiny offsets
+    aggregate (count/min per partition), never under a Window over the
+    corpus (the Window.partitionBy(pid) variant measured an extra
+    full-data exchange and was replaced)."""
+    plan = _plan(spark, "train_global_shuffle")
+    # no Window operator keyed by pid over the data side
+    data_windows = [
+        ln
+        for ln in plan.splitlines()
+        if "Window" in ln and "pid" in ln and "row_number" in ln
+    ]
+    assert not data_windows, data_windows
+    # the only Window left is the <=32-row offsets running sum
+    assert plan.count("rangepartitioning") >= 1
