@@ -26,6 +26,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -262,6 +263,11 @@ class ManifestJsonlSinkDataSource(DataSource):
     def writer(self, schema, overwrite: bool):
         return _ManifestJsonlWriter(self.options, [f.name for f in schema.fields])
 
+    def streamWriter(self, schema, overwrite: bool):
+        return _ManifestJsonlStreamWriter(
+            self.options, [f.name for f in schema.fields]
+        )
+
 
 class _ManifestJsonlWriter(DataSourceWriter):
     def __init__(self, options, columns):
@@ -328,3 +334,74 @@ def _jsonable(v):
     if isinstance(v, decimal.Decimal):
         return str(v)
     return v
+
+
+class _ManifestJsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming flavor of the manifest sink: the same staged-files +
+    driver-publish protocol, per MICRO-BATCH. ``commit(messages,
+    batchId)`` publishes ``batch-<id>/`` plus an atomic
+    ``_MANIFEST-<id>.json``; a replayed batch (restart from the
+    checkpoint re-delivers the last uncommitted batch) sees its
+    manifest already present and discards the re-staged files instead
+    of publishing twice — the sink-side idempotence that turns Spark's
+    at-least-once micro-batch replay into exactly-once output, the
+    same contract file/Delta sinks implement with their transaction
+    logs."""
+
+    def __init__(self, options, columns):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("manifest_jsonl requires .option('path', ...)")
+        self.columns = list(columns)
+
+    def write(self, iterator) -> _PartFileCommit:
+        import json
+        import os
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(staging, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                rec = {c: _jsonable(v) for c, v in zip(self.columns, row)}
+                f.write(json.dumps(rec, sort_keys=True) + "\n")
+                n += 1
+        return _PartFileCommit(staged, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+        import shutil
+
+        manifest_path = os.path.join(self.path, f"_MANIFEST-{batchId}.json")
+        staging = os.path.join(self.path, "_staging")
+        if os.path.exists(manifest_path):  # replayed batch → exactly-once skip
+            shutil.rmtree(staging, ignore_errors=True)
+            return
+        batch_dir = os.path.join(self.path, f"batch-{batchId}")
+        os.makedirs(batch_dir, exist_ok=True)
+        final_files, total = [], 0
+        for m in messages:
+            name = os.path.basename(m.staged_path)
+            shutil.move(m.staged_path, os.path.join(batch_dir, name))
+            final_files.append(name)
+            total += m.n_rows
+        manifest = {
+            "batch_id": batchId,
+            "files": sorted(final_files),
+            "total_rows": total,
+            "columns": self.columns,
+        }
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, manifest_path)  # manifest last, atomically
+        shutil.rmtree(staging, ignore_errors=True)
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)

@@ -66,3 +66,67 @@ def test_failed_write_publishes_nothing(registered, tmp_path):
         if p.endswith(".jsonl")
     ]
     assert published == []
+
+
+def _stream_to_manifest(spark, src: str, out: str, ckpt: str) -> None:
+    stream = (
+        spark.readStream.schema("id long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.format("manifest_jsonl")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_stream_writer_publishes_per_batch_manifests(registered, tmp_path):
+    spark = registered
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out_s"), str(
+        tmp_path / "ckpt"
+    )
+    import glob
+    import shutil
+
+    os.makedirs(src)
+    for i in range(3):
+        d = str(tmp_path / f"_w{i}")
+        spark.range(i * 100, (i + 1) * 100).selectExpr(
+            "id", "CAST(id * 2.0 AS DOUBLE) AS v"
+        ).coalesce(1).write.parquet(d)
+        part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"f{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+
+    _stream_to_manifest(spark, src, out, ckpt)
+
+    manifests = sorted(p for p in os.listdir(out) if p.startswith("_MANIFEST-"))
+    assert len(manifests) == 3
+    rows = []
+    for mf in manifests:
+        m = json.load(open(os.path.join(out, mf)))
+        bdir = os.path.join(out, f"batch-{m['batch_id']}")
+        for fn in m["files"]:
+            with open(os.path.join(bdir, fn)) as f:
+                rows += [json.loads(l) for l in f]
+        assert m["total_rows"] == 100
+    assert {r["id"] for r in rows} == set(range(300))
+    assert not os.path.exists(os.path.join(out, "_staging"))
+
+    # replaying the finished stream from the same checkpoint publishes
+    # nothing new (no new batches, no duplicate rows)
+    _stream_to_manifest(spark, src, out, ckpt)
+    manifests2 = sorted(p for p in os.listdir(out) if p.startswith("_MANIFEST-"))
+    assert manifests2 == manifests
+    rows2 = []
+    for mf in manifests2:
+        m = json.load(open(os.path.join(out, mf)))
+        for fn in m["files"]:
+            with open(os.path.join(out, f"batch-{m['batch_id']}", fn)) as f:
+                rows2 += [json.loads(l) for l in f]
+    assert len(rows2) == 300
