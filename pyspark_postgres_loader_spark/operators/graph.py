@@ -133,14 +133,19 @@ graph_pagerank_custsupp.__doc__ = graph_pagerank_custsupp.__doc__.format(k=_PR_I
 # ---------------------------------------------------------------------------
 
 # The digit-tree over user ids: parent(u) = floor(u / 10), roots are
-# single-digit ids. Deterministic, derived purely from the fixture, and
-# present at every scale factor (depth grows with log10 of the user
-# population).
+# single-digit ids PLUS any node whose parent id is absent from the
+# vertex set (orphans-as-roots — keeps the traversal total under ANY
+# regenerated id distribution). Deterministic, derived purely from the
+# fixture, present at every scale factor (depth grows with log10 of
+# the user population).
 _HIERARCHY_SQL = """
     WITH RECURSIVE tree(user_id, depth, root_id, path) AS (
-      SELECT user_id, 0 AS depth, user_id AS root_id,
-             CAST(user_id AS {str}) AS path
-      FROM {users} WHERE user_id < 10
+      SELECT u.user_id, 0 AS depth, u.user_id AS root_id,
+             CAST(u.user_id AS {str}) AS path
+      FROM {users} u
+      WHERE u.user_id < 10
+         OR NOT EXISTS (SELECT 1 FROM {users} p
+                        WHERE p.user_id = CAST(FLOOR(u.user_id / 10) AS BIGINT))
       UNION ALL
       SELECT u.user_id, t.depth + 1, t.root_id,
              t.path || '/' || CAST(u.user_id AS {str})
