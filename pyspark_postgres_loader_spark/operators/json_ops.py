@@ -250,3 +250,53 @@ def xml_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed["metric"].alias("xml_metric"),
         parsed["meta"]["type"].alias("xml_type"),
     )
+
+
+# --------------------------------------------------------------------------
+# Schema-evolution ingestion (mergeSchema across drifting files)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ingest_schema_evolution_merge",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CASE WHEN event_id % 2 = 1 THEN value * 0.5 END AS quality
+    FROM events
+    """,
+)
+def ingest_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift on the read path: two parquet files written at
+    different 'pipeline generations' — the older one lacks the
+    ``quality`` column the newer one added — are read back as ONE
+    relation with ``mergeSchema=true``; rows from the pre-evolution
+    file surface NULL for the added column, exactly the semantics a
+    long-lived ingest directory needs when producers upgrade.
+    Complements the sink-side schema contract (schema_contract.py
+    aligns columns to the TARGET; this handles drift among SOURCES).
+    Scale note: mergeSchema reconciles footers only (no data rewrite);
+    for stable production reads, pin an explicit read schema and let
+    missing columns null-fill the same way — the test of either path
+    is identical. The split/enrichment rule (odd event_ids carry
+    quality = value/2) replays exactly in the oracle."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="schema_evo_")
+    gens = [
+        ("gen0", ev.filter(F.col("event_id") % 2 == 0).select(
+            "event_id", "user_id", "value")),
+        ("gen1", ev.filter(F.col("event_id") % 2 == 1).select(
+            "event_id", "user_id", "value",
+            (F.col("value") * 0.5).alias("quality"))),
+    ]
+    for name, df in gens:
+        outdir = os.path.join(src, "_w_" + name)
+        df.coalesce(1).write.mode("overwrite").parquet(outdir)
+        part = glob.glob(os.path.join(outdir, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, name + ".parquet"))
+        shutil.rmtree(outdir)
+    return spark.read.option("mergeSchema", "true").parquet(src)
