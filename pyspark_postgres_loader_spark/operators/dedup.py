@@ -863,3 +863,107 @@ from dataclasses import replace as _dc_replace  # noqa: E402
 QUERIES[
     "dedup_cluster_keep_best"
 ] = _dc_replace(QUERIES["dedup_cluster_keep_best"], oracle=_keep_best_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Prefix-containment dedup (truncation duplicates)
+# ---------------------------------------------------------------------------
+
+_PFX_KEY_WORDS = 10
+_PFX_MAX_BUCKET = 64
+_PFX_SYNTH_OFFSET = 1_000_000_000
+
+
+@register(
+    "dedup_prefix_containment",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_PFX_SYNTH_OFFSET},
+             array_to_string(list_slice(regexp_split_to_array(text, ' '), 1,
+               GREATEST({_PFX_KEY_WORDS},
+                        len(regexp_split_to_array(text, ' ')) // 2)), ' ')
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    k AS (
+      SELECT id, text, len(text) AS n,
+             md5(array_to_string(list_slice(regexp_split_to_array(text, ' '),
+                                            1, {_PFX_KEY_WORDS}), ' ')) AS key
+      FROM corpus
+    ),
+    kept AS (
+      SELECT k.* FROM k
+      JOIN (SELECT key FROM k GROUP BY key
+            HAVING COUNT(*) <= {_PFX_MAX_BUCKET}) ok USING (key)
+    )
+    SELECT a.id AS contained_id, b.id AS container_id,
+           CAST(a.n AS BIGINT) AS contained_len,
+           CAST(b.n AS BIGINT) AS container_len
+    FROM kept a JOIN kept b
+      ON a.key = b.key AND a.id <> b.id AND a.n < b.n
+     AND substr(b.text, 1, CAST(a.n AS INT)) = a.text
+    """,
+)
+def dedup_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-duplicate detection (the exact-substring dedup axis:
+    a document that is a strict PREFIX of another — truncated scrapes,
+    cut-off re-crawls — which shingle/MinHash dedup under-scores
+    because the longer doc dilutes the Jaccard): candidates bucket on
+    the md5 of the first {k} words (a contained doc must share its
+    container's opening), hot buckets above {cap} members are dropped
+    (the capped-bucket scaffold every dedup op here uses — a viral
+    opening line must not go quadratic), and only in-bucket pairs pay
+    the exact substring verification. The fixture corpus has no
+    natural truncations, so deterministic half-length copies of every
+    7th doc are unioned in (same enrichment pattern as text_pii_redact)
+    and the oracle replays them identically."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    half = F.greatest(
+        F.lit(_PFX_KEY_WORDS), F.floor(F.size(words) / 2).cast("int")
+    )
+    trunc = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + _PFX_SYNTH_OFFSET).alias("id"),
+        F.array_join(F.slice(words, 1, half), " ").alias("text"),
+    )
+    corpus = d.select(F.col("doc_id").alias("id"), "text").unionByName(trunc)
+    k = corpus.select(
+        "id",
+        "text",
+        F.length("text").alias("n"),
+        F.md5(
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, _PFX_KEY_WORDS), " ")
+        ).alias("key"),
+    )
+    ok = (
+        k.groupBy("key")
+        .agg(F.count("*").alias("bn"))
+        .filter(F.col("bn") <= _PFX_MAX_BUCKET)
+        .select("key")
+    )
+    kept = k.join(ok, "key")
+    a = kept.alias("a")
+    b = kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") != F.col("b.id"))
+            & (F.col("a.n") < F.col("b.n")),
+        )
+        .filter(
+            F.expr("substring(b.text, 1, CAST(a.n AS INT)) = a.text")
+        )
+        .select(
+            F.col("a.id").alias("contained_id"),
+            F.col("b.id").alias("container_id"),
+            F.col("a.n").cast("long").alias("contained_len"),
+            F.col("b.n").cast("long").alias("container_len"),
+        )
+    )
+
+
+dedup_prefix_containment.__doc__ = dedup_prefix_containment.__doc__.format(
+    k=_PFX_KEY_WORDS, cap=_PFX_MAX_BUCKET
+)

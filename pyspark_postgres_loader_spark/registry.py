@@ -80,19 +80,20 @@ _LOADED = False
 #       quality, banded 2-D skyline, sweep-line concurrency gauge,
 #       median/MAD robust anomaly, column profile) — never
 #       driver-checked,
-#   (g) the 11 round-5-session-4 operators (foreachBatch→upsert
+#   (g) the 12 round-5-session-4 operators (foreachBatch→upsert
 #       incremental load, exactly-once streaming dedup, deterministic
 #       global shuffle, one-pass Gram matrix, mergeable HLL rollup,
 #       recursive-CTE hierarchy, ANSI try_* safety, observable
 #       late-data drop, group-median imputation, per-user OLS trend,
-#       mergeSchema evolution ingest) — never driver-checked,
-#   (c) 14 of the 41 r2-latest names (the last 27 displaced by
+#       mergeSchema evolution ingest, prefix-containment dedup) —
+#       never driver-checked,
+#   (c) 13 of the 41 r2-latest names (the last 28 displaced by
 #       (e)+(f)+(g)),
 #   (d) the 3 round-5-session-1 operators (bloom decontamination,
 #       user event sequences, winsorized doc-length stats) — never
 #       driver-checked, so they take the last window slots.
-# (a)+(b)+(e)+(f)+(g)+(c)+(d) = 3+3+8+8+11+14+3 = 50 exactly. After the
-# boundary: the 27 displaced r2 names (round-6 rotation debt), the 50
+# (a)+(b)+(e)+(f)+(g)+(c)+(d) = 3+3+8+8+12+13+3 = 50 exactly. After the
+# boundary: the 28 displaced r2 names (round-6 rotation debt), the 50
 # r3-latest names, then the 47 r4-latest ones — if the driver checks
 # more than 50 rows it continues in staleness order.
 _PRIORITY = [
@@ -122,7 +123,7 @@ _PRIORITY = [
     "concurrency_gauge_hourly",
     "anomaly_mad_robust",
     "profile_orders_columns",
-    # (g) NEW in round 5 session 4 — never driver-checked (11)
+    # (g) NEW in round 5 session 4 — never driver-checked (12)
     "stream_upsert_incremental",
     "stream_dedup_exactly_once",
     "train_global_shuffle",
@@ -134,7 +135,8 @@ _PRIORITY = [
     "repair_impute_group_median",
     "trend_value_slope_per_user",
     "ingest_schema_evolution_merge",
-    # (c) r2-latest — stalest bulk (14; the last 27 r2 names were pushed
+    "dedup_prefix_containment",
+    # (c) r2-latest — stalest bulk (13; the last 28 r2 names were pushed
     # past the boundary to make room for (e)+(f)+(g) — see boundary
     # comment)
     "q1_pricing_summary",
@@ -150,14 +152,14 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_connected_components",
-    "ann_ivf_topk",
     # (d) the 3 round-5-session-1 operators — never driver-checked
     "contamination_bloom_prefilter",
     "train_user_event_sequences",
     "quality_winsorize_doclen",
-    # --- window boundary (50): (a)3+(b)3+(e)8+(f)8+(g)11+(c)14+(d)3 ---
-    # Overflow head: the 27 r2-stale names displaced by (e)+(f)+(g) —
+    # --- window boundary (50): (a)3+(b)3+(e)8+(f)8+(g)12+(c)13+(d)3 ---
+    # Overflow head: the 28 r2-stale names displaced by (e)+(f)+(g) —
     # they stay r2-stale into round 6 and lead its rotation debt.
+    "ann_ivf_topk",
     "sim_cosine_pairs",
     "multimodal_payload_stats",
     "dedup_exact_fingerprint",
