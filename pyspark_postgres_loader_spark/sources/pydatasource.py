@@ -114,30 +114,53 @@ class _SyntheticEventsReader(DataSourceReader):
 
 class _SyntheticEventsStreamReader(DataSourceStreamReader):
     """Streaming side of the generator: the offset is simply the next
-    row index, advancing ``batch_rows`` per micro-batch up to
-    ``n_rows``. Offsets are plain dicts checkpointed by Spark, so a
+    row index. Offsets are plain dicts checkpointed by Spark, so a
     killed query resumes exactly where the last committed batch ended —
     rows are a pure function of the index, making replay idempotent
     (the exactly-once story needs no source-side state beyond the
     offset). Each batch's range splits into ``n_partitions`` executor-
-    side generator partitions like the batch reader."""
+    side generator partitions like the batch reader.
+
+    Availability (``latestOffset``) is a MONOTONIC function of the
+    wall clock — ``min(n_rows, (now - start_epoch) * rate_rows_per_sec)``
+    — never of instance state. An earlier cut advanced an in-memory
+    cursor by ``batch_rows`` per poll; a query restarted after a clean
+    drain built a FRESH reader whose cursor restarted at 0, Spark
+    logged the regressed end offset, and the next batch re-planned
+    already-committed ranges under NEW batch ids — committed duplicates
+    in the file sink (caught by test_stream_reader_exactly_once_
+    across_kill under the full suite). The Python DataSource API has
+    no restart hook to reseed a cursor, so correctness requires
+    ``latestOffset`` to be restart-invariant; epoch time only moves
+    forward. Without ``rate_rows_per_sec`` everything is available
+    immediately (one catch-up batch)."""
 
     def __init__(self, options):
+        import time
+
         self.n_rows = int(options.get("n_rows", 10000))
         self.n_partitions = int(options.get("n_partitions", 4))
         self.n_users = int(options.get("n_users", 100))
-        self.batch_rows = int(options.get("batch_rows", 1000))
-        if self.batch_rows < 1:
-            raise ValueError("batch_rows must be >= 1")
-        self._latest = 0
+        self.rate = float(options.get("rate_rows_per_sec", 0))
+        if self.rate > 0 and "start_epoch" not in options:
+            # an instance-start default would regress availability on
+            # restart — exactly the cursor bug this design removes
+            raise ValueError(
+                "rate_rows_per_sec requires an explicit absolute "
+                "start_epoch option (restart-invariant availability)"
+            )
+        self.start_epoch = float(options.get("start_epoch", time.time()))
 
     def initialOffset(self) -> dict:
         return {"i": 0}
 
     def latestOffset(self) -> dict:
-        # bounded source: advance one batch per poll until drained
-        self._latest = min(self._latest + self.batch_rows, self.n_rows)
-        return {"i": self._latest}
+        import time
+
+        if self.rate <= 0:
+            return {"i": self.n_rows}
+        avail = int((time.time() - self.start_epoch) * self.rate)
+        return {"i": max(0, min(avail, self.n_rows))}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["i"]), int(end["i"])

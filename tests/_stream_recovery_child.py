@@ -38,13 +38,17 @@ def main(workdir: str) -> int:
         ckpt, sink = f"{workdir}/ckpt", f"{workdir}/sink"
         n_rows = 3000
         spark.dataSource.register(SyntheticEventsDataSource)
+        # absolute epoch → availability is restart-invariant (see the
+        # reader docstring for why an instance cursor commits dupes)
+        t0 = time.time()
 
         def start():
             return (
                 spark.readStream.format("synthetic_events")
                 .option("n_rows", n_rows)
                 .option("n_partitions", 3)
-                .option("batch_rows", 500)
+                .option("rate_rows_per_sec", 400)
+                .option("start_epoch", t0)
                 .load()
                 .writeStream.format("parquet")
                 .option("path", sink)
@@ -61,7 +65,7 @@ def main(workdir: str) -> int:
 
         # first run: wait for at least one batch to land, then kill
         q = start()
-        deadline = time.time() + 120
+        deadline = time.time() + 180
         while time.time() < deadline:
             if any(b["numInputRows"] > 0 for b in (q.recentProgress or [])):
                 break
@@ -69,23 +73,39 @@ def main(workdir: str) -> int:
         q.stop()
         q.awaitTermination()
 
-        # resume until drained; every extra kill/resume cycle is itself
-        # part of the exactly-once claim being tested
-        for _attempt in range(6):
+        # resume until drained. Per-attempt the loop watches for
+        # PROGRESS, not just completion: a query that stalls (no sink
+        # growth for 30s) is killed and recreated rather than waiting
+        # out a long fixed deadline — every extra kill/resume cycle is
+        # itself part of the exactly-once claim being tested.
+        for _attempt in range(10):
             q2 = start()
+            last_n, last_move = sink_count(), time.time()
             deadline = time.time() + 120
             while time.time() < deadline:
                 if q2.exception() is not None:
                     break
-                if sink_count() >= n_rows:
+                n = sink_count()
+                if n >= n_rows:
                     break
+                if n > last_n:
+                    last_n, last_move = n, time.time()
+                elif time.time() - last_move > 30:
+                    break  # stalled: recreate the query
                 time.sleep(0.3)
             exc = q2.exception()
             q2.stop()
             q2.awaitTermination()
             if sink_count() >= n_rows:
                 break
-            print(f"resume attempt {_attempt}: count={sink_count()} exc={exc}")
+            lp = q2.lastProgress
+            print(
+                f"resume attempt {_attempt}: count={sink_count()} exc={exc} "
+                f"lastProgress={{'batchId': lp.get('batchId'), 'numInputRows': lp.get('numInputRows')}}"
+                if lp
+                else f"resume attempt {_attempt}: count={sink_count()} exc={exc} lastProgress=None",
+                flush=True,
+            )
 
         got = {tuple(r) for r in spark.read.parquet(sink).collect()}
         batch = (

@@ -77,8 +77,15 @@ def test_stream_reader_exactly_once_across_kill(tmp_path):
         timeout=900,
         env=env,
     )
+    # persist diagnostics at a stable path: the suite's stdout is often
+    # truncated by the caller, and in-suite-only flakes of this test
+    # have been undebuggable without the child's log
+    with open("/tmp/stream_recovery_child_last.log", "w") as f:
+        f.write(f"rc={proc.returncode}\n--- stdout ---\n{proc.stdout}"
+                f"\n--- stderr ---\n{proc.stderr}")
     assert proc.returncode == 0, (
-        f"stream-recovery child failed (rc={proc.returncode})\n"
+        f"stream-recovery child failed (rc={proc.returncode}; full log at "
+        f"/tmp/stream_recovery_child_last.log)\n"
         f"--- stdout ---\n{proc.stdout[-4000:]}\n"
         f"--- stderr ---\n{proc.stderr[-2000:]}"
     )
