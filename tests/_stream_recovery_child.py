@@ -20,6 +20,24 @@ import sys
 import time
 
 
+
+
+def _stop_quietly(q) -> None:
+    """Stop a streaming query, tolerating the kill landing mid-batch:
+    the interrupt can surface as STREAM_FAILED (InterruptedException)
+    from stop()/awaitTermination(). For a deliberately killed run that
+    failure is the expected outcome, not an error — recovery from the
+    checkpoint is what the test asserts."""
+    try:
+        q.stop()
+    except Exception:
+        pass
+    try:
+        q.awaitTermination()
+    except Exception:
+        pass
+
+
 def main(workdir: str) -> int:
     from pyspark.sql import SparkSession
 
@@ -70,8 +88,7 @@ def main(workdir: str) -> int:
             if any(b["numInputRows"] > 0 for b in (q.recentProgress or [])):
                 break
             time.sleep(0.2)
-        q.stop()
-        q.awaitTermination()
+        _stop_quietly(q)
 
         # resume until drained. Per-attempt the loop watches for
         # PROGRESS, not just completion: a query that stalls (no sink
@@ -94,8 +111,7 @@ def main(workdir: str) -> int:
                     break  # stalled: recreate the query
                 time.sleep(0.3)
             exc = q2.exception()
-            q2.stop()
-            q2.awaitTermination()
+            _stop_quietly(q2)
             if sink_count() >= n_rows:
                 break
             lp = q2.lastProgress

@@ -103,8 +103,12 @@ def test_stream_stream_join_exactly_once_across_kill(tmp_path, how):
         timeout=900,
         env=env,
     )
+    with open(f"/tmp/join_recovery_child_last_{how}.log", "w") as f:
+        f.write(f"rc={proc.returncode}\n--- stdout ---\n{proc.stdout}"
+                f"\n--- stderr ---\n{proc.stderr}")
     assert proc.returncode == 0, (
-        f"join-recovery child failed (rc={proc.returncode}, how={how})\n"
+        f"join-recovery child failed (rc={proc.returncode}, how={how}; full "
+        f"log at /tmp/join_recovery_child_last_{how}.log)\n"
         f"--- stdout ---\n{proc.stdout[-4000:]}\n"
         f"--- stderr ---\n{proc.stderr[-2000:]}"
     )
