@@ -18,6 +18,37 @@ from pyspark_postgres_loader_spark.tables import load_table
 
 SF_DIR = "/root/testdata/sf0.001"
 
+def _pin_batch_order(src: str, dirs) -> None:
+    """Pin part-file mtimes so the file source's batch order is an
+    explicit input: back-to-back writes can land on one mtime tick and
+    flip discovery order, making earlier (older-event-time) files late
+    under the watermark — silent row drops that diverge from the
+    single-run expected set (same hazard fixed in
+    _join_recovery_child.py)."""
+    import glob
+    import os
+
+    for i, d in enumerate(dirs):
+        for part in glob.glob(f"{src}/{d}/part-*.parquet"):
+            t = 1_000_000_000 + i * 100
+            os.utime(part, (t, t))
+
+
+def _stop_quietly(q) -> None:
+    """Stop a streaming query, tolerating the kill landing mid-batch
+    (the interrupt can surface as STREAM_FAILED from awaitTermination —
+    for a deliberately killed run that IS the scenario under test)."""
+    try:
+        q.stop()
+    except Exception:
+        pass
+    try:
+        q.awaitTermination()
+    except Exception:
+        pass
+
+
+
 
 def test_stream_resumes_from_checkpoint_without_reprocessing(spark):
     work = tempfile.mkdtemp(prefix="recov_")
@@ -28,6 +59,7 @@ def test_stream_resumes_from_checkpoint_without_reprocessing(spark):
         # two source files → two micro-batches at maxFilesPerTrigger=1
         ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{src}/a")
         ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{src}/b")
+        _pin_batch_order(src, ("a", "b"))
 
         def start():
             return (
@@ -51,8 +83,7 @@ def test_stream_resumes_from_checkpoint_without_reprocessing(spark):
             if done:
                 break
             time.sleep(0.2)
-        q.stop()
-        q.awaitTermination()
+        _stop_quietly(q)
         n_before = spark.read.parquet(sink).count()
         assert 0 < n_before <= total
 
@@ -64,8 +95,7 @@ def test_stream_resumes_from_checkpoint_without_reprocessing(spark):
             if spark.read.parquet(sink).count() >= total:
                 break
             time.sleep(0.2)
-        q2.stop()
-        q2.awaitTermination()
+        _stop_quietly(q2)
 
         out = spark.read.parquet(sink)
         assert out.count() == total  # nothing lost, nothing duplicated
@@ -138,6 +168,7 @@ def test_chained_window_rollup_exactly_once_across_kill(spark):
         ev.filter(ts_us <= lo).coalesce(1).write.parquet(f"{src}/a")
         ev.filter((ts_us > lo) & (ts_us <= hi)).coalesce(1).write.parquet(f"{src}/b")
         ev.filter(ts_us > hi).coalesce(1).write.parquet(f"{src}/c")
+        _pin_batch_order(src, ("a", "b", "c"))
 
         schema = (
             "event_id long, ts timestamp, user_id long, event_type string, "
@@ -188,8 +219,7 @@ def test_chained_window_rollup_exactly_once_across_kill(spark):
             if any(b["numInputRows"] > 0 for b in (q.recentProgress or [])):
                 break
             time.sleep(0.2)
-        q.stop()
-        q.awaitTermination()
+        _stop_quietly(q)
 
         q2 = start()
         deadline = time.time() + 120
@@ -202,8 +232,7 @@ def test_chained_window_rollup_exactly_once_across_kill(spark):
             if got == expected:
                 break
             time.sleep(0.5)
-        q2.stop()
-        q2.awaitTermination()
+        _stop_quietly(q2)
 
         assert got == expected, (
             f"chained rollup recovery diverges: "
