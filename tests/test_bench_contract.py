@@ -57,3 +57,30 @@ def test_compact_line_reports_error_count():
     line = bench._compact_line(1.0, {"q": 1.0}, 0.1, n_errors=3)
     assert json.loads(line)["n_errors"] == 3
     assert len(line) <= 1800
+
+
+def test_compact_line_budget_holds_for_any_timings():
+    """Property: whatever the registry grows into (many queries, long
+    names, large/odd durations), the stdout line stays parseable and
+    under the 1800-char capture budget."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    name = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=60
+    )
+    timings = st.dictionaries(
+        name, st.floats(0, 1e6, allow_nan=False), min_size=0, max_size=400
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(timings=timings, total=st.floats(0, 1e9, allow_nan=False), n_err=st.integers(0, 999))
+    def check(timings, total, n_err):
+        line = bench._compact_line(round(total, 3), timings, 0.1, n_err)
+        assert len(line) <= 1800
+        parsed = json.loads(line)
+        assert parsed["n_queries"] == len(timings)
+        assert parsed["n_errors"] == n_err
+        assert parsed["queries_elided"] == len(timings) - len(parsed["queries"])
+
+    check()
