@@ -1039,3 +1039,86 @@ def trend_value_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(n * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0))
         ).alias("slope_per_day"),
     )
+
+
+# --------------------------------------------------------------------------
+# Market-basket co-occurrence (association-rule mining primitive)
+# --------------------------------------------------------------------------
+
+_BASKET_TOPK = 25
+
+
+@register(
+    "basket_part_pair_lift",
+    oracle=f"""
+    WITH base AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    tot AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM base),
+    pn AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY pk),
+    pairs AS (
+      SELECT a.pk AS p1, b.pk AS p2, CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM base a JOIN base b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk
+    ),
+    top AS (
+      SELECT p1, p2, n_both FROM pairs
+      ORDER BY n_both DESC, p1, p2 LIMIT {_BASKET_TOPK}
+    )
+    SELECT t.p1, t.p2, t.n_both,
+           n1.n AS n_p1, n2.n AS n_p2,
+           CAST(t.n_both AS DOUBLE) * tot.n_orders / (n1.n * n2.n) AS lift
+    FROM top t
+    JOIN pn n1 ON n1.pk = t.p1
+    JOIN pn n2 ON n2.pk = t.p2
+    CROSS JOIN tot
+    """,
+)
+def basket_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top-{k} part pairs bought
+    together in one order, with support counts and lift — the
+    association-rule primitive (FP-growth's first pass). The per-order
+    self-join is bounded by ORDER SIZE (TPC-H orders hold ≤7 lines →
+    ≤21 pairs each), so pair generation is linear in rows with a small
+    constant — never corpus-quadratic; the top-k compiles to
+    TakeOrderedAndProject under a (n_both, p1, p2) total order, and
+    lift is one double expression of exact integers (count × count /
+    (count × count)) — deterministic cross-engine. Per-part counts
+    join back onto only the k winners."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    tot = base.agg(F.countDistinct("ok").cast("long").alias("n_orders"))
+    pn = base.groupBy("pk").agg(F.count("*").cast("long").alias("n"))
+    a, b = base.alias("a"), base.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("p1"), F.col("b.pk").alias("p2"))
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    top = pairs.orderBy(F.desc("n_both"), "p1", "p2").limit(_BASKET_TOPK)
+    n1 = pn.select(F.col("pk").alias("p1"), F.col("n").alias("n_p1"))
+    n2 = pn.select(F.col("pk").alias("p2"), F.col("n").alias("n_p2"))
+    return (
+        top.join(n1, "p1")
+        .join(n2, "p2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "p1",
+            "p2",
+            "n_both",
+            "n_p1",
+            "n_p2",
+            (
+                F.col("n_both").cast("double")
+                * F.col("n_orders")
+                / (F.col("n_p1") * F.col("n_p2"))
+            ).alias("lift"),
+        )
+    )
+
+
+basket_part_pair_lift.__doc__ = basket_part_pair_lift.__doc__.format(
+    k=_BASKET_TOPK
+)
