@@ -170,17 +170,27 @@ def stream_upsert_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
 
         src = _time_split_source(spark, sf_dir, n_slices=3)
-        stream = spark.readStream.schema(
-            "event_id long, ts timestamp, user_id long, event_type string,"
-            " value double, props string"
-        ).option("maxFilesPerTrigger", 1).parquet(src)
-        q = (
-            stream.writeStream.foreachBatch(load_batch)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_upsert_"))
-            .start()
-        )
-        q.awaitTermination()
+        ckpt = tempfile.mkdtemp(prefix="ckpt_upsert_")
+        try:
+            stream = spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string,"
+                " value double, props string"
+            ).option("maxFilesPerTrigger", 1).parquet(src)
+            q = (
+                stream.writeStream.foreachBatch(load_batch)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            # the result is read back from the DB below — the stream's
+            # scratch space has no further readers (repeated bench/
+            # driver invocations would otherwise accumulate in /tmp)
+            import shutil
+
+            shutil.rmtree(src, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
 
         with sqlite3.connect(path) as conn:
             rows = conn.execute(
@@ -296,4 +306,9 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .select(F.col("window.start").alias("window_start"), "event_type", "n")
     )
-    return _run_to_memory(agg, "update")
+    try:
+        return _run_to_memory(agg, "update")
+    finally:
+        # the memory sink holds the materialized result; the split
+        # files have no further readers
+        shutil.rmtree(src, ignore_errors=True)
