@@ -1698,3 +1698,62 @@ def scalar_try_ansi_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(1), F.col("l_linenumber")), F.lit(3)
         ).alias("third_or_null"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (broadcast quantile bounds, no global sort)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_histogram_equidepth",
+    oracle="""
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bounds
+      FROM orders
+    )
+    SELECT len(list_filter(b.bounds, x -> x <= o.o_totalprice)) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o.o_totalprice) AS lo,
+           MAX(o.o_totalprice) AS hi
+    FROM orders o CROSS JOIN b
+    GROUP BY 1
+    """,
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) 10-bucket histogram of order
+    totals — the optimizer-statistics / data-profiling shape. The
+    naive form is ``NTILE(10) OVER (ORDER BY price)``: a GLOBAL sort
+    through one window partition, hopeless at 100 TB. Instead the nine
+    decile bounds come from ONE exact-percentile aggregation (a 1-row
+    broadcast), and bucket assignment is a map-side count of bounds ≤
+    value over the broadcast array — scan-speed, one small aggregate
+    shuffle for the per-bucket stats. Spark ``percentile`` / DuckDB
+    ``quantile_cont`` interpolation is the pairing the percentile
+    operators already pin as bit-compatible; the bucket id is an exact
+    integer comparison count, so ties land identically. At unbounded
+    cardinality swap the bounds source for ``percentile_approx``
+    (identical downstream shape)."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.expr(
+            "percentile(o_totalprice,"
+            " array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))"
+        ).alias("bounds")
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .select(
+            F.size(
+                F.filter("bounds", lambda x: x <= F.col("o_totalprice"))
+            ).alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
