@@ -18,7 +18,7 @@ operators/training.py):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.deterministic import dsum, mhash64, sql_dsum, sql_mhash64
@@ -1121,4 +1121,82 @@ def basket_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 basket_part_pair_lift.__doc__ = basket_part_pair_lift.__doc__.format(
     k=_BASKET_TOPK
+)
+
+
+# --------------------------------------------------------------------------
+# Multi-touch attribution (linear credit, integer-exact)
+# --------------------------------------------------------------------------
+
+_ATTR_WINDOW_H = 24
+
+
+@register(
+    "attribution_linear_touch",
+    oracle=f"""
+    WITH purchases AS (
+      SELECT event_id AS pid, user_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT event_id AS tid, user_id, event_type AS touch_type, ts AS tts
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    joined AS (
+      SELECT p.pid, t.touch_type,
+             COUNT(*) OVER (PARTITION BY p.pid) AS n_touches
+      FROM purchases p JOIN touches t
+        ON t.user_id = p.user_id
+       AND t.tts <= p.pts
+       AND t.tts > p.pts - INTERVAL {_ATTR_WINDOW_H} HOUR
+    )
+    SELECT touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touchpoints,
+           CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_purchases,
+           CAST(SUM(1000000 // n_touches) AS BIGINT) AS credit_micros
+    FROM joined GROUP BY touch_type
+    """,
+)
+def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every view/click in the {h} h
+    window before a purchase by the same user shares that purchase's
+    credit equally; credits are INTEGER MICROS (``1e6 div n_touches``)
+    so the cross-row credit sum is exact and order-independent (a
+    float 1/n sum would be accumulation-order-dependent and
+    hash-diverge cross-engine). The purchase↔touch join is keyed on
+    user_id with a bounded time-range predicate — per-user work is
+    touches × purchases inside a {h} h window, never a cross of the
+    full history (the as-of/range-join family's shape); the per-
+    purchase touch count is one window over the join output."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("tid"),
+        F.col("user_id").alias("t_user_id"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("tts"),
+    )
+    joined = purchases.join(
+        touches,
+        (F.col("t_user_id") == F.col("user_id"))
+        & (F.col("tts") <= F.col("pts"))
+        & (F.col("tts") > F.col("pts") - F.expr(f"INTERVAL {_ATTR_WINDOW_H} HOURS")),
+    ).select("pid", "touch_type")
+    w = Window.partitionBy("pid")
+    credited = joined.select(
+        "pid", "touch_type", F.count("*").over(w).alias("n_touches")
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count("*").cast("long").alias("n_touchpoints"),
+        F.countDistinct("pid").cast("long").alias("n_purchases"),
+        F.sum(F.expr("1000000 div n_touches")).cast("long").alias("credit_micros"),
+    )
+
+
+attribution_linear_touch.__doc__ = attribution_linear_touch.__doc__.format(
+    h=_ATTR_WINDOW_H
 )

@@ -178,3 +178,57 @@ def cogroup_user_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped Arrow-native aggregation (applyInArrow)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "arrow_grouped_value_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 1000000) AS BIGINT))
+                AS BIGINT) AS sum_micros,
+           MIN(value) AS vmin,
+           MAX(value) AS vmax
+    FROM events GROUP BY event_type
+    """,
+)
+def arrow_grouped_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group aggregation through ``applyInArrow`` — the grouped
+    Arrow-native execution surface (completing the set alongside
+    ``mapInArrow``, ``applyInPandas``, cogrouped pandas, and UDTFs):
+    each group's rows arrive as ONE ``pyarrow.Table`` with no pandas
+    boxing, and the reduction runs on the Arrow buffers via
+    ``pyarrow.compute``. Values quantize to integer micros with FLOOR
+    (numpy/pyarrow rounding is half-even where SQL's is half-away —
+    floor is identical everywhere), so the group sums are exact and the
+    oracle replays them bit-for-bit. Use this surface when a reduction
+    needs Arrow-side libraries over whole groups; the shuffle is the
+    same single groupBy exchange a builtin aggregation pays — but
+    builtins stay JVM-side and remain the first choice for anything
+    expressible (see text.py's design rules)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(table: pa.Table) -> pa.Table:
+        v = pc.cast(table.column("value"), pa.float64())
+        micros = pc.cast(pc.floor(pc.multiply(v, 1_000_000.0)), pa.int64())
+        return pa.table(
+            {
+                "event_type": [table.column("event_type")[0].as_py()],
+                "n": pa.array([table.num_rows], pa.int64()),
+                "sum_micros": pa.array([pc.sum(micros).as_py()], pa.int64()),
+                "vmin": pa.array([pc.min(v).as_py()], pa.float64()),
+                "vmax": pa.array([pc.max(v).as_py()], pa.float64()),
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return ev.groupBy("event_type").applyInArrow(
+        stats,
+        "event_type string, n long, sum_micros long, vmin double, vmax double",
+    )

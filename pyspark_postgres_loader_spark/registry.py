@@ -157,11 +157,13 @@ _PRIORITY = [
     "train_user_event_sequences",
     "quality_winsorize_doclen",
     # --- window boundary (50): (a)3+(b)3+(e)8+(f)8+(g)12+(c)13+(d)3 ---
-    # Overflow head: the two post-window session-4 adds (locally
+    # Overflow head: the post-window session-4 adds (locally
     # rehearsed at sf0.01 — REHEARSAL.json) then the 28 r2-stale names
     # displaced by (e)+(f)+(g) — round-6 rotation debt.
     "basket_part_pair_lift",
     "agg_histogram_equidepth",
+    "attribution_linear_touch",
+    "arrow_grouped_value_stats",
     "ann_ivf_topk",
     "sim_cosine_pairs",
     "multimodal_payload_stats",
