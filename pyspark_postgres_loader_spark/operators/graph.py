@@ -194,3 +194,110 @@ def hierarchy_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _HIERARCHY_SQL.format(users=users_view, events=events_view, str="STRING")
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (node-ordered two-path join over strong ties)
+# ---------------------------------------------------------------------------
+
+_TRI_MAX_DEG = 64  # drop hub customers (co-purchase projection cap)
+_TRI_TOP_EDGES = 300  # strong-tie edge budget: bounds the triangle join
+
+
+@register(
+    "graph_triangle_count_suppliers",
+    oracle=f"""
+    WITH base AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    ok AS (
+      SELECT c FROM base GROUP BY c HAVING COUNT(*) <= {_TRI_MAX_DEG}
+    ),
+    kept AS (SELECT b.c, b.s FROM base b JOIN ok USING (c)),
+    pair_support AS (
+      SELECT a.s AS u, b.s AS v, COUNT(*) AS n_shared
+      FROM kept a JOIN kept b ON a.c = b.c AND a.s < b.s
+      GROUP BY a.s, b.s
+    ),
+    edges AS (
+      SELECT u, v FROM pair_support
+      ORDER BY n_shared DESC, u, v LIMIT {_TRI_TOP_EDGES}
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.v
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT u) FROM (SELECT u FROM edges
+                  UNION ALL SELECT v FROM edges)) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST(tri.n_triangles AS BIGINT) AS n_triangles
+    FROM tri
+    """,
+)
+def graph_triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strong-tie triangle census over the supplier co-purchase graph —
+    the third classic graph primitive beside CC and PageRank, via the
+    NODE-ORDERED two-path join: edges stored once as (u < v), each
+    triangle {{a<b<c}} counted exactly once by (a,b)⋈(b,c)⋈(a,c) — no
+    division by 6, fan-out bounded by ordered adjacency degree.
+
+    Two explicit densification guards make this scale-safe: hub
+    customers above {d} distinct suppliers are dropped BEFORE the
+    pair projection (a hub emits deg² pairs — the same deterministic
+    hot-key cap as the LSH bucket joins), and the triangle join runs
+    over only the {m} STRONGEST ties (pairs ranked by shared-customer
+    support under a (support, u, v) total order → TakeOrdered) — a
+    raw co-purchase projection trends toward a clique (this fixture's
+    IS one: every supplier pair shares a customer), and triangle
+    joins on near-cliques are Θ(n³) no matter the algorithm. Census
+    over a fixed strong-tie budget is the standard analyst's cut and
+    keeps every stage bounded at any corpus size. All outputs exact
+    integers; the oracle replays edge selection and join identically."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    ok = base.groupBy("c").agg(F.count("*").alias("deg")).filter(
+        F.col("deg") <= _TRI_MAX_DEG
+    ).select("c")
+    kept = base.join(ok, "c")
+    a, b = kept.alias("a"), kept.alias("b")
+    edges = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count("*").alias("n_shared"))
+        .orderBy(F.desc("n_shared"), "u", "v")
+        .limit(_TRI_TOP_EDGES)
+        .select("u", "v")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    nodes = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .agg(F.countDistinct("n").cast("long").alias("n_nodes"))
+    )
+    n_edges = edges.agg(F.count("*").cast("long").alias("n_edges"))
+    return (
+        nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select("n_nodes", "n_edges", F.col("n_triangles").cast("long"))
+    )
+
+
+graph_triangle_count_suppliers.__doc__ = graph_triangle_count_suppliers.__doc__.format(
+    d=_TRI_MAX_DEG, m=_TRI_TOP_EDGES
+)

@@ -164,6 +164,7 @@ _PRIORITY = [
     "agg_histogram_equidepth",
     "attribution_linear_touch",
     "arrow_grouped_value_stats",
+    "graph_triangle_count_suppliers",
     "ann_ivf_topk",
     "sim_cosine_pairs",
     "multimodal_payload_stats",
