@@ -275,6 +275,13 @@ def graph_triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.desc("n_shared"), "u", "v")
         .limit(_TRI_TOP_EDGES)
         .select("u", "v")
+        # The strong-tie edge set is consumed FIVE times below (e1/e2/e3,
+        # the node union, the edge count); without materialization every
+        # consumer replays the full pair-support pipeline (lineitem⋈orders
+        # → distinct → degree-cap → self-join → groupBy → top-k).
+        # localCheckpoint pins the 300-row result once — same pattern as
+        # PageRank's edges_deg above.
+        .localCheckpoint()
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (

@@ -15,6 +15,10 @@ from ..functions.deterministic import davg, dsum, sql_davg, sql_dsum
 from ..registry import register
 from ..tables import load_table
 
+# Deterministic scratch dirs created by ingest_schema_evolution_merge;
+# each gets ONE atexit rmtree registration (see its docstring).
+_SCHEMA_EVO_DIRS: set[str] = set()
+
 
 @register(
     "json_props_by_event_type",
@@ -278,14 +282,28 @@ def ingest_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame
     for stable production reads, pin an explicit read schema and let
     missing columns null-fill the same way — the test of either path
     is identical. The split/enrichment rule (odd event_ids carry
-    quality = value/2) replays exactly in the oracle."""
+    quality = value/2) replays exactly in the oracle.
+
+    Scratch-dir hygiene: the returned DataFrame lazily reads the
+    generated files, so the directory can't be deleted eagerly. A
+    fresh mkdtemp per call accumulated across the bench's 3x-per-query
+    runs; the scratch path is instead DETERMINISTIC per (uid, sf_dir)
+    — repeat calls overwrite the same two files — and an atexit hook
+    removes it at interpreter exit."""
+    import atexit
     import glob
+    import hashlib
     import os
     import shutil
     import tempfile
 
     ev = load_table(spark, sf_dir, "events")
-    src = tempfile.mkdtemp(prefix="schema_evo_")
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    src = os.path.join(tempfile.gettempdir(), f"schema_evo_{os.getuid()}_{tag}")
+    os.makedirs(src, exist_ok=True)
+    if src not in _SCHEMA_EVO_DIRS:
+        _SCHEMA_EVO_DIRS.add(src)
+        atexit.register(shutil.rmtree, src, ignore_errors=True)
     gens = [
         ("gen0", ev.filter(F.col("event_id") % 2 == 0).select(
             "event_id", "user_id", "value")),

@@ -860,7 +860,10 @@ def _recall_oracle() -> str:
     """
 
 
-@register("ann_recall_report", oracle=None, doc="placeholder")  # oracle set below
+@register(
+    "ann_recall_report", oracle=None, doc="placeholder", tags=("contract",)
+)  # oracle set below; "contract": the brute-force ground truth exists
+# only to grade the IVF path — production runs IVF alone
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the IVF probe path against the brute-force ground
     truth, per query — the measurement that turns "approximate" from a

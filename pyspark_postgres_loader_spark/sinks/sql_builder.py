@@ -30,14 +30,33 @@ class Dialect:
     # SAVEPOINT/ROLLBACK TO support (DuckDB has none — the sink's batch
     # quarantine falls back to commit-per-chunk + rollback-on-error)
     supports_savepoint: bool = True
+    # Multi-row VALUES fast path (reference parity: psycopg2's
+    # ``execute_values(.., page_size=len(batch))`` at
+    # psycopg2_database_helper.py:87-91 sends ONE multi-row VALUES
+    # statement per batch — generic ``executemany`` on real psycopg2
+    # degrades to one round trip per row). Enabled for the ``%s``
+    # dialect; the others keep generic executemany like the
+    # reference's asyncpg personality.
+    multirow_values: bool = False
 
-    def placeholders(self, n: int) -> str:
+    def placeholders(self, n: int, start: int = 0) -> str:
         if self.placeholder == "$n":  # asyncpg-style numbered
-            return ", ".join(f"${i + 1}" for i in range(n))
+            return ", ".join(f"${start + i + 1}" for i in range(n))
         return ", ".join([self.placeholder] * n)
 
+    def values_clause(self, n_cols: int, n_rows: int = 1) -> str:
+        """``(ph..), (ph..), ..`` — one group per row; ``$n`` numbering
+        continues across rows ($1..$n_cols*n_rows)."""
+        if self.placeholder == "$n":
+            return ", ".join(
+                f"({self.placeholders(n_cols, start=r * n_cols)})"
+                for r in range(n_rows)
+            )
+        row = f"({self.placeholders(n_cols)})"
+        return ", ".join([row] * n_rows)
 
-POSTGRES = Dialect("postgres", "%s")
+
+POSTGRES = Dialect("postgres", "%s", multirow_values=True)
 ASYNCPG = Dialect("asyncpg", "$n")
 SQLITE = Dialect("sqlite", "?")
 DUCKDB = Dialect("duckdb", "?", supports_savepoint=False)
@@ -45,11 +64,19 @@ DUCKDB = Dialect("duckdb", "?", supports_savepoint=False)
 DIALECTS = {d.name: d for d in (POSTGRES, ASYNCPG, SQLITE, DUCKDB)}
 
 
-def build_insert_sql(columns: list[str], table: str, dialect: Dialect = POSTGRES) -> str:
-    """Plain INSERT (the no-unique-key fallback, asyncpg:229-230)."""
+def build_insert_sql(
+    columns: list[str],
+    table: str,
+    dialect: Dialect = POSTGRES,
+    n_rows: int = 1,
+) -> str:
+    """Plain INSERT (the no-unique-key fallback, asyncpg:229-230).
+    ``n_rows > 1`` renders the execute_values-style multi-row VALUES
+    form (one statement for the whole batch)."""
     cols = ", ".join(columns)
     return (
-        f"INSERT INTO {table} ({cols}) VALUES ({dialect.placeholders(len(columns))})"
+        f"INSERT INTO {table} ({cols}) "
+        f"VALUES {dialect.values_clause(len(columns), n_rows)}"
     )
 
 
@@ -59,11 +86,12 @@ def build_upsert_sql(
     unique_key: list[str] | None,
     cols_not_for_update: list[str] | None = None,
     dialect: Dialect = POSTGRES,
+    n_rows: int = 1,
 ) -> str:
     """INSERT .. ON CONFLICT (key) DO UPDATE SET; falls back to plain
     INSERT when ``unique_key`` is falsy (insert-only mode)."""
     if not unique_key:
-        return build_insert_sql(columns, table, dialect)
+        return build_insert_sql(columns, table, dialect, n_rows)
 
     missing = [k for k in unique_key if k not in columns]
     if missing:
@@ -71,7 +99,7 @@ def build_upsert_sql(
 
     excluded = set(unique_key) | set(cols_not_for_update or [])
     update_cols = [c for c in columns if c not in excluded]
-    base = build_insert_sql(columns, table, dialect)
+    base = build_insert_sql(columns, table, dialect, n_rows)
     conflict = f" ON CONFLICT ({', '.join(unique_key)})"
     if not update_cols:
         return f"{base}{conflict} DO NOTHING"

@@ -91,6 +91,7 @@ def execute_batch_with_quarantine(
     error_messages: list[str],
     conn=None,
     use_savepoint: bool = True,
+    sql_for: Callable[[int], str] | None = None,
 ) -> tuple[int, int]:
     """Run one batch with bisection quarantine.
 
@@ -103,18 +104,34 @@ def execute_batch_with_quarantine(
     each chunk commits on success and rollbacks on failure instead of
     rolling back to a savepoint — same quarantine result, one commit
     per surviving chunk instead of one per batch.
+
+    ``sql_for`` (multirow fast path, reference parity with psycopg2's
+    ``execute_values(.., page_size=len(batch))``): when set, each chunk
+    executes as ONE multi-row VALUES statement — ``sql_for(len(chunk))``
+    with the row params flattened — instead of ``executemany``, which
+    on real psycopg2 is one round trip PER ROW. Bisection semantics are
+    identical: the multi-row statement fails atomically, the chunk
+    splits, and single poison rows are still isolated.
     """
+
+    def _run(chunk: list[tuple]) -> None:
+        if sql_for is not None:
+            flat = tuple(p for row in chunk for p in row)
+            cursor.execute(sql_for(len(chunk)), flat)
+        else:
+            cursor.executemany(sql, chunk)
+
     loaded = rejected = dropped = 0
     worklist: list[list[tuple]] = [batch]
     while worklist:
         chunk = worklist.pop()
         if use_savepoint:
             with savepoint_guard(cursor) as captured:
-                cursor.executemany(sql, chunk)
+                _run(chunk)
             err = captured[0]
         else:
             try:
-                cursor.executemany(sql, chunk)
+                _run(chunk)
                 conn.commit()
                 err = None
             except Exception as exc:  # noqa: BLE001 — DBAPI errors vary
@@ -141,24 +158,41 @@ def _batch_and_upsert(
     sql: str,
     batch_size: int,
     use_savepoint: bool = True,
+    sql_for: Callable[[int], str] | None = None,
 ) -> Iterator[tuple[int, int, int, list[str], bool]]:
     """Per-partition consumer (≈ psycopg2_database_helper.py:123-187):
     lazy connect on first row, batch, transact, quarantine, early-abort
     when a full batch is rejected row-by-row. Yields ONE stats tuple
-    (seen, loaded, rejected, messages, aborted)."""
+    (seen, loaded, rejected, messages, aborted). ``sql_for`` enables
+    the multirow VALUES fast path (see execute_batch_with_quarantine);
+    rendered statements are memoized per chunk size — bisection only
+    ever produces O(log2 batch_size) distinct sizes."""
     conn = None
     cursor = None
     seen = loaded = rejected = truncated = 0
     messages: list[str] = []
     aborted = False
     batch: list[tuple] = []
+    if sql_for is not None:
+        _raw_sql_for, _sql_cache = sql_for, {}
+
+        def sql_for(k: int, _raw=_raw_sql_for, _cache=_sql_cache) -> str:
+            if k not in _cache:
+                _cache[k] = _raw(k)
+            return _cache[k]
 
     def flush() -> bool:
         nonlocal conn, cursor, loaded, rejected, truncated
         if not batch:
             return False
         l, r, d = execute_batch_with_quarantine(
-            cursor, sql, batch, messages, conn=conn, use_savepoint=use_savepoint
+            cursor,
+            sql,
+            batch,
+            messages,
+            conn=conn,
+            use_savepoint=use_savepoint,
+            sql_for=sql_for,
         )
         loaded += l
         rejected += r
@@ -239,15 +273,32 @@ def upsert_dataframe(
     287-357). ``connection_factory`` must be picklable (top-level
     function / functools.partial) — it runs on executors.
     """
-    sql = build_upsert_sql(
-        list(df.columns), table, unique_key, cols_not_for_update, dialect
+    import functools
+
+    columns = list(df.columns)
+    sql = build_upsert_sql(columns, table, unique_key, cols_not_for_update, dialect)
+    # Multirow VALUES fast path (reference psycopg2_database_helper.py:
+    # 87-91 — execute_values with page_size=len(batch) sends one
+    # statement per batch): enabled per-dialect; others keep generic
+    # executemany like the reference's asyncpg personality.
+    sql_for = (
+        functools.partial(
+            build_upsert_sql, columns, table, unique_key, cols_not_for_update, dialect
+        )
+        if dialect.multirow_values
+        else None
     )
     _register_self_by_value()
     out = _layout(df, parallelism, partition_cols)
     use_sp = dialect.supports_savepoint
     per_partition = out.rdd.mapPartitions(
         lambda rows: _batch_and_upsert(
-            rows, connection_factory, sql, batch_size, use_savepoint=use_sp
+            rows,
+            connection_factory,
+            sql,
+            batch_size,
+            use_savepoint=use_sp,
+            sql_for=sql_for,
         )
     ).collect()
 

@@ -115,11 +115,14 @@ def main(workdir: str) -> int:
             if sink_count() >= n_rows:
                 break
             lp = q2.lastProgress
+            lp_info = (
+                {"batchId": lp.get("batchId"), "numInputRows": lp.get("numInputRows")}
+                if lp
+                else None
+            )
             print(
                 f"resume attempt {_attempt}: count={sink_count()} exc={exc} "
-                f"lastProgress={{'batchId': lp.get('batchId'), 'numInputRows': lp.get('numInputRows')}}"
-                if lp
-                else f"resume attempt {_attempt}: count={sink_count()} exc={exc} lastProgress=None",
+                f"lastProgress={lp_info}",
                 flush=True,
             )
 

@@ -57,11 +57,19 @@ def test_upsert_postgres_paramstyle_end_to_end(spark, pg):
     )
     assert rows == {1: ("a", 10), 2: ("B", 22), 3: ("c", 30)}
 
-    # the EXACT psycopg2-style string was executed, not just generated
+    # the EXACT psycopg2-style string was executed, not just generated —
+    # and through the execute_values-style fast path (reference
+    # psycopg2_database_helper.py:87-91): ONE multi-row VALUES statement
+    # for the whole 2-row batch, not one statement per row
     assert (
-        "INSERT INTO tgt (id, val, n) VALUES (%s, %s, %s)"
+        "INSERT INTO tgt (id, val, n) VALUES (%s, %s, %s), (%s, %s, %s)"
         " ON CONFLICT (id) DO UPDATE SET (val, n) = (EXCLUDED.val, EXCLUDED.n)"
     ) in fake_pg.executed_sql(path)
+    single_row = (
+        "INSERT INTO tgt (id, val, n) VALUES (%s, %s, %s)"
+        " ON CONFLICT (id) DO UPDATE SET (val, n) = (EXCLUDED.val, EXCLUDED.n)"
+    )
+    assert single_row not in fake_pg.executed_sql(path)
 
 
 def test_quarantine_bisection_postgres_paramstyle(spark, pg):
@@ -92,6 +100,59 @@ def test_quarantine_bisection_postgres_paramstyle(spark, pg):
     executed = fake_pg.executed_sql(path)
     assert any(s.startswith("SAVEPOINT") for s in executed)
     assert any(s.startswith("ROLLBACK TO SAVEPOINT") for s in executed)
+
+
+def test_multirow_one_statement_per_surviving_batch(spark, pg):
+    """execute_values parity (reference psycopg2_database_helper.py:
+    87-91): through the %s dialect every surviving chunk executes as
+    EXACTLY ONE multi-row VALUES statement — a clean 3-batch load of
+    48 rows at batch_size=16 issues 3 INSERTs total, never one per
+    row; and with a poison row the bisection worklist still isolates
+    it while every surviving sub-chunk stays one-statement."""
+    path, conn = pg
+    cur = conn.cursor()
+    cur.execute("CREATE TABLE m (id INTEGER PRIMARY KEY, v INTEGER)")
+    conn.commit()
+
+    df = spark.createDataFrame([(i, i) for i in range(48)], "id int, v int")
+    stats = upsert_dataframe(
+        df.coalesce(1),
+        functools.partial(fake_pg.connect, path),
+        "m",
+        ["id"],
+        batch_size=16,
+        dialect=POSTGRES,
+    )
+    assert (stats.rows_loaded, stats.rows_rejected) == (48, 0)
+    inserts = [s for s in fake_pg.executed_sql(path) if s.startswith("INSERT INTO m ")]
+    assert len(inserts) == 3, inserts  # one statement per batch
+    assert all(s.count("(%s, %s)") == 16 for s in inserts)
+
+    # poison row: bisection still isolates it; surviving chunks remain
+    # single multi-row statements (no per-row fallback on the good side)
+    cur.execute(
+        "CREATE TABLE p (id INTEGER PRIMARY KEY, v INTEGER NOT NULL CHECK (v >= 0))"
+    )
+    conn.commit()
+    rows = [(i, i if i != 5 else -1) for i in range(16)]
+    stats = upsert_dataframe(
+        spark.createDataFrame(rows, "id int, v int").coalesce(1),
+        functools.partial(fake_pg.connect, path),
+        "p",
+        ["id"],
+        batch_size=16,
+        dialect=POSTGRES,
+    )
+    assert (stats.rows_loaded, stats.rows_rejected) == (15, 1)
+    n_in_db = conn.cursor()._cur.execute("SELECT COUNT(*) FROM p").fetchone()[0]
+    assert n_in_db == 15
+    p_inserts = [
+        s for s in fake_pg.executed_sql(path) if s.startswith("INSERT INTO p ")
+    ]
+    # worklist bisection on [0..15] with poison at 5: every attempted
+    # chunk is one statement — O(log2 16) splits, far fewer than 16
+    # per-row statements, and exactly one single-group statement failed
+    assert 1 <= len(p_inserts) <= 11, p_inserts
 
 
 def test_staging_merge_postgres_paramstyle(spark, pg):
