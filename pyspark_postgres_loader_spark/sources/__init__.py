@@ -18,6 +18,19 @@ from pyspark.sql import DataFrame
 from .files import read_csv, read_format, read_json, read_orc, read_parquet
 from .jdbc import read_jdbc_query, read_jdbc_table
 
+
+def _read_file_tail(spark, path: str, **options) -> DataFrame:
+    """Batch read of everything currently available in an append-only
+    log file via the ``file_tail`` Python DataSource (registered on
+    first use; see sources/filetail.py for the streaming variant)."""
+    from .filetail import FileTailDataSource
+
+    spark.dataSource.register(FileTailDataSource)
+    reader = spark.read.format("file_tail").option("path", path)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
 SOURCE_REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "csv": read_csv,
     "parquet": read_parquet,
@@ -31,6 +44,7 @@ SOURCE_REGISTRY: dict[str, Callable[..., DataFrame]] = {
     "postgres": read_jdbc_table,
     "jdbc": read_jdbc_table,
     "jdbc_query": read_jdbc_query,
+    "file_tail": _read_file_tail,  # append-only log file (sources/filetail.py)
 }
 
 

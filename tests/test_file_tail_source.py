@@ -142,3 +142,14 @@ def test_stream_resumes_from_checkpoint_exactly_once(spark, tmp_path):
     assert sorted(r.line for r in rows) == sorted(f"r{i}" for i in range(35))
     # byte-offset identity: every record delivered exactly once
     assert len({r.pos for r in rows}) == len(rows) == 35
+
+
+def test_named_source_registry_resolves_file_tail(spark, tmp_path):
+    """The reference-parity source registry (sources/__init__.py S4)
+    resolves 'file_tail' like any other named reader."""
+    from pyspark_postgres_loader_spark.sources import get_source_dataframe
+
+    p = str(tmp_path / "log.txt")
+    _write(p, b"x\ny\n")
+    df = get_source_dataframe(spark, "file_tail", p, n_partitions=2)
+    assert sorted(r.line for r in df.collect()) == ["x", "y"]
