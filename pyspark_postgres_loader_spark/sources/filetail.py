@@ -34,11 +34,26 @@ run one query per file/shard and union the streams, or point the
 directory-file variant of this pattern at an object-store listing —
 the per-file offset law is unchanged.
 
-Known limit (documented, not hidden): in-place truncation (logrotate's
-``copytruncate``) regresses the offset, which no checkpointed source
-can reconcile without data loss; rotate by rename+recreate and start a
-fresh query on the new inode, as every offset-tracking tailer
-(Kafka Connect, Filebeat, Fluent Bit) requires.
+DIRECTORY MODE (``path`` is a directory): tail every file whose
+basename matches the ``glob`` option (default ``*``), non-recursive.
+The offset is a map ``{name: [generation, pos]}`` where generation is
+the file's inode — still a pure function of directory state:
+
+- a NEW file (unseen name, or a known name whose inode changed —
+  rename+recreate rotation) reads from byte 0;
+- a GROWN file reads its delta;
+- an in-place REWRITE (logrotate's ``copytruncate``) resets that file
+  to 0 — detected by size regression OR by a prefix checksum over the
+  file's first min(64, size) bytes (appends never change the opening
+  bytes; a rewrite that happens to end up LARGER than the old offset
+  would slip past a pure size check). At-least-once for the rewritten
+  file rather than a wedged stream. Single-file mode can't do this —
+  Spark owns the scalar offset — which is why rotation there requires
+  rename+recreate and a fresh query;
+- a DELETED file drops out of the offset map; a file deleted between
+  batch planning and task execution raises (correctness over silent
+  loss — rotate with a grace period, the same contract as Filebeat's
+  close_timeout).
 
 Reference: extends the source-plugin registry idea
 (get_s3_data_as_df.py:1, SURVEY.md §2a S4) to streaming ingestion —
@@ -58,17 +73,19 @@ from pyspark.sql.datasource import (
 )
 
 _SCHEMA = "pos bigint, line string"
+_DIR_SCHEMA = "file string, pos bigint, line string"
 _SCAN_BLOCK = 65536
 
 
 class _ByteRange(InputPartition):
-    def __init__(self, start: int, end: int, hard_start: bool):
+    def __init__(self, start: int, end: int, hard_start: bool, path: str | None = None):
         self.start = start
         self.end = end
         # True only for the range that begins at the batch's (always
         # newline-aligned) start offset: it reads from its first byte;
         # all others apply the seek-back-one-byte split rule.
         self.hard_start = hard_start
+        self.path = path  # directory mode: which file this range reads
 
 
 def aligned_end(path: str) -> int:
@@ -91,14 +108,100 @@ def aligned_end(path: str) -> int:
     return 0
 
 
-def _split_ranges(start: int, end: int, n: int) -> list[_ByteRange]:
+def _split_ranges(
+    start: int, end: int, n: int, path: str | None = None
+) -> list[_ByteRange]:
     if end <= start:
-        return [_ByteRange(start, start, True)]
+        return [_ByteRange(start, start, True, path)]
     step = -(-(end - start) // max(1, n))
     return [
-        _ByteRange(lo, min(lo + step, end), lo == start)
+        _ByteRange(lo, min(lo + step, end), lo == start, path)
         for lo in range(start, end, step)
     ]
+
+
+_PREFIX_SIG_BYTES = 64
+
+
+def _prefix_sig(path: str, length: int) -> int:
+    """CRC32 of the file's first ``length`` bytes — the file's
+    GENERATION marker: appends never change it, any rewrite of the
+    opening bytes does."""
+    import zlib
+
+    try:
+        with open(path, "rb") as f:
+            return zlib.crc32(f.read(length))
+    except OSError:
+        return -1
+
+
+def dir_state(dirpath: str, pattern: str) -> dict[str, list[int]]:
+    """Directory-mode availability:
+    ``{name: [inode, sig_len, sig, aligned_end]}`` for every regular
+    file matching ``pattern`` (basename fnmatch, non-recursive). Pure
+    function of directory state. The (sig_len, sig) pair is the prefix
+    checksum over the first min(64, size) bytes; delta computation
+    re-hashes exactly ``sig_len`` bytes so file growth never shifts the
+    comparison window."""
+    import fnmatch
+
+    out: dict[str, list[int]] = {}
+    try:
+        names = sorted(os.listdir(dirpath))
+    except OSError:
+        return out
+    for name in names:
+        if not fnmatch.fnmatch(name, pattern):
+            continue
+        full = os.path.join(dirpath, name)
+        try:
+            st = os.stat(full)
+        except OSError:
+            continue  # vanished between listdir and stat
+        if not os.path.isfile(full):
+            continue
+        sig_len = min(_PREFIX_SIG_BYTES, st.st_size)
+        out[name] = [
+            st.st_ino,
+            sig_len,
+            _prefix_sig(full, sig_len),
+            aligned_end(full),
+        ]
+    return out
+
+
+def _dir_deltas(
+    dirpath: str,
+    start: dict[str, list[int]],
+    end: dict[str, list[int]],
+    n_partitions: int,
+) -> list[_ByteRange]:
+    """Per-file byte deltas between two directory offsets. A file
+    restarts at 0 when its inode changed (rename+recreate rotation),
+    its size regressed, or its prefix checksum no longer matches (an
+    in-place rewrite that happens to END UP LARGER — pure size checks
+    miss this); files absent from ``end`` contribute nothing."""
+    parts: list[_ByteRange] = []
+    for name, (end_ino, _end_len, _end_sig, end_pos) in end.items():
+        entry = start.get(name)
+        s_pos = 0
+        if entry is not None:
+            s_ino, s_len, s_sig, s_pos = entry
+            full = os.path.join(dirpath, name)
+            if (
+                s_ino != end_ino
+                or s_pos > end_pos
+                or (s_len > 0 and _prefix_sig(full, s_len) != s_sig)
+            ):
+                s_pos = 0
+        if end_pos > s_pos:
+            parts.extend(
+                _split_ranges(
+                    s_pos, end_pos, n_partitions, os.path.join(dirpath, name)
+                )
+            )
+    return parts or [_ByteRange(0, 0, True, None)]
 
 
 def _read_range(path: str, part: _ByteRange) -> Iterator[tuple[int, str]]:
@@ -129,21 +232,31 @@ def _read_range(path: str, part: _ByteRange) -> Iterator[tuple[int, str]]:
 class FileTailDataSource(DataSource):
     """``spark.read[Stream].format("file_tail")`` — options:
 
-    - ``path`` (required): the append-only file to read/tail
-    - ``n_partitions`` (default 4): byte-range splits per batch/scan
+    - ``path`` (required): an append-only file, or a DIRECTORY of them
+      (directory mode adds a ``file`` column and tolerates rotation —
+      see module docstring)
+    - ``glob`` (directory mode, default ``*``): basename filter
+    - ``n_partitions`` (default 4): byte-range splits per file per batch
     """
 
     @classmethod
     def name(cls) -> str:
         return "file_tail"
 
-    def schema(self) -> str:
-        return _SCHEMA
+    def _dir_mode(self) -> bool:
+        return os.path.isdir(self.options.get("path", ""))
 
-    def reader(self, schema) -> "_FileTailBatchReader":
+    def schema(self) -> str:
+        return _DIR_SCHEMA if self._dir_mode() else _SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        if self._dir_mode():
+            return _DirTailBatchReader(self.options)
         return _FileTailBatchReader(self.options)
 
-    def streamReader(self, schema) -> "_FileTailStreamReader":
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        if self._dir_mode():
+            return _DirTailStreamReader(self.options)
         return _FileTailStreamReader(self.options)
 
 
@@ -152,6 +265,7 @@ class _Opts:
         self.path = options.get("path")
         if not self.path:
             raise ValueError("file_tail requires a 'path' option")
+        self.glob = options.get("glob", "*")
         self.n_partitions = int(options.get("n_partitions", 4))
         if self.n_partitions < 1:
             raise ValueError("n_partitions must be >= 1")
@@ -188,6 +302,58 @@ class _FileTailStreamReader(DataSourceStreamReader):
 
     def read(self, partition: _ByteRange) -> Iterator[tuple]:
         yield from _read_range(self._o.path, partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class _DirTailBatchReader(DataSourceReader):
+    """One-shot read of everything currently available in the
+    directory; rows carry the file's basename."""
+
+    def __init__(self, options):
+        self._o = _Opts(options)
+
+    def partitions(self):
+        state = dir_state(self._o.path, self._o.glob)
+        return _dir_deltas(self._o.path, {}, state, self._o.n_partitions)
+
+    def read(self, partition: _ByteRange) -> Iterator[tuple]:
+        if partition.path is None:
+            return
+        base = os.path.basename(partition.path)
+        for pos, line in _read_range(partition.path, partition):
+            yield base, pos, line
+
+
+class _DirTailStreamReader(DataSourceStreamReader):
+    """Directory tail: offset = ``{"files": {name: [inode, pos]}}`` —
+    a pure function of directory state (see module docstring for the
+    rotation/truncation/deletion rules)."""
+
+    def __init__(self, options):
+        self._o = _Opts(options)
+
+    def initialOffset(self) -> dict:
+        return {"files": {}}
+
+    def latestOffset(self) -> dict:
+        return {"files": dir_state(self._o.path, self._o.glob)}
+
+    def partitions(self, start: dict, end: dict):
+        return _dir_deltas(
+            self._o.path,
+            start.get("files", {}),
+            end.get("files", {}),
+            self._o.n_partitions,
+        )
+
+    def read(self, partition: _ByteRange) -> Iterator[tuple]:
+        if partition.path is None:
+            return
+        base = os.path.basename(partition.path)
+        for pos, line in _read_range(partition.path, partition):
+            yield base, pos, line
 
     def commit(self, end: dict) -> None:
         pass

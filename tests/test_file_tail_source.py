@@ -153,3 +153,87 @@ def test_named_source_registry_resolves_file_tail(spark, tmp_path):
     _write(p, b"x\ny\n")
     df = get_source_dataframe(spark, "file_tail", p, n_partitions=2)
     assert sorted(r.line for r in df.collect()) == ["x", "y"]
+
+
+def test_directory_mode_batch_with_glob(spark, tmp_path):
+    d = str(tmp_path / "logs")
+    os.makedirs(d)
+    _write(os.path.join(d, "a.log"), b"a1\na2\n")
+    _write(os.path.join(d, "b.log"), b"b1\n")
+    _write(os.path.join(d, "skip.txt"), b"nope\n")
+    _register(spark)
+    rows = (
+        spark.read.format("file_tail")
+        .option("path", d)
+        .option("glob", "*.log")
+        .load()
+        .collect()
+    )
+    got = sorted((r.file, r.line) for r in rows)
+    assert got == [("a.log", "a1"), ("a.log", "a2"), ("b.log", "b1")]
+
+
+def test_directory_stream_new_files_growth_and_rotation(spark, tmp_path):
+    """Directory tail across four drains on one checkpoint: initial
+    content, growth of one file plus a brand-new file, rename+recreate
+    rotation (new inode restarts at 0, the rotated-away name stops
+    matching the glob so nothing re-reads), and in-place truncation
+    (same inode, smaller size → reset to 0, at-least-once for that
+    file)."""
+    d = str(tmp_path / "logs")
+    os.makedirs(d)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    a, b, c = (os.path.join(d, n) for n in ("a.log", "b.log", "c.log"))
+    _write(a, b"a1\n")
+    _write(b, b"b1\n")
+    _register(spark)
+
+    def drain():
+        q = (
+            spark.readStream.format("file_tail")
+            .option("path", d)
+            .option("glob", "*.log")
+            .option("n_partitions", 2)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        assert not q.isActive
+        return sorted(
+            (r.file, r.line) for r in spark.read.parquet(sink).collect()
+        )
+
+    assert drain() == [("a.log", "a1"), ("b.log", "b1")]
+
+    # growth + a new file
+    _write(a, b"a2\n", append=True)
+    _write(c, b"c1\n")
+    assert drain() == [
+        ("a.log", "a1"),
+        ("a.log", "a2"),
+        ("b.log", "b1"),
+        ("c.log", "c1"),
+    ]
+
+    # rename+recreate rotation of a.log: rotated name leaves the glob,
+    # the recreated file has a NEW inode and reads from byte 0 only
+    os.rename(a, a + ".1")
+    _write(a, b"a3\n")
+    got = drain()
+    assert got.count(("a.log", "a1")) == 1  # not re-read
+    assert ("a.log", "a3") in got
+    assert len(got) == 5
+
+    # copytruncate on b.log: same inode, size regressed -> reset to 0
+    with open(b, "wb") as f:
+        f.write(b"b2-after-truncate\n")
+        f.flush()
+        os.fsync(f.fileno())
+    got = drain()
+    assert ("b.log", "b2-after-truncate") in got
+    assert len(got) == 6
