@@ -108,11 +108,24 @@ def aligned_end(path: str) -> int:
     return 0
 
 
+_MIN_SPLIT_BYTES = 1 << 20  # default: don't split deltas under 1 MiB —
+# in a 1000-file directory, per-file splitting would make
+# n_partitions×files tasks per batch for kilobyte deltas (task
+# overhead, zero parallelism). Tunable via the min_split_bytes option;
+# tests set it to 1 to exercise the split rule on small fixtures.
+
+
 def _split_ranges(
-    start: int, end: int, n: int, path: str | None = None
+    start: int,
+    end: int,
+    n: int,
+    path: str | None = None,
+    min_split: int = _MIN_SPLIT_BYTES,
 ) -> list[_ByteRange]:
     if end <= start:
         return [_ByteRange(start, start, True, path)]
+    if end - start < min_split:
+        n = 1
     step = -(-(end - start) // max(1, n))
     return [
         _ByteRange(lo, min(lo + step, end), lo == start, path)
@@ -176,6 +189,7 @@ def _dir_deltas(
     start: dict[str, list[int]],
     end: dict[str, list[int]],
     n_partitions: int,
+    min_split: int = _MIN_SPLIT_BYTES,
 ) -> list[_ByteRange]:
     """Per-file byte deltas between two directory offsets. A file
     restarts at 0 when its inode changed (rename+recreate rotation),
@@ -198,7 +212,11 @@ def _dir_deltas(
         if end_pos > s_pos:
             parts.extend(
                 _split_ranges(
-                    s_pos, end_pos, n_partitions, os.path.join(dirpath, name)
+                    s_pos,
+                    end_pos,
+                    n_partitions,
+                    os.path.join(dirpath, name),
+                    min_split=min_split,
                 )
             )
     return parts or [_ByteRange(0, 0, True, None)]
@@ -269,6 +287,7 @@ class _Opts:
         self.n_partitions = int(options.get("n_partitions", 4))
         if self.n_partitions < 1:
             raise ValueError("n_partitions must be >= 1")
+        self.min_split = int(options.get("min_split_bytes", _MIN_SPLIT_BYTES))
 
 
 class _FileTailBatchReader(DataSourceReader):
@@ -279,7 +298,12 @@ class _FileTailBatchReader(DataSourceReader):
         self._o = _Opts(options)
 
     def partitions(self):
-        return _split_ranges(0, aligned_end(self._o.path), self._o.n_partitions)
+        return _split_ranges(
+            0,
+            aligned_end(self._o.path),
+            self._o.n_partitions,
+            min_split=self._o.min_split,
+        )
 
     def read(self, partition: _ByteRange) -> Iterator[tuple]:
         yield from _read_range(self._o.path, partition)
@@ -297,7 +321,10 @@ class _FileTailStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         return _split_ranges(
-            int(start["pos"]), int(end["pos"]), self._o.n_partitions
+            int(start["pos"]),
+            int(end["pos"]),
+            self._o.n_partitions,
+            min_split=self._o.min_split,
         )
 
     def read(self, partition: _ByteRange) -> Iterator[tuple]:
@@ -316,7 +343,9 @@ class _DirTailBatchReader(DataSourceReader):
 
     def partitions(self):
         state = dir_state(self._o.path, self._o.glob)
-        return _dir_deltas(self._o.path, {}, state, self._o.n_partitions)
+        return _dir_deltas(
+            self._o.path, {}, state, self._o.n_partitions, self._o.min_split
+        )
 
     def read(self, partition: _ByteRange) -> Iterator[tuple]:
         if partition.path is None:
@@ -346,6 +375,7 @@ class _DirTailStreamReader(DataSourceStreamReader):
             start.get("files", {}),
             end.get("files", {}),
             self._o.n_partitions,
+            self._o.min_split,
         )
 
     def read(self, partition: _ByteRange) -> Iterator[tuple]:

@@ -49,6 +49,7 @@ def test_batch_read_matches_lines_with_offsets(spark, tmp_path):
         spark.read.format("file_tail")
         .option("path", p)
         .option("n_partitions", 4)
+        .option("min_split_bytes", 1)
         .load()
         .collect()
     )
@@ -74,6 +75,7 @@ def test_split_boundaries_yield_each_line_exactly_once(spark, tmp_path):
             spark.read.format("file_tail")
             .option("path", p)
             .option("n_partitions", n_parts)
+            .option("min_split_bytes", 1)
             .load()
             .collect()
         )
@@ -107,6 +109,7 @@ def _drain_available(spark, path: str, sink: str, ckpt: str) -> None:
         spark.readStream.format("file_tail")
         .option("path", path)
         .option("n_partitions", 3)
+        .option("min_split_bytes", 1)
         .load()
         .writeStream.format("parquet")
         .option("path", sink)
@@ -195,6 +198,7 @@ def test_directory_stream_new_files_growth_and_rotation(spark, tmp_path):
             .option("path", d)
             .option("glob", "*.log")
             .option("n_partitions", 2)
+            .option("min_split_bytes", 1)
             .load()
             .writeStream.format("parquet")
             .option("path", sink)
