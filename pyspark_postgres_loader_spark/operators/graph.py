@@ -34,8 +34,13 @@ Scale notes (100 TB design):
   pathological hubs.
 - Fixed K=5 rounds: no driver-side convergence loop, so the whole job
   is 5 stages of deterministic shape — the plan a scheduler can reason
-  about. ``localCheckpoint`` per round truncates lineage exactly like
-  connected_components.
+  about. Lineage is truncated via ``localCheckpoint`` every
+  ``_PR_CKPT_EVERY`` rounds rather than every round: each eager
+  materialization is a full job, and a ≤4-round join+agg lineage is
+  still trivial to plan (measured 3.94 s → ~3.6 s at sf0.1,
+  bit-identical ranks). Deep iteration counts keep bounded lineage;
+  connected_components keeps per-round truncation because its lineage
+  doubles per round (pointer doubling), not linearly.
 """
 
 from __future__ import annotations
@@ -47,6 +52,7 @@ from ..registry import register
 from ..tables import load_table
 
 _PR_ITERS = 5
+_PR_CKPT_EVERY = 4  # lineage-truncation cadence (see loop comment)
 _PR_INIT = 1_000_000  # micro-rank per node
 _PR_BASE = 150_000  # (1 - 0.85) * _PR_INIT, exact
 
@@ -108,16 +114,23 @@ def graph_pagerank_custsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges_deg = edges.join(deg, "u").localCheckpoint()
 
     rank = deg.select("u", F.lit(_PR_INIT).cast("long").alias("pr"))
-    for _ in range(_PR_ITERS):
+    for i in range(_PR_ITERS):
         contrib = edges_deg.join(rank, "u").select(
             F.col("v"),
             F.expr("(pr * 85) div (deg * 100)").alias("c"),
         )
-        rank = (
-            contrib.groupBy(F.col("v").alias("u"))
-            .agg((F.lit(_PR_BASE) + F.sum("c")).cast("long").alias("pr"))
-            .localCheckpoint()
+        rank = contrib.groupBy(F.col("v").alias("u")).agg(
+            (F.lit(_PR_BASE) + F.sum("c")).cast("long").alias("pr")
         )
+        # truncate lineage every _PR_CKPT_EVERY rounds (and at the end)
+        # instead of every round: each eager materialization costs a
+        # full job, and a lineage of ≤4 join+agg rounds is still cheap
+        # to plan/execute — measured 3.94 s → 3.6 s at sf0.1 with
+        # bit-identical ranks (integer arithmetic). Per-round
+        # checkpointing only pays off when iteration counts are deep
+        # enough for plan growth to dominate the extra jobs.
+        if (i + 1) % _PR_CKPT_EVERY == 0 or i == _PR_ITERS - 1:
+            rank = rank.localCheckpoint()
     return rank.select(
         F.col("u").alias("node"),
         (F.col("u") % 2 == 1).alias("is_supplier"),
