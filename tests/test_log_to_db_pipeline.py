@@ -104,3 +104,61 @@ def test_tail_jsonl_log_into_keyed_upsert_exactly_once(spark, tmp_path):
     inserts = [s for s in fake_pg.executed_sql(db) if s.startswith("INSERT INTO kv")]
     assert inserts and all("%s" in s for s in inserts)
     conn.close()
+
+
+def test_file_tail_into_manifest_sink_both_custom_ends(spark, tmp_path):
+    """Both ends of the Spark 4 Python DataSource API in ONE stream:
+    the file-tail SOURCE (restart-invariant external-state offsets)
+    feeding the manifest_jsonl two-phase-commit SINK (staged parts,
+    atomic per-batch manifest). Two drains on one checkpoint: the
+    second publishes only the delta batch, and every line lands in
+    exactly one committed batch directory."""
+    import glob
+
+    from pyspark_postgres_loader_spark.sources.pydatasource import (
+        ManifestJsonlSinkDataSource,
+    )
+
+    log = str(tmp_path / "app.log")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    with open(log, "w") as f:
+        f.write("".join(f"l{i}\n" for i in range(30)))
+
+    spark.dataSource.register(FileTailDataSource)
+    spark.dataSource.register(ManifestJsonlSinkDataSource)
+
+    def drain():
+        q = (
+            spark.readStream.format("file_tail")
+            .option("path", log)
+            .option("n_partitions", 2)
+            .option("min_split_bytes", 1)
+            .load()
+            .writeStream.format("manifest_jsonl")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        assert not q.isActive
+
+    drain()
+    with open(log, "a") as f:
+        f.write("".join(f"l{i}\n" for i in range(30, 45)))
+    drain()
+
+    manifests = sorted(glob.glob(os.path.join(out, "_MANIFEST-*.json")))
+    assert len(manifests) == 2
+    total, lines = 0, []
+    for m in manifests:
+        man = json.load(open(m))
+        total += man["total_rows"]
+        bdir = os.path.join(out, f"batch-{man['batch_id']}")
+        for name in man["files"]:
+            with open(os.path.join(bdir, name)) as f:
+                lines.extend(json.loads(ln)["line"] for ln in f)
+    assert total == 45
+    assert sorted(lines) == sorted(f"l{i}" for i in range(45))
+    assert not os.path.exists(os.path.join(out, "_staging"))
