@@ -289,3 +289,29 @@ def test_fake_pg_rejects_wrong_paramstyle(pg):
         cur.execute("INSERT INTO t VALUES (?)", (1,))
     with pytest.raises(ValueError, match="placeholder"):
         cur.execute("INSERT INTO t VALUES ($1)", (1,))
+
+
+def test_multirow_over_param_limit_self_heals_by_bisection(spark, pg):
+    """A multi-row statement whose placeholder count exceeds the
+    engine's variable limit (sqlite: 'too many SQL variables') is just
+    another failing chunk to the quarantine worklist: it splits until
+    statements fit, every row still loads, and nothing is rejected —
+    no special-casing of the limit anywhere in the sink."""
+    path, conn = pg
+    cur = conn.cursor()
+    cur.execute("CREATE TABLE wide (id INTEGER PRIMARY KEY, a INTEGER, b INTEGER)")
+    conn.commit()
+
+    n = 120_000  # 3 cols x 120k rows = 360k params > sqlite's 250k cap
+    df = spark.range(n).selectExpr("id", "id AS a", "id AS b").coalesce(1)
+    stats = upsert_dataframe(
+        df,
+        functools.partial(fake_pg.connect, path),
+        "wide",
+        ["id"],
+        batch_size=n,  # force ONE over-limit statement initially
+        dialect=POSTGRES,
+    )
+    assert (stats.rows_loaded, stats.rows_rejected) == (n, 0)
+    n_in_db = conn.cursor()._cur.execute("SELECT COUNT(*) FROM wide").fetchone()[0]
+    assert n_in_db == n
