@@ -435,3 +435,108 @@ class _ManifestJsonlStreamWriter(DataSourceStreamWriter):
         import shutil
 
         shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Manifest-sink compaction (small-file housekeeping)
+# ---------------------------------------------------------------------------
+
+
+def compact_manifest_batches(
+    spark: "SparkSession",  # noqa: F821 - forward ref, avoids hard import
+    path: str,
+    target_files: int = 1,
+) -> dict:
+    """Compact the streaming manifest sink's per-batch output into one
+    snapshot — THE 100 TB housekeeping job: 10k micro-batches mean 10k+
+    tiny files, and scan cost at scale is driven by file count as much
+    as bytes. Spark-first: the data rewrite is a Spark job
+    (``spark.read.json`` over exactly the files the batch manifests
+    name → ``coalesce(target_files)``); the driver only does the
+    metadata swap.
+
+    Protocol (same publish-last discipline as the writers above):
+
+    1. read every ``_MANIFEST-<id>.json`` and load ONLY the files they
+       name (an uncommitted/aborted batch's leftovers are invisible,
+       exactly as for readers);
+    2. write the rows through the batch manifest writer into
+       ``compacted-<gen>/`` (its own two-phase commit: staged parts,
+       ``_MANIFEST.json`` published last);
+    3. atomically publish ``_COMPACTION.json`` naming the snapshot dir
+       and the batch ids it covers — readers switch to snapshot +
+       later batches;
+    4. only then delete the covered batch dirs and their manifests.
+
+    A crash before step 3 leaves the original batches untouched (the
+    orphan snapshot dir is re-usable garbage); a crash between 3 and 4
+    leaves duplicate STORAGE but readers following ``_COMPACTION.json``
+    never see duplicate ROWS. Re-running is idempotent: already-covered
+    batch ids are excluded, and with no new batches the call is a
+    no-op. Returns a summary dict.
+    """
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    comp_path = _os.path.join(path, "_COMPACTION.json")
+    covered: set[int] = set()
+    gen = 0
+    if _os.path.exists(comp_path):
+        prev = _json.load(open(comp_path))
+        covered = set(prev["batch_ids"])
+        gen = prev["generation"] + 1
+
+    manifests = []
+    for mp in sorted(_glob.glob(_os.path.join(path, "_MANIFEST-*.json"))):
+        m = _json.load(open(mp))
+        if m["batch_id"] not in covered:
+            manifests.append((mp, m))
+    if not manifests:
+        return {"compacted_batches": 0, "rows": 0, "generation": gen, "noop": True}
+
+    files = [
+        _os.path.join(path, f"batch-{m['batch_id']}", name)
+        for _, m in manifests
+        for name in m["files"]
+    ]
+    expect_rows = sum(m["total_rows"] for _, m in manifests)
+    snapshot = _os.path.join(path, f"compacted-{gen}")
+
+    df = spark.read.json(files)
+    (
+        df.coalesce(max(1, target_files))
+        .write.format("manifest_jsonl")
+        .mode("append")
+        .option("path", snapshot)
+        .save()
+    )
+    written = _json.load(open(_os.path.join(snapshot, "_MANIFEST.json")))
+    if written["total_rows"] != expect_rows:  # pragma: no cover - safety rail
+        raise RuntimeError(
+            f"compaction row mismatch: {written['total_rows']} != {expect_rows}"
+        )
+
+    record = {
+        "generation": gen,
+        "snapshot": _os.path.basename(snapshot),
+        "batch_ids": sorted(covered | {m["batch_id"] for _, m in manifests}),
+        "rows": expect_rows,
+    }
+    tmp = comp_path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(record, f, indent=1, sort_keys=True)
+    _os.replace(tmp, comp_path)  # publish BEFORE any deletion
+
+    for mp, m in manifests:
+        _shutil.rmtree(
+            _os.path.join(path, f"batch-{m['batch_id']}"), ignore_errors=True
+        )
+        _os.remove(mp)
+    return {
+        "compacted_batches": len(manifests),
+        "rows": expect_rows,
+        "generation": gen,
+        "noop": False,
+    }

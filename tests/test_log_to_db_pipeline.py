@@ -162,3 +162,81 @@ def test_file_tail_into_manifest_sink_both_custom_ends(spark, tmp_path):
     assert total == 45
     assert sorted(lines) == sorted(f"l{i}" for i in range(45))
     assert not os.path.exists(os.path.join(out, "_staging"))
+
+
+def test_compaction_collapses_batches_then_appends_continue(spark, tmp_path):
+    """Small-file housekeeping on the manifest sink: compaction rolls
+    the per-micro-batch output into one snapshot (published via
+    _COMPACTION.json BEFORE any deletion), a re-run with no new
+    batches is a no-op, and later stream batches append normally and
+    compact into the next generation."""
+    import glob
+
+    from pyspark_postgres_loader_spark.sources.pydatasource import (
+        ManifestJsonlSinkDataSource,
+        compact_manifest_batches,
+    )
+
+    log = str(tmp_path / "app.log")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.dataSource.register(FileTailDataSource)
+    spark.dataSource.register(ManifestJsonlSinkDataSource)
+
+    def drain():
+        q = (
+            spark.readStream.format("file_tail")
+            .option("path", log)
+            .option("n_partitions", 2)
+            .option("min_split_bytes", 1)
+            .load()
+            .writeStream.format("manifest_jsonl")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        assert not q.isActive
+
+    def append(lo, hi):
+        with open(log, "a") as f:
+            f.write("".join(f"l{i}\n" for i in range(lo, hi)))
+
+    append(0, 10)
+    drain()
+    append(10, 25)
+    drain()
+    assert len(glob.glob(os.path.join(out, "_MANIFEST-*.json"))) == 2
+
+    r = compact_manifest_batches(spark, out)
+    assert (r["compacted_batches"], r["rows"], r["noop"]) == (2, 25, False)
+    # batch dirs + their manifests gone, snapshot + compaction record in
+    assert glob.glob(os.path.join(out, "batch-*")) == []
+    assert glob.glob(os.path.join(out, "_MANIFEST-*.json")) == []
+    comp = json.load(open(os.path.join(out, "_COMPACTION.json")))
+    assert comp["batch_ids"] == [0, 1] and comp["generation"] == 0
+
+    def snapshot_lines():
+        lines = []
+        for gen_dir in glob.glob(os.path.join(out, "compacted-*")):
+            man = json.load(open(os.path.join(gen_dir, "_MANIFEST.json")))
+            for name in man["files"]:
+                with open(os.path.join(gen_dir, name)) as f:
+                    lines.extend(json.loads(ln)["line"] for ln in f)
+        return lines
+
+    assert sorted(snapshot_lines()) == sorted(f"l{i}" for i in range(25))
+
+    # idempotent no-op
+    r2 = compact_manifest_batches(spark, out)
+    assert r2["noop"] is True
+
+    # stream keeps appending; next compaction covers only the new batch
+    append(25, 30)
+    drain()
+    assert len(glob.glob(os.path.join(out, "_MANIFEST-*.json"))) == 1
+    r3 = compact_manifest_batches(spark, out)
+    assert (r3["compacted_batches"], r3["rows"], r3["generation"]) == (1, 5, 1)
+    all_lines = snapshot_lines()
+    assert sorted(all_lines) == sorted(f"l{i}" for i in range(30))
