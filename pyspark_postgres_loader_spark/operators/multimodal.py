@@ -46,11 +46,16 @@ def real_decode_image(payload: bytes):
     - BMP (``BM``): BITMAPINFOHEADER, 24 bpp, BI_RGB (uncompressed),
       bottom-up or top-down, 4-byte row padding, BGR→RGB.
 
-    Compressed formats (JPEG/PNG/WebP/...) require an entropy decoder
-    (PIL/libvips) that is not installed in this environment — those
-    still raise ``NotImplementedError``, and the pipeline falls back to
-    the deterministic ``fake_decode_meta`` stand-in for payloads that
-    are not decodable images at all (e.g. the text-derived fixture
+    - GIF (``GIF87a``/``GIF89a``): a genuinely COMPRESSED format decoded
+      natively — full variable-width LZW (code widths 3..12 bits, clear
+      /end codes, dictionary rebuild), global/local color tables,
+      4-pass interlacing, extension-block skipping; first frame only.
+
+    JPEG/PNG/WebP require an entropy decoder (PIL/libvips) that is not
+    installed in this environment — those still raise
+    ``NotImplementedError``, and the pipeline falls back to the
+    deterministic ``fake_decode_meta`` stand-in for payloads that are
+    not decodable images at all (e.g. the text-derived fixture
     payloads).
     """
     import numpy as np
@@ -107,11 +112,135 @@ def real_decode_image(payload: bytes):
             rows = rows[::-1]
         return w, h, rows[:, :, ::-1].copy()  # BGR → RGB
 
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
+
     raise NotImplementedError(
-        "compressed image formats require a codec library (PIL/libvips) "
-        "not installed in this environment; only uncompressed PPM/BMP "
-        "decode natively"
+        "entropy-coded image formats (JPEG/PNG/WebP) require a codec "
+        "library (PIL/libvips) not installed in this environment; "
+        "PPM/BMP/GIF decode natively"
     )
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytearray:
+    """GIF-flavor variable-width LZW (public spec, GIF89a appendix F):
+    initial code width ``min_code_size + 1``, CLEAR resets the
+    dictionary, widths grow at 2^width up to 12 bits. Little-endian bit
+    packing. Decodes at most ``max_pixels`` indices."""
+    clear = 1 << min_code_size
+    end = clear + 1
+
+    def fresh() -> list[bytes | None]:
+        return [bytes([i]) for i in range(clear)] + [None, None]
+
+    table = fresh()
+    width = min_code_size + 1
+    out = bytearray()
+    acc = bits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                table = fresh()
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if code < len(table) and table[code] is not None:
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError(f"corrupt LZW stream: code {code}")
+            out += entry
+            if len(out) >= max_pixels:
+                return out
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+                # grow one entry EARLY: when the encoder emits the next
+                # code its table already holds the entry this decoder
+                # will only add while processing that code, so the
+                # encoder switches width one step before our table
+                # visibly fills (the classic LZW decoder off-by-one)
+                if len(table) == (1 << width) - 1 and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+def _decode_gif(payload: bytes):
+    """First frame of a GIF87a/89a: logical screen + color tables +
+    extension skipping + interlace reorder. Pixels outside the frame's
+    rectangle take palette index 0 of the active table."""
+    import numpy as np
+
+    def u16(off: int) -> int:
+        return int.from_bytes(payload[off : off + 2], "little")
+
+    sw, sh = u16(6), u16(8)
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer before any image
+            break
+        if block == 0x21:  # extension: label + length-prefixed sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top = u16(pos + 1), u16(pos + 3)
+        w, h = u16(pos + 5), u16(pos + 7)
+        ipacked = payload[pos + 9]
+        pos += 10
+        table = gct
+        if ipacked & 0x80:  # local color table
+            n = 2 << (ipacked & 0x07)
+            table = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if table is None:
+            raise ValueError("GIF image with no color table")
+        min_code = payload[pos]
+        pos += 1
+        chunks = []
+        while payload[pos] != 0:
+            ln = payload[pos]
+            chunks.append(payload[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        idx = np.frombuffer(
+            bytes(_gif_lzw_decode(min_code, b"".join(chunks), w * h)), np.uint8
+        )
+        if len(idx) < w * h:
+            raise ValueError("truncated GIF raster")
+        grid = idx[: w * h].reshape(h, w)
+        if ipacked & 0x40:  # 4-pass interlace: rows were stored pass-major
+            order = np.concatenate(
+                [np.arange(0, h, 8), np.arange(4, h, 8),
+                 np.arange(2, h, 4), np.arange(1, h, 2)]
+            )
+            deinterlaced = np.empty_like(grid)
+            deinterlaced[order] = grid
+            grid = deinterlaced
+        frame = np.clip(grid, 0, len(table) - 1)
+        canvas = np.zeros((sh, sw), dtype=np.uint8)
+        canvas[top : top + h, left : left + w] = frame
+        return sw, sh, table[canvas].copy()
+    raise ValueError("GIF contains no image data")
 
 
 def fake_decode_meta(payload: bytes) -> tuple[int, int, int]:
