@@ -173,3 +173,42 @@ def test_known_bytes_hand_decoded():
         [[[255, 255, 255], [0, 0, 0]], [[0, 0, 0], [255, 255, 255]]], np.uint8
     )
     assert np.array_equal(px, expected)
+
+
+def test_gif_decodes_through_spark_pipeline(spark):
+    """Executor-side integration: GIF payloads travel through a
+    mapInPandas decode exactly like the registered decode queries —
+    real GIFs yield true dimensions, junk quarantines, one batch."""
+    import pandas as pd
+
+    gif_a = _make_gif(_PALETTE, _pattern(6, 8))
+    gif_b = _make_gif(_PALETTE, _pattern(11, 4), interlace=True)
+
+    def decode_batch(it):
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, px = real_decode_image(bytes(payload))
+                    rows.append((int(doc_id), "ok", w, h, int(px.sum())))
+                except Exception:
+                    rows.append((int(doc_id), "quarantined", 0, 0, 0))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "status", "w", "h", "px_sum"]
+            )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(gif_a)), (2, bytearray(gif_b)), (3, bytearray(b"not an image"))],
+        "doc_id long, payload binary",
+    )
+    out = {
+        r.doc_id: r
+        for r in df.mapInPandas(
+            decode_batch, schema="doc_id long, status string, w int, h int, px_sum long"
+        ).collect()
+    }
+    assert (out[1].status, out[1].w, out[1].h) == ("ok", 8, 6)
+    assert (out[2].status, out[2].w, out[2].h) == ("ok", 4, 11)
+    assert out[3].status == "quarantined"
+    expected = int(np.array(_PALETTE, np.uint8)[_pattern(6, 8)].sum())
+    assert out[1].px_sum == expected
