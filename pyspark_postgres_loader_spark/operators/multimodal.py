@@ -9,7 +9,8 @@ tests/test_multimodal_codec.py. Audio is REAL for RIFF/WAVE 16-bit
 PCM: ``real_decode_audio`` walks the chunk list and extracts the PCM
 block (cross-checked against the stdlib ``wave`` writer), and
 ``multimodal_audio_features`` runs build→parse→RMS/zero-cross fully
-unstubbed with a symbolic DuckDB oracle. Compressed formats (JPEG/PNG) need an
+unstubbed with a symbolic DuckDB oracle. GIF (LZW) and PNG (stdlib
+zlib DEFLATE) also decode natively; JPEG needs an
 entropy decoder the container lacks (no PIL/libvips), so those — and
 the fixture's text-derived payloads, which are not images at all —
 fall back to a clearly-marked deterministic fake with the same output
@@ -51,7 +52,11 @@ def real_decode_image(payload: bytes):
       /end codes, dictionary rebuild), global/local color tables,
       4-pass interlacing, extension-block skipping; first frame only.
 
-    JPEG/PNG/WebP require an entropy decoder (PIL/libvips) that is not
+    - PNG: stdlib ``zlib`` provides the DEFLATE entropy coder, so PNG
+      decodes natively too — chunk walk, inflate, all five scanline
+      filters (see ``_decode_png``).
+
+    JPEG/WebP require an entropy decoder (PIL/libvips) that is not
     installed in this environment — those still raise
     ``NotImplementedError``, and the pipeline falls back to the
     deterministic ``fake_decode_meta`` stand-in for payloads that are
@@ -115,11 +120,114 @@ def real_decode_image(payload: bytes):
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(payload)
 
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
+
     raise NotImplementedError(
-        "entropy-coded image formats (JPEG/PNG/WebP) require a codec "
-        "library (PIL/libvips) not installed in this environment; "
-        "PPM/BMP/GIF decode natively"
+        "JPEG/WebP require an entropy decoder (PIL/libvips) not "
+        "installed in this environment; PPM/BMP/GIF/PNG decode natively"
     )
+
+
+def _decode_png(payload: bytes):
+    """PNG via stdlib zlib (the DEFLATE entropy coder ships with
+    Python — PNG needs no external codec, unlike JPEG's arithmetic/
+    Huffman DCT pipeline): chunk walk (IHDR/PLTE/IDAT/IEND, ancillary
+    chunks skipped), zlib inflate of the concatenated IDAT stream,
+    then per-scanline un-filtering — all five filter types (None/Sub/
+    Up/Average/Paeth) from the public spec §9. Supports 8-bit
+    greyscale, RGB, palette, grey+alpha and RGBA (alpha dropped —
+    decode targets feature extraction, not compositing). 16-bit and
+    Adam7 interlacing raise NotImplementedError → quarantine.
+
+    The un-filter loop is per-PIXEL Python for the left-dependent
+    filters (Sub/Average/Paeth are sequential by definition); fine for
+    the Arrow-batched decode path where payload count, not per-payload
+    cost, dominates — swap in PIL for production raster volume."""
+    import struct as _struct
+    import zlib
+
+    import numpy as np
+
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = _struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = _struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, ctype_n, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} not supported (8 only)")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_n)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {ctype_n}")
+
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG raster")
+    cur = np.zeros(stride, dtype=np.int32)
+    prior = np.zeros(stride, dtype=np.int32)
+    rows = np.empty((h, stride), dtype=np.uint8)
+    for y in range(h):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = np.frombuffer(raw, np.uint8, stride, off + 1).astype(np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 1:  # Sub: per-channel prefix sum
+            cur = line.copy()
+            for c in range(channels):
+                np.cumsum(cur[c::channels], out=cur[c::channels])
+            cur &= 0xFF
+        elif ftype == 2:  # Up
+            cur = (line + prior) & 0xFF
+        elif ftype == 3:  # Average — left-dependent, sequential
+            cur = line.copy()
+            for i in range(stride):
+                left = cur[i - channels] if i >= channels else 0
+                cur[i] = (cur[i] + ((left + prior[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth — left-dependent, sequential
+            cur = line.copy()
+            for i in range(stride):
+                a = cur[i - channels] if i >= channels else 0
+                b = prior[i]
+                c = prior[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        rows[y] = cur
+        prior = cur
+    grid = rows.reshape(h, w, channels)
+    if ctype_n == 2:
+        return w, h, grid.copy()
+    if ctype_n == 6:
+        return w, h, grid[:, :, :3].copy()
+    if ctype_n == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        idx = np.clip(grid[:, :, 0], 0, len(plte) - 1)
+        return w, h, plte[idx].copy()
+    grey = grid[:, :, 0]  # color types 0 and 4
+    return w, h, np.repeat(grey[:, :, None], 3, axis=2).copy()
 
 
 def _gif_lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytearray:
