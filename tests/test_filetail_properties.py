@@ -145,3 +145,61 @@ def test_multirow_sql_placeholder_counts(n_cols, n_rows, dialect):
         assert nums == list(range(1, n_cols * n_rows + 1))
     else:
         assert values.count(dialect.placeholder) == n_cols * n_rows
+
+
+# --- codec properties (GIF/PNG round-trip over random images) -------------
+
+from tests.test_gif_decode import _make_gif  # noqa: E402
+from tests.test_png_decode import _make_png  # noqa: E402
+
+
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    n_colors=st.integers(2, 32),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_round_trip_any_image(h, w, n_colors, interlace, seed):
+    import numpy as np
+
+    from pyspark_postgres_loader_spark.operators.multimodal import (
+        real_decode_image,
+    )
+
+    rng = np.random.RandomState(seed)
+    palette = [tuple(int(x) for x in rng.randint(0, 256, 3)) for _ in range(n_colors)]
+    idx = rng.randint(0, n_colors, (h, w)).astype(np.uint8)
+    gw, gh, px = real_decode_image(_make_gif(palette, idx, interlace=interlace))
+    assert (gw, gh) == (w, h)
+    assert (px == np.array(palette, np.uint8)[idx]).all()
+
+
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    color_type=st.sampled_from([0, 2, 4, 6]),
+    filters=st.lists(st.integers(0, 4), min_size=1, max_size=5),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_round_trip_any_image(h, w, color_type, filters, seed):
+    import numpy as np
+
+    from pyspark_postgres_loader_spark.operators.multimodal import (
+        real_decode_image,
+    )
+
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, (h, w, channels)).astype(np.uint8)
+    gw, gh, got = real_decode_image(_make_png(px, color_type, filters=filters))
+    assert (gw, gh) == (w, h)
+    if color_type == 2:
+        expected = px
+    elif color_type == 6:
+        expected = px[:, :, :3]
+    else:
+        expected = np.repeat(px[:, :, :1], 3, axis=2)
+    assert (got == expected).all()
