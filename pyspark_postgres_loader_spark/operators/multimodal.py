@@ -743,20 +743,57 @@ def real_decode_audio(payload: bytes):
                 raise ValueError("truncated fmt chunk")
             audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0]
-            if audio_fmt != 1:
+            if audio_fmt not in (1, 6, 7):  # PCM, A-law, µ-law
                 raise NotImplementedError(
-                    f"only PCM wav supported (got format tag {audio_fmt})"
+                    f"only PCM/G.711 wav supported (got format tag {audio_fmt})"
                 )
         elif cid == b"data":
             data = body
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     if rate is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    if bits != 16 or channels != 1:
-        raise NotImplementedError(
-            f"only 16-bit mono PCM supported (bits={bits}, channels={channels})"
-        )
-    return np.frombuffer(data, dtype="<i2"), rate
+    if channels != 1:
+        raise NotImplementedError(f"only mono supported (channels={channels})")
+    if audio_fmt == 1:
+        if bits != 16:
+            raise NotImplementedError(f"only 16-bit PCM supported (bits={bits})")
+        return np.frombuffer(data, dtype="<i2"), rate
+    # G.711 companded telephony audio (format 6 = A-law, 7 = µ-law):
+    # 8-bit log-companded samples expand to 13/14-bit linear through a
+    # pure table — a REAL compressed-audio codec with no library needed
+    if bits != 8:
+        raise ValueError(f"G.711 requires 8-bit samples (bits={bits})")
+    table = _alaw_table() if audio_fmt == 6 else _mulaw_table()
+    return table[np.frombuffer(data, dtype=np.uint8)], rate
+
+
+def _mulaw_table():
+    """ITU-T G.711 µ-law byte → linear int16 expansion table (the
+    canonical decode: invert bits, split sign/exponent/mantissa,
+    ((m<<3)+0x84)<<e − 0x84)."""
+    import numpy as np
+
+    u = np.arange(256, dtype=np.uint8) ^ 0xFF
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 0x07
+    mant = (u & 0x0F).astype(np.int32)
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _alaw_table():
+    """ITU-T G.711 A-law byte → linear int16 expansion table (XOR 0x55
+    toggle, 3-bit exponent, 4-bit mantissa; exponent 0 is linear)."""
+    import numpy as np
+
+    a = np.arange(256, dtype=np.uint8) ^ 0x55
+    # NOTE the convention: after the 0x55 toggle, a SET sign bit means
+    # POSITIVE (opposite of µ-law) — per the reference G.711 expansion
+    sign = (a & 0x80) != 0
+    exp = (a >> 4) & 0x07
+    mant = (a & 0x0F).astype(np.int32)
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1))
+    return np.where(sign, mag, -mag).astype(np.int16)
 
 
 def audio_features(samples) -> tuple[float, int]:
