@@ -1,0 +1,193 @@
+"""Distributed BPE tokenizer training — the missing first step of
+every LLM data pipeline (the tokenizer itself is trained ON the
+corpus), done Spark-first.
+
+The classic algorithm (Sennrich et al. 2016, public) is inherently
+iterative: count adjacent symbol pairs, merge the most frequent,
+repeat. The scale insight that makes it distributable is that BPE
+never needs the corpus after the first pass — it trains on the
+WORD-FREQUENCY table:
+
+- ONE corpus scan builds ``(word, freq)`` (a hash aggregation; at
+  100 TB this is the only pass over the data, and the result is
+  millions of rows, not billions);
+- each merge iteration runs on that word table: explode adjacent
+  symbol pairs weighted by ``freq`` (one small shuffle per
+  iteration), take the argmax under a TOTAL order (count desc, then
+  pair lexicographic — deterministic across runs and cluster
+  layouts), and rewrite the symbol arrays with a left-to-right
+  greedy fold — a pure Catalyst higher-order function, no Python in
+  the per-row path;
+- the driver receives exactly ONE row per iteration (``.first()`` of
+  a 1-row argmax) and accumulates the merge list — which is the
+  TRAINING ARTIFACT itself (vocab-sized by definition, like the sink's
+  stats fold), not a data materialization; the word table stays
+  distributed and is ``localCheckpoint``-ed periodically to bound
+  lineage exactly like PageRank (graph.py).
+
+``apply_bpe`` is the serving side: tokenize any corpus with a trained
+merge list via the standard ranked-merge loop inside an Arrow-batched
+``mapInPandas`` (the merge ranks broadcast in the closure; documents
+never leave the executor).
+
+Verified against an independent pure-Python reference implementation
+of the published algorithm (tests/test_bpe.py): identical merge
+sequences and identical tokenizations, step for step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_EOW = "</w>"  # end-of-word marker (Sennrich-style)
+
+
+def _char_split(col: Column) -> Column:
+    """word → array of single characters + the end-of-word marker."""
+    chars = F.expr("filter(split(w, ''), x -> x != '')")
+    return F.concat(chars, F.array(F.lit(_EOW)))
+
+
+def _apply_merge(col: Column, a: str, b: str) -> Column:
+    """Replace adjacent (a, b) with a+b, left-to-right greedy — the
+    standard BPE merge rule — as a Catalyst aggregate fold (JVM-side,
+    literals passed as bound parameters so arbitrary token text is
+    safe)."""
+    ab = F.array(F.lit(a + b))
+    return F.aggregate(
+        col,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), ab),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def word_frequencies(
+    docs: DataFrame, text_col: str = "text", lowercase: bool = True
+) -> DataFrame:
+    """The one corpus pass: whitespace pre-tokenization → (word, freq).
+    Returns a DataFrame with columns ``w`` (string), ``freq`` (long)."""
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    return (
+        docs.select(F.explode(F.split(t, r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def train_bpe(
+    spark: SparkSession,
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 40,
+    lowercase: bool = True,
+    min_pair_freq: int = 2,
+    checkpoint_every: int = 8,
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Learn ``num_merges`` BPE merges from ``docs``. Returns
+    ``(merges, symbol_table)`` — the ordered merge list (the tokenizer
+    artifact) and the final distributed ``(w, freq, syms)`` table.
+    Stops early when no pair reaches ``min_pair_freq``."""
+    words = word_frequencies(docs, text_col, lowercase)
+    syms = words.select("w", "freq", _char_split(F.col("w")).alias("syms"))
+    syms = syms.localCheckpoint()
+
+    merges: list[tuple[str, str]] = []
+    for it in range(num_merges):
+        pairs = (
+            syms.select(
+                "freq",
+                F.explode(
+                    # sequence(1, 0) DESCENDS in Spark, so a fully
+                    # merged single-symbol word must short-circuit to
+                    # an empty pair list instead
+                    F.expr(
+                        "CASE WHEN size(syms) < 2 "
+                        "THEN CAST(array() AS array<struct<a:string,b:string>>) "
+                        "ELSE transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(syms[i-1] AS a, syms[i] AS b)) END"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("n"))
+        )
+        # 1-row argmax under a total order — the only thing that ever
+        # reaches the driver, and it IS the output being built
+        best = pairs.orderBy(F.desc("n"), "a", "b").first()
+        if best is None or best.n < min_pair_freq:
+            break
+        merges.append((best.a, best.b))
+        syms = syms.withColumn(
+            "syms", _apply_merge(F.col("syms"), best.a, best.b)
+        )
+        if (it + 1) % checkpoint_every == 0:
+            syms = syms.localCheckpoint()
+    return merges, syms
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Tokenize ``docs`` with a trained merge list: the standard
+    ranked-merge apply (repeatedly merge the lowest-rank adjacent pair
+    present) inside Arrow-batched ``mapInPandas``. Output is
+    ``(doc_id, tokens array<string>, n_tokens)`` — narrow, body
+    dropped."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def encode_word(word: str, cache: dict) -> list[str]:
+        if word in cache:
+            return cache[word]
+        toks = list(word) + [_EOW]
+        while len(toks) > 1:
+            ranked = [
+                (ranks[(toks[i], toks[i + 1])], i)
+                for i in range(len(toks) - 1)
+                if (toks[i], toks[i + 1]) in ranks
+            ]
+            if not ranked:
+                break
+            _, i = min(ranked)
+            toks = toks[:i] + [toks[i] + toks[i + 1]] + toks[i + 2 :]
+        cache[word] = toks
+        return toks
+
+    def run(batches):
+        import pandas as pd
+
+        cache: dict = {}
+        for pdf in batches:
+            out_tokens = []
+            for text in pdf["text"]:
+                words = (text or "").split()
+                toks: list[str] = []
+                for wd in words:
+                    toks.extend(encode_word(wd.lower() if lowercase else wd, cache))
+                out_tokens.append(toks)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "tokens": out_tokens,
+                    "n_tokens": [len(t) for t in out_tokens],
+                }
+            )
+
+    narrow = docs.selectExpr(
+        f"CAST({id_col} AS BIGINT) AS doc_id", f"{text_col} AS text"
+    )
+    return narrow.mapInPandas(
+        run, schema="doc_id long, tokens array<string>, n_tokens long"
+    )
