@@ -129,6 +129,84 @@ def real_decode_image(payload: bytes):
     )
 
 
+def _png_unfilter(raw: bytes, pos: int, n_rows: int, stride: int, channels: int):
+    """Reverse PNG scanline filtering for ``n_rows`` rows of ``stride``
+    bytes starting at ``pos`` (each row prefixed by its filter byte).
+    Returns a (n_rows, stride) uint8 array."""
+    import numpy as np
+
+    cur = np.zeros(stride, dtype=np.int32)
+    prior = np.zeros(stride, dtype=np.int32)
+    rows = np.empty((n_rows, stride), dtype=np.uint8)
+    for y in range(n_rows):
+        off = pos + y * (stride + 1)
+        ftype = raw[off]
+        line = np.frombuffer(raw, np.uint8, stride, off + 1).astype(np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 1:  # Sub: per-channel prefix sum
+            cur = line.copy()
+            for c in range(channels):
+                np.cumsum(cur[c::channels], out=cur[c::channels])
+            cur &= 0xFF
+        elif ftype == 2:  # Up
+            cur = (line + prior) & 0xFF
+        elif ftype == 3:  # Average — left-dependent, sequential
+            cur = line.copy()
+            for i in range(stride):
+                left = cur[i - channels] if i >= channels else 0
+                cur[i] = (cur[i] + ((left + prior[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth — left-dependent, sequential
+            cur = line.copy()
+            for i in range(stride):
+                a = cur[i - channels] if i >= channels else 0
+                b = prior[i]
+                c = prior[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        rows[y] = cur
+        prior = cur
+    return rows
+
+
+# Adam7 pass grid (spec §8.2): (x0, y0, dx, dy) per pass
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_adam7(raw: bytes, w: int, h: int, channels: int):
+    """De-interlace an Adam7 PNG: seven consecutive sub-images in the
+    inflated stream, each filtered INDEPENDENTLY (its own filter bytes
+    and prior-row chain), scattered back onto the full grid."""
+    import numpy as np
+
+    grid = np.zeros((h, w, channels), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = pw * channels
+        if len(raw) < pos + ph * (stride + 1):
+            raise ValueError("truncated Adam7 PNG raster")
+        rows = _png_unfilter(raw, pos, ph, stride, channels)
+        pos += ph * (stride + 1)
+        grid[y0::dy, x0::dx] = rows.reshape(ph, pw, channels)
+    return grid
+
+
 def _decode_png(payload: bytes):
     """PNG via stdlib zlib (the DEFLATE entropy coder ships with
     Python — PNG needs no external codec, unlike JPEG's arithmetic/
@@ -137,8 +215,9 @@ def _decode_png(payload: bytes):
     then per-scanline un-filtering — all five filter types (None/Sub/
     Up/Average/Paeth) from the public spec §9. Supports 8-bit
     greyscale, RGB, palette, grey+alpha and RGBA (alpha dropped —
-    decode targets feature extraction, not compositing). 16-bit and
-    Adam7 interlacing raise NotImplementedError → quarantine.
+    decode targets feature extraction, not compositing), plain or
+    Adam7-interlaced (seven independently-filtered sub-images scattered
+    back onto the grid). 16-bit raises NotImplementedError → quarantine.
 
     The un-filter loop is per-PIXEL Python for the left-dependent
     filters (Sub/Average/Paeth are sequential by definition); fine for
@@ -171,52 +250,18 @@ def _decode_png(payload: bytes):
     w, h, depth, ctype_n, comp, filt, interlace = ihdr
     if depth != 8:
         raise NotImplementedError(f"PNG bit depth {depth} not supported (8 only)")
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_n)
     if channels is None:
         raise ValueError(f"bad PNG color type {ctype_n}")
 
     raw = zlib.decompress(bytes(idat))
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
-        raise ValueError("truncated PNG raster")
-    cur = np.zeros(stride, dtype=np.int32)
-    prior = np.zeros(stride, dtype=np.int32)
-    rows = np.empty((h, stride), dtype=np.uint8)
-    for y in range(h):
-        off = y * (stride + 1)
-        ftype = raw[off]
-        line = np.frombuffer(raw, np.uint8, stride, off + 1).astype(np.int32)
-        if ftype == 0:
-            cur = line
-        elif ftype == 1:  # Sub: per-channel prefix sum
-            cur = line.copy()
-            for c in range(channels):
-                np.cumsum(cur[c::channels], out=cur[c::channels])
-            cur &= 0xFF
-        elif ftype == 2:  # Up
-            cur = (line + prior) & 0xFF
-        elif ftype == 3:  # Average — left-dependent, sequential
-            cur = line.copy()
-            for i in range(stride):
-                left = cur[i - channels] if i >= channels else 0
-                cur[i] = (cur[i] + ((left + prior[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth — left-dependent, sequential
-            cur = line.copy()
-            for i in range(stride):
-                a = cur[i - channels] if i >= channels else 0
-                b = prior[i]
-                c = prior[i - channels] if i >= channels else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[i] = (cur[i] + pred) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {ftype}")
-        rows[y] = cur
-        prior = cur
-    grid = rows.reshape(h, w, channels)
+    if interlace:
+        grid = _png_adam7(raw, w, h, channels)
+    else:
+        stride = w * channels
+        if len(raw) < h * (stride + 1):
+            raise ValueError("truncated PNG raster")
+        grid = _png_unfilter(raw, 0, h, stride, channels).reshape(h, w, channels)
     if ctype_n == 2:
         return w, h, grid.copy()
     if ctype_n == 6:

@@ -181,10 +181,11 @@ def test_gif_round_trip_any_image(h, w, n_colors, interlace, seed):
     w=st.integers(1, 20),
     color_type=st.sampled_from([0, 2, 4, 6]),
     filters=st.lists(st.integers(0, 4), min_size=1, max_size=5),
+    interlace=st.booleans(),
     seed=st.integers(0, 2**31 - 1),
 )
 @settings(max_examples=60, deadline=None)
-def test_png_round_trip_any_image(h, w, color_type, filters, seed):
+def test_png_round_trip_any_image(h, w, color_type, filters, interlace, seed):
     import numpy as np
 
     from pyspark_postgres_loader_spark.operators.multimodal import (
@@ -194,7 +195,9 @@ def test_png_round_trip_any_image(h, w, color_type, filters, seed):
     channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
     rng = np.random.RandomState(seed)
     px = rng.randint(0, 256, (h, w, channels)).astype(np.uint8)
-    gw, gh, got = real_decode_image(_make_png(px, color_type, filters=filters))
+    gw, gh, got = real_decode_image(
+        _make_png(px, color_type, filters=filters, interlace=int(interlace))
+    )
     assert (gw, gh) == (w, h)
     if color_type == 2:
         expected = px

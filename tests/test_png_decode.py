@@ -63,11 +63,28 @@ def _make_png(
     ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, interlace)
     flat = pixels.reshape(h, w * channels)
     raw = bytearray()
-    prior = np.zeros(w * channels, np.uint8)
-    for y in range(h):
-        ftype = (filters or [0])[y % len(filters or [0])]
-        raw += _filter_row(ftype, flat[y], prior, channels)
-        prior = flat[y]
+    if interlace:
+        # Adam7 forward: seven pass sub-images, each filtered with its
+        # own prior-row chain (independent re-implementation of §8.2)
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            sub = pixels[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            sflat = sub.reshape(sub.shape[0], sub.shape[1] * channels)
+            prior = np.zeros(sflat.shape[1], np.uint8)
+            for y in range(sub.shape[0]):
+                ftype = (filters or [0])[y % len(filters or [0])]
+                raw += _filter_row(ftype, sflat[y], prior, channels)
+                prior = sflat[y]
+    else:
+        prior = np.zeros(w * channels, np.uint8)
+        for y in range(h):
+            ftype = (filters or [0])[y % len(filters or [0])]
+            raw += _filter_row(ftype, flat[y], prior, channels)
+            prior = flat[y]
     out = bytearray(b"\x89PNG\r\n\x1a\n")
     out += _chunk(b"IHDR", ihdr)
     if palette is not None:
@@ -119,9 +136,28 @@ def test_unsupported_variants_quarantine():
     px = _rgb(4, 4)
     with pytest.raises(NotImplementedError):
         real_decode_image(_make_png(px, 2, bit_depth=16))
-    with pytest.raises(NotImplementedError):
-        real_decode_image(_make_png(px, 2, interlace=1))
     # truncated IDAT → typed failure for the quarantine path
     good = _make_png(px, 2, filters=[4])
     with pytest.raises(Exception):
         real_decode_image(good[:60])
+
+
+@pytest.mark.parametrize("shape", [(16, 16), (13, 17), (1, 1), (2, 3), (9, 8)])
+def test_adam7_interlaced_round_trip(shape):
+    """Adam7 de-interlacing for shapes that exercise empty passes
+    (1x1 has six empty passes) and partial tiles; mixed filters per
+    pass row."""
+    h, w = shape
+    px = _rgb(h, w, seed=h * 100 + w)
+    got_w, got_h, got = real_decode_image(
+        _make_png(px, 2, filters=[0, 1, 2, 3, 4], interlace=1)
+    )
+    assert (got_w, got_h) == (w, h)
+    assert np.array_equal(got, px)
+
+
+def test_adam7_truncated_raster_quarantines():
+    px = _rgb(16, 16)
+    full = _make_png(px, 2, filters=[4], interlace=1)
+    with pytest.raises(Exception):
+        real_decode_image(full[:80])
