@@ -248,20 +248,31 @@ def _decode_png(payload: bytes):
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
     w, h, depth, ctype_n, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} not supported (8 only)")
+    if depth not in (8, 16):
+        raise NotImplementedError(
+            f"PNG bit depth {depth} not supported (8/16 only)"
+        )
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_n)
     if channels is None:
         raise ValueError(f"bad PNG color type {ctype_n}")
+    if depth == 16 and ctype_n == 3:
+        raise ValueError("16-bit palette PNG is not a legal combination")
+    # PNG filters operate on BYTES with the left-neighbor distance equal
+    # to bytes-per-pixel — so 16-bit depth just doubles that distance;
+    # after un-filtering, the most significant byte of each big-endian
+    # sample is the 8-bit value (decode targets feature extraction)
+    bypp = channels * (depth // 8)
 
     raw = zlib.decompress(bytes(idat))
     if interlace:
-        grid = _png_adam7(raw, w, h, channels)
+        grid = _png_adam7(raw, w, h, bypp)
     else:
-        stride = w * channels
+        stride = w * bypp
         if len(raw) < h * (stride + 1):
             raise ValueError("truncated PNG raster")
-        grid = _png_unfilter(raw, 0, h, stride, channels).reshape(h, w, channels)
+        grid = _png_unfilter(raw, 0, h, stride, bypp).reshape(h, w, bypp)
+    if depth == 16:
+        grid = grid[:, :, 0::2]  # high byte of each big-endian sample
     if ctype_n == 2:
         return w, h, grid.copy()
     if ctype_n == 6:

@@ -135,11 +135,38 @@ def test_greyscale_and_rgba_and_palette():
 def test_unsupported_variants_quarantine():
     px = _rgb(4, 4)
     with pytest.raises(NotImplementedError):
-        real_decode_image(_make_png(px, 2, bit_depth=16))
+        real_decode_image(_make_png(px, 2, bit_depth=4))  # sub-byte depth
     # truncated IDAT → typed failure for the quarantine path
     good = _make_png(px, 2, filters=[4])
     with pytest.raises(Exception):
         real_decode_image(good[:60])
+
+
+def test_16bit_png_takes_high_bytes():
+    """16-bit RGB: filters run at the byte level with a doubled
+    left-neighbor distance; output is the high byte of each big-endian
+    sample. Encoded here with filter 0 rows of raw u16 data plus a
+    Sub-filtered variant (bpp distance 6)."""
+    h, w = 5, 7
+    rng = np.random.RandomState(11)
+    samples = rng.randint(0, 65536, (h, w, 3)).astype(">u2")
+    for ftype in (0, 1, 2):
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+        flat = samples.reshape(h, w * 3).view(np.uint8).reshape(h, w * 6)
+        raw = bytearray()
+        prior = np.zeros(w * 6, np.uint8)
+        for y in range(h):
+            raw += _filter_row(ftype, flat[y], prior, 6)  # bpp = 6 bytes
+            prior = flat[y]
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b"")
+        )
+        gw, gh, got = real_decode_image(png)
+        assert (gw, gh) == (w, h)
+        assert np.array_equal(got, (samples >> 8).astype(np.uint8))
 
 
 @pytest.mark.parametrize("shape", [(16, 16), (13, 17), (1, 1), (2, 3), (9, 8)])
