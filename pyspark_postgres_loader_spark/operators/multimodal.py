@@ -327,12 +327,13 @@ def _gif_lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytearr
                 return out
             if prev is not None and len(table) < 4096:
                 table.append(prev + entry[:1])
-                # grow one entry EARLY: when the encoder emits the next
-                # code its table already holds the entry this decoder
-                # will only add while processing that code, so the
-                # encoder switches width one step before our table
-                # visibly fills (the classic LZW decoder off-by-one)
-                if len(table) == (1 << width) - 1 and width < 12:
+                # standard (giflib/Pillow) growth: the next code read can
+                # be at most len(table) (the KwKwK entry the decoder will
+                # add while processing it), so width must represent
+                # len(table) — bump exactly when the table reaches
+                # 2^width. NOT one earlier: that is the TIFF-style
+                # "early change" convention, which GIF does not use.
+                if len(table) == (1 << width) and width < 12:
                     width += 1
             prev = entry
     return out

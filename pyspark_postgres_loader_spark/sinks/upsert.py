@@ -146,9 +146,13 @@ def execute_batch_with_quarantine(
             else:
                 dropped += 1
         else:
+            # order-preserving split: the stack pops the LAST append, so
+            # push the second half first — rows replay in their original
+            # sequence, keeping last-occurrence-wins semantics identical
+            # to the non-bisected executemany path.
             mid = len(chunk) // 2
-            worklist.append(chunk[:mid])
             worklist.append(chunk[mid:])
+            worklist.append(chunk[:mid])
     return loaded, rejected, dropped
 
 
@@ -159,6 +163,7 @@ def _batch_and_upsert(
     batch_size: int,
     use_savepoint: bool = True,
     sql_for: Callable[[int], str] | None = None,
+    key_indices: list[int] | None = None,
 ) -> Iterator[tuple[int, int, int, list[str], bool]]:
     """Per-partition consumer (≈ psycopg2_database_helper.py:123-187):
     lazy connect on first row, batch, transact, quarantine, early-abort
@@ -166,7 +171,16 @@ def _batch_and_upsert(
     (seen, loaded, rejected, messages, aborted). ``sql_for`` enables
     the multirow VALUES fast path (see execute_batch_with_quarantine);
     rendered statements are memoized per chunk size — bisection only
-    ever produces O(log2 batch_size) distinct sizes."""
+    ever produces O(log2 batch_size) distinct sizes.
+
+    ``key_indices`` (positions of the unique-key columns in each row
+    tuple, required when ``sql_for`` is set for an ON CONFLICT upsert):
+    a single multi-row ``INSERT .. ON CONFLICT DO UPDATE`` on real
+    PostgreSQL errors with "cannot affect row a second time" if the
+    batch holds the same key twice, so each batch is deduplicated to
+    its LAST occurrence per key before rendering — the same final state
+    the sequential executemany path produces. Superseded duplicates
+    count as loaded (they were semantically applied then overwritten)."""
     conn = None
     cursor = None
     seen = loaded = rejected = truncated = 0
@@ -185,20 +199,28 @@ def _batch_and_upsert(
         nonlocal conn, cursor, loaded, rejected, truncated
         if not batch:
             return False
+        to_send, superseded = batch, 0
+        if sql_for is not None and key_indices:
+            last: dict[tuple, int] = {}
+            for i, row in enumerate(batch):
+                last[tuple(row[j] for j in key_indices)] = i
+            if len(last) < len(batch):
+                to_send = [batch[i] for i in sorted(last.values())]
+                superseded = len(batch) - len(to_send)
         l, r, d = execute_batch_with_quarantine(
             cursor,
             sql,
-            batch,
+            to_send,
             messages,
             conn=conn,
             use_savepoint=use_savepoint,
             sql_for=sql_for,
         )
-        loaded += l
+        loaded += l + superseded
         rejected += r
         truncated += d
         conn.commit()
-        whole_batch_bad = r == len(batch)
+        whole_batch_bad = r == len(to_send)
         batch.clear()
         return whole_batch_bad
 
@@ -288,6 +310,15 @@ def upsert_dataframe(
         if dialect.multirow_values
         else None
     )
+    # One multi-row ON CONFLICT statement cannot touch the same key
+    # twice (Postgres: "cannot affect row a second time") — flush()
+    # dedups each batch to its last occurrence per key (see
+    # _batch_and_upsert). Plain INSERT (no unique_key) never conflicts.
+    key_indices = (
+        [columns.index(k) for k in unique_key]
+        if sql_for is not None and unique_key
+        else None
+    )
     _register_self_by_value()
     out = _layout(df, parallelism, partition_cols)
     use_sp = dialect.supports_savepoint
@@ -299,6 +330,7 @@ def upsert_dataframe(
             batch_size,
             use_savepoint=use_sp,
             sql_for=sql_for,
+            key_indices=key_indices,
         )
     ).collect()
 

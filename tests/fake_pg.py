@@ -86,6 +86,38 @@ def _translate_numbered(sql: str) -> str:
     return _NUMBERED.sub("?", sql)
 
 
+class FakePgError(Exception):
+    """Stand-in for psycopg2.errors.CardinalityViolation (21000)."""
+
+
+_INSERT_COLS = re.compile(r"INSERT INTO \S+\s*\(([^)]*)\)", re.I)
+_CONFLICT_UPDATE = re.compile(r"ON CONFLICT\s*\(([^)]*)\)\s*DO UPDATE", re.I)
+
+
+def _reject_double_affect(sql: str, params: tuple) -> None:
+    """Real PostgreSQL raises 'ON CONFLICT DO UPDATE command cannot
+    affect row a second time' (SQLSTATE 21000) when ONE statement's
+    VALUES list holds the same conflict key twice. SQLite applies the
+    rows sequentially and silently keeps the last — which is exactly
+    the divergence that let an un-deduplicated multirow fast path pass
+    every test, so the fake enforces the Postgres rule itself."""
+    m = _CONFLICT_UPDATE.search(sql)
+    if not m or not params:
+        return
+    cols = [c.strip() for c in _INSERT_COLS.search(sql).group(1).split(",")]
+    keys = [c.strip() for c in m.group(1).split(",")]
+    idx = [cols.index(k) for k in keys]
+    n = len(cols)
+    n_rows = len(params) // n
+    if n_rows <= 1:
+        return
+    key_rows = [tuple(params[r * n + j] for j in idx) for r in range(n_rows)]
+    if len(set(key_rows)) < len(key_rows):
+        raise FakePgError(
+            "ON CONFLICT DO UPDATE command cannot affect row a second time"
+        )
+
+
 _SQLITE_TO_PG_TYPE = {
     "INTEGER": "bigint",
     "INT": "bigint",
@@ -132,6 +164,7 @@ class FakePgCursor:
     def execute(self, sql: str, params: tuple | None = None):
         _log(self._conn._path, sql)
         translated = _translate_pyformat(sql)  # validate style FIRST
+        _reject_double_affect(sql, params or ())
         self._catalog_rows = _emulate_catalog(self._conn._sq, sql, params or ())
         if self._catalog_rows is None:
             self._cur.execute(translated, params or ())

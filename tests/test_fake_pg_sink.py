@@ -155,6 +155,96 @@ def test_multirow_one_statement_per_surviving_batch(spark, pg):
     assert 1 <= len(p_inserts) <= 11, p_inserts
 
 
+def test_fake_pg_rejects_multirow_double_affect(pg):
+    """The fake enforces PostgreSQL's rule (SQLSTATE 21000) that one
+    multi-row ON CONFLICT DO UPDATE cannot touch the same key twice —
+    SQLite's sequential tolerance is exactly what hid this before."""
+    path, conn = pg
+    cur = conn.cursor()
+    cur.execute("CREATE TABLE d2 (id INTEGER PRIMARY KEY, v INTEGER)")
+    conn.commit()
+    sql = (
+        "INSERT INTO d2 (id, v) VALUES (%s, %s), (%s, %s)"
+        " ON CONFLICT (id) DO UPDATE SET v = EXCLUDED.v"
+    )
+    with pytest.raises(fake_pg.FakePgError, match="affect row a second time"):
+        cur.execute(sql, (1, 10, 1, 11))
+    # distinct keys in one statement stay fine
+    cur.execute(sql, (1, 10, 2, 20))
+    conn.commit()
+
+
+def test_multirow_duplicate_keys_dedup_last_wins(spark, pg):
+    """A batch holding the same unique key more than once must NOT
+    render those duplicates into one multi-row statement (real Postgres
+    errors the whole chunk into bisection). The sink dedups each batch
+    to its LAST occurrence per key — same final state as sequential
+    executemany — and still issues ONE statement for the batch."""
+    path, conn = pg
+    cur = conn.cursor()
+    cur.execute("CREATE TABLE dup (id INTEGER PRIMARY KEY, v TEXT)")
+    conn.commit()
+
+    rows = [(1, "first"), (2, "only"), (1, "middle"), (3, "x"), (1, "last")]
+    stats = upsert_dataframe(
+        spark.createDataFrame(rows, "id int, v string").coalesce(1),
+        functools.partial(fake_pg.connect, path),
+        "dup",
+        ["id"],
+        batch_size=16,
+        dialect=POSTGRES,
+    )
+    # superseded duplicates count as loaded (applied then overwritten)
+    assert (stats.rows_seen, stats.rows_loaded, stats.rows_rejected) == (5, 5, 0)
+    got = dict(conn.cursor()._cur.execute("SELECT id, v FROM dup"))
+    assert got == {1: "last", 2: "only", 3: "x"}
+    inserts = [
+        s for s in fake_pg.executed_sql(path) if s.startswith("INSERT INTO dup ")
+    ]
+    assert len(inserts) == 1  # one deduped multi-row statement, no bisection
+    assert inserts[0].count("(%s, %s)") == 3
+
+
+def test_bisection_replays_rows_in_original_order(spark, pg):
+    """Bisection is order-preserving: when a poison row forces the
+    worklist to split, surviving sub-chunks execute first-half-first,
+    so last-occurrence-wins survives the split (a LIFO pop of
+    [first, second] would replay the halves reversed)."""
+    path, conn = pg
+    cur = conn.cursor()
+    cur.execute(
+        "CREATE TABLE ordq (id INTEGER PRIMARY KEY, v TEXT,"
+        " n INTEGER NOT NULL CHECK (n >= 0))"
+    )
+    conn.commit()
+    # poison at index 2 forces splits; key 1 appears in BOTH halves of
+    # the initial chunk. Multirow dedup already collapses them, so this
+    # drives the raw quarantine directly to pin the worklist order.
+    from pyspark_postgres_loader_spark.sinks.sql_builder import build_upsert_sql
+    from pyspark_postgres_loader_spark.sinks.upsert import (
+        execute_batch_with_quarantine,
+    )
+
+    sql = build_upsert_sql(["id", "v", "n"], "ordq", ["id"], dialect=POSTGRES)
+    batch = [
+        (1, "first", 0),
+        (2, "a", 0),
+        (9, "poison", -1),
+        (3, "b", 0),
+        (1, "last", 0),
+    ]
+    msgs: list[str] = []
+    loaded, rejected, _ = execute_batch_with_quarantine(
+        cur, sql, batch, msgs, conn=conn, use_savepoint=True
+    )
+    conn.commit()
+    assert (loaded, rejected) == (4, 1)
+    got = dict(
+        conn.cursor()._cur.execute("SELECT id, v FROM ordq ORDER BY id")
+    )
+    assert got[1] == "last", got
+
+
 def test_staging_merge_postgres_paramstyle(spark, pg):
     path, conn = pg
     cur = conn.cursor()

@@ -48,10 +48,11 @@ def _lzw_compress(min_code_size: int, indices: bytes) -> bytes:
         if next_code < 4096:
             table[cand] = next_code
             next_code += 1
-            if next_code - 1 == (1 << width) - 1 and width < 12:
-                # decoder grows width after ADDING the entry that fills
-                # the table; the encoder must switch before emitting the
-                # next code
+            if next_code - 1 == (1 << width) and width < 12:
+                # standard GIF rule: the next emitted code can be as
+                # large as the entry just added, so the encoder switches
+                # width once that entry's code needs width+1 bits —
+                # exactly when the decoder's table reaches 2^width
                 width += 1
         seq = bytes([b])
     if seq:
@@ -152,11 +153,12 @@ def test_truncated_gif_raises_for_quarantine():
 def test_known_bytes_hand_decoded():
     """A 2x2 GIF assembled byte-by-byte from the published spec (not
     via the test compressor): 2-color palette, pixels [[1,0],[0,1]].
-    LZW: min_code_size=2, codes CLEAR(4),1,0 at width 3, then — the
-    table reaches 7 entries, one below 2^3, so width grows EARLY —
-    0,1,END(5) at width 4. Packed LSB-first:
-    4 | 1<<3 | 0<<6 | 0<<9 | 1<<13 | 5<<17 = 0xA200C
-    → bytes 0x0C 0x20 0x0A."""
+    LZW: min_code_size=2, codes CLEAR(4),1,0,0 at width 3 — processing
+    the fourth code adds table entry 8, reaching 2^3, so width grows to
+    4 (the standard giflib/Pillow rule, NOT the early-change one) —
+    then 1,END(5) at width 4. Packed LSB-first:
+    4 | 1<<3 | 0<<6 | 0<<9 | 1<<12 | 5<<16 = 0x5100C
+    → bytes 0x0C 0x10 0x05."""
     gif = bytes(
         b"GIF89a"
         + struct.pack("<HH", 2, 2)
@@ -164,7 +166,7 @@ def test_known_bytes_hand_decoded():
         + bytes([0, 0, 0, 255, 255, 255])
         + bytes([0x2C]) + struct.pack("<HHHH", 0, 0, 2, 2) + bytes([0])
         + bytes([2])                    # LZW min code size
-        + bytes([3, 0x0C, 0x20, 0x0A])  # one 3-byte sub-block
+        + bytes([3, 0x0C, 0x10, 0x05])  # one 3-byte sub-block
         + bytes([0, 0x3B])
     )
     w, h, px = real_decode_image(gif)
@@ -173,6 +175,29 @@ def test_known_bytes_hand_decoded():
         [[[255, 255, 255], [0, 0, 0]], [[0, 0, 0], [255, 255, 255]]], np.uint8
     )
     assert np.array_equal(px, expected)
+
+
+def test_externally_encoded_gifs_decode():
+    """Real GIFs produced by real encoders (the stdlib's idlelib icons),
+    not by the test compressor — this is the case a symmetric
+    width-growth bug in decoder+test-compressor would hide. Every file
+    must decode, match its logical-screen header dimensions, and
+    produce non-trivial pixels."""
+    import glob
+    import os
+
+    idlelib = pytest.importorskip("idlelib")
+    icon_dir = os.path.join(os.path.dirname(idlelib.__file__), "Icons")
+    paths = sorted(glob.glob(os.path.join(icon_dir, "*.gif")))
+    if not paths:
+        pytest.skip("no idlelib GIF icons in this Python install")
+    for path in paths:
+        payload = open(path, "rb").read()
+        sw, sh = struct.unpack("<HH", payload[6:10])
+        w, h, px = real_decode_image(payload)
+        assert (w, h) == (sw, sh), path
+        assert px.shape == (h, w, 3), path
+        assert int(px.sum()) > 0, path
 
 
 def test_gif_decodes_through_spark_pipeline(spark):
