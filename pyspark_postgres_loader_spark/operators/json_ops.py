@@ -287,9 +287,13 @@ def ingest_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame
     Scratch-dir hygiene: the returned DataFrame lazily reads the
     generated files, so the directory can't be deleted eagerly. A
     fresh mkdtemp per call accumulated across the bench's 3x-per-query
-    runs; the scratch path is instead DETERMINISTIC per (uid, sf_dir)
-    — repeat calls overwrite the same two files — and an atexit hook
-    removes it at interpreter exit."""
+    runs; the scratch path is instead DETERMINISTIC per (uid, pid,
+    sf_dir) — repeat calls within a process overwrite the same two
+    files — and an atexit hook removes it at interpreter exit. The pid
+    component keeps CONCURRENT processes (parallel pytest workers, an
+    overlapping bench run) from overwriting each other's generation
+    files mid-read or atexit-deleting the dir under a sibling's
+    lazily-evaluated DataFrame."""
     import atexit
     import glob
     import hashlib
@@ -299,7 +303,9 @@ def ingest_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame
 
     ev = load_table(spark, sf_dir, "events")
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
-    src = os.path.join(tempfile.gettempdir(), f"schema_evo_{os.getuid()}_{tag}")
+    src = os.path.join(
+        tempfile.gettempdir(), f"schema_evo_{os.getuid()}_{os.getpid()}_{tag}"
+    )
     os.makedirs(src, exist_ok=True)
     if src not in _SCHEMA_EVO_DIRS:
         _SCHEMA_EVO_DIRS.add(src)

@@ -457,23 +457,30 @@ def compact_manifest_batches(
 
     Protocol (same publish-last discipline as the writers above):
 
-    1. read every ``_MANIFEST-<id>.json`` and load ONLY the files they
-       name (an uncommitted/aborted batch's leftovers are invisible,
-       exactly as for readers);
+    1. read every ``_MANIFEST-<id>.json`` not yet covered and load ONLY
+       the files they name (an uncommitted/aborted batch's leftovers
+       are invisible, exactly as for readers) — PLUS the previous
+       generation's snapshot files, so every compaction FOLDS all prior
+       generations in and there is always exactly ONE live snapshot;
     2. write the rows through the batch manifest writer into
        ``compacted-<gen>/`` (its own two-phase commit: staged parts,
        ``_MANIFEST.json`` published last);
-    3. atomically publish ``_COMPACTION.json`` naming the snapshot dir
-       and the batch ids it covers — readers switch to snapshot +
-       later batches;
-    4. only then delete the covered batch dirs and their manifests.
+    3. atomically publish ``_COMPACTION.json`` naming THE single live
+       snapshot dir and every batch id it covers — the reader protocol
+       is "the snapshot named by ``_COMPACTION.json`` + batches not in
+       its ``batch_ids``", never a glob over ``compacted-*``;
+    4. only then delete the covered batch dirs, their manifests, and
+       the superseded previous snapshot.
 
-    A crash before step 3 leaves the original batches untouched (the
-    orphan snapshot dir is re-usable garbage); a crash between 3 and 4
-    leaves duplicate STORAGE but readers following ``_COMPACTION.json``
-    never see duplicate ROWS. Re-running is idempotent: already-covered
-    batch ids are excluded, and with no new batches the call is a
-    no-op. Returns a summary dict.
+    A crash before step 3 leaves the original batches and the live
+    snapshot untouched (the orphan new snapshot dir is garbage); a
+    crash between 3 and 4 leaves duplicate STORAGE but readers
+    following ``_COMPACTION.json`` never see duplicate ROWS — and the
+    next call sweeps the leftovers (covered batch dirs, non-live
+    ``compacted-*`` dirs) before doing anything else, so re-running is
+    both idempotent and self-cleaning. Returns a summary dict
+    (``rows`` = cumulative rows in the live snapshot, ``new_rows`` =
+    rows folded in from new batches this call).
     """
     import glob as _glob
     import json as _json
@@ -483,10 +490,27 @@ def compact_manifest_batches(
     comp_path = _os.path.join(path, "_COMPACTION.json")
     covered: set[int] = set()
     gen = 0
+    live_snapshot: str | None = None
+    prev_rows = 0
     if _os.path.exists(comp_path):
         prev = _json.load(open(comp_path))
         covered = set(prev["batch_ids"])
         gen = prev["generation"] + 1
+        live_snapshot = prev["snapshot"]
+        prev_rows = prev["rows"]
+
+    # sweep garbage from any earlier crash between steps 3 and 4: batch
+    # dirs/manifests already covered by the live record, and snapshot
+    # dirs the record does not name (orphans from a crash before 3, or
+    # a superseded generation from a crash after 3)
+    for mp in _glob.glob(_os.path.join(path, "_MANIFEST-*.json")):
+        bid = _json.load(open(mp))["batch_id"]
+        if bid in covered:
+            _shutil.rmtree(_os.path.join(path, f"batch-{bid}"), ignore_errors=True)
+            _os.remove(mp)
+    for d in _glob.glob(_os.path.join(path, "compacted-*")):
+        if _os.path.basename(d) != live_snapshot:
+            _shutil.rmtree(d, ignore_errors=True)
 
     manifests = []
     for mp in sorted(_glob.glob(_os.path.join(path, "_MANIFEST-*.json"))):
@@ -494,14 +518,29 @@ def compact_manifest_batches(
         if m["batch_id"] not in covered:
             manifests.append((mp, m))
     if not manifests:
-        return {"compacted_batches": 0, "rows": 0, "generation": gen, "noop": True}
+        return {
+            "compacted_batches": 0,
+            "rows": prev_rows,
+            "new_rows": 0,
+            "generation": gen,
+            "noop": True,
+        }
 
     files = [
         _os.path.join(path, f"batch-{m['batch_id']}", name)
         for _, m in manifests
         for name in m["files"]
     ]
-    expect_rows = sum(m["total_rows"] for _, m in manifests)
+    new_rows = sum(m["total_rows"] for _, m in manifests)
+    expect_rows = new_rows
+    if live_snapshot is not None:  # fold the previous generation in
+        prev_man = _json.load(
+            open(_os.path.join(path, live_snapshot, "_MANIFEST.json"))
+        )
+        files.extend(
+            _os.path.join(path, live_snapshot, name) for name in prev_man["files"]
+        )
+        expect_rows += prev_man["total_rows"]
     snapshot = _os.path.join(path, f"compacted-{gen}")
 
     df = spark.read.json(files)
@@ -534,9 +573,12 @@ def compact_manifest_batches(
             _os.path.join(path, f"batch-{m['batch_id']}"), ignore_errors=True
         )
         _os.remove(mp)
+    if live_snapshot is not None:
+        _shutil.rmtree(_os.path.join(path, live_snapshot), ignore_errors=True)
     return {
         "compacted_batches": len(manifests),
         "rows": expect_rows,
+        "new_rows": new_rows,
         "generation": gen,
         "noop": False,
     }

@@ -218,12 +218,15 @@ def test_compaction_collapses_batches_then_appends_continue(spark, tmp_path):
     assert comp["batch_ids"] == [0, 1] and comp["generation"] == 0
 
     def snapshot_lines():
+        """The DOCUMENTED reader protocol: read exactly the ONE snapshot
+        _COMPACTION.json names — never a glob over compacted-*."""
+        comp = json.load(open(os.path.join(out, "_COMPACTION.json")))
+        gen_dir = os.path.join(out, comp["snapshot"])
+        man = json.load(open(os.path.join(gen_dir, "_MANIFEST.json")))
         lines = []
-        for gen_dir in glob.glob(os.path.join(out, "compacted-*")):
-            man = json.load(open(os.path.join(gen_dir, "_MANIFEST.json")))
-            for name in man["files"]:
-                with open(os.path.join(gen_dir, name)) as f:
-                    lines.extend(json.loads(ln)["line"] for ln in f)
+        for name in man["files"]:
+            with open(os.path.join(gen_dir, name)) as f:
+                lines.extend(json.loads(ln)["line"] for ln in f)
         return lines
 
     assert sorted(snapshot_lines()) == sorted(f"l{i}" for i in range(25))
@@ -232,11 +235,33 @@ def test_compaction_collapses_batches_then_appends_continue(spark, tmp_path):
     r2 = compact_manifest_batches(spark, out)
     assert r2["noop"] is True
 
-    # stream keeps appending; next compaction covers only the new batch
+    # stream keeps appending; the next compaction FOLDS the previous
+    # generation in, so the single live snapshot holds everything and
+    # the superseded generation-0 dir is deleted
     append(25, 30)
     drain()
     assert len(glob.glob(os.path.join(out, "_MANIFEST-*.json"))) == 1
     r3 = compact_manifest_batches(spark, out)
-    assert (r3["compacted_batches"], r3["rows"], r3["generation"]) == (1, 5, 1)
-    all_lines = snapshot_lines()
-    assert sorted(all_lines) == sorted(f"l{i}" for i in range(30))
+    assert (r3["compacted_batches"], r3["new_rows"], r3["rows"], r3["generation"]) \
+        == (1, 5, 30, 1)
+    assert sorted(snapshot_lines()) == sorted(f"l{i}" for i in range(30))
+    assert glob.glob(os.path.join(out, "compacted-*")) == [
+        os.path.join(out, "compacted-1")
+    ]
+
+    # crash between publish (step 3) and deletion (step 4): resurrect a
+    # covered batch dir + a stale snapshot; the next call sweeps both
+    # and stays a no-op — readers never saw duplicates either way
+    stale = os.path.join(out, "compacted-0")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "_MANIFEST.json"), "w") as f:
+        json.dump({"files": [], "total_rows": 0}, f)
+    ghost_dir = os.path.join(out, "batch-0")
+    os.makedirs(ghost_dir)
+    with open(os.path.join(out, "_MANIFEST-00000.json"), "w") as f:
+        json.dump({"batch_id": 0, "files": [], "total_rows": 0}, f)
+    r4 = compact_manifest_batches(spark, out)
+    assert r4["noop"] is True and r4["rows"] == 30
+    assert not os.path.exists(stale)
+    assert not os.path.exists(ghost_dir)
+    assert sorted(snapshot_lines()) == sorted(f"l{i}" for i in range(30))
