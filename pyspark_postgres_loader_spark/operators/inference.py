@@ -40,18 +40,26 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..registry import register
+from ..tables import load_table
 
 _MODEL_VERSION_FAKE = "hash-projection-v1"
 _DEFAULT_DIM = 16
 _DEFAULT_MAX_CHARS = 100_000
 
 
-def _hash_projection(texts: list[str], dim: int):
+def _hash_projection(texts: list[str], dim: int, normalize: bool = True):
     """Deterministic bag-of-tokens embedder: md5(token) picks a bucket
-    and a sign; L2-normalized. Pure function of the text — executor-
-    and partition-order independent."""
+    and a sign (bit 59 — the top bit of the 15-hex-char = 60-bit
+    prefix, i.e. whether the first hex digit is >= 8); L2-normalized
+    unless ``normalize=False`` (raw signed integer counts — exact in
+    float32 below 2^24, which is what the differential oracle reads).
+    Pure function of the text — executor- and partition-order
+    independent."""
     import hashlib
 
     import numpy as np
@@ -60,14 +68,15 @@ def _hash_projection(texts: list[str], dim: int):
     for i, text in enumerate(texts):
         for tok in text.split():
             h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
-            out[i, h % dim] += 1.0 if (h >> 60) & 1 == 0 else -1.0
-        n = float(np.linalg.norm(out[i]))
-        if n > 0:
-            out[i] /= n
+            out[i, h % dim] += 1.0 if (h >> 59) & 1 == 0 else -1.0
+        if normalize:
+            n = float(np.linalg.norm(out[i]))
+            if n > 0:
+                out[i] /= n
     return out
 
 
-def _load_encoder(onnx_model_path: str | None, dim: int):
+def _load_encoder(onnx_model_path: str | None, dim: int, normalize: bool = True):
     """Resolve the per-partition encoder: (callable, model_version).
     Called lazily inside the mapInPandas iterator — once per partition.
     """
@@ -90,7 +99,9 @@ def _load_encoder(onnx_model_path: str | None, dim: int):
             )
 
         return encode, f"onnx:{onnx_model_path.rsplit('/', 1)[-1]}"
-    return (lambda texts: _hash_projection(texts, dim)), _MODEL_VERSION_FAKE
+    return (
+        lambda texts: _hash_projection(texts, dim, normalize)
+    ), _MODEL_VERSION_FAKE
 
 
 def embed_documents(
@@ -100,6 +111,7 @@ def embed_documents(
     dim: int = _DEFAULT_DIM,
     max_chars: int = _DEFAULT_MAX_CHARS,
     onnx_model_path: str | None = None,
+    normalize: bool = True,
 ) -> DataFrame:
     """Embed ``text_col`` into (id, embedding, model_version, error).
 
@@ -108,7 +120,9 @@ def embed_documents(
     are quarantined with a typed error string, everything else gets a
     float32 vector of length ``dim``. The input DataFrame's other
     columns are dropped on purpose (join back by id), keeping the
-    post-inference shuffle narrow.
+    post-inference shuffle narrow. ``normalize=False`` (hash-projection
+    fallback only) returns raw signed bucket counts — exact integers,
+    which is what lets the differential oracle replay the embedder.
     """
     schema = T.StructType(
         [
@@ -129,7 +143,7 @@ def embed_documents(
         version = None
         for pdf in batches:
             if encoder is None:
-                encoder, version = _load_encoder(onnx_model_path, dim)
+                encoder, version = _load_encoder(onnx_model_path, dim, normalize)
             n = len(pdf)
             errors: list[str | None] = [None] * n
             ok_idx: list[int] = []
@@ -169,3 +183,110 @@ def embed_documents(
             )
 
     return narrow.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Driver-oracled query: the hash-projection embedder is md5-exact
+# ---------------------------------------------------------------------------
+#
+# bucket = h % 16 and sign = (h >> 59) & 1, where h is the first 15 hex
+# chars (60 bits) of md5(token). Both reduce to SINGLE hex digits of
+# the md5 string — bucket is the 15th digit, sign is whether the 1st
+# digit is >= 8 — so DuckDB replays the embedder with md5() + substr(),
+# no bit arithmetic needed. With normalize=False the emitted components
+# are exact signed integer token counts per bucket.
+
+_INFER_MAX_CHARS = 500  # low enough that the fixture exercises too_long
+
+
+def _inference_oracle() -> str:
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 17 = 5 THEN NULL
+                  WHEN doc_id % 17 = 11 THEN '   '
+                  ELSE text END AS text
+      FROM documents
+    ),
+    cls AS (
+      SELECT doc_id, text,
+             CASE WHEN text IS NULL THEN 'null_text'
+                  WHEN trim(text) = '' THEN 'empty_text'
+                  WHEN length(text) > {_INFER_MAX_CHARS}
+                       THEN 'too_long:' || CAST(length(text) AS VARCHAR)
+                  ELSE NULL END AS error
+      FROM base
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+      FROM cls WHERE error IS NULL
+    ),
+    contrib AS (
+      SELECT doc_id,
+             strpos('0123456789abcdef', substr(md5(tok), 15, 1)) - 1 AS bucket,
+             CASE WHEN strpos('89abcdef', substr(md5(tok), 1, 1)) > 0
+                  THEN -1 ELSE 1 END AS s
+      FROM toks WHERE tok != ''
+    ),
+    counts AS (
+      SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS cnt
+      FROM contrib GROUP BY 1, 2
+    ),
+    ok AS (
+      SELECT c.doc_id,
+             CAST('{_MODEL_VERSION_FAKE}' AS VARCHAR) AS model_version,
+             CAST(NULL AS VARCHAR) AS error,
+             CAST(b.range AS INT) AS bucket,
+             COALESCE(k.cnt, 0) AS cnt
+      FROM cls c CROSS JOIN range(16) b
+      LEFT JOIN counts k ON k.doc_id = c.doc_id AND k.bucket = b.range
+      WHERE c.error IS NULL
+    )
+    SELECT doc_id, model_version, error, bucket, cnt FROM ok
+    UNION ALL
+    SELECT doc_id, CAST(NULL AS VARCHAR), error,
+           CAST(NULL AS INT), CAST(NULL AS BIGINT)
+    FROM cls WHERE error IS NOT NULL
+    ORDER BY doc_id, bucket
+    """
+
+
+@register("inference_embed_bucket_counts", oracle=_inference_oracle())
+def inference_embed_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched embedding inference, driver-oracled end to end:
+    documents (with injected null / whitespace-only rows and a low
+    ``max_chars`` so every quarantine class fires) run through
+    ``embed_documents`` with ``normalize=False``, and the raw signed
+    bucket counts — exact integers — are exploded to (doc_id, bucket,
+    cnt) rows the DuckDB oracle recomputes from md5 hex digits.
+
+    Scale notes (100 TB): the serving shape under test is the real one
+    — Arrow-batched ``mapInPandas``, model loaded once per partition,
+    narrow (id, vec, version, error) output so the post-inference
+    shuffle drops document bodies; the explode here is presentation for
+    the differential harness (16 small rows per doc), not part of the
+    serving path."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 17 == 5, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 17 == 11, F.lit("   "))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    emb = embed_documents(docs, max_chars=_INFER_MAX_CHARS, normalize=False)
+    return (
+        emb.select(
+            "doc_id",
+            "model_version",
+            "error",
+            F.posexplode_outer("embedding").alias("bucket", "count_f"),
+        )
+        .select(
+            "doc_id",
+            "model_version",
+            "error",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("count_f").cast("long").alias("cnt"),
+        )
+        .orderBy("doc_id", "bucket")
+    )

@@ -1245,3 +1245,308 @@ def multimodal_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy("ahash")
     )
+
+
+# ---------------------------------------------------------------------------
+# Compressed-codec decode, driver-oracled: GIF (LZW) + PNG (DEFLATE)
+# ---------------------------------------------------------------------------
+#
+# The registered decode queries above feed PPM/text-derived payloads;
+# this one routes DETERMINISTIC GIF and PNG payloads through the REAL
+# compressed decoders (``_decode_gif``/``_decode_png``) so the ~600 LoC
+# of native codec work carries a driver CORRECTNESS row, not just
+# pytest evidence. The fabricated pixel content is a closed-form
+# function of (doc_id % _CODEC_GROUPS), so the DuckDB oracle replays
+# width/height/pixel-sum/position-weighted-sum symbolically — the
+# weighted sum is ORDER-SENSITIVE, so a wrong GIF de-interlace or PNG
+# un-filter row order fails the hash even though the plain sum would
+# not.
+
+_CODEC_GROUPS = 12
+_CODEC_NPAL = 8  # GIF palette entries (min_code_size 3)
+
+
+def _gif_lzw_encode_literals(min_code_size: int, indices: bytes) -> bytes:
+    """A valid GIF LZW stream that emits only literal root codes (no
+    encoder-side dictionary — legal, just uncompressed) while tracking
+    the DECODER's table growth, so code widths switch at exactly the
+    standard giflib/Pillow points (table reaching ``2^width``). The
+    stream therefore still exercises the decoder's variable-width read
+    path and its dictionary bookkeeping."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    table_size = end + 1  # the decoder's table: roots + CLEAR + END
+    out = bytearray()
+    acc = bits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    emit(clear)
+    for n, b in enumerate(indices):
+        emit(b)
+        # the decoder adds one table entry while processing every code
+        # after the first, and bumps width when the table fills 2^width
+        if n > 0 and table_size < 4096:
+            table_size += 1
+            if table_size == (1 << width) and width < 12:
+                width += 1
+    emit(end)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_STARTS = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step)
+
+
+def build_gif(indices, palette, interlace: bool = False) -> bytes:
+    """Encode an ``(h, w)`` uint8 index raster + an 8-entry RGB palette
+    as a GIF89a (global color table, optional 4-pass interlace) — the
+    encode-side sibling of :func:`_decode_gif`."""
+    import struct
+
+    import numpy as np
+
+    h, w = indices.shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | 0x02)  # GCT present, 2^(2+1)=8 entries
+    out += b"\x00\x00"  # background index, aspect ratio
+    for r, g, b in palette:
+        out += bytes((r, g, b))
+    out.append(0x2C)
+    out += struct.pack("<HHHH", 0, 0, w, h)
+    out.append(0x40 if interlace else 0x00)
+    rows = indices
+    if interlace:  # store rows pass-major (8/8, 4/8, 2/4, 1/2 starts)
+        order = np.concatenate(
+            [np.arange(s, h, st) for s, st in _GIF_INTERLACE_STARTS]
+        )
+        rows = indices[order]
+    out.append(3)  # LZW min code size for an 8-color palette
+    data = _gif_lzw_encode_literals(3, rows.tobytes())
+    for off in range(0, len(data), 255):
+        chunk = data[off : off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def build_png(pixels) -> bytes:
+    """Encode an ``(h, w, 3)`` uint8 RGB array as an 8-bit truecolor
+    PNG, cycling scanline filters None/Sub/Up by row — the encode-side
+    sibling of :func:`_decode_png` (stdlib zlib provides DEFLATE)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = pixels.shape[:2]
+    raw = bytearray()
+    prev = np.zeros((w, 3), np.int16)
+    for y in range(h):
+        row = pixels[y].astype(np.int16)
+        ft = y % 3
+        if ft == 0:
+            filt = row
+        elif ft == 1:  # Sub: difference vs the pixel to the left
+            left = np.vstack([np.zeros((1, 3), np.int16), row[:-1]])
+            filt = (row - left) & 0xFF
+        else:  # Up: difference vs the row above
+            filt = (row - prev) & 0xFF
+        raw.append(ft)
+        raw += filt.astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _codec_payload(doc_id: int) -> tuple[str, bytes]:
+    """Fabricate the deterministic codec fixture for one doc: even ids
+    get a GIF, odd ids a PNG; ``doc_id % 11 == 7`` truncates the
+    payload to half (undecodable → quarantine). All pixel content is a
+    closed-form function of ``g = doc_id % _CODEC_GROUPS`` that the
+    DuckDB oracle replays symbolically."""
+    import numpy as np
+
+    g = doc_id % _CODEC_GROUPS
+    if doc_id % 2 == 0:
+        w, h = 10 + g % 5, 8 + g % 3
+        y, x = np.mgrid[0:h, 0:w]
+        idx = ((x + 3 * y + g) % _CODEC_NPAL).astype(np.uint8)
+        palette = [
+            ((i * 37) % 256, (i * 73) % 256, (i * 111) % 256)
+            for i in range(_CODEC_NPAL)
+        ]
+        codec, payload = "gif", build_gif(idx, palette, interlace=(g % 4 == 1))
+    else:
+        w, h = 9 + g % 4, 7 + g % 3
+        y, x = np.mgrid[0:h, 0:w]
+        px = np.stack(
+            [
+                (7 * x + 3 * y + g) % 256,
+                (5 * x + 11 * y + 2 * g) % 256,
+                (x + 13 * y + 3 * g) % 256,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        codec, payload = "png", build_png(px)
+    if doc_id % 11 == 7:
+        payload = payload[: len(payload) // 2]
+    return codec, payload
+
+
+def _codec_decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: fabricate → REAL compressed decode → integer
+    facts. ``wpx_sum`` weights each pixel's channel sum by its 1-based
+    row-major position, so layout errors (interlace, filter order) are
+    visible, not just value errors."""
+    import numpy as np
+
+    for pdf in it:
+        if pdf.empty:
+            continue
+        out = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            codec, payload = _codec_payload(doc_id)
+            try:
+                w, h, px = real_decode_image(payload)
+                s = px.astype(np.int64).sum(axis=2).reshape(-1)
+                weights = np.arange(1, s.size + 1, dtype=np.int64)
+                out.append(
+                    (
+                        doc_id,
+                        codec,
+                        "decoded",
+                        w,
+                        h,
+                        int(s.sum()),
+                        int((s * weights).sum()),
+                    )
+                )
+            except Exception:  # noqa: BLE001 — any decode failure quarantines
+                out.append((doc_id, codec, "corrupt", 0, 0, 0, 0))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "doc_id", "codec", "status", "width", "height",
+                "px_sum", "wpx_sum",
+            ],
+        ).astype(
+            {
+                "doc_id": "int64", "width": "int32", "height": "int32",
+                "px_sum": "int64", "wpx_sum": "int64",
+            }
+        )
+
+
+def _codec_oracle() -> str:
+    """Symbolic DuckDB replay of the fabricated-pixel arithmetic: per
+    group g, the GIF raster is palette[(x + 3y + g) % 8] with the
+    closed-form palette, the PNG raster is the three channel formulas —
+    both summed plainly and position-weighted over row-major order.
+    Decode correctness is what makes the Spark side reproduce these
+    numbers: LZW/DEFLATE round-trip, palette mapping, de-interlace and
+    un-filter row placement all have to be right."""
+    return f"""
+    WITH grp AS (
+      SELECT DISTINCT doc_id % {_CODEC_GROUPS} AS g FROM documents
+    ),
+    gif AS (
+      SELECT g, 10 + g % 5 AS w, 8 + g % 3 AS h,
+             list_transform(
+               range(0, (10 + g % 5) * (8 + g % 3)),
+               i -> (((i % (10 + g % 5)) + 3 * (i // (10 + g % 5)) + g) % {_CODEC_NPAL})
+             ) AS idxs
+      FROM grp
+    ),
+    gif_sums AS (
+      SELECT g, w, h,
+             CAST(list_sum(list_transform(idxs,
+               x -> (x * 37) % 256 + (x * 73) % 256 + (x * 111) % 256)) AS BIGINT) AS px_sum,
+             CAST(list_sum(list_transform(range(0, w * h),
+               i -> (i + 1) * ((idxs[i + 1] * 37) % 256
+                             + (idxs[i + 1] * 73) % 256
+                             + (idxs[i + 1] * 111) % 256))) AS BIGINT) AS wpx_sum
+      FROM gif
+    ),
+    png_sums AS (
+      SELECT g, 9 + g % 4 AS w, 7 + g % 3 AS h,
+             CAST(list_sum(list_transform(range(0, (9 + g % 4) * (7 + g % 3)),
+               i -> (7 * (i % (9 + g % 4)) + 3 * (i // (9 + g % 4)) + g) % 256
+                  + (5 * (i % (9 + g % 4)) + 11 * (i // (9 + g % 4)) + 2 * g) % 256
+                  + ((i % (9 + g % 4)) + 13 * (i // (9 + g % 4)) + 3 * g) % 256
+             )) AS BIGINT) AS px_sum,
+             CAST(list_sum(list_transform(range(0, (9 + g % 4) * (7 + g % 3)),
+               i -> (i + 1) * (
+                    (7 * (i % (9 + g % 4)) + 3 * (i // (9 + g % 4)) + g) % 256
+                  + (5 * (i % (9 + g % 4)) + 11 * (i // (9 + g % 4)) + 2 * g) % 256
+                  + ((i % (9 + g % 4)) + 13 * (i // (9 + g % 4)) + 3 * g) % 256)
+             )) AS BIGINT) AS wpx_sum
+      FROM grp
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 2 = 0 THEN 'gif' ELSE 'png' END AS codec,
+           CASE WHEN d.doc_id % 11 = 7 THEN 'corrupt' ELSE 'decoded' END AS status,
+           CASE WHEN d.doc_id % 11 = 7 THEN 0
+                WHEN d.doc_id % 2 = 0 THEN gs.w ELSE ps.w END AS width,
+           CASE WHEN d.doc_id % 11 = 7 THEN 0
+                WHEN d.doc_id % 2 = 0 THEN gs.h ELSE ps.h END AS height,
+           CASE WHEN d.doc_id % 11 = 7 THEN 0
+                WHEN d.doc_id % 2 = 0 THEN gs.px_sum ELSE ps.px_sum END AS px_sum,
+           CASE WHEN d.doc_id % 11 = 7 THEN 0
+                WHEN d.doc_id % 2 = 0 THEN gs.wpx_sum ELSE ps.wpx_sum END AS wpx_sum
+    FROM documents d
+    JOIN gif_sums gs ON d.doc_id % {_CODEC_GROUPS} = gs.g
+    JOIN png_sums ps ON d.doc_id % {_CODEC_GROUPS} = ps.g
+    ORDER BY d.doc_id
+    """
+
+
+@register("multimodal_codec_decode", oracle=_codec_oracle())
+def multimodal_codec_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native compressed-codec decode, end to end: deterministic GIF
+    (variable-width LZW, global color table, 4-pass interlace for a
+    quarter of the groups) and PNG (DEFLATE via stdlib zlib, scanline
+    filters None/Sub/Up) payloads are fabricated per doc, decoded with
+    the REAL decoders, and reduced to integer facts the DuckDB oracle
+    replays symbolically. Truncated payloads (doc_id % 11 == 7)
+    exercise the quarantine path.
+
+    Scale notes (100 TB): identical shape to the other decode queries —
+    Arrow-batched ``mapInPandas``, decode embarrassingly parallel, only
+    ~40 bytes/row of integer facts re-enter the JVM, one narrow
+    aggregation-free projection (the ORDER BY is driver-contract
+    presentation, pushed to a final sort of scalar rows)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        _codec_decode_batches,
+        schema=(
+            "doc_id long, codec string, status string, width int, "
+            "height int, px_sum long, wpx_sum long"
+        ),
+    ).orderBy("doc_id")

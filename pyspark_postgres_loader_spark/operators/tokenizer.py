@@ -40,6 +40,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..registry import register
+from ..tables import load_table
+
 _EOW = "</w>"  # end-of-word marker (Sennrich-style)
 
 
@@ -91,11 +94,14 @@ def train_bpe(
     lowercase: bool = True,
     min_pair_freq: int = 2,
     checkpoint_every: int = 8,
+    counts_out: list[int] | None = None,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn ``num_merges`` BPE merges from ``docs``. Returns
     ``(merges, symbol_table)`` — the ordered merge list (the tokenizer
     artifact) and the final distributed ``(w, freq, syms)`` table.
-    Stops early when no pair reaches ``min_pair_freq``."""
+    Stops early when no pair reaches ``min_pair_freq``. ``counts_out``
+    (optional) receives each chosen pair's corpus frequency, parallel
+    to the merge list — the differential oracle reads it."""
     words = word_frequencies(docs, text_col, lowercase)
     syms = words.select("w", "freq", _char_split(F.col("w")).alias("syms"))
     syms = syms.localCheckpoint()
@@ -126,6 +132,8 @@ def train_bpe(
         if best is None or best.n < min_pair_freq:
             break
         merges.append((best.a, best.b))
+        if counts_out is not None:
+            counts_out.append(int(best.n))
         syms = syms.withColumn(
             "syms", _apply_merge(F.col("syms"), best.a, best.b)
         )
@@ -191,3 +199,150 @@ def apply_bpe(
     return narrow.mapInPandas(
         run, schema="doc_id long, tokens array<string>, n_tokens long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-oracled query: K training merges replayed in chained SQL CTEs
+# ---------------------------------------------------------------------------
+#
+# The oracle replays each merge step with SIMULTANEOUS pair replacement
+# (a pure per-position list rewrite — SQL-expressible), while the
+# trainer applies merges with the standard LEFT-TO-RIGHT greedy fold.
+# The two differ ONLY when a merge's occurrences overlap, which
+# requires three identical adjacent tokens — and three identical
+# adjacent tokens are three identical adjacent substrings of the
+# original word, i.e. a CUBE (xxx). Restricting the training corpus to
+# cube-free words therefore makes the replay EXACT at every step, for
+# every merge, without weakening what is verified: pair counting, the
+# total-order argmax, the min-frequency stop rule, and the rewrite
+# itself. (The end-of-word marker can never participate in a cube —
+# each word carries exactly one.)
+
+_BPE_QUERY_MERGES = 8
+_BPE_MIN_LEN, _BPE_MAX_LEN = 2, 12
+
+
+def _cube_free_sql(col: str) -> str:
+    """SQL predicate: ``col`` contains no cube (substring xxx). Runs
+    identically in Spark SQL and DuckDB (substr/length only). Bounded
+    enumeration: repeat length L <= MAX_LEN // 3."""
+    terms = []
+    for length in range(1, _BPE_MAX_LEN // 3 + 1):
+        for i in range(1, _BPE_MAX_LEN - 3 * length + 2):
+            terms.append(
+                f"(length({col}) >= {i + 3 * length - 1}"
+                f" AND substr({col}, {i}, {length}) = substr({col}, {i + length}, {length})"
+                f" AND substr({col}, {i + length}, {length}) = substr({col}, {i + 2 * length}, {length}))"
+            )
+    return "NOT (" + " OR ".join(terms) + ")"
+
+
+def _bpe_oracle() -> str:
+    """Generated K-step chained-CTE replay of the training loop (the
+    fixed-K recipe the PageRank oracle uses): per step, explode
+    adjacent symbol pairs weighted by word frequency, take the 1-row
+    argmax under (count DESC, left, right), rewrite the symbol lists by
+    simultaneous replacement (exact under the cube-free corpus — see
+    module comment above)."""
+    parts = [
+        f"""
+    WITH words AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        FROM documents
+      )
+      WHERE length(w) BETWEEN {_BPE_MIN_LEN} AND {_BPE_MAX_LEN}
+        AND {_cube_free_sql("w")}
+      GROUP BY w
+    ),
+    state_0 AS MATERIALIZED (
+      SELECT w, freq,
+             list_append(
+               list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)),
+               '{_EOW}') AS syms
+      FROM words
+    )"""
+    ]
+    for k in range(1, _BPE_QUERY_MERGES + 1):
+        parts.append(
+            f""",
+    pairs_{k} AS MATERIALIZED (
+      SELECT pr.l AS l, pr.r AS r, CAST(SUM(pr.f) AS BIGINT) AS cnt
+      FROM (
+        SELECT unnest(list_transform(range(1, len(syms)),
+          p -> {{'l': syms[p], 'r': syms[p + 1], 'f': freq}})) AS pr
+        FROM state_{k - 1}
+      )
+      GROUP BY 1, 2
+    ),
+    best_{k} AS MATERIALIZED (
+      SELECT {k} AS merge_rank, l, r, cnt FROM pairs_{k}
+      WHERE cnt >= 2 ORDER BY cnt DESC, l, r LIMIT 1
+    ),
+    state_{k} AS MATERIALIZED (
+      SELECT s.w, s.freq,
+        CASE WHEN b.l IS NULL THEN s.syms ELSE
+          list_filter(
+            list_transform(range(1, len(s.syms) + 1), p ->
+              CASE WHEN p < len(s.syms) AND s.syms[p] = b.l
+                        AND s.syms[p + 1] = b.r THEN s.syms[p] || b.r
+                   WHEN p > 1 AND s.syms[p - 1] = b.l
+                        AND s.syms[p] = b.r THEN NULL
+                   ELSE s.syms[p] END),
+            x -> x IS NOT NULL)
+        END AS syms
+      FROM state_{k - 1} s LEFT JOIN best_{k} b ON TRUE
+    )"""
+        )
+    union = "\n      UNION ALL\n      ".join(
+        f"SELECT * FROM best_{k}" for k in range(1, _BPE_QUERY_MERGES + 1)
+    )
+    parts.append(
+        f"""
+    SELECT merge_rank, l AS left_sym, r AS right_sym, cnt AS pair_count
+    FROM ({union})
+    ORDER BY merge_rank
+    """
+    )
+    return "".join(parts)
+
+
+@register("tokenizer_bpe_train_merges", oracle=_bpe_oracle())
+def tokenizer_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training, driver-oracled end to end: train
+    ``_BPE_QUERY_MERGES`` merges on the documents corpus (restricted to
+    cube-free lowercase words so the SQL replay is exact — see module
+    comment) and emit the ordered merge list with each pair's corpus
+    frequency. Every moving part of the trainer is pinned: the one-pass
+    word-frequency table, per-step pair explosion, the deterministic
+    total-order argmax, the ``min_pair_freq`` stop rule, and the greedy
+    merge rewrite.
+
+    Scale notes (100 TB): the Sennrich reduction — the corpus is read
+    ONCE into (word, freq); every merge iteration runs on word TYPES
+    (vocabulary-sized, millions of rows at web scale, not billions),
+    one small shuffle per iteration; exactly one row per iteration
+    reaches the driver and it IS the artifact being built."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("text")
+    ).filter(
+        f"length(text) BETWEEN {_BPE_MIN_LEN} AND {_BPE_MAX_LEN} "
+        f"AND {_cube_free_sql('text')}"
+    )
+    counts: list[int] = []
+    merges, _ = train_bpe(
+        spark,
+        words,
+        text_col="text",
+        num_merges=_BPE_QUERY_MERGES,
+        lowercase=False,  # already lowered above
+        min_pair_freq=2,
+        counts_out=counts,
+    )
+    rows = [
+        (rank + 1, a, b, n) for rank, ((a, b), n) in enumerate(zip(merges, counts))
+    ]
+    return spark.createDataFrame(
+        rows, "merge_rank int, left_sym string, right_sym string, pair_count long"
+    ).orderBy("merge_rank")

@@ -75,79 +75,25 @@ _LOADED = False
 # Driver-facing ordering: the round driver walks ``queries()`` in dict
 # order and records correctness for a bounded prefix (exactly 50
 # rows/round — CORRECTNESS_r04/r05 confirmed the window is _PRIORITY[:50]).
-# Round-6 rotation. Latest-green histogram entering this round (computed
-# from CORRECTNESS_r01..r05): r5=50, r4=47, r3=50, r2=28, never=5.
-# This window:
-#   (a) the 5 queries that have NEVER had a driver row (round-5
-#       session-4/5 late adds, rehearsal-green only) — clearing the
-#       rotation debt the round-5 judge flagged,
-#   (b) rollup_hll_mergeable — its error envelope was widened this
-#       round (3-sigma -> 10% fixture-regen safety margin), and an
-#       edited contract needs a fresh driver row,
-#   (c) all 28 r2-latest names — four rounds without a driver row,
-#   (d) the first 16 r3-latest names in staleness order.
-# (a)+(b)+(c)+(d) = 5+1+28+16 = 50 exactly. After the boundary: the
-# remaining 34 r3-latest names (round-7 rotation head), then the 47
-# r4-latest, then the 49 r5-latest — if the driver checks more than 50
-# rows it continues in staleness order. NO new queries were added this
-# round ahead of the debt clearing (VERDICT r5 instruction #2).
+# Round-7 rotation. Entering this round every one of the 180 previously
+# registered queries has been driver-verified at least once and is
+# latest-green (CORRECTNESS_r06 + the r6 verdict); staleness histogram:
+# r6=50, r5=49, r4=47, r3=34. This window = the 4 NEW round-7
+# registrations (the round-6 surfaces the r6 verdict ordered under
+# oracle discipline) at the head, then the 34 r3-latest names (the
+# stalest), then the first 12 r4-latest names — 4+34+12 = 50 exactly.
+# After the boundary the remaining names continue in staleness order
+# (35 r4, 49 r5, 50 r6) for drivers that check more than 50 rows.
 _PRIORITY = [
-    # (a) never driver-checked — round-5 session-4/5 late adds (5)
-    "basket_part_pair_lift",
-    "agg_histogram_equidepth",
-    "attribution_linear_touch",
-    "arrow_grouped_value_stats",
-    "graph_triangle_count_suppliers",
-    # (b) oracle/envelope edited this round — needs a fresh driver row (1)
-    "rollup_hll_mergeable",
-    # (c) r2-latest — stalest bulk (28)
-    "ann_ivf_topk",
-    "sim_cosine_pairs",
-    "multimodal_payload_stats",
-    "dedup_exact_fingerprint",
-    "dedup_distinct_user_event",
-    "dedup_latest_event_per_user_type",
-    "ann_bruteforce_topk",
-    "sim_label_envelope",
-    "dedup_embedding_cosine",
-    "json_props_by_event_type",
-    "json_from_json_struct",
-    "json_map_explode",
-    "multimodal_decode_meta",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "multimodal_feature_extract",
-    "agg_approx_sketches",
-    "scalar_higher_order_array",
-    "sample_uniform_docs",
-    "sample_stratified_by_lang",
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_rolling_hash",
-    "pipeline_clean_corpus",
-    "text_word_count_topk",
-    "text_heavy_hitters_approx",
-    # (d) r3-latest head (16)
-    "dedup_lsh_bucket_stats",
-    "embedding_norm_stats",
-    "dedup_hyperplane_lsh",
-    "q18_large_volume_customer",
-    "q10_returned_item_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q15_top_supplier",
-    "q20_heavy_widget_suppliers",
-    "layout_zorder_stats",
-    "multimodal_audio_features",
-    "multimodal_decode_quarantine",
-    "agg_percentiles_by_status",
-    "agg_stats_moments",
-    "window_range_frame_spend",
-    "join_full_outer_event_coverage",
-    # --- window boundary (50): (a)5+(b)1+(c)28+(d)16 ---
-    # overflow: remaining r3-latest (34) — round-7 rotation head
+    # (a) round-7 registrations — never driver-checked, at the head so
+    # they get rows immediately (4): the four round-6 surfaces the r6
+    # verdict ordered oracled (codec decode, BPE training, embedding
+    # inference, file_tail batch)
+    "multimodal_codec_decode",
+    "tokenizer_bpe_train_merges",
+    "inference_embed_bucket_counts",
+    "filetail_batch_offsets",
+    # (b) r3-latest — the stalest existing names (34)
     "setop_intersect_except_all",
     "window_distribution_funcs",
     "scalar_null_semantics",
@@ -182,7 +128,7 @@ _PRIORITY = [
     "udtf_bigram_topk",
     "cogroup_user_activity_profile",
     "pysource_synthetic_events",
-    # then r4-latest (47)
+    # (c) r4-latest head (12) — (a)+(b)+(c) = 4+34+12 = 50 exactly
     "text_repetition_filter",
     "split_train_val_test",
     "search_bm25_topk",
@@ -195,6 +141,8 @@ _PRIORITY = [
     "anomaly_zscore_users",
     "json_variant_nested",
     "pandas_udf_nfc_norm",
+    # --- window boundary (50) ---
+    # overflow: remaining r4-latest (35) — round-8 rotation head
     "agg_corr_qty_price",
     "ingest_corrupt_json_quarantine",
     "stream_chained_window_rollup",
@@ -280,6 +228,57 @@ _PRIORITY = [
     "contamination_bloom_prefilter",
     "train_user_event_sequences",
     "quality_winsorize_doclen",
+    # then r6-latest (50)
+    "basket_part_pair_lift",
+    "agg_histogram_equidepth",
+    "attribution_linear_touch",
+    "arrow_grouped_value_stats",
+    "graph_triangle_count_suppliers",
+    "rollup_hll_mergeable",
+    "ann_ivf_topk",
+    "sim_cosine_pairs",
+    "multimodal_payload_stats",
+    "dedup_exact_fingerprint",
+    "dedup_distinct_user_event",
+    "dedup_latest_event_per_user_type",
+    "ann_bruteforce_topk",
+    "sim_label_envelope",
+    "dedup_embedding_cosine",
+    "json_props_by_event_type",
+    "json_from_json_struct",
+    "json_map_explode",
+    "multimodal_decode_meta",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "multimodal_feature_extract",
+    "agg_approx_sketches",
+    "scalar_higher_order_array",
+    "sample_uniform_docs",
+    "sample_stratified_by_lang",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_rolling_hash",
+    "pipeline_clean_corpus",
+    "text_word_count_topk",
+    "text_heavy_hitters_approx",
+    "dedup_lsh_bucket_stats",
+    "embedding_norm_stats",
+    "dedup_hyperplane_lsh",
+    "q18_large_volume_customer",
+    "q10_returned_item_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q20_heavy_widget_suppliers",
+    "layout_zorder_stats",
+    "multimodal_audio_features",
+    "multimodal_decode_quarantine",
+    "agg_percentiles_by_status",
+    "agg_stats_moments",
+    "window_range_frame_spend",
+    "join_full_outer_event_coverage",
 ]
 def _ensure_loaded() -> None:
     """Import every module that registers queries (idempotent), then
@@ -293,6 +292,7 @@ def _ensure_loaded() -> None:
         dedup,
         expectations,
         graph,
+        inference,
         joins_advanced,
         json_ops,
         layout_stats,
@@ -303,11 +303,12 @@ def _ensure_loaded() -> None:
         similarity,
         temporal,
         text,
+        tokenizer,
         tpch_extra,
         training,
         udtf_ops,
     )
-    from .sources import pydatasource  # noqa: F401
+    from .sources import filetail, pydatasource  # noqa: F401
     from .streaming import incremental, windows  # noqa: F401
 
     missing = [n for n in _PRIORITY if n not in QUERIES]

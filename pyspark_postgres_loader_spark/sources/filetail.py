@@ -387,3 +387,121 @@ class _DirTailStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass
+
+
+# ---------------------------------------------------------------------------
+# Driver-oracled query: batch-mode tail over a deterministic log file
+# ---------------------------------------------------------------------------
+#
+# The events fixture is materialized as a real log file (one
+# "event_id|event_type" line per event, sorted by the unique event_id),
+# read back through the file_tail DataSource in DIRECTORY mode with
+# min_split_bytes=1 so the byte-range SPLIT RULE actually runs on the
+# driver-checked path, and reduced to per-type aggregates that include
+# SUM(pos) — the byte offsets. A duplicated or lost line at any split
+# boundary, or a wrong offset, breaks the hash. The oracle regenerates
+# line lengths from the fixture and replays the offsets as a window
+# prefix-sum (all ASCII, so chars == bytes).
+
+_FILETAIL_ORACLE = """
+WITH lines AS (
+  SELECT event_id, event_type,
+         length(CAST(event_id AS VARCHAR)) + 1 + length(event_type) AS llen
+  FROM events
+),
+pos AS (
+  SELECT event_type, event_id,
+         CAST(COALESCE(SUM(llen + 1) OVER (
+           ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pos
+  FROM lines
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+       CAST(SUM(pos) AS BIGINT) AS sum_pos
+FROM pos
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+_FT_SCRATCH_DIRS: set[str] = set()
+
+
+def _register_filetail_query() -> None:
+    from pyspark.sql import functions as F
+
+    from ..registry import register
+    from ..tables import load_table
+
+    @register("filetail_batch_offsets", oracle=_FILETAIL_ORACLE)
+    def filetail_batch_offsets(spark, sf_dir: str):
+        """file_tail batch read, driver-oracled end to end: write the
+        events fixture as a log file (Spark text writer, one partition,
+        totally ordered by the unique event_id), tail it back through
+        the registered DataSource (directory mode, 4 partitions,
+        min_split_bytes=1 → the seek-back split rule runs for real),
+        parse, and aggregate counts + id sums + BYTE-OFFSET sums per
+        event type.
+
+        Scratch-dir hygiene: deterministic per (uid, pid, sf_dir) path,
+        overwritten on repeat calls within a process, atexit-removed —
+        the schema-evolution query's recipe (json_ops.py).
+
+        Scale notes (100 TB): reading is executor-side byte-range
+        splits, linear like a parquet scan; availability probing is one
+        stat + a bounded backward newline scan on the driver, no data.
+        The 1-byte min_split is the TEST setting — production keeps the
+        1 MiB default so kilobyte deltas don't explode task counts."""
+        import atexit
+        import hashlib
+        import shutil
+        import tempfile
+
+        ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+        scratch = os.path.join(
+            tempfile.gettempdir(),
+            f"filetail_q_{os.getuid()}_{os.getpid()}_{tag}",
+        )
+        (
+            ev.repartition(1)
+            .sortWithinPartitions("event_id")
+            .select(
+                F.concat_ws(
+                    "|", F.col("event_id").cast("string"), F.col("event_type")
+                ).alias("value")
+            )
+            .write.mode("overwrite")
+            .text(scratch)
+        )
+        if scratch not in _FT_SCRATCH_DIRS:
+            _FT_SCRATCH_DIRS.add(scratch)
+            atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+
+        spark.dataSource.register(FileTailDataSource)
+        tailed = (
+            spark.read.format("file_tail")
+            .option("glob", "part-*")
+            .option("n_partitions", "4")
+            .option("min_split_bytes", "1")
+            .load(scratch)
+        )
+        parts = F.split(F.col("line"), r"\|")
+        parsed = tailed.select(
+            "pos",
+            parts.getItem(0).cast("long").alias("event_id"),
+            parts.getItem(1).alias("event_type"),
+        )
+        return (
+            parsed.groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("n_lines"),
+                F.sum("event_id").cast("long").alias("sum_event_id"),
+                F.sum("pos").cast("long").alias("sum_pos"),
+            )
+            .orderBy("event_type")
+        )
+
+
+_register_filetail_query()
