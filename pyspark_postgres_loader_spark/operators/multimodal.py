@@ -9,12 +9,14 @@ tests/test_multimodal_codec.py. Audio is REAL for RIFF/WAVE 16-bit
 PCM: ``real_decode_audio`` walks the chunk list and extracts the PCM
 block (cross-checked against the stdlib ``wave`` writer), and
 ``multimodal_audio_features`` runs build→parse→RMS/zero-cross fully
-unstubbed with a symbolic DuckDB oracle. GIF (LZW) and PNG (stdlib
-zlib DEFLATE) also decode natively; JPEG needs an
-entropy decoder the container lacks (no PIL/libvips), so those — and
-the fixture's text-derived payloads, which are not images at all —
-fall back to a clearly-marked deterministic fake with the same output
-contract, keeping the fixture oracles engine-exact. Everything around
+unstubbed with a symbolic DuckDB oracle. GIF (LZW), PNG (stdlib zlib
+DEFLATE) and baseline greyscale JPEG (canonical huffman + dequant +
+orthonormal IDCT, round 7) also decode natively; color/progressive
+JPEG and WebP need codec libraries the container lacks (no
+PIL/libvips), so those — and the fixture's text-derived payloads,
+which are not images at all — fall back to a clearly-marked
+deterministic fake with the same output contract, keeping the fixture
+oracles engine-exact. Everything around
 the codec — binary column fabrication, schema, partition-batch shape,
 UDF signature, explode of per-frame rows — is real Spark plumbing,
 sized the way a 100 TB media pipeline would be (binary payloads stay
@@ -56,12 +58,16 @@ def real_decode_image(payload: bytes):
       decodes natively too — chunk walk, inflate, all five scanline
       filters (see ``_decode_png``).
 
-    JPEG/WebP require an entropy decoder (PIL/libvips) that is not
-    installed in this environment — those still raise
-    ``NotImplementedError``, and the pipeline falls back to the
-    deterministic ``fake_decode_meta`` stand-in for payloads that are
-    not decodable images at all (e.g. the text-derived fixture
-    payloads).
+    - JPEG (baseline sequential greyscale): canonical huffman decode,
+      DC prediction, zig-zag dequantization, orthonormal IDCT (see
+      ``_decode_jpeg``). Color/progressive/12-bit variants raise
+      ``NotImplementedError``.
+
+    WebP/AVIF require codec libraries (PIL/libvips) not installed in
+    this environment — those raise ``NotImplementedError``, and the
+    pipeline falls back to the deterministic ``fake_decode_meta``
+    stand-in for payloads that are not decodable images at all (e.g.
+    the text-derived fixture payloads).
     """
     import numpy as np
 
@@ -123,9 +129,13 @@ def real_decode_image(payload: bytes):
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
 
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
+
     raise NotImplementedError(
-        "JPEG/WebP require an entropy decoder (PIL/libvips) not "
-        "installed in this environment; PPM/BMP/GIF/PNG decode natively"
+        "WebP/AVIF require codec libraries (PIL/libvips) not installed "
+        "in this environment; PPM/BMP/GIF/PNG/baseline-greyscale-JPEG "
+        "decode natively"
     )
 
 
@@ -406,6 +416,353 @@ def _decode_gif(payload: bytes):
         canvas[top : top + h, left : left + w] = frame
         return sw, sh, table[canvas].copy()
     raise ValueError("GIF contains no image data")
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81, public spec): greyscale decode + encode
+# ---------------------------------------------------------------------------
+
+# zig-zag scan order (spec Figure 5): _ZIGZAG[k] = row-major index of
+# the k-th coefficient in scan order
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# standard luminance quantization table (spec Annex K.1), row-major
+_JPEG_QTABLE = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+
+def _dct_matrix():
+    """8-point orthonormal DCT-II basis: forward F = T @ B @ T.T,
+    inverse B = T.T @ F @ T. For a constant block v the only nonzero
+    coefficient is DC = 8 v — the exactness the oracle leans on."""
+    import numpy as np
+
+    n = np.arange(8)
+    t = 0.5 * np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+    t[0] /= np.sqrt(2)
+    return t
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with JPEG
+    byte unstuffing (0xFF 0x00 → data 0xFF; 0xFF <marker> ends data)."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self._buf = buf
+        self._pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def bits(self, k: int) -> int:
+        while self._n < k:
+            if self._pos >= len(self._buf):
+                raise ValueError("truncated JPEG entropy data")
+            byte = self._buf[self._pos]
+            self._pos += 1
+            if byte == 0xFF:
+                nxt = self._buf[self._pos] if self._pos < len(self._buf) else None
+                if nxt == 0x00:
+                    self._pos += 1  # stuffed
+                else:
+                    raise ValueError("marker inside JPEG entropy data")
+            self._acc = (self._acc << 8) | byte
+            self._n += 8
+        out = (self._acc >> (self._n - k)) & ((1 << k) - 1)
+        self._n -= k
+        self._acc &= (1 << self._n) - 1
+        return out
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | reader.bits(1)
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _extend(value: int, size: int) -> int:
+    """Spec EXTEND: map the ``size``-bit magnitude to its signed value."""
+    if size == 0:
+        return 0
+    return value - (1 << size) + 1 if value < (1 << (size - 1)) else value
+
+
+def _decode_jpeg(payload: bytes):
+    """Baseline sequential greyscale JPEG, natively: marker walk
+    (DQT/SOF0/DHT/SOS, APPn/COM skipped), canonical huffman decode, DC
+    prediction + EXTEND, run-length AC with EOB/ZRL, dequantize in
+    zig-zag order, de-zigzag, orthonormal IDCT, level shift, clamp.
+    Progressive (SOF2), color (3-component), and 12-bit raise
+    ``NotImplementedError`` → the decode quarantine, same contract as
+    the other codecs."""
+    import struct as _struct
+
+    import numpy as np
+
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id)
+    w = h = 0
+    comp_q = 0
+    comp_dc = comp_ac = 0
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before scan
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG segment header")
+        seg_len = _struct.unpack(">H", payload[pos : pos + 2])[0]
+        seg = payload[pos + 2 : pos + seg_len]
+        if len(seg) != seg_len - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables")
+                qtables[tq] = list(seg[off + 1 : off + 65])
+                off += 65
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(seg):
+                tc, th = seg[off] >> 4, seg[off] & 0x0F
+                bits = list(seg[off + 1 : off + 17])
+                nvals = sum(bits)
+                vals = list(seg[off + 17 : off + 17 + nvals])
+                table: dict[tuple[int, int], int] = {}
+                code, vi = 0, 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        table[(length, code)] = vals[vi]
+                        code += 1
+                        vi += 1
+                    code <<= 1
+                htables[(tc, th)] = table
+                off += 17 + nvals
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, h, w, ncomp = seg[0], *_struct.unpack(">HH", seg[1:5]), seg[5]
+            if precision != 8:
+                raise NotImplementedError("12-bit JPEG")
+            if ncomp != 1:
+                raise NotImplementedError("color JPEG (multi-component)")
+            comp_q = seg[8] & 0x0F
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("non-baseline JPEG (SOF%d)" % (marker - 0xC0))
+        elif marker == 0xDA:  # SOS — entropy data follows
+            comp_dc = seg[2] >> 4
+            comp_ac = seg[2] & 0x0F
+            pos += seg_len
+            return _jpeg_scan(
+                payload, pos, w, h,
+                qtables[comp_q],
+                htables[(0, comp_dc)],
+                htables[(1, comp_ac)],
+            )
+        pos += seg_len
+    raise ValueError("JPEG has no scan data")
+
+
+def _jpeg_scan(payload, pos, w, h, qtable, dc_table, ac_table):
+    import numpy as np
+
+    if not (w and h):
+        raise ValueError("JPEG scan before SOF0")
+    t = _dct_matrix()
+    reader = _BitReader(payload, pos)
+    bw, bh = -(-w // 8), -(-h // 8)
+    out = np.empty((bh * 8, bw * 8), dtype=np.uint8)
+    q = np.asarray(qtable, dtype=np.float64)  # zig-zag order, as stored
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            zz = np.zeros(64, dtype=np.float64)
+            s = _huff_decode(reader, dc_table)
+            pred += _extend(reader.bits(s), s)
+            zz[0] = pred
+            k = 1
+            while k < 64:
+                sym = _huff_decode(reader, ac_table)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL: 16 zeros
+                    k += 16
+                    continue
+                run, size = sym >> 4, sym & 0x0F
+                k += run
+                if k > 63:
+                    raise ValueError("JPEG AC run past block end")
+                zz[k] = _extend(reader.bits(size), size)
+                k += 1
+            block = np.zeros(64, dtype=np.float64)
+            block[_ZIGZAG] = zz * q  # dequantize + de-zigzag
+            spatial = t.T @ block.reshape(8, 8) @ t
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.round(spatial + 128.0), 0, 255
+            ).astype(np.uint8)
+    grey = out[:h, :w]
+    return w, h, np.repeat(grey[:, :, None], 3, axis=2).copy()
+
+
+class _BitWriter:
+    """MSB-first bit writer with JPEG byte stuffing (data 0xFF → FF 00);
+    flush pads the final byte with 1-bits (spec F.1.2.3)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, k: int) -> None:
+        self._acc = (self._acc << k) | (value & ((1 << k) - 1))
+        self._n += k
+        while self._n >= 8:
+            byte = (self._acc >> (self._n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self._n -= 8
+            self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            self.write((1 << (8 - self._n)) - 1, 8 - self._n)
+
+
+def _jpeg_huffman_spec():
+    """Encoder huffman tables as canonical (bits, vals) pairs: 12 DC
+    categories at 4 bits, all 162 AC symbols at 8 bits. Flat-length
+    canonical tables are legal (the all-ones code stays unused, as the
+    spec requires) and keep the encoder trivial — decoders read
+    whatever DHT declares."""
+    dc_bits = [0] * 16
+    dc_bits[3] = 12  # 12 codes of length 4
+    dc_vals = list(range(12))
+    ac_bits = [0] * 16
+    ac_bits[7] = 162  # 162 codes of length 8
+    ac_vals = [0x00, 0xF0] + [
+        (run << 4) | size for run in range(16) for size in range(1, 11)
+    ]
+    return (dc_bits, dc_vals), (ac_bits, ac_vals)
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    codes: dict[int, tuple[int, int]] = {}
+    code, vi = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[vi]] = (code, length)
+            code += 1
+            vi += 1
+        code <<= 1
+    return codes
+
+
+def build_jpeg_grey(pixels, qtable: list[int] | None = None) -> bytes:
+    """Encode an ``(h, w)`` uint8 greyscale array as a baseline
+    sequential JFIF JPEG — the encode-side sibling of
+    :func:`_decode_jpeg`. Real forward path: level shift, orthonormal
+    DCT, quantization (Annex K luminance table by default, stored and
+    applied in zig-zag order), DC prediction, run-length AC, canonical
+    huffman coding, byte stuffing. Edge blocks pad by edge replication."""
+    import struct as _struct
+
+    import numpy as np
+
+    q_rowmajor = list(qtable) if qtable is not None else list(_JPEG_QTABLE)
+    q_zz = [q_rowmajor[_ZIGZAG[k]] for k in range(64)]
+    h, w = pixels.shape
+    bw, bh = -(-w // 8), -(-h // 8)
+    padded = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    padded[:h, :w] = pixels
+    padded[h:, :w] = pixels[-1:, :]  # edge replication
+    padded[:, w:] = padded[:, w - 1 : w]
+    t = _dct_matrix()
+    (dc_bits, dc_vals), (ac_bits, ac_vals) = _jpeg_huffman_spec()
+    dc_codes = _canonical_codes(dc_bits, dc_vals)
+    ac_codes = _canonical_codes(ac_bits, ac_vals)
+    qarr = np.asarray(q_zz, dtype=np.float64)
+
+    writer = _BitWriter()
+    pred = 0
+
+    def category(v: int) -> int:
+        return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+    def magnitude_bits(v: int, s: int) -> int:
+        return v if v >= 0 else v + (1 << s) - 1
+
+    for by in range(bh):
+        for bx in range(bw):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = t @ block @ t.T
+            zz = np.round(coef.reshape(64)[_ZIGZAG] / qarr).astype(np.int64)
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            s = category(diff)
+            code, length = dc_codes[s]
+            writer.write(code, length)
+            if s:
+                writer.write(magnitude_bits(diff, s), s)
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[0xF0]
+                    writer.write(code, length)
+                    run -= 16
+                s = category(v)
+                code, length = ac_codes[(run << 4) | s]
+                writer.write(code, length)
+                writer.write(magnitude_bits(v, s), s)
+                run = 0
+            if run:
+                code, length = ac_codes[0x00]
+                writer.write(code, length)
+    writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + _struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(q_zz))
+    out += seg(0xC0, _struct.pack(">BHHB", 8, h, w, 1) + bytes((1, 0x11, 0)))
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+        + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals),
+    )
+    out += seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
+    out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def fake_decode_meta(payload: bytes) -> tuple[int, int, int]:
@@ -1525,6 +1882,122 @@ def _codec_oracle() -> str:
     JOIN png_sums ps ON d.doc_id % {_CODEC_GROUPS} = ps.g
     ORDER BY d.doc_id
     """
+
+
+_JPEG_GROUPS = 12
+
+
+def _jpeg_payload(doc_id: int) -> bytes:
+    """Deterministic JPEG fixture: per-8x8-block CONSTANT values with
+    EVEN offsets from 128. Constant blocks make every AC coefficient
+    exactly 0 and DC = 8·(v−128); with the Annex K table's q00 = 16 the
+    quantized DC is (v−128)/2 — an integer for even offsets — so the
+    decode round-trips EXACTLY and the oracle can replay pixel values
+    in closed form despite JPEG being a lossy codec."""
+    import numpy as np
+
+    g = doc_id % _JPEG_GROUPS
+    bw, bh = 2 + g % 3, 2 + g % 2
+    vals = np.empty((bh, bw), np.uint8)
+    for by in range(bh):
+        for bx in range(bw):
+            vals[by, bx] = 128 + 2 * (((5 * bx + 3 * by + g) % 49) - 24)
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    payload = build_jpeg_grey(img)
+    if doc_id % 13 == 9:
+        payload = payload[: len(payload) // 2]
+    return payload
+
+
+def _jpeg_decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: fabricate → REAL baseline-JPEG decode
+    (huffman + dequant + IDCT) → integer facts, same shape as
+    ``_codec_decode_batches``."""
+    import numpy as np
+
+    for pdf in it:
+        if pdf.empty:
+            continue
+        out = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            try:
+                w, h, px = real_decode_image(_jpeg_payload(doc_id))
+                s = px.astype(np.int64).sum(axis=2).reshape(-1)
+                weights = np.arange(1, s.size + 1, dtype=np.int64)
+                out.append(
+                    (doc_id, "decoded", w, h, int(s.sum()), int((s * weights).sum()))
+                )
+            except Exception:  # noqa: BLE001 — any decode failure quarantines
+                out.append((doc_id, "corrupt", 0, 0, 0, 0))
+        yield pd.DataFrame(
+            out,
+            columns=["doc_id", "status", "width", "height", "px_sum", "wpx_sum"],
+        ).astype(
+            {
+                "doc_id": "int64", "width": "int32", "height": "int32",
+                "px_sum": "int64", "wpx_sum": "int64",
+            }
+        )
+
+
+def _jpeg_oracle() -> str:
+    """Symbolic replay of the block-constant JPEG fixture: pixel (x, y)
+    of group g is 128 + 2·(((5·(x//8) + 3·(y//8) + g) % 49) − 24),
+    summed plainly and position-weighted (greyscale replicates to RGB,
+    hence the ×3)."""
+    return f"""
+    WITH grp AS (
+      SELECT DISTINCT doc_id % {_JPEG_GROUPS} AS g FROM documents
+    ),
+    dims AS (
+      SELECT g, 8 * (2 + g % 3) AS w, 8 * (2 + g % 2) AS h FROM grp
+    ),
+    sums AS (
+      SELECT g, w, h,
+             CAST(3 * list_sum(list_transform(range(0, w * h),
+               i -> 128 + 2 * (((5 * ((i % w) // 8) + 3 * ((i // w) // 8) + g) % 49) - 24)
+             )) AS BIGINT) AS px_sum,
+             CAST(3 * list_sum(list_transform(range(0, w * h),
+               i -> (i + 1) * (128 + 2 * (((5 * ((i % w) // 8) + 3 * ((i // w) // 8) + g) % 49) - 24))
+             )) AS BIGINT) AS wpx_sum
+      FROM dims
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 13 = 9 THEN 'corrupt' ELSE 'decoded' END AS status,
+           CASE WHEN d.doc_id % 13 = 9 THEN 0 ELSE s.w END AS width,
+           CASE WHEN d.doc_id % 13 = 9 THEN 0 ELSE s.h END AS height,
+           CASE WHEN d.doc_id % 13 = 9 THEN 0 ELSE s.px_sum END AS px_sum,
+           CASE WHEN d.doc_id % 13 = 9 THEN 0 ELSE s.wpx_sum END AS wpx_sum
+    FROM documents d
+    JOIN sums s ON d.doc_id % {_JPEG_GROUPS} = s.g
+    ORDER BY d.doc_id
+    """
+
+
+@register("multimodal_jpeg_decode", oracle=_jpeg_oracle())
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native baseline-JPEG decode, end to end: fabricated block-
+    constant greyscale JPEGs (full real forward path — DCT, Annex K
+    quantization, huffman, byte stuffing) are decoded with the REAL
+    decoder (huffman + dequant + IDCT) and reduced to integer facts the
+    DuckDB oracle replays in closed form. The block-constant + even-
+    offset construction makes the lossy codec's round trip EXACT (see
+    ``_jpeg_payload``); non-constant content is covered by pytest
+    (q=1 near-lossless bound + independent naive-IDCT comparison).
+    Truncated payloads (doc_id % 13 == 9) exercise the quarantine path.
+
+    Scale notes (100 TB): same shape as every decode query — Arrow-
+    batched ``mapInPandas``, embarrassingly parallel, ~40 bytes/row of
+    integer facts re-enter the JVM."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        _jpeg_decode_batches,
+        schema=(
+            "doc_id long, status string, width int, height int, "
+            "px_sum long, wpx_sum long"
+        ),
+    ).orderBy("doc_id")
 
 
 @register("multimodal_codec_decode", oracle=_codec_oracle())

@@ -78,18 +78,21 @@ _LOADED = False
 # Round-7 rotation. Entering this round every one of the 180 previously
 # registered queries has been driver-verified at least once and is
 # latest-green (CORRECTNESS_r06 + the r6 verdict); staleness histogram:
-# r6=50, r5=49, r4=47, r3=34. This window = the 4 NEW round-7
+# r6=50, r5=49, r4=47, r3=34. This window = the 5 NEW round-7
 # registrations (the round-6 surfaces the r6 verdict ordered under
-# oracle discipline) at the head, then the 34 r3-latest names (the
-# stalest), then the first 12 r4-latest names — 4+34+12 = 50 exactly.
-# After the boundary the remaining names continue in staleness order
-# (35 r4, 49 r5, 50 r6) for drivers that check more than 50 rows.
+# oracle discipline, plus the stretch JPEG decoder) at the head, then
+# the 34 r3-latest names (the stalest), then the first 11 r4-latest
+# names — 5+34+11 = 50 exactly. After the boundary the remaining names
+# continue in staleness order (36 r4, 49 r5, 50 r6) for drivers that
+# check more than 50 rows.
 _PRIORITY = [
     # (a) round-7 registrations — never driver-checked, at the head so
-    # they get rows immediately (4): the four round-6 surfaces the r6
+    # they get rows immediately (5): the four round-6 surfaces the r6
     # verdict ordered oracled (codec decode, BPE training, embedding
-    # inference, file_tail batch)
+    # inference, file_tail batch) + the round-7 stretch (native baseline
+    # greyscale JPEG decode, block-constant-exact oracle)
     "multimodal_codec_decode",
+    "multimodal_jpeg_decode",
     "tokenizer_bpe_train_merges",
     "inference_embed_bucket_counts",
     "filetail_batch_offsets",
@@ -128,7 +131,7 @@ _PRIORITY = [
     "udtf_bigram_topk",
     "cogroup_user_activity_profile",
     "pysource_synthetic_events",
-    # (c) r4-latest head (12) — (a)+(b)+(c) = 4+34+12 = 50 exactly
+    # (c) r4-latest head (11) — (a)+(b)+(c) = 5+34+11 = 50 exactly
     "text_repetition_filter",
     "split_train_val_test",
     "search_bm25_topk",
@@ -140,9 +143,9 @@ _PRIORITY = [
     "ann_int8_rerank_topk",
     "anomaly_zscore_users",
     "json_variant_nested",
-    "pandas_udf_nfc_norm",
     # --- window boundary (50) ---
-    # overflow: remaining r4-latest (35) — round-8 rotation head
+    # overflow: remaining r4-latest (36) — round-8 rotation head
+    "pandas_udf_nfc_norm",
     "agg_corr_qty_price",
     "ingest_corrupt_json_quarantine",
     "stream_chained_window_rollup",

@@ -1,0 +1,172 @@
+"""Baseline greyscale JPEG codec (operators/multimodal):
+encoder→decoder round trips under three regimes (exact block-constant,
+near-lossless q=1, lossy Annex K), an INDEPENDENT direct-cosine-sum
+IDCT cross-check of the matrix transform, marker/edge handling, and
+the typed failures (truncation, color, progressive) that feed the
+decode quarantine."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark_postgres_loader_spark.operators.multimodal import (
+    _dct_matrix,
+    build_jpeg_grey,
+    real_decode_image,
+)
+
+
+def _grey(px):
+    assert px.shape[2] == 3
+    assert np.array_equal(px[:, :, 0], px[:, :, 1])
+    assert np.array_equal(px[:, :, 0], px[:, :, 2])
+    return px[:, :, 0]
+
+
+def test_block_constant_roundtrip_is_exact():
+    """Constant 8x8 blocks with EVEN offsets from 128: every AC is 0,
+    DC = 8(v-128) and q00 = 16 divides it — the lossy codec round-trips
+    bit-exactly. This is the property the registered oracle relies on."""
+    vals = np.array([[80, 128, 176], [130, 90, 254]], np.uint8)
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    w, h, px = real_decode_image(build_jpeg_grey(img))
+    assert (w, h) == (24, 16)
+    assert np.array_equal(_grey(px), img)
+
+
+def test_q1_roundtrip_near_lossless_and_odd_dimensions():
+    """All-ones quant table: the only loss is round(DCT coeff), which
+    bounds per-pixel error tightly; dims not multiples of 8 exercise
+    edge replication + crop."""
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(21, 37)).astype(np.uint8)
+    w, h, px = real_decode_image(build_jpeg_grey(img, qtable=[1] * 64))
+    assert (w, h) == (37, 21)
+    err = np.abs(_grey(px).astype(int) - img.astype(int))
+    assert err.max() <= 3
+
+
+def test_annexk_lossy_but_structured():
+    """Standard table on a smooth gradient: lossy, but error stays
+    small because gradients live in low-frequency coefficients."""
+    y, x = np.mgrid[0:32, 0:40]
+    img = ((x * 3 + y * 2) % 200 // 8 * 8 + 20).astype(np.uint8)
+    w, h, px = real_decode_image(build_jpeg_grey(img))
+    assert (w, h) == (40, 32)
+    err = np.abs(_grey(px).astype(float) - img.astype(float)).mean()
+    assert err < 12.0
+
+
+def test_idct_matrix_matches_direct_cosine_sum():
+    """Independent check of the transform the decoder uses: T.T @ F @ T
+    must equal the spec's direct O(N^4) sum
+    f(x,y) = sum_u sum_v C(u)C(v)/4 F(u,v) cos((2x+1)u pi/16) cos((2y+1)v pi/16)."""
+    rng = np.random.RandomState(5)
+    f = rng.uniform(-500, 500, size=(8, 8))
+    t = _dct_matrix()
+    fast = t.T @ f @ t
+
+    direct = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            acc = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    acc += (
+                        cu * cv / 4.0 * f[u, v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            direct[x, y] = acc
+    assert np.allclose(fast, direct, atol=1e-9)
+
+
+def test_byte_stuffing_actually_occurs_and_roundtrips():
+    """An image tuned to produce 0xFF bytes in the entropy stream: the
+    encoder must stuff 0x00 after them and the decoder must unstuff —
+    verified by finding a stuffed pair inside the scan and by the
+    decode succeeding."""
+    rng = np.random.RandomState(99)
+    img = rng.randint(0, 256, size=(48, 48)).astype(np.uint8)
+    payload = build_jpeg_grey(img, qtable=[1] * 64)
+    sos = payload.find(b"\xff\xda")
+    scan = payload[sos + 2 :]
+    assert b"\xff\x00" in scan  # stuffing really happened
+    w, h, px = real_decode_image(payload)
+    assert (w, h) == (48, 48)
+    assert np.abs(_grey(px).astype(int) - img.astype(int)).max() <= 3
+
+
+def test_truncated_jpeg_raises_for_quarantine():
+    img = np.full((16, 16), 130, np.uint8)
+    payload = build_jpeg_grey(img)
+    with pytest.raises(Exception):
+        real_decode_image(payload[: len(payload) // 2])
+
+
+def test_progressive_and_color_raise_not_implemented():
+    img = np.full((8, 8), 130, np.uint8)
+    payload = bytearray(build_jpeg_grey(img))
+    sof = payload.find(b"\xff\xc0")
+    # progressive: rewrite the SOF0 marker to SOF2
+    prog = bytes(payload[:sof]) + b"\xff\xc2" + bytes(payload[sof + 2 :])
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        real_decode_image(prog)
+    # color: claim 3 components in SOF0 (component count byte)
+    color = bytearray(payload)
+    color[sof + 9] = 3  # marker(2) + len(2) + precision(1) + h(2) + w(2)
+    with pytest.raises(NotImplementedError, match="color"):
+        real_decode_image(bytes(color))
+
+
+def test_dc_prediction_across_blocks():
+    """DC coding is DIFFERENTIAL across blocks: a staircase of block
+    values exercises nonzero diffs of both signs."""
+    vals = np.array([[128, 170, 128, 86]], np.uint8)
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    w, h, px = real_decode_image(build_jpeg_grey(img))
+    assert (w, h) == (32, 8)
+    assert np.array_equal(_grey(px), img)
+
+
+def test_jpeg_decodes_through_spark_pipeline(spark):
+    """Executor-side integration, mirroring the registered query."""
+    import pandas as pd
+
+    img_a = np.full((8, 16), 140, np.uint8)
+    img_b = np.repeat(np.repeat(np.array([[90, 200]], np.uint8), 8, 0), 8, 1)
+
+    def decode_batch(it):
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, px = real_decode_image(bytes(payload))
+                    rows.append((int(doc_id), "ok", w, h, int(px.sum())))
+                except Exception:
+                    rows.append((int(doc_id), "quarantined", 0, 0, 0))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "status", "w", "h", "px_sum"]
+            )
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(build_jpeg_grey(img_a))),
+            (2, bytearray(build_jpeg_grey(img_b))),
+            (3, bytearray(b"\xff\xd8 not actually a jpeg")),
+        ],
+        "doc_id long, payload binary",
+    )
+    out = {
+        r.doc_id: r
+        for r in df.mapInPandas(
+            decode_batch, schema="doc_id long, status string, w int, h int, px_sum long"
+        ).collect()
+    }
+    assert (out[1].status, out[1].w, out[1].h) == ("ok", 16, 8)
+    assert out[1].px_sum == 140 * 16 * 8 * 3
+    assert (out[2].status, out[2].w, out[2].h) == ("ok", 16, 8)
+    assert out[3].status == "quarantined"

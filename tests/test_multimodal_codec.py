@@ -80,13 +80,13 @@ def test_bmp_roundtrip_bottom_up_and_top_down():
 
 
 def test_compressed_and_non_image_raise_not_implemented():
-    # PNG now decodes natively (round 6, tests/test_png_decode.py); a
-    # PNG magic with a garbage body is a typed ValueError — still the
-    # quarantine path, just a different class of failure
+    # PNG (round 6) and baseline JPEG (round 7) now decode natively; a
+    # recognized magic with a garbage body is a typed ValueError —
+    # still the quarantine path, just a different class of failure
     with pytest.raises(ValueError):
         real_decode_image(b"\x89PNG\r\n\x1a\n....")
-    with pytest.raises(NotImplementedError):
-        real_decode_image(b"\xff\xd8\xff\xe0 jpeg soi/app0")
+    with pytest.raises(ValueError):
+        real_decode_image(b"\xff\xd8\xff\xe0 jpeg soi/app0 garbage body")
     with pytest.raises(NotImplementedError):
         real_decode_image(b"just some text payload")
     # 16-bit PPM is recognized but unsupported
