@@ -165,6 +165,13 @@ def _isolated_child(names: list[str]) -> None:
     spark = get_spark(app_name="bench-isolated")
     queries = registry.all_queries()
     _warmup(spark, sf_dir)
+    # one UNTIMED pass per query first: a fresh JVM is JIT-cold (C2
+    # compilation of Spark internals takes ~a minute of execution), and
+    # without this the "isolated" numbers read 1.5-2x SLOWER than
+    # in-suite — the exact inverse of the suite-context noise this pass
+    # exists to remove
+    for name in names:
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     out: dict[str, float] = {}
     for name in names:
         best = float("inf")

@@ -78,22 +78,24 @@ _LOADED = False
 # Round-7 rotation. Entering this round every one of the 180 previously
 # registered queries has been driver-verified at least once and is
 # latest-green (CORRECTNESS_r06 + the r6 verdict); staleness histogram:
-# r6=50, r5=49, r4=47, r3=34. This window = the 5 NEW round-7
+# r6=50, r5=49, r4=47, r3=34. This window = the 6 NEW round-7
 # registrations (the round-6 surfaces the r6 verdict ordered under
 # oracle discipline, plus the stretch JPEG decoder) at the head, then
-# the 34 r3-latest names (the stalest), then the first 11 r4-latest
-# names — 5+34+11 = 50 exactly. After the boundary the remaining names
-# continue in staleness order (36 r4, 49 r5, 50 r6) for drivers that
+# the 34 r3-latest names (the stalest), then the first 10 r4-latest
+# names — 6+34+10 = 50 exactly. After the boundary the remaining names
+# continue in staleness order (37 r4, 49 r5, 50 r6) for drivers that
 # check more than 50 rows.
 _PRIORITY = [
     # (a) round-7 registrations — never driver-checked, at the head so
-    # they get rows immediately (5): the four round-6 surfaces the r6
-    # verdict ordered oracled (codec decode, BPE training, embedding
-    # inference, file_tail batch) + the round-7 stretch (native baseline
-    # greyscale JPEG decode, block-constant-exact oracle)
+    # they get rows immediately (6): the four round-6 surfaces the r6
+    # verdict ordered oracled (codec decode, BPE training + the serving
+    # apply side, embedding inference, file_tail batch) + the round-7
+    # stretch (native baseline greyscale JPEG decode, block-constant-
+    # exact oracle)
     "multimodal_codec_decode",
     "multimodal_jpeg_decode",
     "tokenizer_bpe_train_merges",
+    "tokenizer_bpe_apply_tokens",
     "inference_embed_bucket_counts",
     "filetail_batch_offsets",
     # (b) r3-latest — the stalest existing names (34)
@@ -131,7 +133,7 @@ _PRIORITY = [
     "udtf_bigram_topk",
     "cogroup_user_activity_profile",
     "pysource_synthetic_events",
-    # (c) r4-latest head (11) — (a)+(b)+(c) = 5+34+11 = 50 exactly
+    # (c) r4-latest head (10) — (a)+(b)+(c) = 6+34+10 = 50 exactly
     "text_repetition_filter",
     "split_train_val_test",
     "search_bm25_topk",
@@ -142,9 +144,9 @@ _PRIORITY = [
     "path_top_transitions",
     "ann_int8_rerank_topk",
     "anomaly_zscore_users",
-    "json_variant_nested",
     # --- window boundary (50) ---
-    # overflow: remaining r4-latest (36) — round-8 rotation head
+    # overflow: remaining r4-latest (37) — round-8 rotation head
+    "json_variant_nested",
     "pandas_udf_nfc_norm",
     "agg_corr_qty_price",
     "ingest_corrupt_json_quarantine",
