@@ -134,8 +134,8 @@ def real_decode_image(payload: bytes):
 
     raise NotImplementedError(
         "WebP/AVIF require codec libraries (PIL/libvips) not installed "
-        "in this environment; PPM/BMP/GIF/PNG/baseline-greyscale-JPEG "
-        "decode natively"
+        "in this environment; PPM/BMP/GIF/PNG/baseline-JPEG (greyscale "
+        "and 4:4:4 color) decode natively"
     )
 
 
@@ -504,24 +504,50 @@ def _extend(value: int, size: int) -> int:
     return value - (1 << size) + 1 if value < (1 << (size - 1)) else value
 
 
+# libjpeg's fixed-point YCbCr→RGB constants (scaled by 2^16); the shift
+# is taken over a +256-biased non-negative numerator so the SAME floor
+# semantics hold in Python (>>), numpy, and DuckDB (whose integer //
+# truncates toward zero — equal to floor only for non-negatives).
+_YCC_BIAS = 256 << 16
+
+
+def _ycc_to_rgb(y, cb, cr):
+    """Integer-exact JFIF YCbCr→RGB: per-channel
+    clamp(((2^16·Y + K·(C−128) + 2^15 + BIAS) >> 16) − 256). Pure
+    integer arithmetic — the decode oracle replays it verbatim."""
+    import numpy as np
+
+    y = y.astype(np.int64)
+    cb = cb.astype(np.int64) - 128
+    cr = cr.astype(np.int64) - 128
+    half = 32768 + _YCC_BIAS
+
+    def chan(num):
+        return np.clip((num >> 16) - 256, 0, 255).astype(np.uint8)
+
+    r = chan((y << 16) + 91881 * cr + half)
+    g = chan((y << 16) - 22554 * cb - 46802 * cr + half)
+    b = chan((y << 16) + 116130 * cb + half)
+    return np.stack([r, g, b], axis=-1)
+
+
 def _decode_jpeg(payload: bytes):
-    """Baseline sequential greyscale JPEG, natively: marker walk
-    (DQT/SOF0/DHT/SOS, APPn/COM skipped), canonical huffman decode, DC
+    """Baseline sequential JPEG, natively: marker walk (DQT/SOF0/DHT/
+    SOS, APPn/COM skipped), canonical huffman decode, per-component DC
     prediction + EXTEND, run-length AC with EOB/ZRL, dequantize in
     zig-zag order, de-zigzag, orthonormal IDCT, level shift, clamp.
-    Progressive (SOF2), color (3-component), and 12-bit raise
+    Greyscale (1 component) and 4:4:4 color (3 components, all 1x1
+    sampling, integer-exact JFIF YCbCr→RGB) are supported; progressive
+    (SOF2), chroma subsampling, and 12-bit raise
     ``NotImplementedError`` → the decode quarantine, same contract as
     the other codecs."""
     import struct as _struct
-
-    import numpy as np
 
     pos = 2
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id)
     w = h = 0
-    comp_q = 0
-    comp_dc = comp_ac = 0
+    comps: list[tuple[int, int]] = []  # SOF order: (component id, tq)
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {pos}")
@@ -566,27 +592,46 @@ def _decode_jpeg(payload: bytes):
             precision, h, w, ncomp = seg[0], *_struct.unpack(">HH", seg[1:5]), seg[5]
             if precision != 8:
                 raise NotImplementedError("12-bit JPEG")
-            if ncomp != 1:
-                raise NotImplementedError("color JPEG (multi-component)")
-            comp_q = seg[8] & 0x0F
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"JPEG with {ncomp} components")
+            comps = []
+            for i in range(ncomp):
+                cid, sampling, tq = seg[6 + 3 * i : 9 + 3 * i]
+                if sampling != 0x11:
+                    raise NotImplementedError(
+                        "chroma-subsampled JPEG (only 4:4:4 supported)"
+                    )
+                comps.append((cid, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline JPEG (SOF%d)" % (marker - 0xC0))
         elif marker == 0xDA:  # SOS — entropy data follows
-            comp_dc = seg[2] >> 4
-            comp_ac = seg[2] & 0x0F
+            if not comps:
+                raise ValueError("JPEG scan before SOF0")
+            ns = seg[0]
+            if ns != len(comps):
+                raise NotImplementedError("multi-scan JPEG")
+            plan = []
+            for i in range(ns):
+                cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+                tq = dict(comps)[cs]
+                plan.append(
+                    (
+                        qtables[tq],
+                        htables[(0, tables >> 4)],
+                        htables[(1, tables & 0x0F)],
+                    )
+                )
             pos += seg_len
-            return _jpeg_scan(
-                payload, pos, w, h,
-                qtables[comp_q],
-                htables[(0, comp_dc)],
-                htables[(1, comp_ac)],
-            )
+            return _jpeg_scan(payload, pos, w, h, plan)
         pos += seg_len
     raise ValueError("JPEG has no scan data")
 
 
-def _jpeg_scan(payload, pos, w, h, qtable, dc_table, ac_table):
+def _jpeg_scan(payload, pos, w, h, plan):
+    """Decode the interleaved scan: each MCU holds one 8x8 block per
+    component (4:4:4), every component carrying its own DC predictor,
+    quant table and huffman tables."""
     import numpy as np
 
     if not (w and h):
@@ -594,37 +639,42 @@ def _jpeg_scan(payload, pos, w, h, qtable, dc_table, ac_table):
     t = _dct_matrix()
     reader = _BitReader(payload, pos)
     bw, bh = -(-w // 8), -(-h // 8)
-    out = np.empty((bh * 8, bw * 8), dtype=np.uint8)
-    q = np.asarray(qtable, dtype=np.float64)  # zig-zag order, as stored
-    pred = 0
+    ncomp = len(plan)
+    planes = [np.empty((bh * 8, bw * 8), dtype=np.uint8) for _ in range(ncomp)]
+    qs = [np.asarray(q, dtype=np.float64) for q, _, _ in plan]  # zig-zag order
+    preds = [0] * ncomp
     for by in range(bh):
         for bx in range(bw):
-            zz = np.zeros(64, dtype=np.float64)
-            s = _huff_decode(reader, dc_table)
-            pred += _extend(reader.bits(s), s)
-            zz[0] = pred
-            k = 1
-            while k < 64:
-                sym = _huff_decode(reader, ac_table)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL: 16 zeros
-                    k += 16
-                    continue
-                run, size = sym >> 4, sym & 0x0F
-                k += run
-                if k > 63:
-                    raise ValueError("JPEG AC run past block end")
-                zz[k] = _extend(reader.bits(size), size)
-                k += 1
-            block = np.zeros(64, dtype=np.float64)
-            block[_ZIGZAG] = zz * q  # dequantize + de-zigzag
-            spatial = t.T @ block.reshape(8, 8) @ t
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                np.round(spatial + 128.0), 0, 255
-            ).astype(np.uint8)
-    grey = out[:h, :w]
-    return w, h, np.repeat(grey[:, :, None], 3, axis=2).copy()
+            for ci, (_q, dc_table, ac_table) in enumerate(plan):
+                zz = np.zeros(64, dtype=np.float64)
+                s = _huff_decode(reader, dc_table)
+                preds[ci] += _extend(reader.bits(s), s)
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    sym = _huff_decode(reader, ac_table)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL: 16 zeros
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0x0F
+                    k += run
+                    if k > 63:
+                        raise ValueError("JPEG AC run past block end")
+                    zz[k] = _extend(reader.bits(size), size)
+                    k += 1
+                block = np.zeros(64, dtype=np.float64)
+                block[_ZIGZAG] = zz * qs[ci]  # dequantize + de-zigzag
+                spatial = t.T @ block.reshape(8, 8) @ t
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.round(spatial + 128.0), 0, 255
+                ).astype(np.uint8)
+    if ncomp == 1:
+        grey = planes[0][:h, :w]
+        return w, h, np.repeat(grey[:, :, None], 3, axis=2).copy()
+    rgb = _ycc_to_rgb(planes[0], planes[1], planes[2])
+    return w, h, rgb[:h, :w].copy()
 
 
 class _BitWriter:
@@ -681,25 +731,30 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return codes
 
 
-def build_jpeg_grey(pixels, qtable: list[int] | None = None) -> bytes:
-    """Encode an ``(h, w)`` uint8 greyscale array as a baseline
-    sequential JFIF JPEG — the encode-side sibling of
-    :func:`_decode_jpeg`. Real forward path: level shift, orthonormal
-    DCT, quantization (Annex K luminance table by default, stored and
-    applied in zig-zag order), DC prediction, run-length AC, canonical
-    huffman coding, byte stuffing. Edge blocks pad by edge replication."""
+def _encode_jpeg(planes, qtable: list[int] | None = None) -> bytes:
+    """Encode 1 (greyscale) or 3 (YCbCr, 4:4:4) equal-size ``(h, w)``
+    uint8 planes as a baseline sequential JFIF JPEG. Real forward path:
+    level shift, orthonormal DCT, quantization (Annex K luminance table
+    by default, stored and applied in zig-zag order, shared by all
+    components), per-component DC prediction, run-length AC, canonical
+    huffman coding, byte stuffing, interleaved MCUs. Edge blocks pad by
+    edge replication."""
     import struct as _struct
 
     import numpy as np
 
     q_rowmajor = list(qtable) if qtable is not None else list(_JPEG_QTABLE)
     q_zz = [q_rowmajor[_ZIGZAG[k]] for k in range(64)]
-    h, w = pixels.shape
+    ncomp = len(planes)
+    h, w = planes[0].shape
     bw, bh = -(-w // 8), -(-h // 8)
-    padded = np.empty((bh * 8, bw * 8), dtype=np.float64)
-    padded[:h, :w] = pixels
-    padded[h:, :w] = pixels[-1:, :]  # edge replication
-    padded[:, w:] = padded[:, w - 1 : w]
+    padded = []
+    for p in planes:
+        pad = np.empty((bh * 8, bw * 8), dtype=np.float64)
+        pad[:h, :w] = p
+        pad[h:, :w] = p[-1:, :]  # edge replication
+        pad[:, w:] = pad[:, w - 1 : w]
+        padded.append(pad)
     t = _dct_matrix()
     (dc_bits, dc_vals), (ac_bits, ac_vals) = _jpeg_huffman_spec()
     dc_codes = _canonical_codes(dc_bits, dc_vals)
@@ -707,7 +762,7 @@ def build_jpeg_grey(pixels, qtable: list[int] | None = None) -> bytes:
     qarr = np.asarray(q_zz, dtype=np.float64)
 
     writer = _BitWriter()
-    pred = 0
+    preds = [0] * ncomp
 
     def category(v: int) -> int:
         return int(v).bit_length() if v > 0 else int(-v).bit_length()
@@ -717,34 +772,35 @@ def build_jpeg_grey(pixels, qtable: list[int] | None = None) -> bytes:
 
     for by in range(bh):
         for bx in range(bw):
-            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-            coef = t @ block @ t.T
-            zz = np.round(coef.reshape(64)[_ZIGZAG] / qarr).astype(np.int64)
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
-            s = category(diff)
-            code, length = dc_codes[s]
-            writer.write(code, length)
-            if s:
-                writer.write(magnitude_bits(diff, s), s)
-            run = 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_codes[0xF0]
-                    writer.write(code, length)
-                    run -= 16
-                s = category(v)
-                code, length = ac_codes[(run << 4) | s]
+            for ci in range(ncomp):
+                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = t @ block @ t.T
+                zz = np.round(coef.reshape(64)[_ZIGZAG] / qarr).astype(np.int64)
+                diff = int(zz[0]) - preds[ci]
+                preds[ci] = int(zz[0])
+                s = category(diff)
+                code, length = dc_codes[s]
                 writer.write(code, length)
-                writer.write(magnitude_bits(v, s), s)
+                if s:
+                    writer.write(magnitude_bits(diff, s), s)
                 run = 0
-            if run:
-                code, length = ac_codes[0x00]
-                writer.write(code, length)
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_codes[0xF0]
+                        writer.write(code, length)
+                        run -= 16
+                    s = category(v)
+                    code, length = ac_codes[(run << 4) | s]
+                    writer.write(code, length)
+                    writer.write(magnitude_bits(v, s), s)
+                    run = 0
+                if run:
+                    code, length = ac_codes[0x00]
+                    writer.write(code, length)
     writer.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -753,16 +809,37 @@ def build_jpeg_grey(pixels, qtable: list[int] | None = None) -> bytes:
     out = bytearray(b"\xff\xd8")
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xDB, bytes([0x00]) + bytes(q_zz))
-    out += seg(0xC0, _struct.pack(">BHHB", 8, h, w, 1) + bytes((1, 0x11, 0)))
+    sof = _struct.pack(">BHHB", 8, h, w, ncomp) + b"".join(
+        bytes((ci + 1, 0x11, 0)) for ci in range(ncomp)
+    )
+    out += seg(0xC0, sof)
     out += seg(
         0xC4,
         bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
         + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals),
     )
-    out += seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
+    sos = bytes([ncomp]) + b"".join(
+        bytes((ci + 1, 0x00)) for ci in range(ncomp)
+    ) + bytes((0, 63, 0))
+    out += seg(0xDA, sos)
     out += writer.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def build_jpeg_grey(pixels, qtable: list[int] | None = None) -> bytes:
+    """Encode an ``(h, w)`` uint8 greyscale array as a baseline
+    sequential JFIF JPEG — the encode-side sibling of
+    :func:`_decode_jpeg`."""
+    return _encode_jpeg([pixels], qtable)
+
+
+def build_jpeg_ycbcr(ycbcr, qtable: list[int] | None = None) -> bytes:
+    """Encode an ``(h, w, 3)`` uint8 YCbCr array as a 4:4:4 color
+    baseline JPEG (three interleaved components, each with its own DC
+    predictor). JPEG stores YCbCr; the decoder applies the
+    integer-exact JFIF conversion to RGB (:func:`_ycc_to_rgb`)."""
+    return _encode_jpeg([ycbcr[:, :, 0], ycbcr[:, :, 1], ycbcr[:, :, 2]], qtable)
 
 
 def fake_decode_meta(payload: bytes) -> tuple[int, int, int]:
@@ -1894,17 +1971,41 @@ def _jpeg_payload(doc_id: int) -> bytes:
     exactly 0 and DC = 8·(v−128); with the Annex K table's q00 = 16 the
     quantized DC is (v−128)/2 — an integer for even offsets — so the
     decode round-trips EXACTLY and the oracle can replay pixel values
-    in closed form despite JPEG being a lossy codec."""
+    in closed form despite JPEG being a lossy codec. Even groups are
+    GREYSCALE (1 component); odd groups are 4:4:4 COLOR (3 interleaved
+    YCbCr components, decoded through the integer-exact JFIF
+    conversion the oracle replays verbatim)."""
     import numpy as np
 
     g = doc_id % _JPEG_GROUPS
-    bw, bh = 2 + g % 3, 2 + g % 2
-    vals = np.empty((bh, bw), np.uint8)
-    for by in range(bh):
-        for bx in range(bw):
-            vals[by, bx] = 128 + 2 * (((5 * bx + 3 * by + g) % 49) - 24)
-    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
-    payload = build_jpeg_grey(img)
+
+    def block_grid(bw, bh, fn):
+        vals = np.empty((bh, bw), np.uint8)
+        for by in range(bh):
+            for bx in range(bw):
+                vals[by, bx] = fn(bx, by)
+        return np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+
+    if g % 2 == 0:
+        bw, bh = 2 + g % 3, 2 + g % 2
+        img = block_grid(
+            bw, bh, lambda bx, by: 128 + 2 * (((5 * bx + 3 * by + g) % 49) - 24)
+        )
+        payload = build_jpeg_grey(img)
+    else:
+        bw, bh = 1 + g % 3, 1 + g % 2
+        planes = np.stack(
+            [
+                block_grid(bw, bh,
+                           lambda bx, by: 128 + 2 * (((5 * bx + 3 * by + g) % 49) - 24)),
+                block_grid(bw, bh,
+                           lambda bx, by: 128 + 2 * (((3 * bx + 7 * by + 2 * g) % 49) - 24)),
+                block_grid(bw, bh,
+                           lambda bx, by: 128 + 2 * (((bx + 11 * by + 3 * g) % 49) - 24)),
+            ],
+            axis=-1,
+        )
+        payload = build_jpeg_ycbcr(planes)
     if doc_id % 13 == 9:
         payload = payload[: len(payload) // 2]
     return payload
@@ -1954,26 +2055,53 @@ def _jpeg_decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def _jpeg_oracle() -> str:
-    """Symbolic replay of the block-constant JPEG fixture: pixel (x, y)
-    of group g is 128 + 2·(((5·(x//8) + 3·(y//8) + g) % 49) − 24),
-    summed plainly and position-weighted (greyscale replicates to RGB,
-    hence the ×3)."""
+    """Symbolic replay of the block-constant JPEG fixture. Greyscale
+    groups: pixel (x, y) is 128 + 2·(((5·(x//8) + 3·(y//8) + g) % 49)
+    − 24), ×3 for the RGB replication. Color groups: the three YCbCr
+    block formulas feed the SAME integer fixed-point JFIF conversion
+    the decoder applies (``_ycc_to_rgb``) — the ``+ BIAS`` term keeps
+    the shifted numerator non-negative, where DuckDB's truncating ``//``
+    agrees with Python's flooring ``>>``."""
+    half = 32768 + _YCC_BIAS
+
+    def chan(num: str) -> str:
+        return f"GREATEST(0, LEAST(255, (({num}) // 65536) - 256))"
+
+    yv = "(128 + 2 * (((5 * bx + 3 * by + g) % 49) - 24))"
+    cb = "(2 * (((3 * bx + 7 * by + 2 * g) % 49) - 24))"  # Cb - 128
+    cr = "(2 * (((bx + 11 * by + 3 * g) % 49) - 24))"  # Cr - 128
+    r = chan(f"{yv} * 65536 + 91881 * {cr} + {half}")
+    gch = chan(f"{yv} * 65536 - 22554 * {cb} - 46802 * {cr} + {half}")
+    b = chan(f"{yv} * 65536 + 116130 * {cb} + {half}")
     return f"""
     WITH grp AS (
       SELECT DISTINCT doc_id % {_JPEG_GROUPS} AS g FROM documents
     ),
     dims AS (
-      SELECT g, 8 * (2 + g % 3) AS w, 8 * (2 + g % 2) AS h FROM grp
+      SELECT g,
+             CASE WHEN g % 2 = 0 THEN 8 * (2 + g % 3) ELSE 8 * (1 + g % 3) END AS w,
+             CASE WHEN g % 2 = 0 THEN 8 * (2 + g % 2) ELSE 8 * (1 + g % 2) END AS h
+      FROM grp
+    ),
+    idx AS (
+      SELECT g, w, h, unnest(range(0, w * h)) AS i FROM dims
+    ),
+    px AS (
+      SELECT g, w, h, i, (i % w) // 8 AS bx, (i // w) // 8 AS by FROM idx
+    ),
+    vals AS (
+      SELECT g, w, h, i,
+             CASE WHEN g % 2 = 0
+                  THEN 3 * (128 + 2 * (((5 * bx + 3 * by + g) % 49) - 24))
+                  ELSE ({r}) + ({gch}) + ({b})
+             END AS s
+      FROM px
     ),
     sums AS (
       SELECT g, w, h,
-             CAST(3 * list_sum(list_transform(range(0, w * h),
-               i -> 128 + 2 * (((5 * ((i % w) // 8) + 3 * ((i // w) // 8) + g) % 49) - 24)
-             )) AS BIGINT) AS px_sum,
-             CAST(3 * list_sum(list_transform(range(0, w * h),
-               i -> (i + 1) * (128 + 2 * (((5 * ((i % w) // 8) + 3 * ((i // w) // 8) + g) % 49) - 24))
-             )) AS BIGINT) AS wpx_sum
-      FROM dims
+             CAST(SUM(s) AS BIGINT) AS px_sum,
+             CAST(SUM((i + 1) * s) AS BIGINT) AS wpx_sum
+      FROM vals GROUP BY g, w, h
     )
     SELECT d.doc_id,
            CASE WHEN d.doc_id % 13 = 9 THEN 'corrupt' ELSE 'decoded' END AS status,

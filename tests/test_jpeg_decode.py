@@ -107,7 +107,7 @@ def test_truncated_jpeg_raises_for_quarantine():
         real_decode_image(payload[: len(payload) // 2])
 
 
-def test_progressive_and_color_raise_not_implemented():
+def test_progressive_and_subsampled_raise_not_implemented():
     img = np.full((8, 8), 130, np.uint8)
     payload = bytearray(build_jpeg_grey(img))
     sof = payload.find(b"\xff\xc0")
@@ -115,11 +115,50 @@ def test_progressive_and_color_raise_not_implemented():
     prog = bytes(payload[:sof]) + b"\xff\xc2" + bytes(payload[sof + 2 :])
     with pytest.raises(NotImplementedError, match="non-baseline"):
         real_decode_image(prog)
-    # color: claim 3 components in SOF0 (component count byte)
-    color = bytearray(payload)
-    color[sof + 9] = 3  # marker(2) + len(2) + precision(1) + h(2) + w(2)
-    with pytest.raises(NotImplementedError, match="color"):
-        real_decode_image(bytes(color))
+    # chroma subsampling: rewrite the component's sampling byte to 2x2
+    # (typical 4:2:0) — only 4:4:4 is supported
+    sub = bytearray(payload)
+    # marker(2) + len(2) + precision(1) + h(2) + w(2) + ncomp(1) + id(1)
+    sub[sof + 11] = 0x22
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        real_decode_image(bytes(sub))
+
+
+def test_color_block_constant_roundtrip_exact():
+    """4:4:4 color: constant YCbCr blocks with even offsets round-trip
+    exactly through encode → huffman decode → IDCT, then convert to
+    RGB via the integer-exact JFIF fixed-point formula — the decoded
+    pixels must equal _ycc_to_rgb of the original constants."""
+    from pyspark_postgres_loader_spark.operators.multimodal import (
+        _ycc_to_rgb,
+        build_jpeg_ycbcr,
+    )
+
+    vals = np.array(
+        [[[128, 90, 170], [80, 128, 128]], [[176, 130, 86], [130, 176, 90]]],
+        np.uint8,
+    )  # (2, 2, 3) block constants, all even offsets from 128
+    ycbcr = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    w, h, px = real_decode_image(build_jpeg_ycbcr(ycbcr))
+    assert (w, h) == (16, 16)
+    expected = _ycc_to_rgb(ycbcr[:, :, 0], ycbcr[:, :, 1], ycbcr[:, :, 2])
+    assert np.array_equal(px, expected)
+
+
+def test_color_q1_roundtrip_near_lossless():
+    """Arbitrary color content, all-ones table: per-channel YCbCr error
+    <= ~3, and the fixed-point conversion amplifies by < 2x."""
+    from pyspark_postgres_loader_spark.operators.multimodal import (
+        _ycc_to_rgb,
+        build_jpeg_ycbcr,
+    )
+
+    rng = np.random.RandomState(21)
+    ycbcr = rng.randint(0, 256, size=(19, 27, 3)).astype(np.uint8)
+    w, h, px = real_decode_image(build_jpeg_ycbcr(ycbcr, qtable=[1] * 64))
+    assert (w, h) == (27, 19)
+    expected = _ycc_to_rgb(ycbcr[:, :, 0], ycbcr[:, :, 1], ycbcr[:, :, 2])
+    assert np.abs(px.astype(int) - expected.astype(int)).max() <= 8
 
 
 def test_dc_prediction_across_blocks():
