@@ -428,57 +428,82 @@ ORDER BY event_type
 _FT_SCRATCH_DIRS: set[str] = set()
 
 
-def _register_filetail_query() -> None:
+def _materialize_event_log(spark, sf_dir: str) -> str:
+    """Write the events fixture as a deterministic log file (one
+    ``event_id|event_type`` line per event, totally ordered by the
+    unique event_id) into a scratch dir. Deterministic per (uid, pid,
+    sf_dir), overwritten on repeat calls within a process,
+    atexit-removed — the schema-evolution query's recipe (json_ops.py).
+    Shared by the batch and streaming file_tail queries."""
+    import atexit
+    import hashlib
+    import shutil
+    import tempfile
+
     from pyspark.sql import functions as F
 
-    from ..registry import register
     from ..tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"filetail_q_{os.getuid()}_{os.getpid()}_{tag}",
+    )
+    (
+        ev.repartition(1)
+        .sortWithinPartitions("event_id")
+        .select(
+            F.concat_ws(
+                "|", F.col("event_id").cast("string"), F.col("event_type")
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(scratch)
+    )
+    if scratch not in _FT_SCRATCH_DIRS:
+        _FT_SCRATCH_DIRS.add(scratch)
+        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    return scratch
+
+
+def _parse_and_aggregate(tailed):
+    """(pos, line) rows → per-event_type (n_lines, sum_event_id,
+    sum_pos) — identical for the batch and streaming paths, so both
+    share one oracle."""
+    from pyspark.sql import functions as F
+
+    parts = F.split(F.col("line"), r"\|")
+    parsed = tailed.select(
+        "pos",
+        parts.getItem(0).cast("long").alias("event_id"),
+        parts.getItem(1).alias("event_type"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("event_id").cast("long").alias("sum_event_id"),
+        F.sum("pos").cast("long").alias("sum_pos"),
+    )
+
+
+def _register_filetail_queries() -> None:
+    from ..registry import register
 
     @register("filetail_batch_offsets", oracle=_FILETAIL_ORACLE)
     def filetail_batch_offsets(spark, sf_dir: str):
         """file_tail batch read, driver-oracled end to end: write the
-        events fixture as a log file (Spark text writer, one partition,
-        totally ordered by the unique event_id), tail it back through
-        the registered DataSource (directory mode, 4 partitions,
+        events fixture as a log file, tail it back through the
+        registered DataSource (directory mode, 4 partitions,
         min_split_bytes=1 → the seek-back split rule runs for real),
         parse, and aggregate counts + id sums + BYTE-OFFSET sums per
         event type.
-
-        Scratch-dir hygiene: deterministic per (uid, pid, sf_dir) path,
-        overwritten on repeat calls within a process, atexit-removed —
-        the schema-evolution query's recipe (json_ops.py).
 
         Scale notes (100 TB): reading is executor-side byte-range
         splits, linear like a parquet scan; availability probing is one
         stat + a bounded backward newline scan on the driver, no data.
         The 1-byte min_split is the TEST setting — production keeps the
         1 MiB default so kilobyte deltas don't explode task counts."""
-        import atexit
-        import hashlib
-        import shutil
-        import tempfile
-
-        ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
-        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
-        scratch = os.path.join(
-            tempfile.gettempdir(),
-            f"filetail_q_{os.getuid()}_{os.getpid()}_{tag}",
-        )
-        (
-            ev.repartition(1)
-            .sortWithinPartitions("event_id")
-            .select(
-                F.concat_ws(
-                    "|", F.col("event_id").cast("string"), F.col("event_type")
-                ).alias("value")
-            )
-            .write.mode("overwrite")
-            .text(scratch)
-        )
-        if scratch not in _FT_SCRATCH_DIRS:
-            _FT_SCRATCH_DIRS.add(scratch)
-            atexit.register(shutil.rmtree, scratch, ignore_errors=True)
-
+        scratch = _materialize_event_log(spark, sf_dir)
         spark.dataSource.register(FileTailDataSource)
         tailed = (
             spark.read.format("file_tail")
@@ -487,21 +512,39 @@ def _register_filetail_query() -> None:
             .option("min_split_bytes", "1")
             .load(scratch)
         )
-        parts = F.split(F.col("line"), r"\|")
-        parsed = tailed.select(
-            "pos",
-            parts.getItem(0).cast("long").alias("event_id"),
-            parts.getItem(1).alias("event_type"),
+        return _parse_and_aggregate(tailed).orderBy("event_type")
+
+    @register("stream_filetail_log_counts", oracle=_FILETAIL_ORACLE)
+    def stream_filetail_log_counts(spark, sf_dir: str):
+        """The file_tail STREAMING path, driver-oracled: the same
+        deterministic log is consumed via ``readStream`` (directory
+        mode — per-file ``{name: [inode, sig_len, prefix_crc, pos]}``
+        offsets, the rotation-aware law), driven to completion with
+        ``trigger(availableNow=True)`` into a memory sink in complete
+        mode, and must produce byte-offset-exact aggregates identical
+        to the batch read — which is exactly what the shared oracle
+        asserts. This upgrades the streaming reader from pytest-only to
+        a CORRECTNESS row: offset math, split rule, and the
+        micro-batch planning path all sit on the checked surface.
+
+        Scale notes (100 TB): one stat + ≤64-byte prefix read per file
+        per poll on the driver; executor-side byte-range reads; state
+        here is one small aggregation (complete mode is fine for a
+        bounded key space — event types; production rollups switch to
+        watermarked windows, streaming/windows.py)."""
+        from ..streaming.windows import _run_to_memory
+
+        scratch = _materialize_event_log(spark, sf_dir)
+        spark.dataSource.register(FileTailDataSource)
+        stream = (
+            spark.readStream.format("file_tail")
+            .option("glob", "part-*")
+            .option("n_partitions", "4")
+            .option("min_split_bytes", "1")
+            .load(scratch)
         )
-        return (
-            parsed.groupBy("event_type")
-            .agg(
-                F.count("*").cast("long").alias("n_lines"),
-                F.sum("event_id").cast("long").alias("sum_event_id"),
-                F.sum("pos").cast("long").alias("sum_pos"),
-            )
-            .orderBy("event_type")
-        )
+        out = _run_to_memory(_parse_and_aggregate(stream), "complete")
+        return out.orderBy("event_type")
 
 
-_register_filetail_query()
+_register_filetail_queries()
