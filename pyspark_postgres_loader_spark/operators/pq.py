@@ -1,0 +1,251 @@
+"""Product quantization (PQ) — the ANN memory path at 100 TB scale
+(Jégou et al., "Product Quantization for Nearest Neighbor Search",
+public): split each d-dim vector into m subspaces, k-means a small
+codebook per subspace, store each vector as m one-byte codes, and
+score queries with ADC (asymmetric distance computation) — a lookup
+table of query-subvector→codebook distances summed per code tuple.
+The corpus shrinks from d floats to m bytes per vector (64×4B → 4B
+here), which is what makes billion-vector search fit in memory; IVF
+(similarity.py) prunes WHICH vectors to score, PQ shrinks the cost of
+SCORING each one — production systems (FAISS IVF-PQ) compose both.
+
+Determinism contract — the integer micro-unit recipe shared with
+k-means (clustering.py, which documents why ``round(x*1e6)`` agrees
+bit-for-bit across engines): subvector k-means runs a FIXED number of
+Lloyd rounds on BIGINT micros (argmin ties → lower code id; centroid
+update = one IEEE double division floored), encoding is the same
+argmin, and ADC distances are exact BIGINT sums — the whole train →
+encode → score pipeline is replayed by the DuckDB oracle as unrolled
+CTEs.
+
+Scale design (100 TB):
+- Codebooks are m×k×(d/m) — 16 rows here, kilobytes at any real size
+  (m=16, k=256 → 4096 rows): ALWAYS broadcast; training shuffles only
+  ~m·k·(d/m) partial-sum rows per partition per round (map-side
+  combine), never the corpus.
+- Encoding is a pure map-side projection against the broadcast
+  codebook — no shuffle; at scale the codes column is written back
+  partitioned like any other derived column.
+- ADC: the per-query distance TABLE (|Q|·m·k rows) broadcasts; the
+  corpus-side join explodes each vector to its m codes (slim
+  (vec_id, sub, code) rows), so the only aggregation shuffle carries
+  |Q|·N slim partial sums — the same |Q|·N-not-N² shape as the
+  brute-force scorer (similarity.py), but each partial is a table
+  LOOKUP, not a d-dim dot product.
+
+Reference: no counterpart (SURVEY.md §2l LLM-pipeline extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.planctl import spread as _spread
+from ..registry import register
+from ..tables import load_table
+from .clustering import _MICRO, _quantize, _sqdist, _sql_sqdist, _SQL_QUANTIZE
+
+_PQ_M = 4  # subspaces (64 dims -> 4 x 16)
+_PQ_SUBDIM = 16
+_PQ_K = 4  # codes per subspace; init = subvectors of vec_id 0.._PQ_K-1
+_PQ_ITERS = 2  # fixed Lloyd rounds per subspace
+_PQ_NQ = 8  # query vectors: vec_id < _PQ_NQ
+_PQ_TOPK = 5
+
+
+def _subvectors(corpus: DataFrame) -> DataFrame:
+    """(vec_id, emb_micro) → (vec_id, sub, sv): m fixed slices per
+    vector. The explode is m slim rows per vector — never d rows."""
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice("emb_micro", s * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("sv"),
+            )
+            for s in range(_PQ_M)
+        ]
+    )
+    return corpus.select("vec_id", F.explode(subs).alias("x")).select(
+        "vec_id", F.col("x.sub").alias("sub"), F.col("x.sv").alias("sv")
+    )
+
+
+def _pq_assign(svs: DataFrame, cb: DataFrame) -> DataFrame:
+    """Nearest-code assignment with ZERO data shuffle: all m·k codebook
+    entries fold into ONE broadcast array row; per subvector the argmin
+    is ``array_min`` over (sq_dist, code) structs (ties → lower code),
+    matching the oracle's ROW_NUMBER argmin."""
+    cb_arr = cb.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("sub"), F.col("code"), F.col("c_micro")))
+        ).alias("cbs")
+    )
+    mine = F.filter(F.col("cbs"), lambda c: c["sub"] == F.col("sub"))
+    best = F.array_min(
+        F.transform(
+            mine,
+            lambda c: F.struct(
+                _sqdist(F.col("sv"), c["c_micro"]).alias("d"),
+                c["code"].alias("code"),
+            ),
+        )
+    )
+    return (
+        svs.crossJoin(F.broadcast(cb_arr))
+        .withColumn("best", best)
+        .select("vec_id", "sub", "sv", F.col("best.code").alias("code"))
+    )
+
+
+def _pq_recompute(assigned: DataFrame) -> DataFrame:
+    """New per-(sub, code) centroids as floored per-dimension means in
+    micros — posexplode + partial-aggregated groupBy, the clustering.py
+    update shape with the subspace key added."""
+    exploded = assigned.select(
+        "sub", "code", F.posexplode("sv").alias("dim", "val")
+    )
+    means = exploded.groupBy("sub", "code", "dim").agg(
+        F.floor(F.sum("val").cast("double") / F.count("val"))
+        .cast("long")
+        .alias("mean_micro")
+    )
+    return means.groupBy("sub", "code").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mean_micro"))),
+            lambda s: s["mean_micro"],
+        ).alias("c_micro")
+    )
+
+
+def _pq_oracle() -> str:
+    """Unrolled-CTE DuckDB replay of train → encode → ADC (all
+    MATERIALIZED — each level is referenced twice)."""
+    sq = _sql_sqdist
+    quant = _SQL_QUANTIZE.format(v="embedding")
+    slices = ", ".join(
+        f"({s}, {s * _PQ_SUBDIM + 1}, {(s + 1) * _PQ_SUBDIM})"
+        for s in range(_PQ_M)
+    )
+    parts = [
+        f"corpus AS MATERIALIZED (SELECT vec_id, {quant} AS emb_micro FROM embeddings)",
+        f"""svs AS MATERIALIZED (
+      SELECT vec_id, s.sub AS sub, emb_micro[s.lo:s.hi] AS sv
+      FROM corpus, (VALUES {slices}) s(sub, lo, hi))""",
+        f"""cb0 AS MATERIALIZED (
+      SELECT sub, vec_id AS code, sv AS c_micro FROM svs WHERE vec_id < {_PQ_K})""",
+    ]
+    for t in range(_PQ_ITERS):
+        parts.append(f"""asg{t} AS MATERIALIZED (
+      SELECT vec_id, sub, sv, code FROM (
+        SELECT v.vec_id, v.sub, v.sv, c.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id, v.sub
+                 ORDER BY {sq('v.sv', 'c.c_micro')} ASC, c.code
+               ) AS rn
+        FROM svs v JOIN cb{t} c ON v.sub = c.sub
+      ) WHERE rn = 1)""")
+        parts.append(f"""cb{t + 1} AS MATERIALIZED (
+      SELECT sub, code, array_agg(mean_micro ORDER BY dim) AS c_micro FROM (
+        SELECT sub, code, dim,
+               CAST(floor(CAST(SUM(val) AS DOUBLE) / COUNT(val)) AS BIGINT)
+                 AS mean_micro
+        FROM (
+          SELECT sub, code,
+                 generate_subscripts(sv, 1) - 1 AS dim,
+                 unnest(sv) AS val
+          FROM asg{t}
+        ) GROUP BY sub, code, dim
+      ) GROUP BY sub, code)""")
+    it = _PQ_ITERS
+    parts.append(f"""codes AS MATERIALIZED (
+      SELECT vec_id, sub, code FROM (
+        SELECT v.vec_id, v.sub, c.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id, v.sub
+                 ORDER BY {sq('v.sv', 'c.c_micro')} ASC, c.code
+               ) AS rn
+        FROM svs v JOIN cb{it} c ON v.sub = c.sub
+      ) WHERE rn = 1)""")
+    parts.append(f"""dtable AS MATERIALIZED (
+      SELECT q.vec_id AS qid, c.sub, c.code,
+             {sq('q.sv', 'c.c_micro')} AS d
+      FROM svs q JOIN cb{it} c ON q.sub = c.sub
+      WHERE q.vec_id < {_PQ_NQ})""")
+    parts.append("""adc AS MATERIALIZED (
+      SELECT d.qid, a.vec_id, CAST(SUM(d.d) AS BIGINT) AS adc_micro
+      FROM codes a JOIN dtable d ON a.sub = d.sub AND a.code = d.code
+      GROUP BY d.qid, a.vec_id)""")
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT qid, rank, vec_id,
+           CAST(adc_micro AS DOUBLE) / {_MICRO * _MICRO} AS adc_dist
+    FROM (
+      SELECT qid, vec_id, adc_micro,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY adc_micro, vec_id) AS INT) AS rank
+      FROM adc
+    ) WHERE rank <= {_PQ_TOPK}
+    ORDER BY qid, rank
+    """
+    )
+
+
+@register("ann_pq_adc_topk", oracle=_pq_oracle())
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ's other half, driver-oracled end to end: train per-
+    subspace codebooks ({m}x{k}, {iters} integer-exact Lloyd rounds),
+    encode every vector to {m} codes, and answer {nq} queries by ADC —
+    broadcast the query→codebook distance table, join it to the slim
+    exploded codes, sum, top-{topk} per query under a total order.
+    Every stage (training argmins, floored centroid updates, encoding,
+    the BIGINT ADC sums) is bit-deterministic, so the DuckDB oracle
+    replays the full pipeline as unrolled CTEs."""
+    corpus = _spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _quantize(F.col("embedding")).alias("emb_micro")
+    )
+    svs = _subvectors(corpus)
+    cb = svs.filter(F.col("vec_id") < _PQ_K).select(
+        "sub", F.col("vec_id").alias("code"), F.col("sv").alias("c_micro")
+    )
+    for _ in range(_PQ_ITERS):
+        cb = _pq_recompute(_pq_assign(svs, cb))
+    codes = _pq_assign(svs, cb).select("vec_id", "sub", "code")
+
+    q_svs = svs.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("qid"), "sub", "sv"
+    )
+    dtable = q_svs.join(cb, "sub").select(
+        "qid", "sub", "code", _sqdist(F.col("sv"), F.col("c_micro")).alias("d")
+    )
+    adc = (
+        codes.join(F.broadcast(dtable), ["sub", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d").cast("long").alias("adc_micro"))
+    )
+    ranked = adc.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.partitionBy("qid").orderBy("adc_micro", "vec_id"))
+        .cast("int"),
+    )
+    return (
+        ranked.filter(F.col("rank") <= _PQ_TOPK)
+        .select(
+            "qid",
+            "rank",
+            "vec_id",
+            (F.col("adc_micro").cast("double") / (_MICRO * _MICRO)).alias(
+                "adc_dist"
+            ),
+        )
+        .orderBy("qid", "rank")
+    )
+
+
+ann_pq_adc_topk.__doc__ = ann_pq_adc_topk.__doc__.format(
+    m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, nq=_PQ_NQ, topk=_PQ_TOPK
+)

@@ -78,20 +78,20 @@ _LOADED = False
 # Round-7 rotation. Entering this round every one of the 180 previously
 # registered queries has been driver-verified at least once and is
 # latest-green (CORRECTNESS_r06 + the r6 verdict); staleness histogram:
-# r6=50, r5=49, r4=47, r3=34. This window = the 7 NEW round-7
+# r6=50, r5=49, r4=47, r3=34. This window = the 8 NEW round-7
 # registrations (the round-6 surfaces the r6 verdict ordered under
 # oracle discipline, plus the stretch JPEG decoder) at the head, then
-# the 34 r3-latest names (the stalest), then the first 9 r4-latest
-# names — 7+34+9 = 50 exactly. After the boundary the remaining names
-# continue in staleness order (38 r4, 49 r5, 50 r6) for drivers that
+# the 34 r3-latest names (the stalest), then the first 8 r4-latest
+# names — 8+34+8 = 50 exactly. After the boundary the remaining names
+# continue in staleness order (39 r4, 49 r5, 50 r6) for drivers that
 # check more than 50 rows.
 _PRIORITY = [
     # (a) round-7 registrations — never driver-checked, at the head so
-    # they get rows immediately (7): the four round-6 surfaces the r6
+    # they get rows immediately (8): the four round-6 surfaces the r6
     # verdict ordered oracled (codec decode, BPE training + the serving
     # apply side, embedding inference, file_tail batch) + the round-7
-    # stretch (native baseline greyscale JPEG decode, block-constant-
-    # exact oracle)
+    # stretches (native baseline JPEG decode incl. 4:4:4 color,
+    # block-constant-exact oracle; product-quantization ADC top-k)
     "multimodal_codec_decode",
     "multimodal_jpeg_decode",
     "tokenizer_bpe_train_merges",
@@ -99,6 +99,7 @@ _PRIORITY = [
     "inference_embed_bucket_counts",
     "filetail_batch_offsets",
     "stream_filetail_log_counts",
+    "ann_pq_adc_topk",
     # (b) r3-latest — the stalest existing names (34)
     "setop_intersect_except_all",
     "window_distribution_funcs",
@@ -134,7 +135,7 @@ _PRIORITY = [
     "udtf_bigram_topk",
     "cogroup_user_activity_profile",
     "pysource_synthetic_events",
-    # (c) r4-latest head (9) — (a)+(b)+(c) = 7+34+9 = 50 exactly
+    # (c) r4-latest head (8) — (a)+(b)+(c) = 8+34+8 = 50 exactly
     "text_repetition_filter",
     "split_train_val_test",
     "search_bm25_topk",
@@ -143,9 +144,9 @@ _PRIORITY = [
     "cohort_weekly_retention",
     "cdc_apply_changelog",
     "path_top_transitions",
-    "ann_int8_rerank_topk",
     # --- window boundary (50) ---
-    # overflow: remaining r4-latest (38) — round-8 rotation head
+    # overflow: remaining r4-latest (39) — round-8 rotation head
+    "ann_int8_rerank_topk",
     "anomaly_zscore_users",
     "json_variant_nested",
     "pandas_udf_nfc_norm",
@@ -303,6 +304,7 @@ def _ensure_loaded() -> None:
         json_ops,
         layout_stats,
         multimodal,
+        pq,
         preference,
         relational,
         sampling,
