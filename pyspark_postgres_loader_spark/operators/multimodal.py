@@ -537,17 +537,19 @@ def _decode_jpeg(payload: bytes):
     prediction + EXTEND, run-length AC with EOB/ZRL, dequantize in
     zig-zag order, de-zigzag, orthonormal IDCT, level shift, clamp.
     Greyscale (1 component) and 4:4:4 color (3 components, all 1x1
-    sampling, integer-exact JFIF YCbCr→RGB) are supported; progressive
-    (SOF2), chroma subsampling, and 12-bit raise
-    ``NotImplementedError`` → the decode quarantine, same contract as
-    the other codecs."""
+    sampling, integer-exact JFIF YCbCr→RGB) are supported, as are the
+    chroma-subsampled layouts with sampling factors in {1, 2} — 4:2:0
+    (Y 2x2), 4:2:2 (Y 2x1) and 4:4:0 (Y 1x2) — with box-replication
+    chroma upsampling; progressive (SOF2), factors > 2, and 12-bit
+    raise ``NotImplementedError`` → the decode quarantine, same
+    contract as the other codecs."""
     import struct as _struct
 
     pos = 2
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id)
     w = h = 0
-    comps: list[tuple[int, int]] = []  # SOF order: (component id, tq)
+    comps: list[tuple[int, int, int, int]] = []  # SOF: (cid, hi, vi, tq)
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {pos}")
@@ -597,11 +599,15 @@ def _decode_jpeg(payload: bytes):
             comps = []
             for i in range(ncomp):
                 cid, sampling, tq = seg[6 + 3 * i : 9 + 3 * i]
-                if sampling != 0x11:
+                hi, vi = sampling >> 4, sampling & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError(
-                        "chroma-subsampled JPEG (only 4:4:4 supported)"
+                        f"JPEG sampling factors {hi}x{vi} (only 1..2 supported)"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, hi, vi, tq))
+            if ncomp == 1 and comps[0][1:3] != (1, 1):
+                # a lone component is never subsampled relative to itself
+                comps = [(comps[0][0], 1, 1, comps[0][3])]
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline JPEG (SOF%d)" % (marker - 0xC0))
@@ -612,11 +618,14 @@ def _decode_jpeg(payload: bytes):
             if ns != len(comps):
                 raise NotImplementedError("multi-scan JPEG")
             plan = []
+            by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
             for i in range(ns):
                 cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
-                tq = dict(comps)[cs]
+                hi, vi, tq = by_id[cs]
                 plan.append(
                     (
+                        hi,
+                        vi,
                         qtables[tq],
                         htables[(0, tables >> 4)],
                         htables[(1, tables & 0x0F)],
@@ -629,51 +638,71 @@ def _decode_jpeg(payload: bytes):
 
 
 def _jpeg_scan(payload, pos, w, h, plan):
-    """Decode the interleaved scan: each MCU holds one 8x8 block per
-    component (4:4:4), every component carrying its own DC predictor,
-    quant table and huffman tables."""
+    """Decode the interleaved scan. Each MCU holds ``hi × vi`` 8x8
+    blocks per component in raster order (spec A.2.3) — one block each
+    at 4:4:4, four Y + one Cb + one Cr at 4:2:0 — every component
+    carrying its own DC predictor, quant table and huffman tables.
+    Subsampled chroma planes are upsampled by box replication
+    (pixel (x, y) reads chroma sample (x·hi/hmax, y·vi/vmax), the
+    nearest-neighbor rule libjpeg applies with fancy upsampling off)."""
     import numpy as np
 
     if not (w and h):
         raise ValueError("JPEG scan before SOF0")
     t = _dct_matrix()
     reader = _BitReader(payload, pos)
-    bw, bh = -(-w // 8), -(-h // 8)
     ncomp = len(plan)
-    planes = [np.empty((bh * 8, bw * 8), dtype=np.uint8) for _ in range(ncomp)]
-    qs = [np.asarray(q, dtype=np.float64) for q, _, _ in plan]  # zig-zag order
+    hmax = max(hi for hi, _vi, _q, _d, _a in plan)
+    vmax = max(vi for _hi, vi, _q, _d, _a in plan)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    planes = [
+        np.empty((mcuy * vi * 8, mcux * hi * 8), dtype=np.uint8)
+        for hi, vi, _q, _d, _a in plan
+    ]
+    qs = [np.asarray(q, dtype=np.float64) for _hi, _vi, q, _d, _a in plan]
     preds = [0] * ncomp
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, (_q, dc_table, ac_table) in enumerate(plan):
-                zz = np.zeros(64, dtype=np.float64)
-                s = _huff_decode(reader, dc_table)
-                preds[ci] += _extend(reader.bits(s), s)
-                zz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    sym = _huff_decode(reader, ac_table)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL: 16 zeros
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0x0F
-                    k += run
-                    if k > 63:
-                        raise ValueError("JPEG AC run past block end")
-                    zz[k] = _extend(reader.bits(size), size)
-                    k += 1
-                block = np.zeros(64, dtype=np.float64)
-                block[_ZIGZAG] = zz * qs[ci]  # dequantize + de-zigzag
-                spatial = t.T @ block.reshape(8, 8) @ t
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                    np.round(spatial + 128.0), 0, 255
-                ).astype(np.uint8)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hi, vi, _q, dc_table, ac_table) in enumerate(plan):
+                for vy in range(vi):
+                    for vx in range(hi):
+                        zz = np.zeros(64, dtype=np.float64)
+                        s = _huff_decode(reader, dc_table)
+                        preds[ci] += _extend(reader.bits(s), s)
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _huff_decode(reader, ac_table)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            run, size = sym >> 4, sym & 0x0F
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC run past block end")
+                            zz[k] = _extend(reader.bits(size), size)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[_ZIGZAG] = zz * qs[ci]  # dequantize + de-zigzag
+                        spatial = t.T @ block.reshape(8, 8) @ t
+                        py, px = (my * vi + vy) * 8, (mx * hi + vx) * 8
+                        planes[ci][py : py + 8, px : px + 8] = np.clip(
+                            np.round(spatial + 128.0), 0, 255
+                        ).astype(np.uint8)
     if ncomp == 1:
         grey = planes[0][:h, :w]
         return w, h, np.repeat(grey[:, :, None], 3, axis=2).copy()
-    rgb = _ycc_to_rgb(planes[0], planes[1], planes[2])
+    full = []
+    for ci, (hi, vi, _q, _d, _a) in enumerate(plan):
+        p = planes[ci]
+        if hi != hmax:
+            p = np.repeat(p, hmax // hi, axis=1)
+        if vi != vmax:
+            p = np.repeat(p, vmax // vi, axis=0)
+        full.append(p)
+    rgb = _ycc_to_rgb(full[0], full[1], full[2])
     return w, h, rgb[:h, :w].copy()
 
 
@@ -731,14 +760,22 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return codes
 
 
-def _encode_jpeg(planes, qtable: list[int] | None = None) -> bytes:
-    """Encode 1 (greyscale) or 3 (YCbCr, 4:4:4) equal-size ``(h, w)``
-    uint8 planes as a baseline sequential JFIF JPEG. Real forward path:
-    level shift, orthonormal DCT, quantization (Annex K luminance table
-    by default, stored and applied in zig-zag order, shared by all
-    components), per-component DC prediction, run-length AC, canonical
-    huffman coding, byte stuffing, interleaved MCUs. Edge blocks pad by
-    edge replication."""
+def _encode_jpeg(
+    planes,
+    qtable: list[int] | None = None,
+    sampling: list[tuple[int, int]] | None = None,
+) -> bytes:
+    """Encode 1 (greyscale) or 3 (YCbCr) ``(h, w)`` uint8 planes as a
+    baseline sequential JFIF JPEG. Real forward path: level shift,
+    orthonormal DCT, quantization (Annex K luminance table by default,
+    stored and applied in zig-zag order, shared by all components),
+    per-component DC prediction, run-length AC, canonical huffman
+    coding, byte stuffing, interleaved MCUs. ``sampling`` gives each
+    component's (hi, vi) factors (default all 1x1 = 4:4:4); subsampled
+    planes must already be reduced — plane ``ci`` is
+    ``(ceil(h·vi/vmax), ceil(w·hi/hmax))``. Edge blocks pad by edge
+    replication; MCUs emit ``hi × vi`` blocks per component in raster
+    order (spec A.2.3)."""
     import struct as _struct
 
     import numpy as np
@@ -746,14 +783,25 @@ def _encode_jpeg(planes, qtable: list[int] | None = None) -> bytes:
     q_rowmajor = list(qtable) if qtable is not None else list(_JPEG_QTABLE)
     q_zz = [q_rowmajor[_ZIGZAG[k]] for k in range(64)]
     ncomp = len(planes)
+    if sampling is None:
+        sampling = [(1, 1)] * ncomp
+    hmax = max(hi for hi, _vi in sampling)
+    vmax = max(vi for _hi, vi in sampling)
     h, w = planes[0].shape
-    bw, bh = -(-w // 8), -(-h // 8)
+    # image dims are the FULL-resolution dims of component 0 (which must
+    # carry (hmax, vmax) for that to hold — true for Y in every standard
+    # layout)
+    if sampling[0] != (hmax, vmax):
+        raise ValueError("component 0 must carry the max sampling factors")
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     padded = []
-    for p in planes:
-        pad = np.empty((bh * 8, bw * 8), dtype=np.float64)
-        pad[:h, :w] = p
-        pad[h:, :w] = p[-1:, :]  # edge replication
-        pad[:, w:] = pad[:, w - 1 : w]
+    for ci, p in enumerate(planes):
+        hi, vi = sampling[ci]
+        ph, pw = p.shape
+        pad = np.empty((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
+        pad[:ph, :pw] = p
+        pad[ph:, :pw] = p[-1:, :]  # edge replication
+        pad[:, pw:] = pad[:, pw - 1 : pw]
         padded.append(pad)
     t = _dct_matrix()
     (dc_bits, dc_vals), (ac_bits, ac_vals) = _jpeg_huffman_spec()
@@ -770,37 +818,43 @@ def _encode_jpeg(planes, qtable: list[int] | None = None) -> bytes:
     def magnitude_bits(v: int, s: int) -> int:
         return v if v >= 0 else v + (1 << s) - 1
 
-    for by in range(bh):
-        for bx in range(bw):
-            for ci in range(ncomp):
-                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                coef = t @ block @ t.T
-                zz = np.round(coef.reshape(64)[_ZIGZAG] / qarr).astype(np.int64)
-                diff = int(zz[0]) - preds[ci]
-                preds[ci] = int(zz[0])
-                s = category(diff)
-                code, length = dc_codes[s]
+    def put_block(ci: int, by: int, bx: int) -> None:
+        block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+        coef = t @ block @ t.T
+        zz = np.round(coef.reshape(64)[_ZIGZAG] / qarr).astype(np.int64)
+        diff = int(zz[0]) - preds[ci]
+        preds[ci] = int(zz[0])
+        s = category(diff)
+        code, length = dc_codes[s]
+        writer.write(code, length)
+        if s:
+            writer.write(magnitude_bits(diff, s), s)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[0xF0]
                 writer.write(code, length)
-                if s:
-                    writer.write(magnitude_bits(diff, s), s)
-                run = 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = ac_codes[0xF0]
-                        writer.write(code, length)
-                        run -= 16
-                    s = category(v)
-                    code, length = ac_codes[(run << 4) | s]
-                    writer.write(code, length)
-                    writer.write(magnitude_bits(v, s), s)
-                    run = 0
-                if run:
-                    code, length = ac_codes[0x00]
-                    writer.write(code, length)
+                run -= 16
+            s = category(v)
+            code, length = ac_codes[(run << 4) | s]
+            writer.write(code, length)
+            writer.write(magnitude_bits(v, s), s)
+            run = 0
+        if run:
+            code, length = ac_codes[0x00]
+            writer.write(code, length)
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(ncomp):
+                hi, vi = sampling[ci]
+                for vy in range(vi):
+                    for vx in range(hi):
+                        put_block(ci, my * vi + vy, mx * hi + vx)
     writer.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -810,7 +864,8 @@ def _encode_jpeg(planes, qtable: list[int] | None = None) -> bytes:
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xDB, bytes([0x00]) + bytes(q_zz))
     sof = _struct.pack(">BHHB", 8, h, w, ncomp) + b"".join(
-        bytes((ci + 1, 0x11, 0)) for ci in range(ncomp)
+        bytes((ci + 1, (sampling[ci][0] << 4) | sampling[ci][1], 0))
+        for ci in range(ncomp)
     )
     out += seg(0xC0, sof)
     out += seg(
@@ -840,6 +895,39 @@ def build_jpeg_ycbcr(ycbcr, qtable: list[int] | None = None) -> bytes:
     predictor). JPEG stores YCbCr; the decoder applies the
     integer-exact JFIF conversion to RGB (:func:`_ycc_to_rgb`)."""
     return _encode_jpeg([ycbcr[:, :, 0], ycbcr[:, :, 1], ycbcr[:, :, 2]], qtable)
+
+
+def build_jpeg_subsampled(
+    ycbcr,
+    factors: tuple[int, int] = (2, 2),
+    qtable: list[int] | None = None,
+) -> bytes:
+    """Encode an ``(h, w, 3)`` uint8 YCbCr array as a chroma-subsampled
+    baseline JPEG: Y keeps ``factors = (h1, v1)`` sampling while Cb/Cr
+    carry 1x1, so (2, 2) is 4:2:0, (2, 1) is 4:2:2 and (1, 2) is 4:4:0.
+    Chroma planes are reduced by BOX AVERAGING over each h1×v1 pixel
+    group (integer mean, floor — exact when the group is constant, the
+    property the oracle fixtures lean on); odd dimensions pad the last
+    row/column by edge replication before averaging."""
+    import numpy as np
+
+    h1, v1 = factors
+    if h1 not in (1, 2) or v1 not in (1, 2):
+        raise ValueError("sampling factors must be 1 or 2")
+    h, w = ycbcr.shape[:2]
+    planes = [ycbcr[:, :, 0]]
+    for c in (1, 2):
+        p = ycbcr[:, :, c].astype(np.int64)
+        if w % h1 or h % v1:
+            ph, pw = -(-h // v1) * v1, -(-w // h1) * h1
+            padded = np.empty((ph, pw), dtype=np.int64)
+            padded[:h, :w] = p
+            padded[h:, :w] = p[-1:, :]
+            padded[:, w:] = padded[:, w - 1 : w]
+            p = padded
+        p = p.reshape(p.shape[0] // v1, v1, p.shape[1] // h1, h1)
+        planes.append((p.sum(axis=(1, 3)) // (h1 * v1)).astype(np.uint8))
+    return _encode_jpeg(planes, qtable, [(h1, v1), (1, 1), (1, 1)])
 
 
 def fake_decode_meta(payload: bytes) -> tuple[int, int, int]:
@@ -2160,6 +2248,210 @@ def multimodal_codec_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         _codec_decode_batches,
         schema=(
             "doc_id long, codec string, status string, width int, "
+            "height int, px_sum long, wpx_sum long"
+        ),
+    ).orderBy("doc_id")
+
+
+_JPEG420_GROUPS = 12
+
+
+def _jpeg420_factors(g: int) -> tuple[int, int]:
+    """Layout rotation for the subsampled-JPEG fixture: 4:2:0, 4:2:2,
+    4:4:0 by group mod 3."""
+    return [(2, 2), (2, 1), (1, 2)][g % 3]
+
+
+def _jpeg420_payload(doc_id: int) -> bytes:
+    """Deterministic chroma-subsampled JPEG fixture, the 4:2:0 sibling
+    of :func:`_jpeg_payload`. Y is constant per 8x8 block; Cb/Cr are
+    constant per CHROMA block, i.e. per (8·fh × 8·fv) pixel region —
+    so box-average subsampling on encode and box-replication upsampling
+    on decode are both exact, and (with even offsets and the Annex K
+    q00 = 16) the lossy codec round-trips EXACTLY, letting the oracle
+    replay every RGB pixel in closed form. Layouts rotate 4:2:0 /
+    4:2:2 / 4:4:0 by group; ``doc_id % 17 == 3`` patches the SOF's Y
+    sampling byte to an unsupported 4x1 (typed NotImplementedError →
+    'unsupported'), ``doc_id % 11 == 4`` truncates ('corrupt')."""
+    import numpy as np
+
+    g = doc_id % _JPEG420_GROUPS
+    fh, fv = _jpeg420_factors(g)
+    w, h = 16 * (1 + g % 2), 16 * (1 + (g // 2) % 2)
+
+    def grid(nx, ny, fn):
+        vals = np.empty((ny, nx), np.uint8)
+        for cy in range(ny):
+            for cx in range(nx):
+                vals[cy, cx] = fn(cx, cy)
+        return vals
+
+    yv = np.repeat(
+        np.repeat(
+            grid(w // 8, h // 8,
+                 lambda bx, by: 128 + 2 * (((5 * bx + 3 * by + g) % 49) - 24)),
+            8, axis=0),
+        8, axis=1)
+    cb = np.repeat(
+        np.repeat(
+            grid(w // (8 * fh), h // (8 * fv),
+                 lambda cx, cy: 128 + 2 * (((3 * cx + 7 * cy + 2 * g) % 49) - 24)),
+            8 * fv, axis=0),
+        8 * fh, axis=1)
+    cr = np.repeat(
+        np.repeat(
+            grid(w // (8 * fh), h // (8 * fv),
+                 lambda cx, cy: 128 + 2 * (((cx + 11 * cy + 3 * g) % 49) - 24)),
+            8 * fv, axis=0),
+        8 * fh, axis=1)
+    payload = build_jpeg_subsampled(np.stack([yv, cb, cr], axis=-1), (fh, fv))
+    if doc_id % 17 == 3 and doc_id % 11 != 4:
+        # exclusive with truncation: a truncated-but-patched payload
+        # would fail on the SOF (typed) before the missing tail bites,
+        # and the oracle's precedence must stay replayable
+        # patch SOF0 component 0's sampling byte to 4x1 — structurally
+        # valid JPEG the decoder must REJECT with a typed error
+        i = payload.index(b"\xff\xc0")
+        payload = payload[: i + 11] + b"\x41" + payload[i + 12 :]
+    if doc_id % 11 == 4:
+        payload = payload[: len(payload) // 2]
+    return payload
+
+
+def _jpeg420_decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: fabricate → REAL subsampled-JPEG decode
+    (MCU block walk + box-replication upsampling) → integer facts,
+    with typed failure routing: ValueError → 'corrupt',
+    NotImplementedError → 'unsupported' (the quarantine distinction the
+    plain decode queries collapse). Group-deterministic payloads are
+    memoized per partition, same rationale as ``_jpeg_decode_batches``."""
+    import numpy as np
+
+    cache: dict[tuple[int, bool, bool], tuple] = {}
+
+    def facts(doc_id: int) -> tuple:
+        g = doc_id % _JPEG420_GROUPS
+        key = (g, doc_id % 11 == 4, doc_id % 17 == 3)
+        if key not in cache:
+            layout = {0: "420", 1: "422", 2: "440"}[g % 3]
+            try:
+                w, h, px = real_decode_image(_jpeg420_payload(doc_id))
+                s = px.astype(np.int64).sum(axis=2).reshape(-1)
+                weights = np.arange(1, s.size + 1, dtype=np.int64)
+                cache[key] = (
+                    layout, "decoded", w, h, int(s.sum()), int((s * weights).sum())
+                )
+            except NotImplementedError:
+                cache[key] = (layout, "unsupported", 0, 0, 0, 0)
+            except Exception:  # noqa: BLE001 — malformed bytes quarantine
+                cache[key] = (layout, "corrupt", 0, 0, 0, 0)
+        return cache[key]
+
+    for pdf in it:
+        if pdf.empty:
+            continue
+        out = [(int(d),) + facts(int(d)) for d in pdf["doc_id"]]
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "doc_id", "layout", "status", "width", "height",
+                "px_sum", "wpx_sum",
+            ],
+        ).astype(
+            {
+                "doc_id": "int64", "width": "int32", "height": "int32",
+                "px_sum": "int64", "wpx_sum": "int64",
+            }
+        )
+
+
+def _jpeg420_oracle() -> str:
+    """Symbolic replay of the subsampled fixture: Y reads block (x//8,
+    y//8), chroma reads region (x//(8·fh), y//(8·fv)) — the replication
+    rule — through the same integer fixed-point JFIF conversion."""
+    half = 32768 + _YCC_BIAS
+
+    def chan(num: str) -> str:
+        return f"GREATEST(0, LEAST(255, (({num}) // 65536) - 256))"
+
+    yv = "(128 + 2 * (((5 * bx + 3 * by + g) % 49) - 24))"
+    cb = "(2 * (((3 * cx + 7 * cy + 2 * g) % 49) - 24))"  # Cb - 128
+    cr = "(2 * (((cx + 11 * cy + 3 * g) % 49) - 24))"  # Cr - 128
+    r = chan(f"{yv} * 65536 + 91881 * {cr} + {half}")
+    gch = chan(f"{yv} * 65536 - 22554 * {cb} - 46802 * {cr} + {half}")
+    b = chan(f"{yv} * 65536 + 116130 * {cb} + {half}")
+    return f"""
+    WITH grp AS (
+      SELECT DISTINCT doc_id % {_JPEG420_GROUPS} AS g FROM documents
+    ),
+    dims AS (
+      SELECT g,
+             CASE WHEN g % 3 = 2 THEN 8 ELSE 16 END AS dx,
+             CASE WHEN g % 3 = 1 THEN 8 ELSE 16 END AS dy,
+             16 * (1 + g % 2) AS w,
+             16 * (1 + (g // 2) % 2) AS h
+      FROM grp
+    ),
+    idx AS (
+      SELECT g, dx, dy, w, h, unnest(range(0, w * h)) AS i FROM dims
+    ),
+    px AS (
+      SELECT g, w, h, i,
+             (i % w) // 8 AS bx, (i // w) // 8 AS by,
+             (i % w) // dx AS cx, (i // w) // dy AS cy
+      FROM idx
+    ),
+    vals AS (
+      SELECT g, w, h, i, ({r}) + ({gch}) + ({b}) AS s FROM px
+    ),
+    sums AS (
+      SELECT g, w, h,
+             CAST(SUM(s) AS BIGINT) AS px_sum,
+             CAST(SUM((i + 1) * s) AS BIGINT) AS wpx_sum
+      FROM vals GROUP BY g, w, h
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 3 = 0 THEN '420'
+                WHEN d.doc_id % 3 = 1 THEN '422' ELSE '440' END AS layout,
+           CASE WHEN d.doc_id % 11 = 4 THEN 'corrupt'
+                WHEN d.doc_id % 17 = 3 THEN 'unsupported'
+                ELSE 'decoded' END AS status,
+           CASE WHEN d.doc_id % 11 = 4 OR d.doc_id % 17 = 3 THEN 0
+                ELSE s.w END AS width,
+           CASE WHEN d.doc_id % 11 = 4 OR d.doc_id % 17 = 3 THEN 0
+                ELSE s.h END AS height,
+           CASE WHEN d.doc_id % 11 = 4 OR d.doc_id % 17 = 3 THEN 0
+                ELSE s.px_sum END AS px_sum,
+           CASE WHEN d.doc_id % 11 = 4 OR d.doc_id % 17 = 3 THEN 0
+                ELSE s.wpx_sum END AS wpx_sum
+    FROM documents d
+    JOIN sums s ON d.doc_id % {_JPEG420_GROUPS} = s.g
+    ORDER BY d.doc_id
+    """
+
+
+@register("multimodal_jpeg420_decode", oracle=_jpeg420_oracle())
+def multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native CHROMA-SUBSAMPLED baseline-JPEG decode, end to end: the
+    overwhelmingly common real-world JPEG layouts (4:2:0, plus 4:2:2
+    and 4:4:0) where each MCU interleaves hi×vi Y blocks with one
+    chroma block pair. The decoder walks MCUs in spec A.2.3 block
+    order and upsamples chroma by box replication; fixtures are
+    region-constant with even offsets so the lossy round trip is EXACT
+    and the DuckDB oracle replays every RGB pixel — a wrong block
+    placement within the MCU or a misaligned upsample shifts the
+    position-weighted sum and fails the hash. Two typed quarantine
+    paths are oracled: truncated bytes ('corrupt') and a patched 4x1
+    SOF ('unsupported').
+
+    Scale notes (100 TB): Arrow-batched ``mapInPandas``, decode
+    embarrassingly parallel, ~48 bytes/row of integer facts re-enter
+    the JVM; the final ORDER BY is driver-contract presentation."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        _jpeg420_decode_batches,
+        schema=(
+            "doc_id long, layout string, status string, width int, "
             "height int, px_sum long, wpx_sum long"
         ),
     ).orderBy("doc_id")

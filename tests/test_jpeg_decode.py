@@ -107,7 +107,7 @@ def test_truncated_jpeg_raises_for_quarantine():
         real_decode_image(payload[: len(payload) // 2])
 
 
-def test_progressive_and_subsampled_raise_not_implemented():
+def test_progressive_and_oversampled_raise_not_implemented():
     img = np.full((8, 8), 130, np.uint8)
     payload = bytearray(build_jpeg_grey(img))
     sof = payload.find(b"\xff\xc0")
@@ -115,13 +115,26 @@ def test_progressive_and_subsampled_raise_not_implemented():
     prog = bytes(payload[:sof]) + b"\xff\xc2" + bytes(payload[sof + 2 :])
     with pytest.raises(NotImplementedError, match="non-baseline"):
         real_decode_image(prog)
-    # chroma subsampling: rewrite the component's sampling byte to 2x2
-    # (typical 4:2:0) — only 4:4:4 is supported
+    # sampling factors beyond 2 (e.g. 4:1:1's h=4) stay unsupported
     sub = bytearray(payload)
     # marker(2) + len(2) + precision(1) + h(2) + w(2) + ncomp(1) + id(1)
-    sub[sof + 11] = 0x22
-    with pytest.raises(NotImplementedError, match="subsampled"):
+    sub[sof + 11] = 0x41
+    with pytest.raises(NotImplementedError, match="sampling factors"):
         real_decode_image(bytes(sub))
+
+
+def test_greyscale_sampling_byte_is_ignored():
+    """A lone component is never subsampled relative to itself — a 2x2
+    sampling byte on a single-component SOF decodes identically to 1x1
+    (libjpeg's normalization)."""
+    img = np.full((8, 8), 130, np.uint8)
+    payload = bytearray(build_jpeg_grey(img))
+    sof = payload.find(b"\xff\xc0")
+    base = real_decode_image(bytes(payload))
+    payload[sof + 11] = 0x22
+    w, h, px = real_decode_image(bytes(payload))
+    assert (w, h) == (base[0], base[1])
+    assert np.array_equal(px, base[2])
 
 
 def test_color_block_constant_roundtrip_exact():
