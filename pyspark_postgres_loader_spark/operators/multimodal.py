@@ -1302,14 +1302,24 @@ def real_decode_audio(payload: bytes):
     """REAL RIFF/WAVE parser (pure numpy, no audio libs): walks the
     chunk list (not fixed offsets — handles writers that emit extra
     chunks like LIST/fact), requires 16-bit PCM, returns
-    ``(samples int16 ndarray, sample_rate)``. Raises
-    ``NotImplementedError`` for compressed codecs (MP3/AAC/FLAC need
-    decoders the container lacks) and ``ValueError`` for malformed
-    RIFF — mirroring the image codec contract."""
+    ``(samples int16 ndarray, sample_rate)``. FLAC payloads decode
+    natively via :mod:`.flac` (Rice + predictors, lossless). Raises
+    ``NotImplementedError`` for codecs that genuinely need external
+    libraries (MP3/AAC) and ``ValueError`` for malformed RIFF —
+    mirroring the image codec contract."""
     import struct
 
     import numpy as np
 
+    if payload[:4] == b"fLaC":
+        # native FLAC (operators/flac.py) — a real compressed lossless
+        # codec; the features contract here stays mono
+        from .flac import decode_flac
+
+        rate, _bps, chans = decode_flac(payload)
+        if len(chans) != 1:
+            raise NotImplementedError("only mono supported (FLAC stereo)")
+        return np.asarray(chans[0], dtype=np.int32), rate
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError("not a RIFF/WAVE payload")
     pos, rate, bits, channels, data = 12, None, None, None, None

@@ -298,6 +298,7 @@ def _ensure_loaded() -> None:
         clustering,
         dedup,
         expectations,
+        flac,
         graph,
         inference,
         joins_advanced,
