@@ -301,6 +301,7 @@ def _ensure_loaded() -> None:
         flac,
         graph,
         inference,
+        ivfpq,
         joins_advanced,
         json_ops,
         layout_stats,
