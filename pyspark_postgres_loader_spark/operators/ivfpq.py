@@ -254,6 +254,11 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(_PQ_ITERS):
         cb = _pq_recompute(_pq_assign(svs.drop("cell"), cb))
+    # the trained codebook is m·k rows — materialize it once so the
+    # THREE downstream consumers (encode, dtable, and the per-iteration
+    # lineage they'd otherwise replay) don't re-plan two Lloyd rounds
+    # each (the triangle-census lesson: 23 FileScans without this)
+    cb = cb.localCheckpoint(eager=True)
     codes = _encode_with_cell(svs, cb)
 
     # --- query side: probe nprobe cells, residual PER PROBED CELL

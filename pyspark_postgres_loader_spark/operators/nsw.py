@@ -1,0 +1,260 @@
+"""Graph-based ANN — a navigable-small-world (NSW/HNSW-family) index
+expressed as DataFrames: a kNN GRAPH over the corpus (M nearest
+neighbors per vector, candidate generation blocked by coarse cell),
+a sparse upper LAYER of entry points (the hierarchical part — every
+8th vector), and a fixed-hop BEAM SEARCH that starts from the best
+entry points and repeatedly expands the frontier through graph edges,
+keeping the beam's best B. (Malkov & Yashunin's HNSW, public; the
+classic trade: graph search visits a tiny fraction of the corpus at
+query time, paying an index-build join up front.)
+
+The usual objection to oracling graph ANN is that the search path is
+procedural — but with FIXED hop count, exact BIGINT micro distances
+and a total order (distance, vec_id), both the graph and every beam
+iteration are deterministic relational operators, so the ENTIRE search
+result (not just a recall contract) is replayed by the DuckDB oracle
+as unrolled MATERIALIZED CTEs — the graph sibling of pq.py's unrolled
+Lloyd rounds. Recall vs the exact scorer is additionally pinned in
+tests/test_nsw.py (the ann_int8_rerank_topk precedent).
+
+Scale design (100 TB):
+- Index build: the within-cell self-join is the standard BLOCKED
+  kNN-graph construction — cost Σ|cell|², bounded by cell size, never
+  N²; at real scale cells come from the IVF coarse quantizer already
+  in the engine (finer blocking → smaller quadratic terms). The M·N
+  edge list IS the stored index, written partitionBy(cell) like the
+  IVF layout.
+- Query: the frontier is |Q|·B rows — ALWAYS the broadcast side; each
+  hop is one broadcast join against the edge list + one |Q|·B·M-row
+  exact re-score against the corpus (again broadcast), then a window
+  top-B. No corpus shuffle at query time, ever.
+- The entry layer (every 8th vector) is what HNSW's upper levels
+  degenerate to with one level; at 10^9 vectors you add more levels,
+  each a further 1/8 sample — the same geometric construction.
+
+Reference: no counterpart (SURVEY.md §2l LLM-pipeline extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.planctl import spread as _spread
+from ..registry import register
+from ..tables import load_table
+from .clustering import _MICRO, _quantize, _sqdist, _sql_sqdist, _SQL_QUANTIZE
+
+_NSW_CELLS = 8    # blocking cells for graph construction (centroids = vec 0..7)
+_NSW_M = 6        # graph degree: M nearest within cell
+_NSW_L1_MOD = 8   # entry layer: every 8th vector
+_NSW_BEAM = 12    # beam width B
+_NSW_HOPS = 3     # fixed expansion hops H
+_NSW_NQ = 6       # queries: vec_id < _NSW_NQ
+_NSW_TOPK = 8
+
+
+def _nsw_oracle() -> str:
+    sq = _sql_sqdist
+    quant = _SQL_QUANTIZE.format(v="embedding")
+    parts = [
+        f"corpus AS MATERIALIZED (SELECT vec_id, {quant} AS m FROM embeddings)",
+        f"""cents AS MATERIALIZED (
+      SELECT vec_id AS cell, m AS cm FROM corpus WHERE vec_id < {_NSW_CELLS})""",
+        f"""assigned AS MATERIALIZED (
+      SELECT vec_id, m, cell FROM (
+        SELECT e.vec_id, e.m, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {sq('e.m', 'c.cm')} ASC, c.cell
+               ) AS rn
+        FROM corpus e CROSS JOIN cents c
+      ) WHERE rn = 1)""",
+        f"""adj AS MATERIALIZED (
+      SELECT a, b FROM (
+        SELECT x.vec_id AS a, y.vec_id AS b,
+               ROW_NUMBER() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY {sq('x.m', 'y.m')} ASC, y.vec_id
+               ) AS rn
+        FROM assigned x JOIN assigned y
+          ON x.cell = y.cell AND x.vec_id <> y.vec_id
+      ) WHERE rn <= {_NSW_M})""",
+        f"""q AS MATERIALIZED (
+      SELECT vec_id AS qid, m AS qm FROM corpus WHERE vec_id < {_NSW_NQ})""",
+        f"""f0 AS MATERIALIZED (
+      SELECT qid, vec_id, d FROM (
+        SELECT q.qid, e.vec_id, {sq('q.qm', 'e.m')} AS d,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {sq('q.qm', 'e.m')} ASC, e.vec_id
+               ) AS rn
+        FROM q CROSS JOIN corpus e
+        WHERE e.vec_id % {_NSW_L1_MOD} = 0
+      ) WHERE rn <= {_NSW_BEAM})""",
+    ]
+    for h in range(1, _NSW_HOPS + 1):
+        parts.append(f"""f{h} AS MATERIALIZED (
+      SELECT qid, vec_id, d FROM (
+        SELECT qid, vec_id, d,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qid ORDER BY d ASC, vec_id
+               ) AS rn
+        FROM (
+          SELECT DISTINCT qid, vec_id, d FROM (
+            SELECT qid, vec_id, d FROM f{h - 1}
+            UNION ALL
+            SELECT f.qid, a.b AS vec_id, {sq('q.qm', 'e.m')} AS d
+            FROM f{h - 1} f
+            JOIN adj a ON f.vec_id = a.a
+            JOIN corpus e ON a.b = e.vec_id
+            JOIN q ON f.qid = q.qid
+          )
+        )
+      ) WHERE rn <= {_NSW_BEAM})""")
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT qid, CAST(rn AS INT) AS rank, vec_id,
+           CAST(d AS DOUBLE) / {_MICRO * _MICRO} AS dist
+    FROM (
+      SELECT qid, vec_id, d,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d ASC, vec_id)
+               AS rn
+      FROM f{_NSW_HOPS} WHERE vec_id <> qid
+    ) WHERE rn <= {_NSW_TOPK}
+    ORDER BY qid, rank
+    """
+    )
+
+
+def _nsw_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _quantize(F.col("embedding")).alias("m")
+    )
+
+
+def nsw_graph(
+    spark: SparkSession, sf_dir: str, corpus: DataFrame | None = None
+) -> DataFrame:
+    """The index build alone: (a, b) edges — each vector's M nearest
+    within its blocking cell. At scale this is written
+    ``partitionBy(cell)`` next to the IVF layout."""
+    if corpus is None:
+        corpus = _nsw_corpus(spark, sf_dir)
+    cents = corpus.filter(F.col("vec_id") < _NSW_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("m").alias("cm")
+    )
+    cents_arr = cents.agg(
+        F.sort_array(F.collect_list(F.struct("cell", "cm"))).alias("cs")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("cs"),
+            lambda c: F.struct(
+                _sqdist(F.col("m"), c["cm"]).alias("d"),
+                c["cell"].alias("cell"),
+            ),
+        )
+    )
+    assigned = (
+        corpus.crossJoin(F.broadcast(cents_arr))
+        .withColumn("best", best)
+        .select("vec_id", "m", F.col("best.cell").alias("cell"))
+    )
+    x = assigned.select(
+        F.col("vec_id").alias("a"), F.col("m").alias("am"), "cell"
+    )
+    y = assigned.select(
+        F.col("vec_id").alias("b"), F.col("m").alias("bm"), "cell"
+    )
+    w = Window.partitionBy("a").orderBy("d", "b")
+    return (
+        x.join(y, "cell")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b", _sqdist(F.col("am"), F.col("bm")).alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _NSW_M)
+        .select("a", "b")
+    )
+
+
+@register("ann_nsw_beam_topk", oracle=_nsw_oracle())
+def ann_nsw_beam_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph ANN, driver-oracled END TO END (full value compare, not a
+    recall contract): build the blocked kNN graph ({m} neighbors within
+    coarse cell), seed each query's beam with its {beam} best ENTRY
+    POINTS (the every-{l1}th-vector upper layer), then run {hops} fixed
+    beam-expansion hops — frontier ∪ graph-neighbors-of-frontier,
+    exact-rescored, keep best {beam} — and return the final top-{topk}
+    (excluding the query itself). Deterministic by construction
+    (integer micro distances, ties → lower vec_id), which is what lets
+    the DuckDB oracle replay the whole search as unrolled CTEs."""
+    # the slim (vec_id, micros) projection is consumed ~6 times (graph
+    # build, entry scoring, and one re-score per hop) — cache it; at
+    # scale this is the deliberate ANN-serving residency (~0.5 KB per
+    # vector for d=64), the same projection every hop's broadcast-
+    # candidate lookup scans
+    corpus = _nsw_corpus(spark, sf_dir).cache()
+    # the edge list is consumed once per hop — materialize it (it IS
+    # the stored index at scale; M·N slim rows here)
+    adj = nsw_graph(spark, sf_dir, corpus).localCheckpoint(eager=True)
+    q = corpus.filter(F.col("vec_id") < _NSW_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("m").alias("qm")
+    )
+
+    entries = corpus.filter(F.col("vec_id") % _NSW_L1_MOD == 0)
+    w_beam = Window.partitionBy("qid").orderBy("d", "vec_id")
+    frontier = (
+        q.join(F.broadcast(entries))
+        .select(
+            "qid", "vec_id", _sqdist(F.col("qm"), F.col("m")).alias("d")
+        )
+        .withColumn("rn", F.row_number().over(w_beam))
+        .filter(F.col("rn") <= _NSW_BEAM)
+        .select("qid", "vec_id", "d")
+    )
+    for _ in range(_NSW_HOPS):
+        # frontier is |Q|·B rows — ALWAYS the broadcast side; the
+        # corpus-side joins are map-side lookups
+        expanded = (
+            adj.join(F.broadcast(frontier), adj["a"] == frontier["vec_id"])
+            .select("qid", F.col("b").alias("vec_id"))
+            .distinct()
+            .join(corpus, "vec_id")
+            .join(F.broadcast(q), "qid")
+            .select(
+                "qid", "vec_id", _sqdist(F.col("qm"), F.col("m")).alias("d")
+            )
+        )
+        frontier = (
+            frontier.unionByName(expanded)
+            .distinct()  # (qid, vec_id, d) — d is an exact BIGINT, so
+            # a revisited node collapses to one row
+            .withColumn("rn", F.row_number().over(w_beam))
+            .filter(F.col("rn") <= _NSW_BEAM)
+            .select("qid", "vec_id", "d")
+            # |Q|·B rows — truncate lineage per hop (the connected-
+            # components recipe) or the plan re-derives every earlier
+            # hop per consumer and the task binary grows ~2x per hop
+            .localCheckpoint(eager=True)
+        )
+    return (
+        frontier.filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("rank", F.row_number().over(w_beam).cast("int"))
+        .filter(F.col("rank") <= _NSW_TOPK)
+        .select(
+            "qid",
+            "rank",
+            "vec_id",
+            (F.col("d").cast("double") / (_MICRO * _MICRO)).alias("dist"),
+        )
+        .orderBy("qid", "rank")
+    )
+
+
+ann_nsw_beam_topk.__doc__ = ann_nsw_beam_topk.__doc__.format(
+    m=_NSW_M, beam=_NSW_BEAM, l1=_NSW_L1_MOD, hops=_NSW_HOPS, topk=_NSW_TOPK
+)

@@ -78,20 +78,27 @@ _LOADED = False
 # Round-7 rotation. Entering this round every one of the 180 previously
 # registered queries has been driver-verified at least once and is
 # latest-green (CORRECTNESS_r06 + the r6 verdict); staleness histogram:
-# r6=50, r5=49, r4=47, r3=34. This window = the 8 NEW round-7
+# r6=50, r5=49, r4=47, r3=34. This window = the 12 NEW round-7
 # registrations (the round-6 surfaces the r6 verdict ordered under
-# oracle discipline, plus the stretch JPEG decoder) at the head, then
-# the 34 r3-latest names (the stalest), then the first 8 r4-latest
-# names — 8+34+8 = 50 exactly. After the boundary the remaining names
-# continue in staleness order (39 r4, 49 r5, 50 r6) for drivers that
-# check more than 50 rows.
+# oracle discipline, plus the round-7 stretches: JPEG 4:4:4 + 4:2:0
+# decode, FLAC decode, PQ, IVF-PQ and the NSW graph ANN) at the head,
+# then the 34 r3-latest names (the stalest), then the first 4
+# r4-latest names — 12+34+4 = 50 exactly. After the boundary the
+# remaining names continue in staleness order (43 r4, 49 r5, 50 r6)
+# for drivers that check more than 50 rows.
 _PRIORITY = [
     # (a) round-7 registrations — never driver-checked, at the head so
-    # they get rows immediately (8): the four round-6 surfaces the r6
+    # they get rows immediately (12): the four round-6 surfaces the r6
     # verdict ordered oracled (codec decode, BPE training + the serving
     # apply side, embedding inference, file_tail batch) + the round-7
-    # stretches (native baseline JPEG decode incl. 4:4:4 color,
-    # block-constant-exact oracle; product-quantization ADC top-k)
+    # stretches (native baseline JPEG decode incl. 4:4:4 color and the
+    # chroma-subsampled 4:2:0/4:2:2/4:4:0 layouts; native FLAC decode;
+    # product-quantization ADC top-k, the composed IVF-PQ index, and
+    # the NSW graph-ANN beam search)
+    "ann_nsw_beam_topk",
+    "multimodal_jpeg420_decode",
+    "multimodal_flac_decode",
+    "ann_ivfpq_topk",
     "multimodal_codec_decode",
     "multimodal_jpeg_decode",
     "tokenizer_bpe_train_merges",
@@ -135,17 +142,17 @@ _PRIORITY = [
     "udtf_bigram_topk",
     "cogroup_user_activity_profile",
     "pysource_synthetic_events",
-    # (c) r4-latest head (8) — (a)+(b)+(c) = 8+34+8 = 50 exactly
+    # (c) r4-latest head (4) — (a)+(b)+(c) = 12+34+4 = 50 exactly
     "text_repetition_filter",
     "split_train_val_test",
     "search_bm25_topk",
     "rollup_time_multigrain",
+    # --- window boundary (50) ---
+    # overflow: remaining r4-latest (43) — round-8 rotation head
     "funnel_view_click_purchase",
     "cohort_weekly_retention",
     "cdc_apply_changelog",
     "path_top_transitions",
-    # --- window boundary (50) ---
-    # overflow: remaining r4-latest (39) — round-8 rotation head
     "ann_int8_rerank_topk",
     "anomaly_zscore_users",
     "json_variant_nested",
@@ -306,6 +313,7 @@ def _ensure_loaded() -> None:
         json_ops,
         layout_stats,
         multimodal,
+        nsw,
         pq,
         preference,
         relational,
