@@ -37,6 +37,7 @@ Reference: no counterpart (SURVEY.md §2l LLM-pipeline extension).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -164,20 +165,38 @@ def nsw_graph(
         .withColumn("best", best)
         .select("vec_id", "m", F.col("best.cell").alias("cell"))
     )
-    x = assigned.select(
-        F.col("vec_id").alias("a"), F.col("m").alias("am"), "cell"
-    )
-    y = assigned.select(
-        F.col("vec_id").alias("b"), F.col("m").alias("bm"), "cell"
-    )
-    w = Window.partitionBy("a").orderBy("d", "b")
-    return (
-        x.join(y, "cell")
-        .filter(F.col("a") != F.col("b"))
-        .select("a", "b", _sqdist(F.col("am"), F.col("bm")).alias("d"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _NSW_M)
-        .select("a", "b")
+    # Per-cell pairwise top-M via ONE numpy matmul per group — the
+    # textbook applyInPandas case: the relational formulation (self-
+    # join + zip_with sqdist + window) allocates a 64-element temp
+    # array per PAIR and ran 8.4 s at sf0.1; the matrix form is ~40x
+    # less work for identical results. float64 is integer-EXACT here:
+    # micro values <= ~2e6, so every product <= 4e12 and every 64-term
+    # sum <= 2.6e14 — all below 2^53 — and d = |a|^2 + |b|^2 - 2a·b
+    # reproduces the BIGINT distance bit-for-bit (asserted against the
+    # relational form in tests/test_nsw.py).
+    def knn_edges(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.array(pdf["m"].tolist(), dtype=np.float64)
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"a": ids[:0], "b": ids[:0]})
+        sq = (mat * mat).sum(axis=1)
+        d = sq[:, None] + sq[None, :] - 2.0 * (mat @ mat.T)
+        np.fill_diagonal(d, np.inf)
+        # per-row order by (distance, vec_id) — lexsort's last key is
+        # primary, so (ids, d) gives d-then-id, matching the window's
+        # ORDER BY d, b
+        order = np.lexsort((np.broadcast_to(ids, (n, n)), d), axis=1)
+        m = min(_NSW_M, n - 1)
+        nbrs = order[:, :m]
+        return pd.DataFrame(
+            {"a": np.repeat(ids, m), "b": ids[nbrs].reshape(-1)}
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        knn_edges, schema="a long, b long"
     )
 
 

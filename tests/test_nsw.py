@@ -86,6 +86,62 @@ def test_deterministic_across_runs(spark):
     assert a == b
 
 
+def test_matmul_knn_equals_relational_form(spark):
+    """The applyInPandas matmul kNN build must reproduce the
+    relational (self-join + zip_with sqdist + window) edges EXACTLY —
+    the float64 matmul is integer-exact in this micro range (every
+    product <= 4e12 and every 64-term sum <= 2.6e14, both < 2^53)."""
+    from pyspark.sql.window import Window
+
+    from pyspark_postgres_loader_spark.operators.clustering import _sqdist
+    from pyspark_postgres_loader_spark.operators.nsw import (
+        _NSW_CELLS,
+        _nsw_corpus,
+    )
+
+    c = _nsw_corpus(spark, SF_DIR)
+    new = {(r.a, r.b) for r in nsw_graph(spark, SF_DIR, c).collect()}
+
+    cents = c.filter(F.col("vec_id") < _NSW_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("m").alias("cm")
+    )
+    cents_arr = cents.agg(
+        F.sort_array(F.collect_list(F.struct("cell", "cm"))).alias("cs")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("cs"),
+            lambda cc: F.struct(
+                _sqdist(F.col("m"), cc["cm"]).alias("d"),
+                cc["cell"].alias("cell"),
+            ),
+        )
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(cents_arr))
+        .withColumn("best", best)
+        .select("vec_id", "m", F.col("best.cell").alias("cell"))
+    )
+    x = assigned.select(F.col("vec_id").alias("a"), F.col("m").alias("am"), "cell")
+    y = assigned.select(F.col("vec_id").alias("b"), F.col("m").alias("bm"), "cell")
+    w = Window.partitionBy("a").orderBy("d", "b")
+    from pyspark_postgres_loader_spark.operators.nsw import _NSW_M
+
+    old = {
+        (r.a, r.b)
+        for r in (
+            x.join(y, "cell")
+            .filter(F.col("a") != F.col("b"))
+            .select("a", "b", _sqdist(F.col("am"), F.col("bm")).alias("d"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _NSW_M)
+            .select("a", "b")
+        ).collect()
+    }
+    assert new == old
+    assert len(new) > 0
+
+
 def test_no_sort_merge_join_in_search(spark):
     """The frontier must stay the broadcast side through every hop."""
     df = ann_nsw_beam_topk(spark, SF_DIR)
