@@ -743,3 +743,168 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_samples int, n_channels int, sample_sum long, wsample_sum long"
         ),
     ).orderBy("doc_id")
+
+
+# --------------------------------------- spectral features (oracled)
+
+_SPEC_N = 128          # analysis frame length (samples)
+_SPEC_BINS = (1, 2, 4, 8)
+_SPEC_SCALE = 256      # fixed-point coefficient scale
+
+
+def _spec_tables() -> dict[int, tuple[list[int], list[int]]]:
+    """Fixed-point DFT twiddle tables: round(cos/sin(2π·k·n/N)·SCALE).
+    Generated ONCE here and inlined as literals into BOTH the worker
+    and the oracle SQL — the rounding never crosses an engine boundary,
+    so the correlation sums are exact integers on both sides (the
+    standard fixed-point DSP practice, e.g. CMSIS-DSP q15 tables)."""
+    import math
+
+    out = {}
+    for k in _SPEC_BINS:
+        ct = [round(math.cos(2 * math.pi * k * n / _SPEC_N) * _SPEC_SCALE)
+              for n in range(_SPEC_N)]
+        st = [round(math.sin(2 * math.pi * k * n / _SPEC_N) * _SPEC_SCALE)
+              for n in range(_SPEC_N)]
+        out[k] = (ct, st)
+    return out
+
+
+def _spec_payload(doc_id: int) -> bytes:
+    """Mono FLAC fixture at a FIXED frame length (_SPEC_N samples),
+    waveform/subframe-form rotation as :func:`_flac_payload`;
+    ``doc_id % 11 == 9`` truncates ('corrupt')."""
+    g = doc_id % _FLAC_GROUPS
+    wave = _flac_wave(g, 0, _SPEC_N)
+    form = _FORMS[g % 4]
+    payload = build_flac([wave], rate=8000, forms=[form],
+                         po=2 if g >= 6 else 0)
+    if doc_id % 11 == 9:
+        return payload[: len(payload) // 2]
+    return payload
+
+
+def _spec_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: FLAC decode → fixed-point DFT correlations
+    (int64 dot products against the shared twiddle tables) → one row
+    per (doc, bin) with exact c/s sums and energy = c² + s²."""
+    import numpy as np
+
+    tables = {
+        k: (np.array(ct, dtype=np.int64), np.array(st, dtype=np.int64))
+        for k, (ct, st) in _spec_tables().items()
+    }
+    cache: dict[tuple[int, bool], list] = {}
+
+    def rows(doc_id: int) -> list:
+        key = (doc_id % _FLAC_GROUPS, doc_id % 11 == 9)
+        if key not in cache:
+            try:
+                _r, _b, chans = decode_flac(_spec_payload(doc_id))
+                x = np.array(chans[0], dtype=np.int64)
+                out = []
+                for k in _SPEC_BINS:
+                    ct, st = tables[k]
+                    c, s = int(x @ ct), int(x @ st)
+                    out.append(("decoded", k, c, s, c * c + s * s))
+                cache[key] = out
+            except Exception:  # noqa: BLE001
+                cache[key] = [("corrupt", k, 0, 0, 0) for k in _SPEC_BINS]
+        return cache[key]
+
+    for pdf in it:
+        if pdf.empty:
+            continue
+        out = [
+            (int(d), status, k, c, s, e)
+            for d in pdf["doc_id"]
+            for status, k, c, s, e in rows(int(d))
+        ]
+        yield pd.DataFrame(
+            out,
+            columns=["doc_id", "status", "bin", "c_sum", "s_sum", "energy"],
+        ).astype(
+            {
+                "doc_id": "int64", "bin": "int32", "c_sum": "int64",
+                "s_sum": "int64", "energy": "int64",
+            }
+        )
+
+
+def _spec_oracle() -> str:
+    """Symbolic replay: the SAME twiddle literals, the SAME closed-form
+    waveform, exact integer dot products. FLAC's losslessness is what
+    makes a spectral feature oracle even possible — a lossy codec
+    would perturb x[n] and every correlation with it."""
+    tables = _spec_tables()
+    rows = ", ".join(
+        f"({k}, {list(ct)}, {list(st)})" for k, (ct, st) in tables.items()
+    )
+    wave = (
+        "CASE g % 4"
+        " WHEN 0 THEN a"
+        " WHEN 1 THEN a + b * n"
+        " WHEN 2 THEN a + b * n + cc * n * n"
+        " ELSE ((p + 37 * n + 13 * n * n) % 4001) - 2000 END"
+    )
+    return f"""
+    WITH grp AS (
+      SELECT DISTINCT doc_id % {_FLAC_GROUPS} AS g FROM documents
+    ),
+    params AS (
+      SELECT g,
+             200 * (((7 * g) % 11) - 5) AS a,
+             ((5 * g) % 21) - 10 AS b,
+             (g % 3) - 1 AS cc,
+             200 * ((7 * g) % 11) AS p
+      FROM grp
+    ),
+    bins(bin, ct, st) AS (VALUES {rows}),
+    corr AS (
+      SELECT g, bin,
+             CAST(list_sum(list_transform(range(0, {_SPEC_N}),
+                 n -> ({wave}) * ct[n + 1])) AS BIGINT) AS c_sum,
+             CAST(list_sum(list_transform(range(0, {_SPEC_N}),
+                 n -> ({wave}) * st[n + 1])) AS BIGINT) AS s_sum
+      FROM params CROSS JOIN bins
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 11 = 9 THEN 'corrupt' ELSE 'decoded' END
+             AS status,
+           c.bin,
+           CASE WHEN d.doc_id % 11 = 9 THEN 0 ELSE c.c_sum END AS c_sum,
+           CASE WHEN d.doc_id % 11 = 9 THEN 0 ELSE c.s_sum END AS s_sum,
+           CASE WHEN d.doc_id % 11 = 9 THEN 0
+                ELSE c.c_sum * c.c_sum + c.s_sum * c.s_sum END AS energy
+    FROM documents d
+    JOIN corr c ON d.doc_id % {_FLAC_GROUPS} = c.g
+    ORDER BY d.doc_id, c.bin
+    """
+
+
+@register("audio_spectral_bins", oracle=_spec_oracle())
+def audio_spectral_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio SPECTRAL feature extraction, end to end through the
+    native FLAC decoder: per document, fixed-point DFT correlations at
+    {bins} cycle bins over a {n}-sample frame — c/s sums are exact
+    int64 dot products against shared twiddle literals, energy is
+    c² + s². One row per (doc, bin); truncated payloads quarantine.
+
+    Scale notes (100 TB): decode + 8 dot products per row inside one
+    Arrow-batched ``mapInPandas`` — the spectral step adds O(N·|bins|)
+    integer work per document and nothing to the shuffle (24 bytes of
+    facts per output row). The fixed-point-table trick is what keeps a
+    float FFT's nondeterminism out of the driver hash."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        _spec_batches,
+        schema=(
+            "doc_id long, status string, bin int, c_sum long, "
+            "s_sum long, energy long"
+        ),
+    ).orderBy("doc_id", "bin")
+
+
+audio_spectral_bins.__doc__ = audio_spectral_bins.__doc__.format(
+    bins=list(_SPEC_BINS), n=_SPEC_N
+)

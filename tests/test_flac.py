@@ -191,3 +191,60 @@ def test_query_matches_oracle(spark):
     from oracle_harness import compare_query
 
     compare_query(spark, "/root/testdata/sf0.001", "multimodal_flac_decode")
+
+
+def test_spectral_square_wave_concentrates_at_its_bin():
+    """DSP sanity on the fixed-point DFT: a square wave of k cycles
+    per frame puts far more energy at bin k than at the other bins —
+    catches swapped tables or an n/k indexing mix-up."""
+    import numpy as np
+
+    from pyspark_postgres_loader_spark.operators.flac import (
+        _SPEC_BINS,
+        _SPEC_N,
+        _spec_tables,
+    )
+
+    tables = _spec_tables()
+    for k in _SPEC_BINS:
+        period = _SPEC_N // k
+        x = np.array(
+            [4000 if (n % period) < period // 2 else -4000
+             for n in range(_SPEC_N)],
+            dtype=np.int64,
+        )
+        energies = {}
+        for kk, (ct, st) in tables.items():
+            c = int(x @ np.array(ct, dtype=np.int64))
+            s = int(x @ np.array(st, dtype=np.int64))
+            energies[kk] = c * c + s * s
+        assert energies[k] == max(energies.values())
+        others = [v for kk, v in energies.items() if kk != k]
+        assert energies[k] > 10 * max(others), (k, energies)
+
+
+def test_spectral_fixture_corrupt_rows_zero():
+    from pyspark_postgres_loader_spark.operators.flac import (
+        _SPEC_BINS,
+        _spec_batches,
+    )
+    import pandas as pd
+
+    # doc 9 -> corrupt (9 % 11 == 9), doc 1 -> decoded
+    out = pd.concat(list(_spec_batches(iter([pd.DataFrame({"doc_id": [9, 1]})]))))
+    bad = out[out.doc_id == 9]
+    assert set(bad.status) == {"corrupt"}
+    assert (bad[["c_sum", "s_sum", "energy"]] == 0).all().all()
+    good = out[out.doc_id == 1]
+    assert set(good.status) == {"decoded"}
+    assert len(good) == len(_SPEC_BINS)
+    assert (good.energy >= 0).all()
+
+
+def test_spectral_query_matches_oracle(spark):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from oracle_harness import compare_query
+
+    compare_query(spark, "/root/testdata/sf0.001", "audio_spectral_bins")
