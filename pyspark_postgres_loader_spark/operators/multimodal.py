@@ -466,6 +466,23 @@ class _BitReader:
         self._acc = 0
         self._n = 0
 
+    def restart(self, m: int) -> None:
+        """Consume an RSTn marker between restart intervals: discard
+        the current byte's padding bits (the encoder pads with 1-bits
+        to the boundary, spec F.1.2.3) and require the 2-byte marker
+        0xFF 0xD0+m — a wrong sequence number means lost data."""
+        self._acc = 0
+        self._n = 0
+        if (
+            self._pos + 2 > len(self._buf)
+            or self._buf[self._pos] != 0xFF
+            or self._buf[self._pos + 1] != 0xD0 + (m & 7)
+        ):
+            raise ValueError(
+                f"expected JPEG restart marker RST{m & 7} at {self._pos}"
+            )
+        self._pos += 2
+
     def bits(self, k: int) -> int:
         while self._n < k:
             if self._pos >= len(self._buf):
@@ -546,6 +563,7 @@ def _decode_jpeg(payload: bytes):
     import struct as _struct
 
     pos = 2
+    ri = 0  # DRI restart interval (MCUs); 0 = none
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id)
     w = h = 0
@@ -565,7 +583,10 @@ def _decode_jpeg(payload: bytes):
         seg = payload[pos + 2 : pos + seg_len]
         if len(seg) != seg_len - 2:
             raise ValueError("truncated JPEG segment")
-        if marker == 0xDB:  # DQT (possibly several tables per segment)
+        if marker == 0xDD:  # DRI — restart interval in MCUs
+            import struct as _s2
+            ri = _s2.unpack(">H", seg[:2])[0]
+        elif marker == 0xDB:  # DQT (possibly several tables per segment)
             off = 0
             while off < len(seg):
                 pq, tq = seg[off] >> 4, seg[off] & 0x0F
@@ -632,12 +653,12 @@ def _decode_jpeg(payload: bytes):
                     )
                 )
             pos += seg_len
-            return _jpeg_scan(payload, pos, w, h, plan)
+            return _jpeg_scan(payload, pos, w, h, plan, ri)
         pos += seg_len
     raise ValueError("JPEG has no scan data")
 
 
-def _jpeg_scan(payload, pos, w, h, plan):
+def _jpeg_scan(payload, pos, w, h, plan, ri=0):
     """Decode the interleaved scan. Each MCU holds ``hi × vi`` 8x8
     blocks per component in raster order (spec A.2.3) — one block each
     at 4:4:4, four Y + one Cb + one Cr at 4:2:0 — every component
@@ -661,8 +682,15 @@ def _jpeg_scan(payload, pos, w, h, plan):
     ]
     qs = [np.asarray(q, dtype=np.float64) for _hi, _vi, q, _d, _a in plan]
     preds = [0] * ncomp
+    mcu_index = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if ri and mcu_index and mcu_index % ri == 0:
+                # restart: byte-align, consume RSTn (modulo-8 sequence),
+                # reset every DC predictor (spec E.2.4)
+                reader.restart(mcu_index // ri - 1)
+                preds = [0] * ncomp
+            mcu_index += 1
             for ci, (hi, vi, _q, dc_table, ac_table) in enumerate(plan):
                 for vy in range(vi):
                     for vx in range(hi):
@@ -764,6 +792,7 @@ def _encode_jpeg(
     planes,
     qtable: list[int] | None = None,
     sampling: list[tuple[int, int]] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode 1 (greyscale) or 3 (YCbCr) ``(h, w)`` uint8 planes as a
     baseline sequential JFIF JPEG. Real forward path: level shift,
@@ -848,8 +877,20 @@ def _encode_jpeg(
             code, length = ac_codes[0x00]
             writer.write(code, length)
 
+    mcu_index = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                # byte-align (1-bit padding, stuffed if it lands on
+                # 0xFF), then the RAW unstuffed RSTn marker, then
+                # fresh DC predictors (spec E.2.4)
+                writer.flush()
+                writer.out += bytes(
+                    (0xFF, 0xD0 + ((mcu_index // restart_interval - 1) & 7))
+                )
+                for ci in range(ncomp):
+                    preds[ci] = 0
+            mcu_index += 1
             for ci in range(ncomp):
                 hi, vi = sampling[ci]
                 for vy in range(vi):
@@ -876,6 +917,8 @@ def _encode_jpeg(
     sos = bytes([ncomp]) + b"".join(
         bytes((ci + 1, 0x00)) for ci in range(ncomp)
     ) + bytes((0, 63, 0))
+    if restart_interval:
+        out += seg(0xDD, _struct.pack(">H", restart_interval))
     out += seg(0xDA, sos)
     out += writer.out
     out += b"\xff\xd9"
@@ -2463,5 +2506,157 @@ def multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=(
             "doc_id long, layout string, status string, width int, "
             "height int, px_sum long, wpx_sum long"
+        ),
+    ).orderBy("doc_id")
+
+
+_JPEGR_GROUPS = 12
+
+
+def _jpegr_payload(doc_id: int) -> bytes:
+    """Deterministic RESTART-MARKER JPEG fixture: block-constant grey
+    images (exact round trip, as ever) encoded with a DRI restart
+    interval of 1..3 MCUs — every group emits at least one RSTn, so
+    byte-alignment, the modulo-8 sequence check and the DC-predictor
+    reset all run on the driver-checked path. ``doc_id % 13 == 5``
+    bumps the FIRST restart marker's sequence number (RST0→RST1): a
+    structurally valid stream signalling LOST DATA, which the decoder
+    must reject ('desync'); ``doc_id % 11 == 7`` truncates
+    ('corrupt')."""
+    import numpy as np
+
+    g = doc_id % _JPEGR_GROUPS
+    bw, bh = 2 + g % 3, 1 + g % 2
+    vals = np.empty((bh, bw), np.uint8)
+    for by in range(bh):
+        for bx in range(bw):
+            vals[by, bx] = 128 + 2 * (((7 * bx + 5 * by + 2 * g) % 49) - 24)
+    img = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+    payload = _encode_jpeg([img], restart_interval=1 + g % 3)
+    if doc_id % 13 == 5 and doc_id % 11 != 7:
+        i = payload.index(b"\xff\xd0")  # entropy FFs are stuffed, so
+        # the first FF D0 IS the first restart marker
+        payload = payload[: i + 1] + b"\xd1" + payload[i + 2 :]
+    if doc_id % 11 == 7:
+        payload = payload[: len(payload) // 2]
+    return payload
+
+
+def _jpegr_decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker for the restart-marker decode facts."""
+    import numpy as np
+
+    cache: dict[tuple[int, bool, bool], tuple] = {}
+
+    def facts(doc_id: int) -> tuple:
+        g = doc_id % _JPEGR_GROUPS
+        key = (g, doc_id % 11 == 7, doc_id % 13 == 5)
+        if key not in cache:
+            ri = 1 + g % 3
+            n_restarts = ((2 + g % 3) * (1 + g % 2) - 1) // ri
+            try:
+                w, h, px = real_decode_image(_jpegr_payload(doc_id))
+                s = px.astype(np.int64).sum(axis=2).reshape(-1)
+                weights = np.arange(1, s.size + 1, dtype=np.int64)
+                cache[key] = (
+                    "decoded", w, h, ri, n_restarts,
+                    int(s.sum()), int((s * weights).sum()),
+                )
+            except ValueError as e:
+                status = "desync" if "restart marker" in str(e) else "corrupt"
+                cache[key] = (status, 0, 0, ri, 0, 0, 0)
+            except Exception:  # noqa: BLE001
+                cache[key] = ("corrupt", 0, 0, ri, 0, 0, 0)
+        return cache[key]
+
+    for pdf in it:
+        if pdf.empty:
+            continue
+        out = [(int(d),) + facts(int(d)) for d in pdf["doc_id"]]
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "doc_id", "status", "width", "height", "ri",
+                "n_restarts", "px_sum", "wpx_sum",
+            ],
+        ).astype(
+            {
+                "doc_id": "int64", "width": "int32", "height": "int32",
+                "ri": "int32", "n_restarts": "int32",
+                "px_sum": "int64", "wpx_sum": "int64",
+            }
+        )
+
+
+def _jpegr_oracle() -> str:
+    """Grey block-constant replay with the restart bookkeeping stated
+    in closed form: n_restarts = (mcus − 1) // ri."""
+    return f"""
+    WITH grp AS (
+      SELECT DISTINCT doc_id % {_JPEGR_GROUPS} AS g FROM documents
+    ),
+    dims AS (
+      SELECT g, 8 * (2 + g % 3) AS w, 8 * (1 + g % 2) AS h,
+             1 + g % 3 AS ri,
+             ((2 + g % 3) * (1 + g % 2) - 1) // (1 + g % 3) AS n_restarts
+      FROM grp
+    ),
+    idx AS (
+      SELECT g, w, h, ri, n_restarts, unnest(range(0, w * h)) AS i FROM dims
+    ),
+    vals AS (
+      SELECT g, w, h, ri, n_restarts, i,
+             3 * (128 + 2 * (((7 * ((i % w) // 8) + 5 * ((i // w) // 8)
+                              + 2 * g) % 49) - 24)) AS s
+      FROM idx
+    ),
+    sums AS (
+      SELECT g, w, h, ri, n_restarts,
+             CAST(SUM(s) AS BIGINT) AS px_sum,
+             CAST(SUM((i + 1) * s) AS BIGINT) AS wpx_sum
+      FROM vals GROUP BY g, w, h, ri, n_restarts
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 11 = 7 THEN 'corrupt'
+                WHEN d.doc_id % 13 = 5 THEN 'desync'
+                ELSE 'decoded' END AS status,
+           CASE WHEN d.doc_id % 11 = 7 OR d.doc_id % 13 = 5 THEN 0
+                ELSE s.w END AS width,
+           CASE WHEN d.doc_id % 11 = 7 OR d.doc_id % 13 = 5 THEN 0
+                ELSE s.h END AS height,
+           s.ri,
+           CASE WHEN d.doc_id % 11 = 7 OR d.doc_id % 13 = 5 THEN 0
+                ELSE s.n_restarts END AS n_restarts,
+           CASE WHEN d.doc_id % 11 = 7 OR d.doc_id % 13 = 5 THEN 0
+                ELSE s.px_sum END AS px_sum,
+           CASE WHEN d.doc_id % 11 = 7 OR d.doc_id % 13 = 5 THEN 0
+                ELSE s.wpx_sum END AS wpx_sum
+    FROM documents d
+    JOIN sums s ON d.doc_id % {_JPEGR_GROUPS} = s.g
+    ORDER BY d.doc_id
+    """
+
+
+@register("multimodal_jpeg_restart_decode", oracle=_jpegr_oracle())
+def multimodal_jpeg_restart_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTART-MARKER JPEG decode, end to end: DRI/RSTn support is what
+    real camera JPEGs (and every parallel encoder) use, and what makes
+    parallel DECODE possible at scale — each restart segment is an
+    independently decodable unit with fresh DC predictors. Fixtures
+    encode with intervals of 1..3 MCUs so alignment, the modulo-8
+    sequence check and the predictor reset all execute per document;
+    THREE oracled statuses: 'decoded', 'desync' (a bumped sequence
+    number — the lost-data signal the check exists for) and 'corrupt'
+    (truncation).
+
+    Scale notes (100 TB): same mapInPandas decode shape; the restart
+    structure is also the natural intra-file parallelism unit if a
+    single giant JPEG ever needed splitting across tasks."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        _jpegr_decode_batches,
+        schema=(
+            "doc_id long, status string, width int, height int, ri int, "
+            "n_restarts int, px_sum long, wpx_sum long"
         ),
     ).orderBy("doc_id")

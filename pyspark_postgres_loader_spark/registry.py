@@ -78,24 +78,25 @@ _LOADED = False
 # Round-7 rotation. Entering this round every one of the 180 previously
 # registered queries has been driver-verified at least once and is
 # latest-green (CORRECTNESS_r06 + the r6 verdict); staleness histogram:
-# r6=50, r5=49, r4=47, r3=34. This window = the 14 NEW round-7
+# r6=50, r5=49, r4=47, r3=34. This window = the 15 NEW round-7
 # registrations (the round-6 surfaces the r6 verdict ordered under
 # oracle discipline, plus the round-7 stretches: JPEG 4:4:4 + 4:2:0
-# decode, FLAC decode + spectral bins, MJPEG-AVI video, PQ, IVF-PQ
-# and the NSW graph ANN) at the head, then the 34 r3-latest names
-# (the stalest), then the first 2 r4-latest names — 14+34+2 = 50
-# exactly. After the boundary the remaining names continue in
-# staleness order (45 r4, 49 r5, 50 r6) for drivers that check more
-# than 50 rows.
+# decode incl. DRI/RSTn restarts, FLAC decode + spectral bins,
+# MJPEG-AVI video, PQ, IVF-PQ and the NSW graph ANN) at the head,
+# then the 34 r3-latest names (the stalest), then ONE r4-latest name
+# — 15+34+1 = 50 exactly. After the boundary the remaining names
+# continue in staleness order (46 r4, 49 r5, 50 r6) for drivers that
+# check more than 50 rows.
 _PRIORITY = [
     # (a) round-7 registrations — never driver-checked, at the head so
-    # they get rows immediately (14): the four round-6 surfaces the r6
+    # they get rows immediately (15): the four round-6 surfaces the r6
     # verdict ordered oracled (codec decode, BPE training + the serving
     # apply side, embedding inference, file_tail batch) + the round-7
     # stretches (native baseline JPEG decode incl. 4:4:4 color and the
     # chroma-subsampled 4:2:0/4:2:2/4:4:0 layouts; native FLAC decode;
     # MJPEG-AVI video demux+decode; product-quantization ADC top-k,
     # the composed IVF-PQ index, and the NSW graph-ANN beam search)
+    "multimodal_jpeg_restart_decode",
     "audio_spectral_bins",
     "multimodal_video_mjpeg",
     "ann_nsw_beam_topk",
@@ -145,11 +146,11 @@ _PRIORITY = [
     "udtf_bigram_topk",
     "cogroup_user_activity_profile",
     "pysource_synthetic_events",
-    # (c) r4-latest head (2) — (a)+(b)+(c) = 14+34+2 = 50 exactly
+    # (c) r4-latest head (1) — (a)+(b)+(c) = 15+34+1 = 50 exactly
     "text_repetition_filter",
-    "split_train_val_test",
     # --- window boundary (50) ---
-    # overflow: remaining r4-latest (45) — round-8 rotation head
+    # overflow: remaining r4-latest (46) — round-8 rotation head
+    "split_train_val_test",
     "search_bm25_topk",
     "rollup_time_multigrain",
     "funnel_view_click_purchase",

@@ -222,3 +222,63 @@ def test_jpeg_decodes_through_spark_pipeline(spark):
     assert out[1].px_sum == 140 * 16 * 8 * 3
     assert (out[2].status, out[2].w, out[2].h) == ("ok", 16, 8)
     assert out[3].status == "quarantined"
+
+
+def test_restart_marker_roundtrip_exact():
+    """DRI/RSTn: block-constant grey images with restart intervals of
+    1..5 MCUs round-trip exactly — alignment, marker sequence and the
+    DC-predictor reset (encoder emits an absolute DC after each RSTn;
+    a decoder that forgot to reset its predictor would shift every
+    post-restart block's value)."""
+    from pyspark_postgres_loader_spark.operators.multimodal import _encode_jpeg
+
+    vals = np.array([[100, 128, 150, 170], [90, 200, 130, 110]], np.uint8)
+    img = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+    for ri in (1, 2, 3, 5):
+        p = _encode_jpeg([img], restart_interval=ri)
+        assert b"\xff\xd0" in p  # at least one RST0 really present
+        w, h, px = real_decode_image(p)
+        assert (w, h) == (32, 16)
+        assert np.array_equal(px, np.repeat(img[:, :, None], 3, axis=2))
+
+
+def test_restart_nonconstant_q1_near_lossless():
+    from pyspark_postgres_loader_spark.operators.multimodal import _encode_jpeg
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(24, 40)).astype(np.uint8)
+    p = _encode_jpeg([img], qtable=[1] * 64, restart_interval=2)
+    _w, _h, px = real_decode_image(p)
+    assert np.abs(px[:, :, 0].astype(int) - img.astype(int)).max() <= 3
+
+
+def test_restart_wrong_sequence_raises():
+    from pyspark_postgres_loader_spark.operators.multimodal import _encode_jpeg
+
+    img = np.repeat(np.repeat(
+        np.array([[100, 128, 150, 170]], np.uint8), 8, 0), 8, 1)
+    p = bytearray(_encode_jpeg([img], restart_interval=1))
+    i = p.index(b"\xff\xd0")
+    p[i + 1] = 0xD4  # claims three whole intervals were lost
+    with pytest.raises(ValueError, match="restart marker"):
+        real_decode_image(bytes(p))
+
+
+def test_restart_marker_count_matches_interval():
+    from pyspark_postgres_loader_spark.operators.multimodal import _encode_jpeg
+
+    img = np.repeat(np.repeat(
+        np.array([[100, 128, 150, 170, 90, 200]], np.uint8), 8, 0), 8, 1)
+    for ri, expect in ((1, 5), (2, 2), (3, 1), (6, 0)):
+        p = _encode_jpeg([img], restart_interval=ri)
+        n = sum(p.count(bytes((0xFF, 0xD0 + k))) for k in range(8))
+        assert n == expect, (ri, n, expect)
+
+
+def test_restart_query_matches_oracle(spark):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from oracle_harness import compare_query
+
+    compare_query(spark, "/root/testdata/sf0.001", "multimodal_jpeg_restart_decode")
