@@ -629,7 +629,11 @@ def _decode_jpeg(payload: bytes):
             if ncomp == 1 and comps[0][1:3] != (1, 1):
                 # a lone component is never subsampled relative to itself
                 comps = [(comps[0][0], 1, 1, comps[0][3])]
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC2:  # SOF2 — progressive: dedicated decoder
+            from .jpeg_progressive import decode_progressive
+
+            return decode_progressive(payload)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline JPEG (SOF%d)" % (marker - 0xC0))
         elif marker == 0xDA:  # SOS — entropy data follows

@@ -78,24 +78,27 @@ _LOADED = False
 # Round-7 rotation. Entering this round every one of the 180 previously
 # registered queries has been driver-verified at least once and is
 # latest-green (CORRECTNESS_r06 + the r6 verdict); staleness histogram:
-# r6=50, r5=49, r4=47, r3=34. This window = the 15 NEW round-7
+# r6=50, r5=49, r4=47, r3=34. This window = the 16 NEW round-7
 # registrations (the round-6 surfaces the r6 verdict ordered under
 # oracle discipline, plus the round-7 stretches: JPEG 4:4:4 + 4:2:0
-# decode incl. DRI/RSTn restarts, FLAC decode + spectral bins,
-# MJPEG-AVI video, PQ, IVF-PQ and the NSW graph ANN) at the head,
-# then the 34 r3-latest names (the stalest), then ONE r4-latest name
-# — 15+34+1 = 50 exactly. After the boundary the remaining names
-# continue in staleness order (46 r4, 49 r5, 50 r6) for drivers that
+# decode incl. DRI/RSTn restarts AND full progressive (SOF2), FLAC
+# decode + spectral bins, MJPEG-AVI video, PQ, IVF-PQ and the NSW
+# graph ANN) at the head, then the 34 r3-latest names (the stalest)
+# — 16+34 = 50 exactly. After the boundary the remaining names
+# continue in staleness order (47 r4, 49 r5, 50 r6) for drivers that
 # check more than 50 rows.
 _PRIORITY = [
     # (a) round-7 registrations — never driver-checked, at the head so
-    # they get rows immediately (15): the four round-6 surfaces the r6
+    # they get rows immediately (16): the four round-6 surfaces the r6
     # verdict ordered oracled (codec decode, BPE training + the serving
     # apply side, embedding inference, file_tail batch) + the round-7
-    # stretches (native baseline JPEG decode incl. 4:4:4 color and the
-    # chroma-subsampled 4:2:0/4:2:2/4:4:0 layouts; native FLAC decode;
-    # MJPEG-AVI video demux+decode; product-quantization ADC top-k,
-    # the composed IVF-PQ index, and the NSW graph-ANN beam search)
+    # stretches (native JPEG decode: 4:4:4 color, chroma-subsampled
+    # 4:2:0/4:2:2/4:4:0 layouts, DRI/RSTn restart markers and full
+    # PROGRESSIVE SOF2 with successive approximation; native FLAC
+    # decode + fixed-point spectral bins; MJPEG-AVI video
+    # demux+decode; product-quantization ADC top-k, the composed
+    # IVF-PQ index, and the NSW graph-ANN beam search)
+    "multimodal_jpeg_progressive_decode",
     "multimodal_jpeg_restart_decode",
     "audio_spectral_bins",
     "multimodal_video_mjpeg",
@@ -146,10 +149,9 @@ _PRIORITY = [
     "udtf_bigram_topk",
     "cogroup_user_activity_profile",
     "pysource_synthetic_events",
-    # (c) r4-latest head (1) — (a)+(b)+(c) = 15+34+1 = 50 exactly
+    # --- window boundary (50): (a)+(b) = 16+34 exactly ---
+    # overflow: remaining r4-latest (47) — round-8 rotation head
     "text_repetition_filter",
-    # --- window boundary (50) ---
-    # overflow: remaining r4-latest (46) — round-8 rotation head
     "split_train_val_test",
     "search_bm25_topk",
     "rollup_time_multigrain",
@@ -314,6 +316,7 @@ def _ensure_loaded() -> None:
         inference,
         ivfpq,
         joins_advanced,
+        jpeg_progressive,
         json_ops,
         layout_stats,
         multimodal,

@@ -107,14 +107,22 @@ def test_truncated_jpeg_raises_for_quarantine():
         real_decode_image(payload[: len(payload) // 2])
 
 
-def test_progressive_and_oversampled_raise_not_implemented():
+def test_unsupported_sof_variants_raise():
     img = np.full((8, 8), 130, np.uint8)
     payload = bytearray(build_jpeg_grey(img))
     sof = payload.find(b"\xff\xc0")
-    # progressive: rewrite the SOF0 marker to SOF2
+    # SOF2 now routes to the progressive decoder (which rejects this
+    # BASELINE-structured scan as malformed, not unsupported); the
+    # still-unsupported SOF variants stay typed
     prog = bytes(payload[:sof]) + b"\xff\xc2" + bytes(payload[sof + 2 :])
-    with pytest.raises(NotImplementedError, match="non-baseline"):
+    with pytest.raises(ValueError):
         real_decode_image(prog)
+    for marker in (0xC3, 0xC7, 0xCB):  # lossless / differential modes
+        var = bytes(payload[:sof]) + bytes((0xFF, marker)) + bytes(
+            payload[sof + 2 :]
+        )
+        with pytest.raises(NotImplementedError, match="non-baseline"):
+            real_decode_image(var)
     # sampling factors beyond 2 (e.g. 4:1:1's h=4) stay unsupported
     sub = bytearray(payload)
     # marker(2) + len(2) + precision(1) + h(2) + w(2) + ncomp(1) + id(1)
