@@ -260,6 +260,13 @@ def ann_nsw_beam_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             # hop per consumer and the task binary grows ~2x per hop
             .localCheckpoint(eager=True)
         )
+    # every consumer of the cache (graph build, entry scoring, hop
+    # re-scores) has been EAGERLY materialized into checkpoints above —
+    # drop the cache entry now, or it leaks into the session's cache
+    # registry and substitutes into OTHER queries' matching subtrees
+    # (observed: ann_pq_adc_topk's plan text doubled its FileScan count
+    # when this cache was live)
+    corpus.unpersist()
     return (
         frontier.filter(F.col("vec_id") != F.col("qid"))
         .withColumn("rank", F.row_number().over(w_beam).cast("int"))
