@@ -562,7 +562,10 @@ def _read_residual(r: _Bits, n: int, order: int) -> list[int]:
 
 _FLAC_GROUPS = 12
 _FORMS = ["constant", "fixed1", "fixed2", "verbatim"]
-_LAYOUTS = ["mono", "independent", "left_side"]
+_LAYOUTS = ["mono", "independent", "decorrelated"]
+# decorrelated groups (g % 3 == 2) sub-rotate the stereo mode so ALL
+# THREE spec decorrelations run on the driver-checked path
+_STEREO_MODES = ["left_side", "right_side", "mid_side"]
 
 
 def _flac_wave(g: int, c: int, n: int) -> list[int]:
@@ -584,15 +587,29 @@ def _flac_wave(g: int, c: int, n: int) -> list[int]:
     return [((p + 37 * i + 13 * i * i) % 4001) - 2000 for i in range(n)]
 
 
+def _flac_layout(g: int) -> str:
+    """Output-label layout for group g: mono / independent / one of
+    the three stereo decorrelations (sub-rotated by g // 3 so
+    left-side, right-side AND mid-side all appear)."""
+    base = _LAYOUTS[g % 3]
+    if base != "decorrelated":
+        return base
+    return _STEREO_MODES[(g // 3) % 3]
+
+
 def _flac_payload(doc_id: int) -> bytes:
-    """Deterministic FLAC fixture: waveform by group, mono / stereo /
-    left-side-decorrelated layout rotation, partitioned Rice (order 2)
-    for the upper half of groups. ``doc_id % 11 == 6`` truncates
-    ('corrupt'); ``doc_id % 17 == 5`` flips the frame CRC-16's low
-    byte ('crc_error' — proves the integrity check actually runs)."""
+    """Deterministic FLAC fixture: waveform by group, layout rotation
+    mono / independent-stereo / DECORRELATED stereo (the decorrelated
+    groups sub-rotate left-side → right-side → mid-side so every spec
+    stereo mode reconstructs on the driver-checked path — lossless, so
+    the oracle's expected samples never change), partitioned Rice
+    (order 2) for the upper half of groups. ``doc_id % 11 == 6``
+    truncates ('corrupt'); ``doc_id % 17 == 5`` flips the frame
+    CRC-16's low byte ('crc_error' — proves the integrity check
+    actually runs)."""
     g = doc_id % _FLAC_GROUPS
     n = 64 + 16 * (g % 4)
-    layout = _LAYOUTS[g % 3]
+    layout = _flac_layout(g)
     form = _FORMS[g % 4]
     sub = {"constant": "constant", "fixed1": "fixed1",
            "fixed2": "fixed2", "verbatim": "verbatim"}[form]
@@ -603,7 +620,7 @@ def _flac_payload(doc_id: int) -> bytes:
     payload = build_flac(
         chans,
         rate=8000 + 100 * g,
-        layout="left_side" if layout == "left_side" else "independent",
+        layout="independent" if layout == "independent" else layout,
         forms=[sub] * len(chans),
         po=2 if g >= 6 else 0,
     )
@@ -626,7 +643,7 @@ def _flac_decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         g = doc_id % _FLAC_GROUPS
         key = (g, doc_id % 11 == 6, doc_id % 17 == 5)
         if key not in cache:
-            form, layout = _FORMS[g % 4], _LAYOUTS[g % 3]
+            form, layout = _FORMS[g % 4], _flac_layout(g)
             try:
                 _rate, _bps, chans = decode_flac(_flac_payload(doc_id))
                 ssum = sum(sum(c) for c in chans)
@@ -701,7 +718,10 @@ def _flac_oracle() -> str:
            CASE d.doc_id % 4 WHEN 0 THEN 'constant' WHEN 1 THEN 'fixed1'
                 WHEN 2 THEN 'fixed2' ELSE 'verbatim' END AS form,
            CASE d.doc_id % 3 WHEN 0 THEN 'mono' WHEN 1 THEN 'independent'
-                ELSE 'left_side' END AS layout,
+                ELSE CASE ((d.doc_id % 12) // 3) % 3
+                     WHEN 0 THEN 'left_side' WHEN 1 THEN 'right_side'
+                     ELSE 'mid_side' END
+           END AS layout,
            CASE WHEN d.doc_id % 11 = 6 THEN 'corrupt'
                 WHEN d.doc_id % 17 = 5 THEN 'crc_error'
                 ELSE 'decoded' END AS status,
