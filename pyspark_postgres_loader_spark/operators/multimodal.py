@@ -58,10 +58,12 @@ def real_decode_image(payload: bytes):
       decodes natively too — chunk walk, inflate, all five scanline
       filters (see ``_decode_png``).
 
-    - JPEG (baseline sequential greyscale): canonical huffman decode,
-      DC prediction, zig-zag dequantization, orthonormal IDCT (see
-      ``_decode_jpeg``). Color/progressive/12-bit variants raise
-      ``NotImplementedError``.
+    - JPEG: baseline sequential (greyscale, 4:4:4 color, and the
+      chroma-subsampled 4:2:0/4:2:2/4:4:0 layouts with box-replication
+      upsampling), DRI/RSTn restart markers, and PROGRESSIVE SOF2
+      (spectral selection + successive approximation, via
+      ``jpeg_progressive.decode_progressive``). 12-bit / lossless /
+      hierarchical modes raise ``NotImplementedError``.
 
     WebP/AVIF require codec libraries (PIL/libvips) not installed in
     this environment — those raise ``NotImplementedError``, and the
@@ -1379,9 +1381,15 @@ def real_decode_audio(payload: bytes):
                 raise ValueError("truncated fmt chunk")
             audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0]
+            if audio_fmt == 0x11:  # IMA ADPCM — native state machine
+                from .adpcm import decode_wav_ima
+
+                samples, rate = decode_wav_ima(payload)
+                return np.asarray(samples, dtype=np.int32), rate
             if audio_fmt not in (1, 6, 7):  # PCM, A-law, µ-law
                 raise NotImplementedError(
-                    f"only PCM/G.711 wav supported (got format tag {audio_fmt})"
+                    f"only PCM/G.711/IMA-ADPCM wav supported "
+                    f"(got format tag {audio_fmt})"
                 )
         elif cid == b"data":
             data = body
