@@ -31,6 +31,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table
@@ -305,3 +306,110 @@ def multimodal_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_frames int, n_sampled int, px_sum long, wpx_sum long"
         ),
     ).orderBy("doc_id")
+
+
+def _frame_hash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: demux + decode every frame, perceptual
+    average-hash each one (the image aHash over REAL decoded pixels) →
+    (doc_id, frame_idx, ahash) rows; undecodable docs contribute no
+    rows (the dedup pipeline simply never sees them)."""
+    from .multimodal import average_hash
+
+    cache: dict[tuple[int, bool, bool], list] = {}
+
+    def rows(doc_id: int) -> list:
+        g = doc_id % _VID_GROUPS
+        key = (g, doc_id % 13 == 8, doc_id % 19 == 2)
+        if key not in cache:
+            try:
+                _w, _h, frames = decode_avi_mjpeg(_video_payload(doc_id))
+                cache[key] = [(f, average_hash(px)) for f, px in enumerate(frames)]
+            except Exception:  # noqa: BLE001 — quarantine: no frames
+                cache[key] = []
+        return cache[key]
+
+    for pdf in it:
+        if pdf.empty:
+            continue
+        out = [
+            (int(d), f, h)
+            for d in pdf["doc_id"]
+            for f, h in rows(int(d))
+        ]
+        yield pd.DataFrame(
+            out, columns=["doc_id", "frame_idx", "ahash"]
+        ).astype({"doc_id": "int64", "frame_idx": "int32", "ahash": "int64"})
+
+
+def _frame_dedup_oracle() -> str:
+    """Closed-form replay of decode → 8x8 nearest resample → threshold
+    → bit pack, per (group, frame). The fixture frames are grey with
+    per-8x8-block constants, and the resize target index maps to block
+    (x8·bw)//8, (y8·bh)//8 — integer arithmetic end to end."""
+    pows = [-(1 << 63)] + [1 << (63 - i) for i in range(1, 64)]
+    pow_list = "[" + ", ".join(str(p) for p in pows) + "]"
+    # sampled grey value for 8x8 cell i of frame f in group g
+    v = ("(128 + 2 * (((5 * (((i % 8) * (2 + g % 3)) // 8)"
+         " + 3 * (((i // 8) * (1 + g % 2)) // 8) + g + 7 * f) % 49) - 24))")
+    return f"""
+    WITH grp AS (
+      SELECT DISTINCT doc_id % {_VID_GROUPS} AS g FROM documents
+    ),
+    frames AS (
+      SELECT g, unnest(range(0, 2 + g % 4)) AS f FROM grp
+    ),
+    cells AS (
+      SELECT g, f, list_transform(range(0, 64), i -> {v}) AS cs
+      FROM frames
+    ),
+    h AS (
+      SELECT g, f, CAST(list_sum(list_transform(range(0, 64),
+        i -> CASE WHEN cs[i + 1] >= list_sum(cs) // 64
+             THEN {pow_list}[i + 1] ELSE 0 END)) AS BIGINT) AS ahash
+      FROM cells
+    ),
+    clean AS (
+      SELECT doc_id, doc_id % {_VID_GROUPS} AS g FROM documents
+      WHERE doc_id % 13 <> 8 AND doc_id % 19 <> 2
+    )
+    SELECT h.ahash,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_docs,
+           MIN(c.doc_id) AS canonical_doc_id
+    FROM clean c JOIN h ON c.g = h.g
+    GROUP BY h.ahash
+    HAVING COUNT(DISTINCT c.doc_id) >= 2
+    ORDER BY h.ahash
+    """
+
+
+@register("video_frame_ahash_dedup", oracle=_frame_dedup_oracle())
+def video_frame_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document VIDEO frame near-duplicate detection — the
+    pipeline composition a multimodal training corpus needs: demux the
+    AVI, decode every MJPEG frame natively, perceptual-hash each frame
+    (grayscale → 8x8 nearest resample → mean threshold → 64-bit pack),
+    and bucket identical hashes ACROSS documents. Undecodable payloads
+    contribute no frames. The oracle replays decode, resize sampling,
+    thresholding and two's-complement bit packing in closed form.
+
+    Scale notes (100 TB): frame explode happens INSIDE the Python
+    worker (n_frames slim rows per doc, 20 bytes each); the only
+    shuffle is the hash-keyed aggregation — bucket skew bounded the
+    same way as the image aHash operator (a bucket is one perceived
+    frame; Hamming-tolerant banding composes like dedup_simhash)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashed = d.mapInPandas(
+        _frame_hash_batches,
+        schema="doc_id long, frame_idx int, ahash long",
+    )
+    return (
+        hashed.groupBy("ahash")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("ahash")
+    )

@@ -78,18 +78,18 @@ _LOADED = False
 # Round-7 rotation. Entering this round every one of the 180 previously
 # registered queries has been driver-verified at least once and is
 # latest-green (CORRECTNESS_r06 + the r6 verdict); staleness histogram:
-# r6=50, r5=49, r4=47, r3=34. This window = the 17 NEW round-7
+# r6=50, r5=49, r4=47, r3=34. This window = the 18 NEW round-7
 # registrations (the round-6 surfaces the r6 verdict ordered under
 # oracle discipline, plus the round-7 stretches: JPEG 4:4:4 + 4:2:0
 # decode incl. DRI/RSTn restarts AND full progressive (SOF2), FLAC
-# decode + spectral bins, IMA ADPCM, MJPEG-AVI video, PQ, IVF-PQ and
-# the NSW graph ANN) at the head, then the 33 stalest r3-latest names
-# — 17+33 = 50 exactly. After the boundary the remaining names
-# continue in staleness order (1 r3, 47 r4, 49 r5, 50 r6) for drivers
-# that check more than 50 rows.
+# decode + spectral bins, IMA ADPCM, MJPEG-AVI video + cross-doc frame
+# dedup, PQ, IVF-PQ and the NSW graph ANN) at the head, then the 32
+# stalest r3-latest names — 18+32 = 50 exactly. After the boundary the
+# remaining names continue in staleness order (2 r3, 47 r4, 49 r5,
+# 50 r6) for drivers that check more than 50 rows.
 _PRIORITY = [
     # (a) round-7 registrations — never driver-checked, at the head so
-    # they get rows immediately (17): the four round-6 surfaces the r6
+    # they get rows immediately (18): the four round-6 surfaces the r6
     # verdict ordered oracled (codec decode, BPE training + the serving
     # apply side, embedding inference, file_tail batch) + the round-7
     # stretches (native JPEG decode: 4:4:4 color, chroma-subsampled
@@ -98,6 +98,7 @@ _PRIORITY = [
     # decode + fixed-point spectral bins; MJPEG-AVI video
     # demux+decode; product-quantization ADC top-k, the composed
     # IVF-PQ index, and the NSW graph-ANN beam search)
+    "video_frame_ahash_dedup",
     "audio_adpcm_decode",
     "multimodal_jpeg_progressive_decode",
     "multimodal_jpeg_restart_decode",
@@ -115,7 +116,7 @@ _PRIORITY = [
     "filetail_batch_offsets",
     "stream_filetail_log_counts",
     "ann_pq_adc_topk",
-    # (b) r3-latest — the stalest existing names (33)
+    # (b) r3-latest — the stalest existing names (32)
     "setop_intersect_except_all",
     "window_distribution_funcs",
     "scalar_null_semantics",
@@ -148,10 +149,10 @@ _PRIORITY = [
     "pipeline_filter_funnel",
     "dedup_incremental_ingest",
     "udtf_bigram_topk",
+    # --- window boundary (50): (a)+(b) = 18+32 exactly ---
+    # overflow: the last two r3-latest names, then remaining r4-latest
+    # (47) — round-8 rotation head
     "cogroup_user_activity_profile",
-    # --- window boundary (50): (a)+(b) = 17+33 exactly ---
-    # overflow: the last r3-latest name, then remaining r4-latest (47)
-    # — round-8 rotation head
     "pysource_synthetic_events",
     "text_repetition_filter",
     "split_train_val_test",

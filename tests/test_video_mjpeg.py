@@ -110,3 +110,41 @@ def test_query_matches_oracle(spark):
     from oracle_harness import compare_query
 
     compare_query(spark, "/root/testdata/sf0.001", "multimodal_video_mjpeg")
+
+
+def test_frame_hash_cross_check():
+    """The worker's per-frame aHash must equal hashing each decoded
+    frame independently — and frames with different content must get
+    different hashes (the fixture's per-frame term guarantees distinct
+    block patterns)."""
+    import pandas as pd
+
+    from pyspark_postgres_loader_spark.operators.multimodal import average_hash
+    from pyspark_postgres_loader_spark.operators.video import (
+        _frame_hash_batches,
+        _video_payload,
+        decode_avi_mjpeg,
+    )
+
+    out = pd.concat(list(_frame_hash_batches(
+        iter([pd.DataFrame({"doc_id": [1, 13, 8, 2]})]))))
+    # docs 1 and 13 share group 1 -> identical (frame_idx, hash) sets
+    a = set(map(tuple, out[out.doc_id == 1][["frame_idx", "ahash"]].values))
+    b = set(map(tuple, out[out.doc_id == 13][["frame_idx", "ahash"]].values))
+    assert a == b and len(a) > 0
+    # corrupt (8) and unsupported (2) docs contribute no frames
+    assert len(out[out.doc_id == 8]) == 0
+    assert len(out[out.doc_id == 2]) == 0
+    # independent recomputation for doc 1
+    _w, _h, frames = decode_avi_mjpeg(_video_payload(1))
+    expect = {(f, average_hash(px)) for f, px in enumerate(frames)}
+    assert a == expect
+
+
+def test_frame_dedup_query_matches_oracle(spark):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from oracle_harness import compare_query
+
+    compare_query(spark, "/root/testdata/sf0.001", "video_frame_ahash_dedup")
