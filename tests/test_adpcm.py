@@ -9,7 +9,6 @@ import numpy as np
 import pytest
 
 from pyspark_postgres_loader_spark.operators.adpcm import (
-    _STEPS,
     build_wav_ima,
     build_wav_ima_raw,
     decode_ima,
