@@ -204,14 +204,19 @@ def _inference_oracle() -> str:
     WITH base AS (
       SELECT doc_id,
              CASE WHEN doc_id % 17 = 5 THEN NULL
-                  WHEN doc_id % 17 = 11 THEN '   '
+                  -- tab/newline-bearing on purpose: pins the oracle's
+                  -- whitespace classification to Python str.strip()
+                  WHEN doc_id % 17 = 11 THEN e' \\t\\n '
                   ELSE text END AS text
       FROM documents
     ),
     cls AS (
       SELECT doc_id, text,
              CASE WHEN text IS NULL THEN 'null_text'
-                  WHEN trim(text) = '' THEN 'empty_text'
+                  -- \\s-class, not trim(' '): the worker classifies via
+                  -- Python str.strip() which strips ALL whitespace, so a
+                  -- tab/newline-only text must be empty_text here too
+                  WHEN regexp_matches(text, '^\\s*$') THEN 'empty_text'
                   WHEN length(text) > {_INFER_MAX_CHARS}
                        THEN 'too_long:' || CAST(length(text) AS VARCHAR)
                   ELSE NULL END AS error
@@ -269,7 +274,7 @@ def inference_embed_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.when(F.col("doc_id") % 17 == 5, F.lit(None).cast("string"))
-        .when(F.col("doc_id") % 17 == 11, F.lit("   "))
+        .when(F.col("doc_id") % 17 == 11, F.lit(" \t\n "))
         .otherwise(F.col("text"))
         .alias("text"),
     )

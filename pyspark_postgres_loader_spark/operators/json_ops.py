@@ -15,9 +15,6 @@ from ..functions.deterministic import davg, dsum, sql_davg, sql_dsum
 from ..registry import register
 from ..tables import load_table
 
-# Deterministic scratch dirs created by ingest_schema_evolution_merge;
-# each gets ONE atexit rmtree registration (see its docstring).
-_SCHEMA_EVO_DIRS: set[str] = set()
 
 
 @register(
@@ -294,22 +291,19 @@ def ingest_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame
     overlapping bench run) from overwriting each other's generation
     files mid-read or atexit-deleting the dir under a sibling's
     lazily-evaluated DataFrame."""
-    import atexit
     import glob
     import hashlib
     import os
     import shutil
-    import tempfile
+
+    from ..scratch import claim_scratch_dir
 
     ev = load_table(spark, sf_dir, "events")
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
-    src = os.path.join(
-        tempfile.gettempdir(), f"schema_evo_{os.getuid()}_{os.getpid()}_{tag}"
-    )
-    os.makedirs(src, exist_ok=True)
-    if src not in _SCHEMA_EVO_DIRS:
-        _SCHEMA_EVO_DIRS.add(src)
-        atexit.register(shutil.rmtree, src, ignore_errors=True)
+    # claim_scratch_dir also sweeps siblings left by dead processes —
+    # the pid-derived name means no later run would otherwise ever
+    # reclaim a crashed run's copy of the events fixture.
+    src = claim_scratch_dir("schema_evo", tag)
     gens = [
         ("gen0", ev.filter(F.col("event_id") % 2 == 0).select(
             "event_id", "user_id", "value")),

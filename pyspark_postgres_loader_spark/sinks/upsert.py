@@ -92,6 +92,7 @@ def execute_batch_with_quarantine(
     conn=None,
     use_savepoint: bool = True,
     sql_for: Callable[[int], str] | None = None,
+    rejected_out: list[tuple] | None = None,
 ) -> tuple[int, int]:
     """Run one batch with bisection quarantine.
 
@@ -99,6 +100,9 @@ def execute_batch_with_quarantine(
     failing sub-batch of size >1 splits in half and re-queues
     (:105-120); a failing single row is counted as rejected and its
     error captured. Returns (loaded, rejected, dropped_messages).
+    ``rejected_out`` (optional) collects the rejected row tuples so the
+    dedup fast path can identify which KEYS failed and replay their
+    superseded occurrences (see _batch_and_upsert.flush).
 
     ``use_savepoint=False`` (dialects without SAVEPOINT, e.g. DuckDB):
     each chunk commits on success and rollbacks on failure instead of
@@ -141,6 +145,8 @@ def execute_batch_with_quarantine(
             loaded += len(chunk)
         elif len(chunk) == 1:
             rejected += 1
+            if rejected_out is not None:
+                rejected_out.append(chunk[0])
             if len(error_messages) < _MAX_ERRORS:
                 error_messages.append(f"{type(err).__name__}: {err}")
             else:
@@ -179,8 +185,13 @@ def _batch_and_upsert(
     PostgreSQL errors with "cannot affect row a second time" if the
     batch holds the same key twice, so each batch is deduplicated to
     its LAST occurrence per key before rendering — the same final state
-    the sequential executemany path produces. Superseded duplicates
-    count as loaded (they were semantically applied then overwritten)."""
+    the sequential executemany path produces. Superseded duplicates of
+    keys whose winning row LOADED count as loaded (they were
+    semantically applied then overwritten); when a key's winning row is
+    REJECTED, its superseded occurrences are replayed sequentially —
+    under executemany semantics the earlier good occurrence would have
+    been applied before the poison row rolled back alone, so both the
+    final table state and the per-row stats must reflect that replay."""
     conn = None
     cursor = None
     seen = loaded = rejected = truncated = 0
@@ -200,13 +211,19 @@ def _batch_and_upsert(
         if not batch:
             return False
         to_send, superseded = batch, 0
-        if sql_for is not None and key_indices:
+        keyed = sql_for is not None and key_indices
+
+        def key_of(row: tuple) -> tuple:
+            return tuple(row[j] for j in key_indices)
+
+        if keyed:
             last: dict[tuple, int] = {}
             for i, row in enumerate(batch):
-                last[tuple(row[j] for j in key_indices)] = i
+                last[key_of(row)] = i
             if len(last) < len(batch):
                 to_send = [batch[i] for i in sorted(last.values())]
                 superseded = len(batch) - len(to_send)
+        rejected_rows: list[tuple] = []
         l, r, d = execute_batch_with_quarantine(
             cursor,
             sql,
@@ -215,12 +232,42 @@ def _batch_and_upsert(
             conn=conn,
             use_savepoint=use_savepoint,
             sql_for=sql_for,
+            rejected_out=rejected_rows if superseded else None,
         )
+        truncated += d
+        if superseded and r:
+            # A rejected winning row means its key's earlier (superseded)
+            # occurrences were never applied — but sequential executemany
+            # WOULD have applied them before quarantining the poison row
+            # alone. Replay those occurrences one-by-one in original
+            # order (per-key last success wins, identical final state),
+            # crediting each by its own outcome instead of blanket
+            # counting superseded rows as loaded.
+            bad_keys = {key_of(row) for row in rejected_rows}
+            kept = set(last.values())
+            replay = [
+                row
+                for i, row in enumerate(batch)
+                if i not in kept and key_of(row) in bad_keys
+            ]
+            superseded -= len(replay)
+            for row in replay:
+                rl, rr, rd = execute_batch_with_quarantine(
+                    cursor,
+                    sql,
+                    [row],
+                    messages,
+                    conn=conn,
+                    use_savepoint=use_savepoint,
+                    sql_for=sql_for,
+                )
+                l += rl
+                r += rr
+                truncated += rd
         loaded += l + superseded
         rejected += r
-        truncated += d
         conn.commit()
-        whole_batch_bad = r == len(to_send)
+        whole_batch_bad = l == 0 and r > 0
         batch.clear()
         return whole_batch_bad
 

@@ -425,31 +425,23 @@ GROUP BY event_type
 ORDER BY event_type
 """
 
-_FT_SCRATCH_DIRS: set[str] = set()
-
-
 def _materialize_event_log(spark, sf_dir: str) -> str:
     """Write the events fixture as a deterministic log file (one
     ``event_id|event_type`` line per event, totally ordered by the
     unique event_id) into a scratch dir. Deterministic per (uid, pid,
     sf_dir), overwritten on repeat calls within a process,
-    atexit-removed — the schema-evolution query's recipe (json_ops.py).
+    atexit-removed, dead-sibling-swept on first claim (scratch.py).
     Shared by the batch and streaming file_tail queries."""
-    import atexit
     import hashlib
-    import shutil
-    import tempfile
 
     from pyspark.sql import functions as F
 
+    from ..scratch import claim_scratch_dir
     from ..tables import load_table
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
-    scratch = os.path.join(
-        tempfile.gettempdir(),
-        f"filetail_q_{os.getuid()}_{os.getpid()}_{tag}",
-    )
+    scratch = claim_scratch_dir("filetail_q", tag)
     (
         ev.repartition(1)
         .sortWithinPartitions("event_id")
@@ -461,9 +453,6 @@ def _materialize_event_log(spark, sf_dir: str) -> str:
         .write.mode("overwrite")
         .text(scratch)
     )
-    if scratch not in _FT_SCRATCH_DIRS:
-        _FT_SCRATCH_DIRS.add(scratch)
-        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
     return scratch
 
 

@@ -205,6 +205,65 @@ def test_multirow_duplicate_keys_dedup_last_wins(spark, pg):
     assert inserts[0].count("(%s, %s)") == 3
 
 
+def test_dedup_replays_superseded_rows_when_winner_rejected(spark, pg):
+    """When the dedup fast path drops earlier occurrences of a key and
+    the key's LAST occurrence is then rejected, the superseded
+    occurrences must be replayed — sequential executemany would have
+    applied (1,5) before quarantining (1,-1) alone, so the final table
+    must hold (1,5) and the stats must credit it as loaded."""
+    path, conn = pg
+    cur = conn.cursor()
+    cur.execute(
+        "CREATE TABLE rw (id INTEGER PRIMARY KEY,"
+        " v INTEGER NOT NULL CHECK (v >= 0))"
+    )
+    conn.commit()
+
+    rows = [(1, 5), (1, -1), (2, 7)]
+    stats = upsert_dataframe(
+        spark.createDataFrame(rows, "id int, v int").coalesce(1),
+        functools.partial(fake_pg.connect, path),
+        "rw",
+        ["id"],
+        batch_size=16,
+        dialect=POSTGRES,
+    )
+    assert (stats.rows_seen, stats.rows_loaded, stats.rows_rejected) == (3, 2, 1)
+    got = dict(conn.cursor()._cur.execute("SELECT id, v FROM rw ORDER BY id"))
+    assert got == {1: 5, 2: 7}
+
+
+def test_dedup_replay_chain_last_success_wins(spark, pg):
+    """Replay applies superseded occurrences in original order with
+    per-row quarantine: key 1 carries [good 3, poison -2, poison -9];
+    the winner (-9) is rejected, the replay applies 3 then rejects -2 —
+    final state (1,3), loaded counts only the rows that actually
+    landed. Keys whose winner loaded still credit their superseded
+    duplicates as loaded (key 2)."""
+    path, conn = pg
+    cur = conn.cursor()
+    cur.execute(
+        "CREATE TABLE rw2 (id INTEGER PRIMARY KEY,"
+        " v INTEGER NOT NULL CHECK (v >= 0))"
+    )
+    conn.commit()
+
+    rows = [(1, 3), (2, 1), (1, -2), (2, 4), (1, -9), (3, 6)]
+    stats = upsert_dataframe(
+        spark.createDataFrame(rows, "id int, v int").coalesce(1),
+        functools.partial(fake_pg.connect, path),
+        "rw2",
+        ["id"],
+        batch_size=16,
+        dialect=POSTGRES,
+    )
+    # loaded: (1,3) replayed, (2,1) superseded-by-loaded-winner, (2,4),
+    # (3,6); rejected: (1,-2) replayed-and-rejected, (1,-9) winner
+    assert (stats.rows_seen, stats.rows_loaded, stats.rows_rejected) == (6, 4, 2)
+    got = dict(conn.cursor()._cur.execute("SELECT id, v FROM rw2 ORDER BY id"))
+    assert got == {1: 3, 2: 4, 3: 6}
+
+
 def test_bisection_replays_rows_in_original_order(spark, pg):
     """Bisection is order-preserving: when a poison row forces the
     worklist to split, surviving sub-chunks execute first-half-first,
