@@ -75,83 +75,29 @@ _LOADED = False
 # Driver-facing ordering: the round driver walks ``queries()`` in dict
 # order and records correctness for a bounded prefix (exactly 50
 # rows/round — CORRECTNESS_r04/r05 confirmed the window is _PRIORITY[:50]).
-# Round-7 rotation. Entering this round every one of the 180 previously
-# registered queries has been driver-verified at least once and is
-# latest-green (CORRECTNESS_r06 + the r6 verdict); staleness histogram:
-# r6=50, r5=49, r4=47, r3=34. This window = the 18 NEW round-7
-# registrations (the round-6 surfaces the r6 verdict ordered under
-# oracle discipline, plus the round-7 stretches: JPEG 4:4:4 + 4:2:0
-# decode incl. DRI/RSTn restarts AND full progressive (SOF2), FLAC
-# decode + spectral bins, IMA ADPCM, MJPEG-AVI video + cross-doc frame
-# dedup, PQ, IVF-PQ and the NSW graph ANN) at the head, then the 32
-# stalest r3-latest names — 18+32 = 50 exactly. After the boundary the
-# remaining names continue in staleness order (2 r3, 47 r4, 49 r5,
-# 50 r6) for drivers that check more than 50 rows.
+# Round-8 rotation. Entering this round EVERY registered query (198)
+# has been driver-verified at least once and every latest check is
+# green (CORRECTNESS_r01–r07); staleness histogram: r7=50, r6=50,
+# r5=49, r4=47, r3=2. This window = the NEW round-8 registrations at
+# the head (5: the driver-oracled upsert-sink final-state query, the
+# progressive+4:2:0 chroma-subsampled JPEG combination, the
+# Hamming-banded video-frame near-dup, the layered HNSW ANN search,
+# and native MP3 sync/header decode) + the stalest existing names: the
+# 2 r3-latest (cogroup/pysource) and the first 43 of the 47 r4-latest
+# — 5+2+43 = 50 exactly. After the boundary the remaining names
+# continue in staleness order (the last 4 r4 — the round-9 rotation
+# head — then 49 r5, 50 r6, and the 50 r7-checked names last) for
+# drivers that check more than 50 rows.
 _PRIORITY = [
-    # (a) round-7 registrations — never driver-checked, at the head so
-    # they get rows immediately (18): the four round-6 surfaces the r6
-    # verdict ordered oracled (codec decode, BPE training + the serving
-    # apply side, embedding inference, file_tail batch) + the round-7
-    # stretches (native JPEG decode: 4:4:4 color, chroma-subsampled
-    # 4:2:0/4:2:2/4:4:0 layouts, DRI/RSTn restart markers and full
-    # PROGRESSIVE SOF2 with successive approximation; native FLAC
-    # decode + fixed-point spectral bins; MJPEG-AVI video
-    # demux+decode; product-quantization ADC top-k, the composed
-    # IVF-PQ index, and the NSW graph-ANN beam search)
-    "video_frame_ahash_dedup",
-    "audio_adpcm_decode",
-    "multimodal_jpeg_progressive_decode",
-    "multimodal_jpeg_restart_decode",
-    "audio_spectral_bins",
-    "multimodal_video_mjpeg",
-    "ann_nsw_beam_topk",
-    "multimodal_jpeg420_decode",
-    "multimodal_flac_decode",
-    "ann_ivfpq_topk",
-    "multimodal_codec_decode",
-    "multimodal_jpeg_decode",
-    "tokenizer_bpe_train_merges",
-    "tokenizer_bpe_apply_tokens",
-    "inference_embed_bucket_counts",
-    "filetail_batch_offsets",
-    "stream_filetail_log_counts",
-    "ann_pq_adc_topk",
-    # (b) r3-latest — the stalest existing names (32)
-    "setop_intersect_except_all",
-    "window_distribution_funcs",
-    "scalar_null_semantics",
-    "agg_string_concat",
-    "scalar_regexp_datetime",
-    "agg_bitwise_flags",
-    "scalar_explode_outer_arrays",
-    "agg_rollup_grouping_id",
-    "q6_revenue_forecast",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue_share",
-    "q19_disjunctive_predicates",
-    "q22_idle_rich_customers",
-    "scd2_user_state_intervals",
-    "sessionize_events_30m",
-    "pipeline_training_mix",
-    "text_length_histogram",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_late_priority_counts",
-    "q16_supplier_part_counts",
-    "q21_waiting_supplier",
-    "text_pii_redact",
-    "text_chunk_windows",
-    "pack_token_budget_bins",
-    "contamination_ngram_overlap",
-    "embedding_quantize_int8",
-    "mix_domain_weights",
-    "pipeline_filter_funnel",
-    "dedup_incremental_ingest",
-    "udtf_bigram_topk",
-    # --- window boundary (50): (a)+(b) = 18+32 exactly ---
-    # overflow: the last two r3-latest names, then remaining r4-latest
-    # (47) — round-8 rotation head
+    # (a) round-8 registrations — never driver-checked (5; each line is
+    # uncommented as the query lands so _ensure_loaded's missing-name
+    # guard stays hard)
+    # "sink_upsert_final_state",        # pending this round
+    # "multimodal_jpeg_prog420_decode", # pending this round
+    # "video_frame_banded_neardup",     # pending this round
+    # "ann_hnsw_layered_topk",          # pending this round
+    # "audio_mp3_decode",               # pending this round (stretch)
+    # (b) r3-latest — the two stalest existing names
     "cogroup_user_activity_profile",
     "pysource_synthetic_events",
     "text_repetition_filter",
