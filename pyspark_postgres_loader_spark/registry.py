@@ -92,7 +92,7 @@ _PRIORITY = [
     # (a) round-8 registrations — never driver-checked (5; each line is
     # uncommented as the query lands so _ensure_loaded's missing-name
     # guard stays hard)
-    # "sink_upsert_final_state",        # pending this round
+    "sink_upsert_final_state",
     # "multimodal_jpeg_prog420_decode", # pending this round
     # "video_frame_banded_neardup",     # pending this round
     # "ann_hnsw_layered_topk",          # pending this round
@@ -284,6 +284,7 @@ def _ensure_loaded() -> None:
         udtf_ops,
         video,
     )
+    from .sinks import roundtrip  # noqa: F401
     from .sources import filetail, pydatasource  # noqa: F401
     from .streaming import incremental, windows  # noqa: F401
 

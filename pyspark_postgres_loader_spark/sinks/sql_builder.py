@@ -35,7 +35,9 @@ class Dialect:
     # psycopg2_database_helper.py:87-91 sends ONE multi-row VALUES
     # statement per batch — generic ``executemany`` on real psycopg2
     # degrades to one round trip per row). Enabled for the ``%s``
-    # dialect; the others keep generic executemany like the
+    # dialect and for DuckDB (verified: flattened ``?`` params bind
+    # across VALUES groups, and tuple-form ``SET (a,b)=(EXCLUDED..)``
+    # parses); the others keep generic executemany like the
     # reference's asyncpg personality.
     multirow_values: bool = False
 
@@ -59,7 +61,7 @@ class Dialect:
 POSTGRES = Dialect("postgres", "%s", multirow_values=True)
 ASYNCPG = Dialect("asyncpg", "$n")
 SQLITE = Dialect("sqlite", "?")
-DUCKDB = Dialect("duckdb", "?", supports_savepoint=False)
+DUCKDB = Dialect("duckdb", "?", supports_savepoint=False, multirow_values=True)
 
 DIALECTS = {d.name: d for d in (POSTGRES, ASYNCPG, SQLITE, DUCKDB)}
 

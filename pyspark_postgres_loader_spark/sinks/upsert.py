@@ -139,7 +139,13 @@ def execute_batch_with_quarantine(
                 conn.commit()
                 err = None
             except Exception as exc:  # noqa: BLE001 — DBAPI errors vary
-                conn.rollback()
+                try:
+                    conn.rollback()
+                except Exception:  # noqa: BLE001
+                    # autocommit DBAPIs (DuckDB) roll a failed statement
+                    # back themselves and then refuse rollback() with "no
+                    # transaction is active" — the chunk is already undone.
+                    pass
                 err = exc
         if err is None:
             loaded += len(chunk)

@@ -292,3 +292,75 @@ def test_empty_partitions_never_connect(spark, tmp_path):
         df, functools.partial(_connect, path), "t", None, parallelism=8, dialect=SQLITE
     )
     assert stats.rows_loaded == 1 and stats.partitions == 8
+
+
+# --- real-DuckDB quarantine path (multirow fast path + no-savepoint
+# commit-per-chunk + autocommit rollback tolerance + rejected-winner
+# replay, all against an actual database file with a CHECK constraint)
+
+def test_duckdb_multirow_quarantine_replay(spark, tmp_path):
+    duckdb_mod = pytest.importorskip("duckdb")
+    from pyspark_postgres_loader_spark.sinks.roundtrip import _connect as _dconn
+    from pyspark_postgres_loader_spark.sinks.sql_builder import DUCKDB
+
+    path = str(tmp_path / "quar.duckdb")
+    con = duckdb_mod.connect(path)
+    con.execute(
+        "CREATE TABLE q (k BIGINT PRIMARY KEY, v DOUBLE CHECK (v >= 0))"
+    )
+    con.close()
+
+    # the round-8 replay repro: key 1's WINNING (last) row is poison, so
+    # its earlier good occurrence must be replayed — final state keeps
+    # (1, 5.0) and stats count the poison row as rejected; key 2 loads.
+    df = spark.createDataFrame(
+        [(1, 5.0), (1, -1.0), (2, 7.0)], "k long, v double"
+    ).coalesce(1)
+    stats = upsert_dataframe(
+        df,
+        functools.partial(_dconn, path),
+        "q",
+        ["k"],
+        batch_size=10,
+        dialect=DUCKDB,
+    )
+    assert (stats.rows_seen, stats.rows_loaded, stats.rows_rejected) == (3, 2, 1)
+    assert stats.aborted_partitions == 0
+    con = duckdb_mod.connect(path)
+    assert dict(con.execute("SELECT k, v FROM q ORDER BY k").fetchall()) == {
+        1: 5.0,
+        2: 7.0,
+    }
+    con.close()
+
+
+def test_duckdb_multirow_batch_bisection(spark, tmp_path):
+    """A poison row inside a multi-row VALUES statement bisects down to
+    the single bad row on DuckDB (no SAVEPOINT: commit-per-chunk with
+    tolerated rollback-on-autocommit), loading every good row."""
+    duckdb_mod = pytest.importorskip("duckdb")
+    from pyspark_postgres_loader_spark.sinks.roundtrip import _connect as _dconn
+    from pyspark_postgres_loader_spark.sinks.sql_builder import DUCKDB
+
+    path = str(tmp_path / "bisect.duckdb")
+    con = duckdb_mod.connect(path)
+    con.execute(
+        "CREATE TABLE b (k BIGINT PRIMARY KEY, v DOUBLE CHECK (v >= 0))"
+    )
+    con.close()
+
+    rows = [(i, float(i)) if i != 13 else (i, -1.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "k long, v double").coalesce(1)
+    stats = upsert_dataframe(
+        df,
+        functools.partial(_dconn, path),
+        "b",
+        ["k"],
+        batch_size=40,  # one statement → CHECK fails → bisection
+        dialect=DUCKDB,
+    )
+    assert (stats.rows_loaded, stats.rows_rejected) == (39, 1)
+    con = duckdb_mod.connect(path)
+    got = dict(con.execute("SELECT k, v FROM b").fetchall())
+    con.close()
+    assert len(got) == 39 and 13 not in got
