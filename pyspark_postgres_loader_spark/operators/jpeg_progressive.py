@@ -14,9 +14,15 @@ bit-buffer strategy), so round trips exercise every decode path;
 hand-check: scans are parsed from OUR byte stream by the independent
 marker-walk test, not trusted blindly.
 
-Components are restricted to 1x1 sampling (progressive + chroma
-subsampling raises the typed quarantine error — rare in practice and
-orthogonal here; baseline handles subsampling).
+Chroma subsampling (sampling factors in {1, 2} — 4:2:0, 4:2:2, 4:4:0)
+is supported: interleaved DC scans walk MCUs emitting ``hi × vi``
+blocks per component (spec A.2.3, same order as the baseline decoder),
+while non-interleaved scans — every AC scan, and single-component DC
+scans — walk the component's OWN block grid (``ceil(comp_w/8) ×
+ceil(comp_h/8)``, spec A.2.2), which is SMALLER than the MCU-padded
+grid when dimensions aren't MCU-aligned. Decoded chroma planes are
+upsampled by box replication exactly like the baseline path. Factors
+above 2 raise the typed quarantine error.
 
 Scale notes (100 TB): decode cost is the same one-pass-per-scan walk
 over the entropy data — still a pure per-payload map. Progressive
@@ -53,9 +59,10 @@ def decode_progressive(payload: bytes):
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict] = {}
     w = h = 0
-    comps: list[tuple[int, int]] = []  # (component id, tq)
-    coefs: list | None = None  # per component: (n_blocks, 64) int32, zigzag
-    bw = bh = 0
+    comps: list[tuple[int, int, int, int]] = []  # (cid, hi, vi, tq)
+    coefs: list | None = None  # per component: (wib*hib, 64) int32, zigzag
+    geom: list[tuple[int, int, int, int, int]] = []  # (hi, vi, wib, ow, oh)
+    mcux = mcuy = 0
     preds: list[int] = []
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -106,15 +113,25 @@ def decode_progressive(payload: bytes):
             comps = []
             for i in range(ncomp):
                 cid, sampling, tq = seg[6 + 3 * i : 9 + 3 * i]
-                if ncomp > 1 and sampling != 0x11:
+                hi, vi = sampling >> 4, sampling & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError(
-                        "progressive JPEG with chroma subsampling"
+                        f"JPEG sampling factors {hi}x{vi} (only 1..2 supported)"
                     )
-                comps.append((cid, tq))
-            bw, bh = -(-w // 8), -(-h // 8)
-            coefs = [
-                np.zeros((bw * bh, 64), dtype=np.int32) for _ in range(ncomp)
-            ]
+                comps.append((cid, hi, vi, tq))
+            if ncomp == 1:
+                # a lone component is never subsampled relative to itself
+                comps = [(comps[0][0], 1, 1, comps[0][3])]
+            hmax = max(hi for _c, hi, _v, _t in comps)
+            vmax = max(vi for _c, _h, vi, _t in comps)
+            mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+            geom, coefs = [], []
+            for _cid, hi, vi, _tq in comps:
+                wib, hib = mcux * hi, mcuy * vi  # MCU-padded grid
+                cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)  # comp px
+                ow, oh = -(-cw // 8), -(-ch // 8)  # own grid (A.2.2)
+                geom.append((hi, vi, wib, ow, oh))
+                coefs.append(np.zeros((wib * hib, 64), dtype=np.int32))
             preds = [0] * ncomp
         elif marker == 0xC0:
             raise ValueError("baseline SOF0 inside progressive decoder")
@@ -126,7 +143,9 @@ def decode_progressive(payload: bytes):
             for i in range(ns):
                 cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
                 ci = next(
-                    j for j, (cid, _tq) in enumerate(comps) if cid == cs
+                    j
+                    for j, (cid, _h, _v, _tq) in enumerate(comps)
+                    if cid == cs
                 )
                 scomp.append((ci, tables >> 4, tables & 0x0F))
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
@@ -134,27 +153,37 @@ def decode_progressive(payload: bytes):
             pos += seg_len
             pos = _decode_scan(
                 payload, pos, coefs, preds, scomp, htables,
-                ss, se, ah, al, bw, bh,
+                ss, se, ah, al, geom, mcux, mcuy,
             )
             continue
         pos += seg_len
     if coefs is None:
         raise ValueError("JPEG has no SOF2 frame")
-    # all scans in: dequant, de-zigzag, IDCT — identical math to baseline
+    # all scans in: dequant, de-zigzag, IDCT — identical math to
+    # baseline; subsampled chroma upsamples by box replication, the
+    # same rule as _jpeg_scan
     t = _dct_matrix()
+    hmax = max(hi for hi, _v, _w, _o, _p in geom)
+    vmax = max(vi for _h, vi, _w, _o, _p in geom)
     planes = []
-    for ci, (_cid, tq) in enumerate(comps):
+    for ci, (_cid, _h2, _v2, tq) in enumerate(comps):
+        hi, vi, wib, _ow, _oh = geom[ci]
+        hib = mcuy * vi
         q = np.asarray(qtables[tq], dtype=np.float64)
-        plane = np.empty((bh * 8, bw * 8), dtype=np.uint8)
+        plane = np.empty((hib * 8, wib * 8), dtype=np.uint8)
         dq = coefs[ci].astype(np.float64) * q[None, :]
-        for b in range(bw * bh):
+        for b in range(wib * hib):
             block = np.zeros(64, dtype=np.float64)
             block[_ZIGZAG] = dq[b]
             spatial = t.T @ block.reshape(8, 8) @ t
-            by, bx = divmod(b, bw)
+            by, bx = divmod(b, wib)
             plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
                 np.round(spatial + 128.0), 0, 255
             ).astype(np.uint8)
+        if hi != hmax:
+            plane = np.repeat(plane, hmax // hi, axis=1)
+        if vi != vmax:
+            plane = np.repeat(plane, vmax // vi, axis=0)
         planes.append(plane)
     if len(planes) == 1:
         grey = planes[0][:h, :w]
@@ -163,36 +192,64 @@ def decode_progressive(payload: bytes):
     return w, h, rgb[:h, :w].copy()
 
 
+def _scan_block_order(scomp, geom, mcux, mcuy):
+    """Block visit order for one scan (spec A.2): an INTERLEAVED scan
+    (ns > 1) walks MCUs emitting ``hi × vi`` blocks per component in
+    raster order within the MCU (A.2.3, identical to baseline); a
+    NON-INTERLEAVED scan (ns == 1 — every AC scan, and single-component
+    DC scans) walks the lone component's OWN block grid row-major
+    (A.2.2), which is smaller than the MCU-padded grid when the image
+    isn't MCU-aligned. Yields (component index, block index into the
+    component's MCU-padded coefficient array)."""
+    if len(scomp) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, _dc_id, _ac_id in scomp:
+                    hi, vi, wib, _ow, _oh = geom[ci]
+                    for vy in range(vi):
+                        for vx in range(hi):
+                            yield ci, (my * vi + vy) * wib + (mx * hi + vx)
+    else:
+        ci = scomp[0][0]
+        _hi, _vi, wib, ow, oh = geom[ci]
+        for by in range(oh):
+            for bx in range(ow):
+                yield ci, by * wib + bx
+
+
 def _decode_scan(payload, pos, coefs, preds, scomp, htables,
-                 ss, se, ah, al, bw, bh):
+                 ss, se, ah, al, geom, mcux, mcuy):
     """One SOS's entropy data. Returns the position AFTER the scan
     (aligned at the next marker). DC scans (ss==0) may interleave all
-    components; AC scans are single-component per spec G.1.1.1.1."""
+    components; AC scans are single-component per spec G.1.1.1.1.
+    Block order per scan comes from :func:`_scan_block_order`."""
     reader = _BitReader(payload, pos)
     eobrun = 0
 
     if ss == 0:  # ---- DC scan
         if se != 0:
             raise ValueError("DC scan with nonzero Se")
-        n_blocks = bw * bh
-        for b in range(n_blocks):
-            for ci, dc_id, _ac_id in scomp:
-                if ah == 0:
-                    table = htables[(0, dc_id)]
-                    s = _huff_decode(reader, table)
-                    diff = _extend(reader.bits(s), s)
-                    preds[ci] += diff
-                    coefs[ci][b, 0] = preds[ci] << al
-                else:  # refinement: one raw bit
-                    if reader.bits(1):
-                        coefs[ci][b, 0] |= 1 << al
+        if ah == 0:
+            for ci, _dc_id, _ac_id in scomp:
+                preds[ci] = 0  # DC prediction resets per scan (F.2.1.3.1)
+        dc_ids = {ci: dc_id for ci, dc_id, _ac_id in scomp}
+        for ci, b in _scan_block_order(scomp, geom, mcux, mcuy):
+            if ah == 0:
+                table = htables[(0, dc_ids[ci])]
+                s = _huff_decode(reader, table)
+                diff = _extend(reader.bits(s), s)
+                preds[ci] += diff
+                coefs[ci][b, 0] = preds[ci] << al
+            else:  # refinement: one raw bit
+                if reader.bits(1):
+                    coefs[ci][b, 0] |= 1 << al
     else:  # ---- AC scan, single component
         if len(scomp) != 1:
             raise ValueError("interleaved AC scan in progressive JPEG")
         ci, _dc_id, ac_id = scomp[0]
         table = htables[(1, ac_id)]
         block_coefs = coefs[ci]
-        for b in range(bw * bh):
+        for _ci, b in _scan_block_order(scomp, geom, mcux, mcuy):
             if ah == 0:
                 if eobrun > 0:
                     eobrun -= 1
@@ -290,12 +347,17 @@ def _refine_ac_block(reader, table, block_coefs, b, ss, se, al, eobrun):
 
 # ------------------------------------------------------------- encoder
 
-def encode_progressive(planes, qtable=None):
-    """Encode 1 (grey) or 3 (YCbCr 4:4:4) planes as a REAL progressive
-    JPEG: DC scan at Al=1 + DC refinement, then per component two AC
+def encode_progressive(planes, qtable=None, sampling=None):
+    """Encode 1 (grey) or 3 (YCbCr) planes as a REAL progressive JPEG:
+    DC scan at Al=1 + DC refinement, then per component two AC
     spectral bands (1-5, 6-63) at Al=1 + their refinement scans —
     6 scans grey, 14 color. EOBn runs really span blocks and carry
-    buffered correction bits (the libjpeg strategy)."""
+    buffered correction bits (the libjpeg strategy). ``sampling``
+    gives each component's (hi, vi) factors (default 4:4:4); as in
+    ``_encode_jpeg``, subsampled planes must already be reduced —
+    plane ``ci`` is ``(ceil(h·vi/vmax), ceil(w·hi/hmax))`` — and the
+    DC scan interleaves MCUs (A.2.3) while AC scans walk each
+    component's own block grid (A.2.2)."""
     import struct
 
     import numpy as np
@@ -303,21 +365,33 @@ def encode_progressive(planes, qtable=None):
     q_rowmajor = list(qtable) if qtable is not None else list(_JPEG_QTABLE)
     q_zz = [q_rowmajor[_ZIGZAG[k]] for k in range(64)]
     ncomp = len(planes)
+    if sampling is None:
+        sampling = [(1, 1)] * ncomp
+    hmax = max(hi for hi, _vi in sampling)
+    vmax = max(vi for _hi, vi in sampling)
     h, w = planes[0].shape
-    bw, bh = -(-w // 8), -(-h // 8)
+    if sampling[0] != (hmax, vmax):
+        raise ValueError("component 0 must carry the max sampling factors")
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     t = _dct_matrix()
     qarr = np.asarray(q_zz, dtype=np.float64)
 
-    # quantized coefficients per component, zigzag order
-    allco = []
-    for p in planes:
-        pad = np.empty((bh * 8, bw * 8), dtype=np.float64)
-        pad[:h, :w] = p
-        pad[h:, :w] = p[-1:, :]
-        pad[:, w:] = pad[:, w - 1 : w]
-        co = np.empty((bw * bh, 64), dtype=np.int64)
-        for b in range(bw * bh):
-            by, bx = divmod(b, bw)
+    # quantized coefficients per component, zigzag order, indexed over
+    # the MCU-padded grid (wib × hib blocks, row-major)
+    allco, geom = [], []
+    for ci, p in enumerate(planes):
+        hi, vi = sampling[ci]
+        wib, hib = mcux * hi, mcuy * vi
+        ph, pw = p.shape
+        ow, oh = -(-pw // 8), -(-ph // 8)  # own grid for AC scans
+        geom.append((hi, vi, wib, ow, oh))
+        pad = np.empty((hib * 8, wib * 8), dtype=np.float64)
+        pad[:ph, :pw] = p
+        pad[ph:, :pw] = p[-1:, :]
+        pad[:, pw:] = pad[:, pw - 1 : pw]
+        co = np.empty((wib * hib, 64), dtype=np.int64)
+        for b in range(wib * hib):
+            by, bx = divmod(b, wib)
             block = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
             coef = t @ block @ t.T
             co[b] = np.round(coef.reshape(64)[_ZIGZAG] / qarr).astype(np.int64)
@@ -343,41 +417,52 @@ def encode_progressive(planes, qtable=None):
 
     scans = []  # (scomp list, ss, se, ah, al, bitstream bytes)
 
+    # DC scans visit MCU block order (matches _scan_block_order);
+    # single-component frames reduce to plain row-major
+    def mcu_order():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(ncomp):
+                    hi, vi, wib, _ow, _oh = geom[ci]
+                    for vy in range(vi):
+                        for vx in range(hi):
+                            yield ci, (my * vi + vy) * wib + (mx * hi + vx)
+
     # ---- scan 1: DC, all components, Al=1
     wtr = _BitWriter()
     preds = [0] * ncomp
-    for b in range(bw * bh):
-        for ci in range(ncomp):
-            v = int(allco[ci][b, 0]) >> 1  # point transform (arith shift)
-            diff = v - preds[ci]
-            preds[ci] = v
-            s = category(diff)
-            code, length = dc_codes[s]
-            wtr.write(code, length)
-            if s:
-                wtr.write(magnitude_bits(diff, s), s)
+    for ci, b in mcu_order():
+        v = int(allco[ci][b, 0]) >> 1  # point transform (arith shift)
+        diff = v - preds[ci]
+        preds[ci] = v
+        s = category(diff)
+        code, length = dc_codes[s]
+        wtr.write(code, length)
+        if s:
+            wtr.write(magnitude_bits(diff, s), s)
     wtr.flush()
     scans.append((list(range(ncomp)), 0, 0, 0, 1, bytes(wtr.out)))
 
     # ---- scan 2: DC refinement, raw bits
     wtr = _BitWriter()
-    for b in range(bw * bh):
-        for ci in range(ncomp):
-            wtr.write(int(allco[ci][b, 0]) & 1, 1)
+    for ci, b in mcu_order():
+        wtr.write(int(allco[ci][b, 0]) & 1, 1)
     wtr.flush()
     scans.append((list(range(ncomp)), 0, 0, 1, 0, bytes(wtr.out)))
 
-    # ---- AC scans per component
+    # ---- AC scans per component, over the component's OWN block grid
     for ci in range(ncomp):
+        _hi, _vi, wib, ow, oh = geom[ci]
+        own = [by * wib + bx for by in range(oh) for bx in range(ow)]
         for ss, se in ((1, 5), (6, 63)):
             scans.append(
                 (ci, ss, se, 0, 1, _ac_first(allco[ci], ss, se, 1,
-                                             ac_codes, bw * bh))
+                                             ac_codes, own))
             )
         for ss, se in ((1, 5), (6, 63)):
             scans.append(
                 (ci, ss, se, 1, 0, _ac_refine(allco[ci], ss, se, 0,
-                                              ac_codes, bw * bh))
+                                              ac_codes, own))
             )
 
     # ---- assemble the stream
@@ -388,7 +473,8 @@ def encode_progressive(planes, qtable=None):
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xDB, bytes([0x00]) + bytes(q_zz))
     sof = struct.pack(">BHHB", 8, h, w, ncomp) + b"".join(
-        bytes((ci + 1, 0x11, 0)) for ci in range(ncomp)
+        bytes((ci + 1, (sampling[ci][0] << 4) | sampling[ci][1], 0))
+        for ci in range(ncomp)
     )
     out += seg(0xC2, sof)
     out += seg(
@@ -410,9 +496,11 @@ def encode_progressive(planes, qtable=None):
     return bytes(out)
 
 
-def _ac_first(co, ss, se, al, ac_codes, n_blocks):
+def _ac_first(co, ss, se, al, ac_codes, blocks):
     """AC first scan for one band: values at reduced precision
-    (truncating point transform), EOBn runs really spanning blocks."""
+    (truncating point transform), EOBn runs really spanning blocks.
+    ``blocks`` is the scan's block visit order (the component's own
+    grid, as indices into the MCU-padded coefficient array)."""
     wtr = _BitWriter()
     eobrun = 0
 
@@ -433,7 +521,7 @@ def _ac_first(co, ss, se, al, ac_codes, n_blocks):
                 wtr.write(run - (1 << r), r)
             eobrun -= run
 
-    for b in range(n_blocks):
+    for b in blocks:
         vals = []
         for k in range(ss, se + 1):
             v = int(co[b, k])
@@ -467,11 +555,12 @@ def _ac_first(co, ss, se, al, ac_codes, n_blocks):
     return bytes(wtr.out)
 
 
-def _ac_refine(co, ss, se, al, ac_codes, n_blocks):
+def _ac_refine(co, ss, se, al, ac_codes, blocks):
     """AC refinement scan (G.1.2.3 encode, libjpeg strategy): newly
     nonzero coefficients coded with zero-HISTORY runs + a sign bit,
     correction bits for already-nonzero coefficients embedded after
-    each code, EOBn runs buffering their correction bits."""
+    each code, EOBn runs buffering their correction bits. ``blocks``
+    is the scan's block visit order (component's own grid)."""
     wtr = _BitWriter()
     eobrun = 0
     bit_buffer: list[int] = []  # corrections owed after the next code
@@ -493,7 +582,7 @@ def _ac_refine(co, ss, se, al, ac_codes, n_blocks):
                 eobrun = 0
                 break
 
-    for b in range(n_blocks):
+    for b in blocks:
         # absval>>al: 0 = still zero, 1 = NEWLY nonzero this scan,
         # >1 = nonzero history (gets a correction bit)
         absvals = [abs(int(co[b, k])) >> al for k in range(ss, se + 1)]
@@ -563,9 +652,11 @@ def _prog_payload(doc_id: int) -> bytes:
     approximation round trip is EXACT: the DC Al=1 scan carries v>>1
     and the refinement restores bit 0, AC scans are pure EOBn runs).
     Even groups grey, odd groups color. ``doc_id % 17 == 6`` builds a
-    COLOR payload and patches its SOF2 sampling byte to 2x2 —
-    progressive+subsampled is the typed 'unsupported' path;
-    ``doc_id % 11 == 8`` truncates ('corrupt')."""
+    COLOR payload and patches its SOF2 sampling byte to 4x1 — factors
+    above 2 are the typed 'unsupported' path (2x2 became a SUPPORTED
+    layout when progressive gained chroma subsampling — see
+    ``multimodal_jpeg_prog420_decode``); ``doc_id % 11 == 8``
+    truncates ('corrupt')."""
     import numpy as np
 
     g = doc_id % _PROG_GROUPS
@@ -595,7 +686,7 @@ def _prog_payload(doc_id: int) -> bytes:
     if force_color:
         i = payload.index(b"\xff\xc2")
         # marker(2)+len(2)+precision(1)+h(2)+w(2)+ncomp(1)+id(1) → sampling
-        payload = payload[: i + 11] + b"\x22" + payload[i + 12 :]
+        payload = payload[: i + 11] + b"\x41" + payload[i + 12 :]
     if doc_id % 11 == 8:
         payload = payload[: len(payload) // 2]
     return payload
@@ -722,5 +813,210 @@ def multimodal_jpeg_progressive_decode(
         schema=(
             "doc_id long, status string, width int, height int, "
             "px_sum long, wpx_sum long"
+        ),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------- progressive + chroma subsampling
+
+_P420_GROUPS = 12
+
+
+def _p420_factors(g: int) -> tuple[int, int]:
+    """Layout rotation: 4:2:0, 4:2:2, 4:4:0 by group mod 3 (same
+    rotation as the baseline subsampled fixture)."""
+    return [(2, 2), (2, 1), (1, 2)][g % 3]
+
+
+def _p420_payload(doc_id: int) -> bytes:
+    """Deterministic PROGRESSIVE chroma-subsampled JPEG fixture — the
+    composition of the two real-world-dominant JPEG features (SOF2
+    multi-scan + 4:2:0-family layouts, i.e. what a web crawl actually
+    contains). Y is constant per 8x8 block with even offsets; Cb/Cr
+    are constant per CHROMA region (8·fh × 8·fv pixels), so the
+    subsampled chroma planes are block-constant too and the whole
+    multi-scan successive-approximation round trip is EXACT (DC Al=1
+    scan carries v>>1, the refinement restores bit 0, every AC scan is
+    a pure EOBn run). ``doc_id % 17 == 6`` patches the SOF2 Y sampling
+    byte to 4x1 (typed 'unsupported'); ``doc_id % 11 == 8`` truncates
+    ('corrupt')."""
+    import numpy as np
+
+    g = doc_id % _P420_GROUPS
+    fh, fv = _p420_factors(g)
+    w, h = 16 * (1 + g % 2), 16 * (1 + (g // 2) % 2)
+
+    def grid(nx, ny, fn):
+        vals = np.empty((ny, nx), np.uint8)
+        for cy in range(ny):
+            for cx in range(nx):
+                vals[cy, cx] = fn(cx, cy)
+        return vals
+
+    y = np.repeat(
+        np.repeat(
+            grid(w // 8, h // 8,
+                 lambda bx, by: 128 + 2 * (((7 * bx + 5 * by + 3 * g) % 49) - 24)),
+            8, axis=0),
+        8, axis=1)
+    # chroma built directly at SUBSAMPLED size (h//fv, w//fh): one 8x8
+    # block per chroma region, exactly what the encoder consumes
+    cb = np.repeat(
+        np.repeat(
+            grid(w // (8 * fh), h // (8 * fv),
+                 lambda cx, cy: 128 + 2 * (((3 * cx + 5 * cy + 2 * g) % 49) - 24)),
+            8, axis=0),
+        8, axis=1)
+    cr = np.repeat(
+        np.repeat(
+            grid(w // (8 * fh), h // (8 * fv),
+                 lambda cx, cy: 128 + 2 * (((5 * cx + cy + 4 * g) % 49) - 24)),
+            8, axis=0),
+        8, axis=1)
+    payload = encode_progressive(
+        [y, cb, cr], sampling=[(fh, fv), (1, 1), (1, 1)]
+    )
+    if doc_id % 17 == 6 and doc_id % 11 != 8:
+        # exclusive with truncation (same precedence contract as the
+        # baseline 4:2:0 fixture): patch Y's sampling byte to 4x1 —
+        # structurally valid SOF2 the decoder must REJECT typed
+        i = payload.index(b"\xff\xc2")
+        payload = payload[: i + 11] + b"\x41" + payload[i + 12 :]
+    if doc_id % 11 == 8:
+        payload = payload[: len(payload) // 2]
+    return payload
+
+
+def _p420_decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    cache: dict[tuple[int, bool, bool], tuple] = {}
+
+    def facts(doc_id: int) -> tuple:
+        g = doc_id % _P420_GROUPS
+        key = (g, doc_id % 11 == 8, doc_id % 17 == 6)
+        if key not in cache:
+            layout = {0: "420", 1: "422", 2: "440"}[g % 3]
+            try:
+                w, h, px = real_decode_image(_p420_payload(doc_id))
+                s = px.astype(np.int64).sum(axis=2).reshape(-1)
+                weights = np.arange(1, s.size + 1, dtype=np.int64)
+                cache[key] = (
+                    layout, "decoded", w, h, int(s.sum()), int((s * weights).sum())
+                )
+            except NotImplementedError:
+                cache[key] = (layout, "unsupported", 0, 0, 0, 0)
+            except Exception:  # noqa: BLE001 — malformed bytes quarantine
+                cache[key] = (layout, "corrupt", 0, 0, 0, 0)
+        return cache[key]
+
+    for pdf in it:
+        if pdf.empty:
+            continue
+        out = [(int(d),) + facts(int(d)) for d in pdf["doc_id"]]
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "doc_id", "layout", "status", "width", "height",
+                "px_sum", "wpx_sum",
+            ],
+        ).astype(
+            {
+                "doc_id": "int64", "width": "int32", "height": "int32",
+                "px_sum": "int64", "wpx_sum": "int64",
+            }
+        )
+
+
+def _p420_oracle() -> str:
+    """Symbolic replay: Y reads block (x//8, y//8), chroma reads region
+    (x//(8·fh), y//(8·fv)) — box replication — through the integer
+    fixed-point JFIF conversion; dims and factors rotate by group."""
+    half = 32768 + _YCC_BIAS
+
+    def chan(num: str) -> str:
+        return f"GREATEST(0, LEAST(255, (({num}) // 65536) - 256))"
+
+    yv = "(128 + 2 * (((7 * bx + 5 * by + 3 * g) % 49) - 24))"
+    cb = "(2 * (((3 * cx + 5 * cy + 2 * g) % 49) - 24))"  # Cb - 128
+    cr = "(2 * (((5 * cx + cy + 4 * g) % 49) - 24))"  # Cr - 128
+    r = chan(f"{yv} * 65536 + 91881 * {cr} + {half}")
+    gch = chan(f"{yv} * 65536 - 22554 * {cb} - 46802 * {cr} + {half}")
+    b = chan(f"{yv} * 65536 + 116130 * {cb} + {half}")
+    return f"""
+    WITH grp AS (
+      SELECT DISTINCT doc_id % {_P420_GROUPS} AS g FROM documents
+    ),
+    dims AS (
+      SELECT g,
+             CASE WHEN g % 3 = 2 THEN 8 ELSE 16 END AS dx,
+             CASE WHEN g % 3 = 1 THEN 8 ELSE 16 END AS dy,
+             16 * (1 + g % 2) AS w,
+             16 * (1 + (g // 2) % 2) AS h
+      FROM grp
+    ),
+    idx AS (
+      SELECT g, dx, dy, w, h, unnest(range(0, w * h)) AS i FROM dims
+    ),
+    px AS (
+      SELECT g, w, h, i,
+             (i % w) // 8 AS bx, (i // w) // 8 AS by,
+             (i % w) // dx AS cx, (i // w) // dy AS cy
+      FROM idx
+    ),
+    vals AS (
+      SELECT g, w, h, i, ({r}) + ({gch}) + ({b}) AS s FROM px
+    ),
+    sums AS (
+      SELECT g, w, h,
+             CAST(SUM(s) AS BIGINT) AS px_sum,
+             CAST(SUM((i + 1) * s) AS BIGINT) AS wpx_sum
+      FROM vals GROUP BY g, w, h
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 3 = 0 THEN '420'
+                WHEN d.doc_id % 3 = 1 THEN '422' ELSE '440' END AS layout,
+           CASE WHEN d.doc_id % 11 = 8 THEN 'corrupt'
+                WHEN d.doc_id % 17 = 6 THEN 'unsupported'
+                ELSE 'decoded' END AS status,
+           CASE WHEN d.doc_id % 11 = 8 OR d.doc_id % 17 = 6 THEN 0
+                ELSE s.w END AS width,
+           CASE WHEN d.doc_id % 11 = 8 OR d.doc_id % 17 = 6 THEN 0
+                ELSE s.h END AS height,
+           CASE WHEN d.doc_id % 11 = 8 OR d.doc_id % 17 = 6 THEN 0
+                ELSE s.px_sum END AS px_sum,
+           CASE WHEN d.doc_id % 11 = 8 OR d.doc_id % 17 = 6 THEN 0
+                ELSE s.wpx_sum END AS wpx_sum
+    FROM documents d
+    JOIN sums s ON d.doc_id % {_P420_GROUPS} = s.g
+    ORDER BY d.doc_id
+    """
+
+
+@register("multimodal_jpeg_prog420_decode", oracle=_p420_oracle())
+def multimodal_jpeg_prog420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE + CHROMA-SUBSAMPLED JPEG decode — the composition
+    that covers the most common real-world JPEG shape (web crawls are
+    dominated by progressive 4:2:0). Fixtures are encoded by the real
+    multi-scan progressive encoder WITH sampling factors (interleaved
+    MCU DC scans, per-component own-grid AC scans) and decoded by the
+    generalized Annex G decoder; region-constant even-offset planes
+    make the round trip EXACT so the DuckDB oracle replays every RGB
+    pixel — a wrong MCU block order, a mis-sized own-grid AC walk, or
+    a misaligned chroma upsample shifts the position-weighted sum and
+    fails the hash. Typed quarantine: truncation ('corrupt') and a
+    patched 4x1 SOF2 ('unsupported'). Non-constant content is pinned
+    by tests/test_jpeg_progressive.py's prog-vs-sequential
+    pixel-identity matrix (incl. non-MCU-aligned dims).
+
+    Scale notes (100 TB): same Arrow-batched ``mapInPandas`` decode
+    map as every codec query; ~50 B of integer facts per row re-enter
+    the JVM; final ORDER BY is driver-contract presentation."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        _p420_decode_batches,
+        schema=(
+            "doc_id long, layout string, status string, width int, "
+            "height int, px_sum long, wpx_sum long"
         ),
     ).orderBy("doc_id")

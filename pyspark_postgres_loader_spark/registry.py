@@ -93,7 +93,7 @@ _PRIORITY = [
     # uncommented as the query lands so _ensure_loaded's missing-name
     # guard stays hard)
     "sink_upsert_final_state",
-    # "multimodal_jpeg_prog420_decode", # pending this round
+    "multimodal_jpeg_prog420_decode",
     # "video_frame_banded_neardup",     # pending this round
     # "ann_hnsw_layered_topk",          # pending this round
     # "audio_mp3_decode",               # pending this round (stretch)

@@ -135,16 +135,47 @@ def test_sparse_high_frequency_eobn_and_zrl():
     assert np.abs(px[:, :, 0].astype(int) - img.astype(int)).max() <= 3
 
 
-def test_subsampled_progressive_is_typed_unsupported():
+def test_oversampled_progressive_is_typed_unsupported():
+    # factors in {1, 2} are SUPPORTED since the prog+4:2:0 work; 4x1
+    # stays the typed quarantine path
     img = np.full((16, 16), 130, np.uint8)
     ycc = np.repeat(img[:, :, None], 3, axis=2)
     p = bytearray(
         encode_progressive([ycc[:, :, 0], ycc[:, :, 1], ycc[:, :, 2]])
     )
     i = p.index(b"\xff\xc2")
-    p[i + 11] = 0x22
-    with pytest.raises(NotImplementedError, match="subsampling"):
+    p[i + 11] = 0x41
+    with pytest.raises(NotImplementedError, match="sampling factors"):
         decode_progressive(bytes(p))
+
+
+@pytest.mark.parametrize(
+    "factors,dims",
+    [((2, 2), (40, 24)), ((2, 1), (24, 16)), ((1, 2), (16, 24)),
+     ((2, 2), (36, 20))],  # 36x20 at 4:2:0: own grid 5x3 < padded 6x4
+)
+def test_progressive_subsampled_equals_sequential(factors, dims):
+    """Progressive and sequential encodings of the SAME subsampled
+    planes must decode to IDENTICAL pixels (same quantized
+    coefficients, same dequant + IDCT + box-replication upsample) —
+    on NON-constant content, so every scan type (DC refinement, AC
+    band first/refine, EOBn/ZRL interplay, own-vs-MCU-padded grid
+    walk) is exercised."""
+    from pyspark_postgres_loader_spark.operators.multimodal import _encode_jpeg
+
+    (fh, fv), (w, h) = factors, dims
+    rng = np.random.RandomState(fh * 10 + fv + w)
+    y = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    cw, ch = -(-w // fh), -(-h // fv)
+    cb = rng.randint(0, 256, (ch, cw)).astype(np.uint8)
+    cr = rng.randint(0, 256, (ch, cw)).astype(np.uint8)
+    sampling = [(fh, fv), (1, 1), (1, 1)]
+    prog = encode_progressive([y, cb, cr], qtable=[1] * 64, sampling=sampling)
+    seq = _encode_jpeg([y, cb, cr], qtable=[1] * 64, sampling=sampling)
+    wp, hp, px_p = real_decode_image(prog)
+    ws, hs, px_s = real_decode_image(seq)
+    assert (wp, hp) == (ws, hs) == (w, h)
+    assert np.array_equal(px_p, px_s)
 
 
 def test_truncation_raises():
