@@ -413,3 +413,210 @@ def video_frame_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy("ahash")
     )
+
+
+# --------------------------- Hamming-banded frame near-dup (LSH style)
+
+_ND_BANDS = 4          # 4 × 16-bit bands over the 64-bit aHash
+_ND_HAMMING = 3        # verify threshold; < _ND_BANDS ⇒ banding lossless
+_ND_CAP = 64           # per-band bucket cap over DISTINCT hash classes
+
+
+def _nd_cells(g: int, f: int, v: int, rb: int):
+    """8x8 cell grid for one near-dup fixture frame: a BALANCED ±32
+    pattern (32 cells at 160, 32 at 96 → integer mean exactly 128, so
+    the aHash threshold is fixed and every cell's bit is its sign).
+    The base pattern is a rotation: cell i is high iff
+    ``(i + c) % 64 < 32`` with ``c = (g + 9f + 23·rb) % 64``; variant
+    ``v=1`` swaps the signs of exactly one high cell (i0, the rotation
+    start) and one low cell (i1, the half point) — balance preserved,
+    mean still 128, and the two variants' hashes differ in EXACTLY two
+    bits: a true Hamming-2 near-duplicate that exact-equality dedup
+    (``video_frame_ahash_dedup``) cannot see."""
+    import numpy as np
+
+    c = (g + 9 * f + 23 * rb) % 64
+    i0, i1 = (64 - c) % 64, (96 - c) % 64
+    cells = np.empty((8, 8), np.uint8)
+    for i in range(64):
+        hi = ((i + c) % 64) < 32
+        if v == 1 and i in (i0, i1):
+            hi = not hi
+        cells[i // 8, i % 8] = 160 if hi else 96
+    return cells
+
+
+def _nd_payload(doc_id: int) -> bytes:
+    """MJPEG-AVI near-dup fixture: 2..4 64x64 grey frames (one aHash
+    cell per 8x8 block, so the perceptual hash is bit-for-bit the cell
+    sign pattern; ±32 even offsets keep the JPEG round trip exact)."""
+    import numpy as np
+
+    g, v, rb = doc_id % 12, (doc_id % 24) // 12, (doc_id // 24) % 8
+    frames = [
+        build_jpeg_grey(np.repeat(np.repeat(_nd_cells(g, f, v, rb), 8, 0), 8, 1))
+        for f in range(2 + g % 3)
+    ]
+    return build_avi_mjpeg(frames, 64, 64, fps=12)
+
+
+def _nd_hash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: demux + decode + aHash every frame of the
+    near-dup fixture. Payloads are class-deterministic — (g, v, rb)
+    fixes every frame — so decode is memoized per partition."""
+    from .multimodal import average_hash
+
+    cache: dict[tuple[int, int, int], list] = {}
+
+    def rows(doc_id: int) -> list:
+        key = (doc_id % 12, (doc_id % 24) // 12, (doc_id // 24) % 8)
+        if key not in cache:
+            _w, _h, frames = decode_avi_mjpeg(_nd_payload(doc_id))
+            cache[key] = [(f, average_hash(px)) for f, px in enumerate(frames)]
+        return cache[key]
+
+    for pdf in it:
+        if pdf.empty:
+            continue
+        out = [
+            (int(d), f, h) for d in pdf["doc_id"] for f, h in rows(int(d))
+        ]
+        yield pd.DataFrame(
+            out, columns=["doc_id", "frame_idx", "ahash"]
+        ).astype({"doc_id": "int64", "frame_idx": "int32", "ahash": "int64"})
+
+
+def _nd_oracle() -> str:
+    """Closed-form replay: the frame hash is the rotation/flip sign
+    pattern packed two's-complement (mean is 128 by construction, so
+    bit i == sign of cell i); near-dup pairs are all DISTINCT hash
+    pairs at Hamming ≤ 3. Banding needs no simulation: 4 disjoint
+    16-bit bands and ≤ 3 differing bits leave ≥ 1 band bit-identical
+    (pigeonhole), so band-candidate generation is provably LOSSLESS at
+    this threshold and candidates+verify ≡ brute-force verify."""
+    pows = [-(1 << 63)] + [1 << (63 - i) for i in range(1, 64)]
+    pow_list = "[" + ", ".join(str(p) for p in pows) + "]"
+    return f"""
+    WITH frames AS (
+      SELECT doc_id,
+             doc_id % 12 AS g,
+             (doc_id % 24) // 12 AS v,
+             (doc_id // 24) % 8 AS rb,
+             unnest(range(0, 2 + (doc_id % 12) % 3)) AS f
+      FROM documents
+    ),
+    hv AS (
+      SELECT doc_id, v, (g + 9 * f + 23 * rb) % 64 AS c FROM frames
+    ),
+    h AS (
+      SELECT doc_id, CAST(list_sum(list_transform(range(0, 64), i ->
+        CASE WHEN (((i + c) % 64 < 32)
+                   <> (v = 1 AND (i = (64 - c) % 64 OR i = (96 - c) % 64)))
+             THEN {pow_list}[i + 1] ELSE 0 END)) AS BIGINT) AS ahash
+      FROM hv
+    ),
+    classes AS (
+      SELECT ahash,
+             CAST(COUNT(*) AS BIGINT) AS n_frames,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             MIN(doc_id) AS canonical_doc
+      FROM h GROUP BY ahash
+    )
+    SELECT a.ahash AS ahash_a, b.ahash AS ahash_b,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming,
+           a.n_docs AS n_docs_a, b.n_docs AS n_docs_b,
+           a.canonical_doc AS canonical_doc_a,
+           b.canonical_doc AS canonical_doc_b
+    FROM classes a JOIN classes b ON b.ahash > a.ahash
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= {_ND_HAMMING}
+    ORDER BY ahash_a, ahash_b
+    """
+
+
+@register("video_frame_banded_neardup", oracle=_nd_oracle())
+def video_frame_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAMMING-TOLERANT cross-document video-frame near-duplicate
+    detection — the production case ``video_frame_ahash_dedup``'s
+    exact-equality buckets miss: a re-encoded / slightly-perturbed
+    frame whose perceptual hash differs in a few bits. Pipeline: demux
+    AVI → native MJPEG decode → 64-bit aHash per frame → **aggregate
+    to DISTINCT hash classes first** → band each class's hash into 4 ×
+    16 bits (the ``dedup_simhash`` composition) → self-join inside
+    capped band buckets → exact ``bit_count(xor) ≤ 3`` verify. The
+    fixture plants true Hamming-2 pairs (balanced sign-flip variants),
+    so the driver hash proves banding catches pairs exact equality
+    cannot (the ``hamming`` column is 2, not 0).
+
+    Correctness: with 4 disjoint bands and threshold 3 < 4, any pair
+    within threshold shares ≥ 1 intact band (pigeonhole) — candidate
+    generation is lossless, so the DuckDB oracle replays it as a plain
+    Hamming join over hash classes.
+
+    Scale notes (100 TB): the banded self-join runs over DISTINCT hash
+    classes, not frame occurrences — the dominant exact-dup mass is
+    collapsed by one hash aggregation first (same shuffle as the exact
+    query), and band buckets over classes are bounded by CONTENT
+    diversity, not corpus size, with a ``_ND_CAP``-class cap as the skew
+    guard (overflowing buckets are dropped, the standard LSH
+    recall/cost trade — observability via dedup_lsh_bucket_stats'
+    pattern)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashed = d.mapInPandas(
+        _nd_hash_batches, schema="doc_id long, frame_idx int, ahash long"
+    )
+    classes = hashed.groupBy("ahash").agg(
+        F.count("*").cast("long").alias("n_frames"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.min("doc_id").alias("canonical_doc"),
+    )
+    band_vals = F.array(
+        *[
+            F.expr(f"shiftrightunsigned(ahash, {16 * j}) & 65535")
+            for j in range(_ND_BANDS)
+        ]
+    )
+    banded = classes.select(
+        "ahash", F.posexplode(band_vals).alias("band", "band_val")
+    )
+    sizes = banded.groupBy("band", "band_val").agg(F.count("*").alias("cnt"))
+    ok = banded.join(
+        F.broadcast(sizes.filter(F.col("cnt") <= _ND_CAP)),
+        ["band", "band_val"],
+    )
+    a, b = ok.alias("a"), ok.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.ahash") < F.col("b.ahash")),
+        )
+        .select(
+            F.col("a.ahash").alias("ahash_a"), F.col("b.ahash").alias("ahash_b")
+        )
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.expr("ahash_a ^ ahash_b")).cast("long")
+        )
+        .filter(F.col("hamming") <= _ND_HAMMING)
+    )
+    ca = classes.select(
+        F.col("ahash").alias("ahash_a"),
+        F.col("n_docs").alias("n_docs_a"),
+        F.col("canonical_doc").alias("canonical_doc_a"),
+    )
+    cb = classes.select(
+        F.col("ahash").alias("ahash_b"),
+        F.col("n_docs").alias("n_docs_b"),
+        F.col("canonical_doc").alias("canonical_doc_b"),
+    )
+    return (
+        cand.join(F.broadcast(ca), "ahash_a")
+        .join(F.broadcast(cb), "ahash_b")
+        .select(
+            "ahash_a", "ahash_b", "hamming",
+            "n_docs_a", "n_docs_b",
+            "canonical_doc_a", "canonical_doc_b",
+        )
+        .orderBy("ahash_a", "ahash_b")
+    )

@@ -94,7 +94,7 @@ _PRIORITY = [
     # guard stays hard)
     "sink_upsert_final_state",
     "multimodal_jpeg_prog420_decode",
-    # "video_frame_banded_neardup",     # pending this round
+    "video_frame_banded_neardup",
     # "ann_hnsw_layered_topk",          # pending this round
     # "audio_mp3_decode",               # pending this round (stretch)
     # (b) r3-latest — the two stalest existing names

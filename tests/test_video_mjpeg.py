@@ -148,3 +148,41 @@ def test_frame_dedup_query_matches_oracle(spark):
     from oracle_harness import compare_query
 
     compare_query(spark, "/root/testdata/sf0.001", "video_frame_ahash_dedup")
+
+
+def test_banded_neardup_catches_what_exact_equality_misses():
+    """The v=0 / v=1 fixture variants of the same rotation decode to
+    frames whose aHashes differ in EXACTLY two bits: exact-equality
+    bucketing (video_frame_ahash_dedup) can never pair them, while the
+    4x16 banding + Hamming<=3 verify must — and with <=3 differing
+    bits at least one 16-bit band is bit-identical (pigeonhole), so
+    the banded candidate generation provably finds the pair."""
+    from pyspark_postgres_loader_spark.operators.multimodal import average_hash
+    from pyspark_postgres_loader_spark.operators.video import (
+        _ND_BANDS,
+        _ND_HAMMING,
+        _nd_payload,
+    )
+
+    # doc 5 (g=5, v=0, rb=0) and doc 17 (g=5, v=1, rb=0): same rotation
+    _w, _h, f0 = decode_avi_mjpeg(_nd_payload(5))
+    _w, _h, f1 = decode_avi_mjpeg(_nd_payload(17))
+    h0, h1 = average_hash(f0[0]), average_hash(f1[0])
+    assert h0 != h1  # exact equality misses the pair
+    ham = bin((h0 ^ h1) & ((1 << 64) - 1)).count("1")
+    assert ham == 2 <= _ND_HAMMING  # true near-duplicate
+    intact = [
+        j
+        for j in range(_ND_BANDS)
+        if ((h0 >> (16 * j)) & 0xFFFF) == ((h1 >> (16 * j)) & 0xFFFF)
+    ]
+    assert intact  # at least one band survives -> banding catches it
+
+
+def test_banded_neardup_query_matches_oracle(spark):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from oracle_harness import compare_query
+
+    compare_query(spark, "/root/testdata/sf0.001", "video_frame_banded_neardup")
