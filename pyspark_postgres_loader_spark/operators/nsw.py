@@ -138,11 +138,27 @@ def _nsw_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def nsw_graph(
-    spark: SparkSession, sf_dir: str, corpus: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    corpus: DataFrame | None = None,
+    members_mod: int | None = None,
+    hub: bool = False,
 ) -> DataFrame:
     """The index build alone: (a, b) edges — each vector's M nearest
     within its blocking cell. At scale this is written
-    ``partitionBy(cell)`` next to the IVF layout."""
+    ``partitionBy(cell)`` next to the IVF layout. ``members_mod``
+    restricts the graph to a LAYER (``vec_id % members_mod == 0``,
+    plus the cell-centroid vectors) while keeping the FULL corpus's
+    cell centroids, so every HNSW level shares one coarse blocking — a
+    sparser layer just has sparser cells, shrinking the per-cell
+    quadratic term with the layer. ``hub=True`` additionally adds the
+    CENTROID CLIQUE (all centroid↔centroid edges, a constant
+    ``_NSW_CELLS``² rows): blocked construction alone yields one
+    connected component per cell, so without these navigation edges a
+    cell not covered by the entry points is unreachable — the clique
+    is the cross-cell router (the graph counterpart of IVF's coarse
+    quantizer) that makes every cell reachable within one hop of any
+    centroid."""
     if corpus is None:
         corpus = _nsw_corpus(spark, sf_dir)
     cents = corpus.filter(F.col("vec_id") < _NSW_CELLS).select(
@@ -165,6 +181,11 @@ def nsw_graph(
         .withColumn("best", best)
         .select("vec_id", "m", F.col("best.cell").alias("cell"))
     )
+    if members_mod is not None:
+        assigned = assigned.filter(
+            (F.col("vec_id") % members_mod == 0)
+            | (F.col("vec_id") < _NSW_CELLS)
+        )
     # Per-cell pairwise top-M via ONE numpy matmul per group — the
     # textbook applyInPandas case: the relational formulation (self-
     # join + zip_with sqdist + window) allocates a 64-element temp
@@ -195,8 +216,49 @@ def nsw_graph(
             {"a": np.repeat(ids, m), "b": ids[nbrs].reshape(-1)}
         )
 
-    return assigned.groupBy("cell").applyInPandas(
+    edges = assigned.groupBy("cell").applyInPandas(
         knn_edges, schema="a long, b long"
+    )
+    if hub:
+        cids = corpus.filter(F.col("vec_id") < _NSW_CELLS).select("vec_id")
+        clique = (
+            cids.alias("x")
+            .crossJoin(cids.alias("y"))
+            .filter(F.col("x.vec_id") != F.col("y.vec_id"))
+            .select(
+                F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b")
+            )
+        )
+        # no overlap with kNN edges: a centroid is assigned to its own
+        # cell (self-distance 0), so clique edges are strictly
+        # cross-cell while kNN edges are strictly within-cell
+        edges = edges.unionByName(clique)
+    return edges
+
+
+def _beam_hop(frontier, adj, corpus, q, w_beam) -> DataFrame:
+    """One beam-expansion hop: frontier ∪ exact-rescored graph
+    neighbors of the frontier, keep the per-query best B. The frontier
+    is |Q|·B rows — ALWAYS the broadcast side; the corpus-side joins
+    are map-side lookups. Lineage is truncated per hop (the connected-
+    components recipe) or the plan re-derives every earlier hop per
+    consumer and the task binary grows ~2x per hop."""
+    expanded = (
+        adj.join(F.broadcast(frontier), adj["a"] == frontier["vec_id"])
+        .select("qid", F.col("b").alias("vec_id"))
+        .distinct()
+        .join(corpus, "vec_id")
+        .join(F.broadcast(q), "qid")
+        .select("qid", "vec_id", _sqdist(F.col("qm"), F.col("m")).alias("d"))
+    )
+    return (
+        frontier.unionByName(expanded)
+        .distinct()  # (qid, vec_id, d) — d is an exact BIGINT, so a
+        # revisited node collapses to one row
+        .withColumn("rn", F.row_number().over(w_beam))
+        .filter(F.col("rn") <= _NSW_BEAM)
+        .select("qid", "vec_id", "d")
+        .localCheckpoint(eager=True)
     )
 
 
@@ -236,30 +298,7 @@ def ann_nsw_beam_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id", "d")
     )
     for _ in range(_NSW_HOPS):
-        # frontier is |Q|·B rows — ALWAYS the broadcast side; the
-        # corpus-side joins are map-side lookups
-        expanded = (
-            adj.join(F.broadcast(frontier), adj["a"] == frontier["vec_id"])
-            .select("qid", F.col("b").alias("vec_id"))
-            .distinct()
-            .join(corpus, "vec_id")
-            .join(F.broadcast(q), "qid")
-            .select(
-                "qid", "vec_id", _sqdist(F.col("qm"), F.col("m")).alias("d")
-            )
-        )
-        frontier = (
-            frontier.unionByName(expanded)
-            .distinct()  # (qid, vec_id, d) — d is an exact BIGINT, so
-            # a revisited node collapses to one row
-            .withColumn("rn", F.row_number().over(w_beam))
-            .filter(F.col("rn") <= _NSW_BEAM)
-            .select("qid", "vec_id", "d")
-            # |Q|·B rows — truncate lineage per hop (the connected-
-            # components recipe) or the plan re-derives every earlier
-            # hop per consumer and the task binary grows ~2x per hop
-            .localCheckpoint(eager=True)
-        )
+        frontier = _beam_hop(frontier, adj, corpus, q, w_beam)
     # every consumer of the cache (graph build, entry scoring, hop
     # re-scores) has been EAGERLY materialized into checkpoints above —
     # drop the cache entry now, or it leaks into the session's cache
@@ -283,4 +322,197 @@ def ann_nsw_beam_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ann_nsw_beam_topk.__doc__ = ann_nsw_beam_topk.__doc__.format(
     m=_NSW_M, beam=_NSW_BEAM, l1=_NSW_L1_MOD, hops=_NSW_HOPS, topk=_NSW_TOPK
+)
+
+
+# ------------------------------------------------------ layered HNSW
+
+_HNSW_MODS = (64, 8)   # upper layers: L2 = every 64th, L1 = every 8th
+_HNSW_L1_HOPS = 2      # expansion hops on the middle layer
+_HNSW_HOPS0 = 3        # expansion hops on the base layer (all vectors)
+
+
+def _hnsw_adj_cte(name: str, mod: int | None) -> str:
+    """Adjacency CTE for one layer: each member's M nearest within its
+    coarse cell (membership ``vec_id % mod == 0`` plus the centroids;
+    None = base layer, all vectors), UNION ALL the centroid clique —
+    the cross-cell navigation edges (see ``nsw_graph(hub=True)``).
+    Every layer shares the full corpus's cell assignment."""
+    member = (
+        f"AND (x.vec_id % {mod} = 0 OR x.vec_id < {_NSW_CELLS}) "
+        f"AND (y.vec_id % {mod} = 0 OR y.vec_id < {_NSW_CELLS})"
+        if mod
+        else ""
+    )
+    return f"""{name} AS MATERIALIZED (
+      SELECT a, b FROM (
+        SELECT x.vec_id AS a, y.vec_id AS b,
+               ROW_NUMBER() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY {_sql_sqdist('x.m', 'y.m')} ASC, y.vec_id
+               ) AS rn
+        FROM assigned x JOIN assigned y
+          ON x.cell = y.cell AND x.vec_id <> y.vec_id {member}
+      ) WHERE rn <= {_NSW_M}
+      UNION ALL
+      SELECT x.vec_id AS a, y.vec_id AS b
+      FROM corpus x JOIN corpus y
+        ON x.vec_id < {_NSW_CELLS} AND y.vec_id < {_NSW_CELLS}
+       AND x.vec_id <> y.vec_id)"""
+
+
+def _hnsw_hop_cte(h: int, adj: str) -> str:
+    """One unrolled beam hop through layer adjacency ``adj``."""
+    sq = _sql_sqdist
+    return f"""f{h} AS MATERIALIZED (
+      SELECT qid, vec_id, d FROM (
+        SELECT qid, vec_id, d,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qid ORDER BY d ASC, vec_id
+               ) AS rn
+        FROM (
+          SELECT DISTINCT qid, vec_id, d FROM (
+            SELECT qid, vec_id, d FROM f{h - 1}
+            UNION ALL
+            SELECT f.qid, a.b AS vec_id, {sq('q.qm', 'e.m')} AS d
+            FROM f{h - 1} f
+            JOIN {adj} a ON f.vec_id = a.a
+            JOIN corpus e ON a.b = e.vec_id
+            JOIN q ON f.qid = q.qid
+          )
+        )
+      ) WHERE rn <= {_NSW_BEAM})"""
+
+
+def _hnsw_oracle() -> str:
+    sq = _sql_sqdist
+    quant = _SQL_QUANTIZE.format(v="embedding")
+    top_mod = _HNSW_MODS[0]
+    parts = [
+        f"corpus AS MATERIALIZED (SELECT vec_id, {quant} AS m FROM embeddings)",
+        f"""cents AS MATERIALIZED (
+      SELECT vec_id AS cell, m AS cm FROM corpus WHERE vec_id < {_NSW_CELLS})""",
+        f"""assigned AS MATERIALIZED (
+      SELECT vec_id, m, cell FROM (
+        SELECT e.vec_id, e.m, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {sq('e.m', 'c.cm')} ASC, c.cell
+               ) AS rn
+        FROM corpus e CROSS JOIN cents c
+      ) WHERE rn = 1)""",
+    ]
+    adj_names = []
+    for mod in _HNSW_MODS:
+        name = f"adj{mod}"
+        adj_names.append(name)
+        parts.append(_hnsw_adj_cte(name, mod))
+    parts.append(_hnsw_adj_cte("adj0", None))
+    parts.append(f"""q AS MATERIALIZED (
+      SELECT vec_id AS qid, m AS qm FROM corpus WHERE vec_id < {_NSW_NQ})""")
+    parts.append(f"""f0 AS MATERIALIZED (
+      SELECT qid, vec_id, d FROM (
+        SELECT q.qid, e.vec_id, {sq('q.qm', 'e.m')} AS d,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {sq('q.qm', 'e.m')} ASC, e.vec_id
+               ) AS rn
+        FROM q CROSS JOIN corpus e
+        WHERE e.vec_id % {top_mod} = 0 OR e.vec_id < {_NSW_CELLS}
+      ) WHERE rn <= {_NSW_BEAM})""")
+    schedule = (
+        [adj_names[0]]
+        + [adj_names[1]] * _HNSW_L1_HOPS
+        + ["adj0"] * _HNSW_HOPS0
+    )
+    for h, adj in enumerate(schedule, start=1):
+        parts.append(_hnsw_hop_cte(h, adj))
+    last = len(schedule)
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT qid, CAST(rn AS INT) AS rank, vec_id,
+           CAST(d AS DOUBLE) / {_MICRO * _MICRO} AS dist
+    FROM (
+      SELECT qid, vec_id, d,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d ASC, vec_id)
+               AS rn
+      FROM f{last} WHERE vec_id <> qid
+    ) WHERE rn <= {_NSW_TOPK}
+    ORDER BY qid, rank
+    """
+    )
+
+
+@register("ann_hnsw_layered_topk", oracle=_hnsw_oracle())
+def ann_hnsw_layered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAYERED (hierarchical) graph ANN — full HNSW shape, driver-
+    oracled end to end: three nested levels (every-{l2}th vectors,
+    every-{l1}th vectors, all vectors — each level a 1/8 geometric
+    sample of the next, Malkov & Yashunin's construction), each with
+    its own blocked kNN graph over the SHARED coarse cells. The search
+    seeds the beam from the sparse top level (a full scan of N/{l2}
+    entry points — the scan HNSW's hierarchy exists to make cheap),
+    hops once through each upper level's graph to descend, then runs
+    {h0} expansion hops on the base graph; nested membership
+    ({l2} | v ⇒ {l1} | v) means every descent lands on real members of
+    the next level. Same fixed-hop total-order beam as
+    ``ann_nsw_beam_topk``, so the DuckDB oracle replays the ENTIRE
+    layered search as unrolled MATERIALIZED CTEs (one adjacency per
+    level, one CTE per hop); recall vs an independent exact scorer is
+    pinned in tests/test_nsw.py.
+
+    Scale notes (100 TB): upper-level graphs are geometrically smaller
+    (N/8, N/64 rows) and built with the SAME blocked construction —
+    the added index cost is ~15%. Query-time cost gains the hierarchy
+    payoff: the entry scan shrinks from N/{l1} (single-layer NSW) to
+    N/{l2} rows, while frontiers stay |Q|·B broadcast rows and the
+    corpus is never shuffled."""
+    corpus = _nsw_corpus(spark, sf_dir).cache()
+    adjs = [
+        nsw_graph(
+            spark, sf_dir, corpus, members_mod=mod, hub=True
+        ).localCheckpoint(eager=True)
+        for mod in _HNSW_MODS
+    ]
+    adj0 = nsw_graph(spark, sf_dir, corpus, hub=True).localCheckpoint(
+        eager=True
+    )
+    q = corpus.filter(F.col("vec_id") < _NSW_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("m").alias("qm")
+    )
+    entries = corpus.filter(
+        (F.col("vec_id") % _HNSW_MODS[0] == 0)
+        | (F.col("vec_id") < _NSW_CELLS)
+    )
+    w_beam = Window.partitionBy("qid").orderBy("d", "vec_id")
+    frontier = (
+        q.join(F.broadcast(entries))
+        .select(
+            "qid", "vec_id", _sqdist(F.col("qm"), F.col("m")).alias("d")
+        )
+        .withColumn("rn", F.row_number().over(w_beam))
+        .filter(F.col("rn") <= _NSW_BEAM)
+        .select("qid", "vec_id", "d")
+    )
+    for adj in [adjs[0]] + [adjs[1]] * _HNSW_L1_HOPS + [adj0] * _HNSW_HOPS0:
+        frontier = _beam_hop(frontier, adj, corpus, q, w_beam)
+    corpus.unpersist()
+    return (
+        frontier.filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("rank", F.row_number().over(w_beam).cast("int"))
+        .filter(F.col("rank") <= _NSW_TOPK)
+        .select(
+            "qid",
+            "rank",
+            "vec_id",
+            (F.col("d").cast("double") / (_MICRO * _MICRO)).alias("dist"),
+        )
+        .orderBy("qid", "rank")
+    )
+
+
+ann_hnsw_layered_topk.__doc__ = ann_hnsw_layered_topk.__doc__.format(
+    l2=_HNSW_MODS[0], l1=_HNSW_MODS[1], h0=_HNSW_HOPS0
 )

@@ -95,7 +95,7 @@ _PRIORITY = [
     "sink_upsert_final_state",
     "multimodal_jpeg_prog420_decode",
     "video_frame_banded_neardup",
-    # "ann_hnsw_layered_topk",          # pending this round
+    "ann_hnsw_layered_topk",
     # "audio_mp3_decode",               # pending this round (stretch)
     # (b) r3-latest — the two stalest existing names
     "cogroup_user_activity_profile",

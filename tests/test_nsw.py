@@ -147,3 +147,47 @@ def test_no_sort_merge_join_in_search(spark):
     df = ann_nsw_beam_topk(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_layered_recall_against_exact(spark):
+    """The 3-level HNSW search must beat the same bar as single-layer
+    NSW (recall@k >= 0.8 vs an independent exact scorer); measured
+    0.979 at sf0.001 and sf0.01 — the centroid-clique navigation edges
+    are what make every cell reachable from the sparse top layer."""
+    from pyspark_postgres_loader_spark.operators.nsw import (
+        ann_hnsw_layered_topk,
+    )
+
+    truth = _exact_topk(spark, _NSW_TOPK)
+    out = ann_hnsw_layered_topk(spark, SF_DIR).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.qid, []).append(r.vec_id)
+    recalls = [
+        len(set(got.get(q, [])) & set(truth[q])) / len(truth[q])
+        for q in range(_NSW_NQ)
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_hub_graph_reaches_every_cell(spark):
+    """Without the centroid clique a blocked kNN graph is one component
+    per cell; with hub=True every centroid (hence every cell) is one
+    hop from any other centroid — the reachability property the round-9
+    qid-3 recall hole exposed."""
+    from pyspark_postgres_loader_spark.operators.nsw import _NSW_CELLS
+
+    edges = nsw_graph(spark, SF_DIR, members_mod=64, hub=True).collect()
+    cents = set(range(_NSW_CELLS))
+    for c in cents:
+        out = {e.b for e in edges if e.a == c}
+        assert cents - {c} <= out  # full clique among centroids
+
+
+def test_layered_query_matches_oracle(spark):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from oracle_harness import compare_query
+
+    compare_query(spark, SF_DIR, "ann_hnsw_layered_topk")
