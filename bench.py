@@ -138,6 +138,10 @@ HEADLINE = [
 
 
 _ISOLATED_TOP_N = 10
+# always re-time these isolated even when not in the top-10: queries
+# whose code changed recently, so a suite-context inflation can be
+# attributed (environment vs plan regression) from the artifact alone
+_ISOLATED_ALWAYS = ("stream_upsert_incremental",)
 
 
 def _warmup(spark, sf_dir: str) -> None:
@@ -194,6 +198,7 @@ def _isolated_pass(timings: dict[str, float]) -> dict:
     import sys
 
     names = sorted(timings, key=lambda n: -timings[n])[:_ISOLATED_TOP_N]
+    names += [n for n in _ISOLATED_ALWAYS if n not in names and n in timings]
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--isolated", ",".join(names)],
         capture_output=True,
@@ -265,7 +270,9 @@ def main() -> None:
     # way). Failures are skipped on later passes and reported in the
     # output instead of crashing the run.
     errors: dict[str, str] = {}
+    pass_elapsed: list[dict[str, float]] = []
     for _ in range(3):
+        cur: dict[str, float] = {}
         for name in bench_names:
             if name in errors:
                 continue
@@ -279,7 +286,19 @@ def main() -> None:
                 timings.pop(name, None)
                 continue
             elapsed = round(time.perf_counter() - start, 3)
+            cur[name] = elapsed
             timings[name] = min(timings.get(name, elapsed), elapsed)
+        pass_elapsed.append(cur)
+    # per-pass totals over the queries that completed EVERY pass: the
+    # round-over-round variance evidence (a uniform pass-to-pass spread
+    # says machine contention; a single inflated query says plan) —
+    # requested by the r8 verdict so total-wall swings are attributable
+    # from the artifact alone
+    ok = set(timings)
+    pass_totals = [
+        round(sum(t for n, t in cur.items() if n in ok), 3)
+        for cur in pass_elapsed
+    ]
 
     try:
         skew = _skew_bench(spark, sf_dir)
@@ -314,6 +333,10 @@ def main() -> None:
         "n_errors": len(errors),
         "errors": errors,
         "passes": 3,
+        "pass_totals_sec": pass_totals,
+        "spread_sec": round(max(pass_totals) - min(pass_totals), 3)
+        if pass_totals
+        else 0.0,
         "queries": timings,
         "contract_queries": contract,
         "contract_queries_sec": round(sum(timings[n] for n in contract), 3),
@@ -328,7 +351,10 @@ def main() -> None:
     # on stdout here, and the driver parses the LAST line of the tail —
     # a shutdown log line after the JSON would break the parse
     spark.stop()
-    print(_compact_line(total, timings, sf, len(errors)), flush=True)
+    print(
+        _compact_line(total, timings, sf, len(errors), pass_totals),
+        flush=True,
+    )
 
 
 # The driver's stdout-tail window is EXACTLY 2000 chars (measured on
@@ -456,14 +482,20 @@ def _skew_bench(spark, sf_dir: str) -> dict:
 
 
 def _compact_line(
-    total: float, timings: dict[str, float], sf: float, n_errors: int = 0
+    total: float,
+    timings: dict[str, float],
+    sf: float,
+    n_errors: int = 0,
+    pass_totals: list[float] | None = None,
 ) -> str:
     """One parseable JSON line under ``_LINE_BUDGET`` chars.
 
     The scalar fields (metric/value/sf) always fit; per-query entries are
     added slowest-first (the ones worth watching) until the budget is
     reached, and ``queries_elided`` records how many were dropped (full
-    map in BENCH_DETAIL.json).
+    map in BENCH_DETAIL.json). ``pass_totals`` carries per-pass suite
+    totals so the parsed artifact self-describes its run-to-run spread
+    (machine contention reads as a uniform pass delta).
     """
     base = {
         "metric": "headline_queries_total_wall",
@@ -472,6 +504,11 @@ def _compact_line(
         "sf": sf,
         "n_queries": len(timings),
         "n_errors": n_errors,
+        "passes": len(pass_totals) if pass_totals else 0,
+        "pass_totals_sec": [round(t, 2) for t in pass_totals or []],
+        "spread_sec": round(max(pass_totals) - min(pass_totals), 3)
+        if pass_totals
+        else 0.0,
         "queries_elided": 0,
         "detail": "BENCH_DETAIL.json",
         "queries": {},

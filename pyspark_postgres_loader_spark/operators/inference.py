@@ -198,6 +198,19 @@ def embed_documents(
 
 _INFER_MAX_CHARS = 500  # low enough that the fixture exercises too_long
 
+# RE2 class equal to PYTHON's whitespace set (str.strip() / str.split()
+# strip everything str.isspace() accepts): RE2's \s is ASCII-only
+# [\t\n\f\r ], so \x0b, the C1/Unicode spaces (U+0085, U+00A0,
+# U+1680, U+2000-U+200A, U+2028, U+2029, U+202F, U+205F, U+3000)
+# and the ASCII
+# separators \x1c-\x1f must be listed explicitly — the worker
+# classifies AND tokenizes with Python string ops, and the oracle must
+# agree on every input, not just ASCII fixtures (r8 ADVICE).
+_PY_WS = (
+    r"[\s\x0b\x{85}\x{a0}\x{1680}\x{2000}-\x{200a}"
+    r"\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}\x{1c}-\x{1f}]"
+)
+
 
 def _inference_oracle() -> str:
     return f"""
@@ -207,23 +220,30 @@ def _inference_oracle() -> str:
                   -- tab/newline-bearing on purpose: pins the oracle's
                   -- whitespace classification to Python str.strip()
                   WHEN doc_id % 17 = 11 THEN e' \\t\\n '
+                  -- UNICODE-whitespace-only (U+00A0, U+2003, \\x0b):
+                  -- empty under Python str.strip() but NOT under RE2's
+                  -- ASCII \\s — exercises the extended class below
+                  WHEN doc_id % 17 = 9
+                       THEN chr(160) || chr(8195) || chr(11) || ' '
                   ELSE text END AS text
       FROM documents
     ),
     cls AS (
       SELECT doc_id, text,
              CASE WHEN text IS NULL THEN 'null_text'
-                  -- \\s-class, not trim(' '): the worker classifies via
-                  -- Python str.strip() which strips ALL whitespace, so a
-                  -- tab/newline-only text must be empty_text here too
-                  WHEN regexp_matches(text, '^\\s*$') THEN 'empty_text'
+                  -- Python-whitespace class, not trim(' ') and not \\s:
+                  -- the worker classifies via str.strip(), which strips
+                  -- ALL Unicode whitespace
+                  WHEN regexp_matches(text, '^{_PY_WS}*$') THEN 'empty_text'
                   WHEN length(text) > {_INFER_MAX_CHARS}
                        THEN 'too_long:' || CAST(length(text) AS VARCHAR)
                   ELSE NULL END AS error
       FROM base
     ),
     toks AS (
-      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+      -- same class for tokenization: the worker splits with Python
+      -- str.split(), which is Unicode-whitespace-aware too
+      SELECT doc_id, unnest(string_split_regex(text, '{_PY_WS}+')) AS tok
       FROM cls WHERE error IS NULL
     ),
     contrib AS (
@@ -275,6 +295,7 @@ def inference_embed_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         "doc_id",
         F.when(F.col("doc_id") % 17 == 5, F.lit(None).cast("string"))
         .when(F.col("doc_id") % 17 == 11, F.lit(" \t\n "))
+        .when(F.col("doc_id") % 17 == 9, F.lit("\u00a0\u2003\x0b "))
         .otherwise(F.col("text"))
         .alias("text"),
     )

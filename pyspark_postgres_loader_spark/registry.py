@@ -75,80 +75,30 @@ _LOADED = False
 # Driver-facing ordering: the round driver walks ``queries()`` in dict
 # order and records correctness for a bounded prefix (exactly 50
 # rows/round — CORRECTNESS_r04/r05 confirmed the window is _PRIORITY[:50]).
-# Round-8 rotation. Entering this round EVERY registered query (198)
-# has been driver-verified at least once and every latest check is
-# green (CORRECTNESS_r01–r07); staleness histogram: r7=50, r6=50,
-# r5=49, r4=47, r3=2. This window = the NEW round-8 registrations at
-# the head (5: the driver-oracled upsert-sink final-state query, the
-# progressive+4:2:0 chroma-subsampled JPEG combination, the
-# Hamming-banded video-frame near-dup, the layered HNSW ANN search,
-# and native MP3 sync/header decode) + the stalest existing names: the
-# 2 r3-latest (cogroup/pysource) and the first 43 of the 47 r4-latest
-# — 5+2+43 = 50 exactly. After the boundary the remaining names
-# continue in staleness order (the last 4 r4 — the round-9 rotation
-# head — then 49 r5, 50 r6, and the 50 r7-checked names last) for
-# drivers that check more than 50 rows.
+#
+# Round-9 rotation. Entering this round all 198 pre-existing queries
+# are driver-verified with every latest check green; staleness
+# histogram after r8: r8=50, r7=50, r6=50, r5=48. (The r8 window that
+# actually executed was the 2 r3-latest + 47 r4-latest + 1 r5 name —
+# the five round-8-planned registrations were commented out pending
+# implementation; four of them shipped THIS round and head this
+# window.) This window = the 4 round-9 registrations
+# (sink_upsert_final_state, multimodal_jpeg_prog420_decode,
+# video_frame_banded_neardup, ann_hnsw_layered_topk) + the first 46 of
+# the 48 r5-latest names = 50 exactly. The 2 r5 names that don't fit
+# (train_user_event_sequences, quality_winsorize_doclen) are the
+# round-10 rotation head, followed by the 50 r6-latest, the 50
+# r7-latest, and the 50 r8-checked names last — the list is the FULL
+# registry in staleness order for drivers that check more than 50
+# rows. audio_mp3_decode (the r8 stretch item) remains unregistered —
+# no half-verified decoder ships.
 _PRIORITY = [
-    # (a) round-8 registrations — never driver-checked (5; each line is
-    # uncommented as the query lands so _ensure_loaded's missing-name
-    # guard stays hard)
+    # (a) round-9 registrations — never driver-checked (4)
     "sink_upsert_final_state",
     "multimodal_jpeg_prog420_decode",
     "video_frame_banded_neardup",
     "ann_hnsw_layered_topk",
-    # "audio_mp3_decode",               # pending this round (stretch)
-    # (b) r3-latest — the two stalest existing names
-    "cogroup_user_activity_profile",
-    "pysource_synthetic_events",
-    "text_repetition_filter",
-    "split_train_val_test",
-    "search_bm25_topk",
-    "rollup_time_multigrain",
-    "funnel_view_click_purchase",
-    "cohort_weekly_retention",
-    "cdc_apply_changelog",
-    "path_top_transitions",
-    "ann_int8_rerank_topk",
-    "anomaly_zscore_users",
-    "json_variant_nested",
-    "pandas_udf_nfc_norm",
-    "agg_corr_qty_price",
-    "ingest_corrupt_json_quarantine",
-    "stream_chained_window_rollup",
-    "embedding_label_centroids",
-    "rollup_incremental_merge",
-    "timeseries_forward_fill",
-    "fuzzy_name_pairs",
-    "sample_quota_per_lang",
-    "window_share_of_total",
-    "timeseries_time_weighted_avg",
-    "xml_roundtrip_extract",
-    "stream_tumbling_hourly",
-    "stream_sliding_2h_1h",
-    "stream_dedup_watermark",
-    "stream_stateful_user_stats",
-    "stream_static_enrich",
-    "stream_stream_interval_join",
-    "stream_stream_outer_attrib",
-    "stream_stream_full_outer_attrib",
-    "join_left_order_counts",
-    "join_semi_big_orders",
-    "join_anti_idle_customers",
-    "agg_global_stats",
-    "agg_rollup_flag_status",
-    "agg_cube_flag_status",
-    "agg_grouping_sets",
-    "agg_pivot_status",
-    "window_top3_orders_per_customer",
-    "window_running_customer_spend",
-    "window_lag_event_delta",
-    "window_rank_supplier_revenue",
-    "topk_orders_by_price",
-    "setop_active_nations",
-    "setop_customer_only_nations",
-    "setop_union_all_keys",
-    # then r5-latest (49)
-    "scalar_string_date_funcs",
+    # (b) r5-latest (first 46 of 48) — window tail
     "scalar_case_math",
     "agg_unpivot_metrics",
     "stream_session_dynamic_gap",
@@ -195,9 +145,11 @@ _PRIORITY = [
     "dedup_simhash",
     "dedup_connected_components",
     "contamination_bloom_prefilter",
+    # --- window boundary (driver checks exactly 50) ---
+    # r5-latest remainder (2): the round-10 rotation head
     "train_user_event_sequences",
     "quality_winsorize_doclen",
-    # then r6-latest (50)
+    # r6-latest (50)
     "basket_part_pair_lift",
     "agg_histogram_equidepth",
     "attribution_linear_touch",
@@ -248,7 +200,111 @@ _PRIORITY = [
     "agg_stats_moments",
     "window_range_frame_spend",
     "join_full_outer_event_coverage",
+    # r7-latest (50)
+    "audio_adpcm_decode",
+    "multimodal_flac_decode",
+    "audio_spectral_bins",
+    "inference_embed_bucket_counts",
+    "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
+    "multimodal_jpeg_decode",
+    "multimodal_codec_decode",
+    "multimodal_jpeg420_decode",
+    "multimodal_jpeg_restart_decode",
+    "multimodal_jpeg_progressive_decode",
+    "ann_nsw_beam_topk",
+    "setop_intersect_except_all",
+    "window_distribution_funcs",
+    "scalar_null_semantics",
+    "agg_string_concat",
+    "scalar_regexp_datetime",
+    "agg_bitwise_flags",
+    "scalar_explode_outer_arrays",
+    "agg_rollup_grouping_id",
+    "q6_revenue_forecast",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
+    "q19_disjunctive_predicates",
+    "q22_idle_rich_customers",
+    "scd2_user_state_intervals",
+    "sessionize_events_30m",
+    "pipeline_training_mix",
+    "text_length_histogram",
+    "tokenizer_bpe_train_merges",
+    "tokenizer_bpe_apply_tokens",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_late_priority_counts",
+    "q16_supplier_part_counts",
+    "q21_waiting_supplier",
+    "text_pii_redact",
+    "text_chunk_windows",
+    "pack_token_budget_bins",
+    "contamination_ngram_overlap",
+    "embedding_quantize_int8",
+    "mix_domain_weights",
+    "pipeline_filter_funnel",
+    "dedup_incremental_ingest",
+    "udtf_bigram_topk",
+    "multimodal_video_mjpeg",
+    "video_frame_ahash_dedup",
+    "filetail_batch_offsets",
+    "stream_filetail_log_counts",
+    # r8-checked (50, freshest)
+    "cogroup_user_activity_profile",
+    "pysource_synthetic_events",
+    "text_repetition_filter",
+    "split_train_val_test",
+    "search_bm25_topk",
+    "rollup_time_multigrain",
+    "funnel_view_click_purchase",
+    "cohort_weekly_retention",
+    "cdc_apply_changelog",
+    "path_top_transitions",
+    "ann_int8_rerank_topk",
+    "anomaly_zscore_users",
+    "json_variant_nested",
+    "pandas_udf_nfc_norm",
+    "agg_corr_qty_price",
+    "ingest_corrupt_json_quarantine",
+    "stream_chained_window_rollup",
+    "embedding_label_centroids",
+    "rollup_incremental_merge",
+    "timeseries_forward_fill",
+    "fuzzy_name_pairs",
+    "sample_quota_per_lang",
+    "window_share_of_total",
+    "timeseries_time_weighted_avg",
+    "xml_roundtrip_extract",
+    "stream_tumbling_hourly",
+    "stream_sliding_2h_1h",
+    "stream_dedup_watermark",
+    "stream_stateful_user_stats",
+    "stream_static_enrich",
+    "stream_stream_interval_join",
+    "stream_stream_outer_attrib",
+    "stream_stream_full_outer_attrib",
+    "join_left_order_counts",
+    "join_semi_big_orders",
+    "join_anti_idle_customers",
+    "agg_global_stats",
+    "agg_rollup_flag_status",
+    "agg_cube_flag_status",
+    "agg_grouping_sets",
+    "agg_pivot_status",
+    "window_top3_orders_per_customer",
+    "window_running_customer_spend",
+    "window_lag_event_delta",
+    "window_rank_supplier_revenue",
+    "topk_orders_by_price",
+    "setop_active_nations",
+    "setop_customer_only_nations",
+    "setop_union_all_keys",
+    "scalar_string_date_funcs",
 ]
+
+
 def _ensure_loaded() -> None:
     """Import every module that registers queries (idempotent), then
     reorder the registry dict to the explicit driver-facing priority."""

@@ -37,25 +37,46 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
+# mtime staleness fallback: an orphan whose dead pid was RECYCLED by an
+# unrelated live process probes alive forever and would never be swept
+# (r8 ADVICE). Bench/pytest scratch dirs live minutes; anything this
+# old is an orphan regardless of what its pid number now points at.
+_STALE_SECONDS = 7 * 24 * 3600
+
+
 def sweep_dead_siblings(base: str) -> None:
-    """Remove ``{base}_{uid}_{pid}_*`` temp dirs whose pid is dead.
+    """Remove ``{base}_{uid}_{pid}_*`` temp dirs whose pid is dead, or
+    whose mtime is older than ``_STALE_SECONDS`` (pid-recycling bound).
 
     Only this uid's dirs are considered (other users' dirs are not
     removable anyway), and only exact pattern matches — a live
-    process's dir is never touched because its pid probes alive.
+    process's dir is never touched because its pid probes alive and
+    its mtime is recent.
     """
+    import time
+
     tmp = tempfile.gettempdir()
     pat = re.compile(rf"^{re.escape(base)}_{os.getuid()}_(\d+)_[0-9a-f]+$")
     try:
         entries = os.listdir(tmp)
     except OSError:
         return
+    cutoff = time.time() - _STALE_SECONDS
     for name in entries:
         m = pat.match(name)
         if m is None or int(m.group(1)) == os.getpid():
             continue
-        if not _pid_alive(int(m.group(1))):
-            shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+        path = os.path.join(tmp, name)
+        stale = False
+        if _pid_alive(int(m.group(1))):
+            try:
+                stale = os.path.getmtime(path) < cutoff
+            except OSError:
+                continue  # raced away / unreadable: leave it
+        else:
+            stale = True
+        if stale:
+            shutil.rmtree(path, ignore_errors=True)
 
 
 def claim_scratch_dir(base: str, tag: str) -> str:

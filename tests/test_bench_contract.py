@@ -84,3 +84,20 @@ def test_compact_line_budget_holds_for_any_timings():
         assert parsed["queries_elided"] == len(timings) - len(parsed["queries"])
 
     check()
+
+
+def test_compact_line_carries_pass_variance():
+    line = bench._compact_line(3.0, {"q": 1.0}, 0.1, 0, [3.2, 3.0, 3.1])
+    parsed = json.loads(line)
+    assert parsed["passes"] == 3
+    assert parsed["pass_totals_sec"] == [3.2, 3.0, 3.1]
+    assert abs(parsed["spread_sec"] - 0.2) < 1e-9
+    assert len(line) <= 1800
+
+
+def test_compact_line_budget_holds_with_pass_totals():
+    timings = {f"some_rather_long_query_name_{i:04d}": i * 0.123 for i in range(200)}
+    line = bench._compact_line(99.9, timings, 0.1, 5, [123456.789] * 3)
+    assert len(line) <= 1800
+    parsed = json.loads(line)
+    assert parsed["queries_elided"] + len(parsed["queries"]) == 200

@@ -59,3 +59,28 @@ def test_sweep_ignores_malformed_names(tmp_path, monkeypatch):
     odd.mkdir()
     scratch.sweep_dead_siblings("swodd")
     assert odd.exists()
+
+
+def test_sweep_reclaims_stale_dir_even_with_live_pid(monkeypatch, tmp_path):
+    """Pid recycling bound: an orphan whose recorded pid now belongs to
+    an unrelated LIVE process (here: pid 1) is still swept once its
+    mtime crosses the staleness cutoff; a fresh dir with a live pid is
+    left alone."""
+    import os
+    import time
+
+    from pyspark_postgres_loader_spark import scratch
+
+    monkeypatch.setattr(
+        scratch.tempfile, "gettempdir", lambda: str(tmp_path)
+    )
+    uid = os.getuid()
+    stale = tmp_path / f"swt_{uid}_1_deadbeef"  # pid 1 is always alive
+    fresh = tmp_path / f"swt_{uid}_1_cafef00d"
+    stale.mkdir()
+    fresh.mkdir()
+    old = time.time() - scratch._STALE_SECONDS - 60
+    os.utime(stale, (old, old))
+    scratch.sweep_dead_siblings("swt")
+    assert not stale.exists()  # stale + recycled pid: reclaimed
+    assert fresh.exists()  # recent + live pid: untouched
