@@ -82,23 +82,26 @@ _LOADED = False
 # actually executed was the 2 r3-latest + 47 r4-latest + 1 r5 name —
 # the five round-8-planned registrations were commented out pending
 # implementation; four of them shipped THIS round and head this
-# window.) This window = the 4 round-9 registrations
+# window.) This window = the 5 round-9 registrations
 # (sink_upsert_final_state, multimodal_jpeg_prog420_decode,
-# video_frame_banded_neardup, ann_hnsw_layered_topk) + the first 46 of
-# the 48 r5-latest names = 50 exactly. The 2 r5 names that don't fit
-# (train_user_event_sequences, quality_winsorize_doclen) are the
-# round-10 rotation head, followed by the 50 r6-latest, the 50
-# r7-latest, and the 50 r8-checked names last — the list is the FULL
-# registry in staleness order for drivers that check more than 50
-# rows. audio_mp3_decode (the r8 stretch item) remains unregistered —
-# no half-verified decoder ships.
+# video_frame_banded_neardup, ann_hnsw_layered_topk, and the r8
+# stretch item shipped as audio_mp3_frame_walk — the honest structural
+# scope: frame sync + header tables + CRC under oracle, audio
+# synthesis still a typed stub) + the first 45 of the 48 r5-latest
+# names = 50 exactly. The 3 r5 names that don't fit
+# (dedup_connected_components, train_user_event_sequences,
+# quality_winsorize_doclen) are the round-10 rotation head, followed
+# by the 50 r6-latest, the 50 r7-latest, and the 50 r8-checked names
+# last — the list is the FULL registry in staleness order for drivers
+# that check more than 50 rows.
 _PRIORITY = [
-    # (a) round-9 registrations — never driver-checked (4)
+    # (a) round-9 registrations — never driver-checked (5)
     "sink_upsert_final_state",
     "multimodal_jpeg_prog420_decode",
     "video_frame_banded_neardup",
     "ann_hnsw_layered_topk",
-    # (b) r5-latest (first 46 of 48) — window tail
+    "audio_mp3_frame_walk",
+    # (b) r5-latest (first 45 of 48) — window tail
     "scalar_case_math",
     "agg_unpivot_metrics",
     "stream_session_dynamic_gap",
@@ -143,10 +146,10 @@ _PRIORITY = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_connected_components",
     "contamination_bloom_prefilter",
     # --- window boundary (driver checks exactly 50) ---
-    # r5-latest remainder (2): the round-10 rotation head
+    # r5-latest remainder (3): the round-10 rotation head
+    "dedup_connected_components",
     "train_user_event_sequences",
     "quality_winsorize_doclen",
     # r6-latest (50)
@@ -325,6 +328,7 @@ def _ensure_loaded() -> None:
         jpeg_progressive,
         json_ops,
         layout_stats,
+        mp3,
         multimodal,
         nsw,
         pq,
