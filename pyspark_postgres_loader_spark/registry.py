@@ -82,26 +82,29 @@ _LOADED = False
 # actually executed was the 2 r3-latest + 47 r4-latest + 1 r5 name —
 # the five round-8-planned registrations were commented out pending
 # implementation; four of them shipped THIS round and head this
-# window.) This window = the 5 round-9 registrations
+# window.) This window = the 6 round-9 registrations
 # (sink_upsert_final_state, multimodal_jpeg_prog420_decode,
-# video_frame_banded_neardup, ann_hnsw_layered_topk, and the r8
-# stretch item shipped as audio_mp3_frame_walk — the honest structural
-# scope: frame sync + header tables + CRC under oracle, audio
-# synthesis still a typed stub) + the first 45 of the 48 r5-latest
-# names = 50 exactly. The 3 r5 names that don't fit
-# (dedup_connected_components, train_user_event_sequences,
-# quality_winsorize_doclen) are the round-10 rotation head, followed
-# by the 50 r6-latest, the 50 r7-latest, and the 50 r8-checked names
-# last — the list is the FULL registry in staleness order for drivers
-# that check more than 50 rows.
+# video_frame_banded_neardup, ann_hnsw_layered_topk, the r8 stretch
+# item shipped as audio_mp3_frame_walk — the honest structural scope:
+# frame sync + header tables + CRC under oracle, audio synthesis still
+# a typed stub — and sink_staging_merge_final_state, putting the
+# sink's SECOND strategy under the hash) + the first 44 of the 48
+# r5-latest names = 50 exactly. The 4 r5 names that don't fit
+# (contamination_bloom_prefilter, dedup_connected_components,
+# train_user_event_sequences, quality_winsorize_doclen) are the
+# round-10 rotation head, followed by the 50 r6-latest, the 50
+# r7-latest, and the 50 r8-checked names last — the list is the FULL
+# registry in staleness order for drivers that check more than 50
+# rows.
 _PRIORITY = [
-    # (a) round-9 registrations — never driver-checked (5)
+    # (a) round-9 registrations — never driver-checked (6)
     "sink_upsert_final_state",
     "multimodal_jpeg_prog420_decode",
     "video_frame_banded_neardup",
     "ann_hnsw_layered_topk",
     "audio_mp3_frame_walk",
-    # (b) r5-latest (first 45 of 48) — window tail
+    "sink_staging_merge_final_state",
+    # (b) r5-latest (first 44 of 48) — window tail
     "scalar_case_math",
     "agg_unpivot_metrics",
     "stream_session_dynamic_gap",
@@ -146,9 +149,9 @@ _PRIORITY = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "contamination_bloom_prefilter",
     # --- window boundary (driver checks exactly 50) ---
-    # r5-latest remainder (3): the round-10 rotation head
+    # r5-latest remainder (4): the round-10 rotation head
+    "contamination_bloom_prefilter",
     "dedup_connected_components",
     "train_user_event_sequences",
     "quality_winsorize_doclen",
