@@ -64,6 +64,16 @@ _BATCH = 256
 _KEYS = 50
 _POISON_MOD = 7
 _POISON_RES = 3
+# Fixed workload caps: the checked load is a CORRECTNESS harness, not a
+# throughput benchmark — a single-connection DuckDB load with ~40 % of
+# batches bisecting costs ~0.5 ms/row, so an uncapped sf0.1 run took
+# 74 s. The caps cover every semantic case (23+ batches, intra-batch
+# duplicates, poison winners, replay) at every scale factor and make
+# the query's cost SF-invariant; rows beyond the cap add repetition,
+# not coverage. (sf0.001 has 1,500 orders — both caps are no-ops
+# there; sf0.01's 15,000 are partially covered.)
+_SINK_ROWS = 6_000  # row-quarantine path (per-row statement cost)
+_STAGE_ROWS = 30_000  # staging path (set-based, cheaper per row)
 
 _TARGET_DDL = (
     "CREATE TABLE sink_final_state ("
@@ -90,7 +100,7 @@ def _changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("o_orderkey")
     ranked = orders.select(
         F.row_number().over(w).alias("rnk"), "o_totalprice", "o_orderstatus"
-    )
+    ).filter(F.col("rnk") <= _SINK_ROWS)
     return ranked.select(
         (F.col("rnk") % _KEYS).cast("long").alias("k"),
         F.col("rnk").cast("long").alias("rnk"),
@@ -108,9 +118,11 @@ def _changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_upsert_final_state",
     oracle=f"""
     WITH ordered AS (
-      SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rnk,
-             o_totalprice, o_orderstatus
-      FROM orders
+      SELECT rnk, o_totalprice, o_orderstatus FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rnk,
+               o_totalprice, o_orderstatus
+        FROM orders
+      ) WHERE rnk <= {_SINK_ROWS}
     ), changelog AS (
       SELECT rnk,
              rnk % {_KEYS} AS k,
@@ -215,9 +227,11 @@ def sink_upsert_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_staging_merge_final_state",
     oracle=f"""
     WITH ordered AS (
-      SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rnk,
-             o_totalprice, o_orderstatus
-      FROM orders
+      SELECT rnk, o_totalprice, o_orderstatus FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rnk,
+               o_totalprice, o_orderstatus
+        FROM orders
+      ) WHERE rnk <= {_STAGE_ROWS}
     ), changelog AS (
       SELECT rnk, rnk % {_KEYS} AS k, o_totalprice AS amount,
              o_orderstatus AS status
@@ -282,6 +296,7 @@ def sink_staging_merge_final_state(spark: SparkSession, sf_dir: str) -> DataFram
         orders.select(
             F.row_number().over(w).alias("rnk"), "o_totalprice", "o_orderstatus"
         )
+        .filter(F.col("rnk") <= _STAGE_ROWS)
         .select(
             (F.col("rnk") % _KEYS).cast("long").alias("k"),
             F.col("rnk").cast("long").alias("rnk"),
