@@ -88,23 +88,26 @@ _LOADED = False
 # item shipped as audio_mp3_frame_walk — the honest structural scope:
 # frame sync + header tables + CRC under oracle, audio synthesis still
 # a typed stub — and sink_staging_merge_final_state, putting the
-# sink's SECOND strategy under the hash) + the first 44 of the 48
-# r5-latest names = 50 exactly. The 4 r5 names that don't fit
-# (contamination_bloom_prefilter, dedup_connected_components,
+# sink's SECOND strategy under the hash, and
+# multimodal_jpeg12_decode — the 12-bit extended-precision baseline,
+# closing another honest stub) + the first 43 of the 48 r5-latest
+# names = 50 exactly. The 5 r5 names that don't fit (dedup_simhash,
+# contamination_bloom_prefilter, dedup_connected_components,
 # train_user_event_sequences, quality_winsorize_doclen) are the
 # round-10 rotation head, followed by the 50 r6-latest, the 50
 # r7-latest, and the 50 r8-checked names last — the list is the FULL
 # registry in staleness order for drivers that check more than 50
 # rows.
 _PRIORITY = [
-    # (a) round-9 registrations — never driver-checked (6)
+    # (a) round-9 registrations — never driver-checked (7)
     "sink_upsert_final_state",
     "multimodal_jpeg_prog420_decode",
     "video_frame_banded_neardup",
     "ann_hnsw_layered_topk",
     "audio_mp3_frame_walk",
     "sink_staging_merge_final_state",
-    # (b) r5-latest (first 44 of 48) — window tail
+    "multimodal_jpeg12_decode",
+    # (b) r5-latest (first 43 of 48) — window tail
     "scalar_case_math",
     "agg_unpivot_metrics",
     "stream_session_dynamic_gap",
@@ -148,9 +151,9 @@ _PRIORITY = [
     "join_skew_salted_orders",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     # --- window boundary (driver checks exactly 50) ---
-    # r5-latest remainder (4): the round-10 rotation head
+    # r5-latest remainder (5): the round-10 rotation head
+    "dedup_simhash",
     "contamination_bloom_prefilter",
     "dedup_connected_components",
     "train_user_event_sequences",
@@ -328,6 +331,7 @@ def _ensure_loaded() -> None:
         inference,
         ivfpq,
         joins_advanced,
+        jpeg12,
         jpeg_progressive,
         json_ops,
         layout_stats,
