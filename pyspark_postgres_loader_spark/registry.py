@@ -89,17 +89,18 @@ _LOADED = False
 # frame sync + header tables + CRC under oracle, audio synthesis still
 # a typed stub — and sink_staging_merge_final_state, putting the
 # sink's SECOND strategy under the hash, and
-# multimodal_jpeg12_decode — the 12-bit extended-precision baseline,
-# closing another honest stub) + the first 43 of the 48 r5-latest
-# names = 50 exactly. The 5 r5 names that don't fit (dedup_simhash,
-# contamination_bloom_prefilter, dedup_connected_components,
-# train_user_event_sequences, quality_winsorize_doclen) are the
-# round-10 rotation head, followed by the 50 r6-latest, the 50
+# multimodal_jpeg12_decode and audio_aac_adts_walk — 12-bit
+# extended-precision baseline JPEG and the ADTS transport walk,
+# closing two more honest stubs) + the first 42 of the 48 r5-latest
+# names = 50 exactly. The 6 r5 names that don't fit (dedup_minhash_lsh,
+# dedup_simhash, contamination_bloom_prefilter,
+# dedup_connected_components, train_user_event_sequences,
+# quality_winsorize_doclen) are the round-10 rotation head, followed by the 50 r6-latest, the 50
 # r7-latest, and the 50 r8-checked names last — the list is the FULL
 # registry in staleness order for drivers that check more than 50
 # rows.
 _PRIORITY = [
-    # (a) round-9 registrations — never driver-checked (7)
+    # (a) round-9 registrations — never driver-checked (8)
     "sink_upsert_final_state",
     "multimodal_jpeg_prog420_decode",
     "video_frame_banded_neardup",
@@ -107,7 +108,8 @@ _PRIORITY = [
     "audio_mp3_frame_walk",
     "sink_staging_merge_final_state",
     "multimodal_jpeg12_decode",
-    # (b) r5-latest (first 43 of 48) — window tail
+    "audio_aac_adts_walk",
+    # (b) r5-latest (first 42 of 48) — window tail
     "scalar_case_math",
     "agg_unpivot_metrics",
     "stream_session_dynamic_gap",
@@ -150,9 +152,9 @@ _PRIORITY = [
     "join_range_price_band",
     "join_skew_salted_orders",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
     # --- window boundary (driver checks exactly 50) ---
-    # r5-latest remainder (5): the round-10 rotation head
+    # r5-latest remainder (6): the round-10 rotation head
+    "dedup_minhash_lsh",
     "dedup_simhash",
     "contamination_bloom_prefilter",
     "dedup_connected_components",
@@ -321,6 +323,7 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from .operators import (  # noqa: F401
+        aac,
         adpcm,
         analytics_extra,
         clustering,
