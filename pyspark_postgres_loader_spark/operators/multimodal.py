@@ -62,8 +62,12 @@ def real_decode_image(payload: bytes):
       chroma-subsampled 4:2:0/4:2:2/4:4:0 layouts with box-replication
       upsampling), DRI/RSTn restart markers, and PROGRESSIVE SOF2
       (spectral selection + successive approximation, via
-      ``jpeg_progressive.decode_progressive``). 12-bit / lossless /
-      hierarchical modes raise ``NotImplementedError``.
+      ``jpeg_progressive.decode_progressive``). 12-bit extended
+      precision decodes through its DEDICATED path
+      (``jpeg12.decode_jpeg12`` — this uint8-RGB contract cannot
+      represent 12-bit samples, so HERE it stays a typed
+      ``NotImplementedError``); lossless / hierarchical modes raise
+      ``NotImplementedError``.
 
     WebP/AVIF require codec libraries (PIL/libvips) not installed in
     this environment — those raise ``NotImplementedError``, and the
