@@ -82,20 +82,19 @@ _LOADED = False
 # actually executed was the 2 r3-latest + 47 r4-latest + 1 r5 name —
 # the five round-8-planned registrations were commented out pending
 # implementation; four of them shipped THIS round and head this
-# window.) This window = the 6 round-9 registrations
-# (sink_upsert_final_state, multimodal_jpeg_prog420_decode,
-# video_frame_banded_neardup, ann_hnsw_layered_topk, the r8 stretch
-# item shipped as audio_mp3_frame_walk — the honest structural scope:
-# frame sync + header tables + CRC under oracle, audio synthesis still
-# a typed stub — and sink_staging_merge_final_state, putting the
-# sink's SECOND strategy under the hash, and
-# multimodal_jpeg12_decode and audio_aac_adts_walk — 12-bit
-# extended-precision baseline JPEG and the ADTS transport walk,
-# closing two more honest stubs) + the first 42 of the 48 r5-latest
-# names = 50 exactly. The 6 r5 names that don't fit (dedup_minhash_lsh,
-# dedup_simhash, contamination_bloom_prefilter,
-# dedup_connected_components, train_user_event_sequences,
-# quality_winsorize_doclen) are the round-10 rotation head, followed by the 50 r6-latest, the 50
+# window.) This window = the 8 round-9 registrations
+# (sink_upsert_final_state and sink_staging_merge_final_state — both
+# sink strategies under the hash; multimodal_jpeg_prog420_decode;
+# video_frame_banded_neardup; ann_hnsw_layered_topk; the r8 stretch
+# item shipped as audio_mp3_frame_walk plus its transport sibling
+# audio_aac_adts_walk — honest structural scope: frame sync + header
+# tables + CRC under oracle, audio synthesis still a typed stub; and
+# multimodal_jpeg12_decode — 12-bit extended-precision baseline JPEG)
+# + the first 42 of the 48 r5-latest names = 50 exactly. The 6 r5
+# names that don't fit (dedup_minhash_lsh, dedup_simhash,
+# contamination_bloom_prefilter, dedup_connected_components,
+# train_user_event_sequences, quality_winsorize_doclen) are the
+# round-10 rotation head, followed by the 50 r6-latest, the 50
 # r7-latest, and the 50 r8-checked names last — the list is the FULL
 # registry in staleness order for drivers that check more than 50
 # rows.
