@@ -354,3 +354,130 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("p").cast("decimal(38,0)")).cast("double") / F.lit(1e12))
         .alias("gram")
     )
+
+
+# ------------------------------------------- semantic dedup (SemDeDup)
+
+_SEMDEDUP_TAU = 0.35  # cosine threshold (fixture embeddings are
+                      # near-orthogonal; matches dedup.py's envelope)
+
+
+def _semdedup_oracle() -> str:
+    from .similarity import _sql_cosine
+
+    cos = _sql_cosine("a.embedding", "b.embedding")
+    return f"""
+    {_kmeans_oracle_ctes()},
+    members AS (
+      SELECT f.vec_id, f.cluster, f.sq_dist, e.embedding
+      FROM final_assign f JOIN embeddings e ON e.vec_id = f.vec_id
+    ),
+    pairs AS (
+      SELECT a.cluster,
+             a.vec_id AS va, b.vec_id AS vb,
+             a.sq_dist AS da, b.sq_dist AS db,
+             {cos} AS cosine
+      FROM members a JOIN members b
+        ON a.cluster = b.cluster AND b.vec_id > a.vec_id
+      WHERE {cos} >= {_SEMDEDUP_TAU}
+    ),
+    dominated AS (
+      -- per epsilon-pair, the member CLOSER to its centroid loses
+      -- (SemDeDup keeps the farthest = most diverse); ties on the
+      -- centroid distance break toward keeping the LOWER vec_id
+      SELECT cluster,
+             CASE WHEN db > da OR (db = da AND vb < va)
+                  THEN va ELSE vb END AS vec_id,
+             CASE WHEN db > da OR (db = da AND vb < va)
+                  THEN vb ELSE va END AS kept_partner,
+             cosine
+      FROM pairs
+    )
+    SELECT cluster, vec_id, kept_partner, cosine
+    FROM (
+      SELECT cluster, vec_id, kept_partner, cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY cosine DESC, kept_partner
+             ) AS rn
+      FROM dominated
+    ) WHERE rn = 1
+    ORDER BY cluster, vec_id
+    """
+
+
+@register("dedup_semantic_cluster", oracle=_semdedup_oracle())
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC deduplication, the SemDeDup recipe (Abbas et al. 2023,
+    public): cluster the embedding space with the fixed-Lloyd k-means
+    above, then WITHIN each cluster find ε-duplicate pairs (cosine ≥
+    {tau}) and drop, per pair, the member CLOSER to its centroid —
+    keeping the farthest preserves the diversity the paper optimizes
+    for; ties break toward keeping the lower vec_id, so the drop set
+    is a pure function of the data. Returns one row per DROPPED vector
+    with the dominating partner it lost to (its highest-cosine
+    dominator under a total order) — the drop list a curation pipeline
+    would anti-join against the corpus.
+
+    The entire pipeline — Lloyd rounds, final assignment, within-
+    cluster ε-pairs, the keep-farthest rule — is replayed by the DuckDB
+    oracle (the k-means CTEs nested like concurrency_gauge nests
+    sessionize's).
+
+    Scale notes (100 TB): clustering bounds the quadratic — pairwise
+    runs per cluster, never globally, and k is chosen so |cluster| is
+    bounded (SemDeDup's own design; at 10^9 vectors you raise k, the
+    assignment stays a broadcast-centroid map). Per-vector centroid
+    distance and norms are computed ONCE; each surviving pair costs one
+    zip_with dot product. The cosine doubles are cross-engine
+    bit-identical (sequential fold — ``_dot_dec``)."""
+    from .similarity import _cosine, _dot_dec
+
+    final = _kmeans_final_assignment(spark, sf_dir)
+    emb = _spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    members = final.select("vec_id", "cluster", "sq_dist").join(emb, "vec_id")
+    a = members.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("va"),
+        F.col("sq_dist").alias("da"),
+        F.col("embedding").alias("ea"),
+    )
+    b = members.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("vb"),
+        F.col("sq_dist").alias("db"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = (
+        a.join(b, ["cluster"])
+        .filter(F.col("vb") > F.col("va"))
+        .withColumn("cosine", _cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cosine") >= _SEMDEDUP_TAU)
+        .select("cluster", "va", "vb", "da", "db", "cosine")
+    )
+    loser_is_a = (F.col("db") > F.col("da")) | (
+        (F.col("db") == F.col("da")) & (F.col("vb") < F.col("va"))
+    )
+    dominated = pairs.select(
+        "cluster",
+        F.when(loser_is_a, F.col("va")).otherwise(F.col("vb")).alias("vec_id"),
+        F.when(loser_is_a, F.col("vb")).otherwise(F.col("va")).alias(
+            "kept_partner"
+        ),
+        "cosine",
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), "kept_partner"
+    )
+    return (
+        dominated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster", "vec_id", "kept_partner", "cosine")
+        .orderBy("cluster", "vec_id")
+    )
+
+
+dedup_semantic_cluster.__doc__ = dedup_semantic_cluster.__doc__.format(
+    tau=_SEMDEDUP_TAU
+)

@@ -89,17 +89,18 @@ _LOADED = False
 # item shipped as audio_mp3_frame_walk plus its transport sibling
 # audio_aac_adts_walk — honest structural scope: frame sync + header
 # tables + CRC under oracle, audio synthesis still a typed stub; and
-# multimodal_jpeg12_decode — 12-bit extended-precision baseline JPEG)
-# + the first 42 of the 48 r5-latest names = 50 exactly. The 6 r5
-# names that don't fit (dedup_minhash_lsh, dedup_simhash,
-# contamination_bloom_prefilter, dedup_connected_components,
-# train_user_event_sequences, quality_winsorize_doclen) are the
-# round-10 rotation head, followed by the 50 r6-latest, the 50
+# multimodal_jpeg12_decode — 12-bit extended-precision baseline
+# JPEG; and dedup_semantic_cluster — the SemDeDup composition over the
+# k-means core) + the first 41 of the 48 r5-latest names = 50 exactly.
+# The 7 r5 names that don't fit (dedup_ngram_jaccard,
+# dedup_minhash_lsh, dedup_simhash, contamination_bloom_prefilter,
+# dedup_connected_components, train_user_event_sequences,
+# quality_winsorize_doclen) are the round-10 rotation head, followed by the 50 r6-latest, the 50
 # r7-latest, and the 50 r8-checked names last — the list is the FULL
 # registry in staleness order for drivers that check more than 50
 # rows.
 _PRIORITY = [
-    # (a) round-9 registrations — never driver-checked (8)
+    # (a) round-9 registrations — never driver-checked (9)
     "sink_upsert_final_state",
     "multimodal_jpeg_prog420_decode",
     "video_frame_banded_neardup",
@@ -108,7 +109,8 @@ _PRIORITY = [
     "sink_staging_merge_final_state",
     "multimodal_jpeg12_decode",
     "audio_aac_adts_walk",
-    # (b) r5-latest (first 42 of 48) — window tail
+    "dedup_semantic_cluster",
+    # (b) r5-latest (first 41 of 48) — window tail
     "scalar_case_math",
     "agg_unpivot_metrics",
     "stream_session_dynamic_gap",
@@ -150,9 +152,9 @@ _PRIORITY = [
     "join_asof_latest_order",
     "join_range_price_band",
     "join_skew_salted_orders",
-    "dedup_ngram_jaccard",
     # --- window boundary (driver checks exactly 50) ---
-    # r5-latest remainder (6): the round-10 rotation head
+    # r5-latest remainder (7): the round-10 rotation head
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "contamination_bloom_prefilter",

@@ -155,3 +155,46 @@ def test_gram_matrix_matches_numpy(spark, sf_dir):
     for (i, j), g in out.items():
         assert i <= j
         assert g == ref[i, j], (i, j, g, ref[i, j])
+
+
+def test_semdedup_drop_rule_and_oracle(spark):
+    """SemDeDup invariants: every dropped vector's dominating partner
+    is in the SAME cluster, is FARTHER from the centroid (or equal with
+    a lower id), their cosine clears the threshold, and no vector is
+    both dropped and someone's keeper-of-record at a higher centroid
+    distance ordering violation. Plus the oracle match."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from oracle_harness import compare_query
+
+    from pyspark_postgres_loader_spark.operators.clustering import (
+        _SEMDEDUP_TAU,
+        _kmeans_final_assignment,
+        dedup_semantic_cluster,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    dropped = dedup_semantic_cluster(spark, sf).collect()
+    assert dropped  # non-vacuous at the smallest SF
+    assign = {
+        r.vec_id: (r.cluster, r.sq_dist)
+        for r in _kmeans_final_assignment(spark, sf).collect()
+    }
+    dropped_ids = {r.vec_id for r in dropped}
+    for r in dropped:
+        assert r.cosine >= _SEMDEDUP_TAU
+        c_l, d_l = assign[r.vec_id]
+        c_k, d_k = assign[r.kept_partner]
+        assert c_l == c_k == r.cluster  # same-cluster pair
+        # the keeper dominates: farther from centroid, or tie + lower id
+        assert d_k > d_l or (d_k == d_l and r.kept_partner < r.vec_id)
+    # keepers may themselves be dropped by a further dominator (chains
+    # are allowed), but a dropped vector can never dominate its own
+    # dominator
+    for r in dropped:
+        if r.kept_partner in dropped_ids:
+            c_l, d_l = assign[r.vec_id]
+            c_k, d_k = assign[r.kept_partner]
+            assert (d_k, -r.kept_partner) > (d_l, -r.vec_id)
+    compare_query(spark, sf, "dedup_semantic_cluster")
