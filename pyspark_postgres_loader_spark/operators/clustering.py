@@ -436,7 +436,16 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding"
     )
-    members = final.select("vec_id", "cluster", "sq_dist").join(emb, "vec_id")
+    # materialize ONCE: the a x b self-join below consumes `members`
+    # twice, and without truncation each side re-derives the entire
+    # k-means DAG (observed: 12 FileScans vs the 10-scan budget — the
+    # graph_triangle recompute lesson); after the checkpoint the plan
+    # reads a materialized RDD on both sides
+    members = (
+        final.select("vec_id", "cluster", "sq_dist")
+        .join(emb, "vec_id")
+        .localCheckpoint(eager=True)
+    )
     a = members.select(
         F.col("cluster"),
         F.col("vec_id").alias("va"),
