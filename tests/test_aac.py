@@ -93,3 +93,31 @@ def test_query_matches_oracle(spark):
     from oracle_harness import compare_query
 
     compare_query(spark, "/root/testdata/sf0.001", "audio_aac_adts_walk")
+
+
+def test_property_random_adts_streams_roundtrip():
+    """Hypothesis: any valid ADTS stream the encoder emits (profile,
+    sampling index, channels, payload lengths, CRC choice) parses back
+    field-for-field, with the explicit lengths consistent."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark_postgres_loader_spark.operators.aac import _ADTS_SR
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        profile=st.integers(0, 3),
+        sf_idx=st.integers(0, 12),
+        channels=st.integers(1, 7),
+        plens=st.lists(st.integers(0, 300), min_size=1, max_size=6),
+        crc=st.booleans(),
+    )
+    def check(profile, sf_idx, channels, plens, crc):
+        p = build_adts(profile, sf_idx, channels, plens, with_crc=crc)
+        prof, sr, ch, frames = decode_adts_frames(p)
+        assert (prof, sr, ch) == (profile, _ADTS_SR[sf_idx], channels)
+        hdr = 9 if crc else 7
+        assert [f["length"] for f in frames] == [hdr + pl for pl in plens]
+        assert all(f["crc"] == crc for f in frames)
+
+    check()

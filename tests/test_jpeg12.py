@@ -89,3 +89,30 @@ def test_query_matches_oracle(spark):
     from oracle_harness import compare_query
 
     compare_query(spark, "/root/testdata/sf0.001", "multimodal_jpeg12_decode")
+
+
+def test_property_even_block_constant_exact():
+    """Hypothesis: ANY even-offset block-constant 12-bit image round
+    trips exactly (q00=16 divides every DC; all ACs are zero)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        bw=st.integers(1, 4),
+        bh=st.integers(1, 3),
+        data=st.data(),
+    )
+    def check(bw, bh, data):
+        vals = np.array(
+            [
+                [2 * data.draw(st.integers(0, 2047)) for _ in range(bw)]
+                for _ in range(bh)
+            ],
+            np.int32,
+        )
+        img = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+        _w, _h, plane = decode_jpeg12(build_jpeg12_grey(img))
+        assert np.array_equal(plane, img)
+
+    check()

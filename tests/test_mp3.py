@@ -123,3 +123,45 @@ def test_query_matches_oracle(spark):
     from oracle_harness import compare_query
 
     compare_query(spark, "/root/testdata/sf0.001", "audio_mp3_frame_walk")
+
+
+def test_property_random_vbr_streams_roundtrip():
+    """Hypothesis: any valid (version, layer, sr, VBR pattern, padding
+    pattern, CRC choice) stream the encoder emits, the walker parses
+    back field-for-field."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark_postgres_loader_spark.operators.mp3 import (
+        _bitrate_kbps,
+        _frame_length,
+        _SR,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        version=st.sampled_from(["1", "2", "2.5"]),
+        layer=st.sampled_from([1, 2, 3]),
+        sr_idx=st.integers(0, 2),
+        brs=st.lists(st.integers(1, 14), min_size=1, max_size=6),
+        crc=st.booleans(),
+        id3=st.one_of(st.none(), st.integers(0, 127)),
+        data=st.data(),
+    )
+    def check(version, layer, sr_idx, brs, crc, id3, data):
+        pads = [data.draw(st.integers(0, 1)) for _ in brs]
+        p = build_mp3(version, layer, sr_idx, brs, pads,
+                      with_crc=crc, id3_extra=id3)
+        v, l, sr, frames = decode_mp3_frames(p)
+        assert (v, l, sr) == (version, layer, _SR[version][sr_idx])
+        assert [f["bitrate_kbps"] for f in frames] == [
+            _bitrate_kbps(version, layer, bi) for bi in brs
+        ]
+        assert [f["length"] for f in frames] == [
+            _frame_length(version, layer,
+                          _bitrate_kbps(version, layer, bi), sr, pad)
+            for bi, pad in zip(brs, pads)
+        ]
+        assert all(f["crc"] == (crc and layer == 3) for f in frames)
+
+    check()

@@ -67,6 +67,13 @@ SHOWCASE = [
         "content diversity, not corpus size",
     ),
     (
+        "dedup_semantic_cluster",
+        "round-9 SemDeDup: k-means members localCheckpointed ONCE "
+        "before the within-cluster pairwise self-join (0 FileScans in "
+        "the final plan — without it each join side re-derived the "
+        "whole Lloyd DAG)",
+    ),
+    (
         "sink_upsert_final_state",
         "round-9 sink roundtrip: the returned frame is the tiny "
         "read-back final state (createDataFrame + literal stats); the "
