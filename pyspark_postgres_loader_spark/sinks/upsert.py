@@ -197,7 +197,17 @@ def _batch_and_upsert(
     REJECTED, its superseded occurrences are replayed sequentially —
     under executemany semantics the earlier good occurrence would have
     been applied before the poison row rolled back alone, so both the
-    final table state and the per-row stats must reflect that replay."""
+    final table state and the per-row stats must reflect that replay.
+
+    Documented stats edge (deliberate, final state unaffected): a
+    superseded occurrence of a LOADED winner is coalesced away and
+    never executed — so one that would ITSELF have violated a
+    constraint still counts as loaded here, where sequential
+    executemany would have rejected it. Constraint verdicts exist per
+    surviving KEY state, not per historical occurrence; a caller
+    needing per-occurrence verdicts disables the fast path (a dialect
+    without ``multirow_values``) and pays one round trip per row, like
+    the reference's asyncpg personality."""
     conn = None
     cursor = None
     seen = loaded = rejected = truncated = 0
