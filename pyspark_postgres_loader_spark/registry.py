@@ -82,7 +82,7 @@ _LOADED = False
 # actually executed was the 2 r3-latest + 47 r4-latest + 1 r5 name —
 # the five round-8-planned registrations were commented out pending
 # implementation; four of them shipped THIS round and head this
-# window.) This window = the 8 round-9 registrations
+# window.) This window = the 9 round-9 registrations
 # (sink_upsert_final_state and sink_staging_merge_final_state — both
 # sink strategies under the hash; multimodal_jpeg_prog420_decode;
 # video_frame_banded_neardup; ann_hnsw_layered_topk; the r8 stretch

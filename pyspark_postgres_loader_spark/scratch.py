@@ -40,18 +40,53 @@ def _pid_alive(pid: int) -> bool:
 # mtime staleness fallback: an orphan whose dead pid was RECYCLED by an
 # unrelated live process probes alive forever and would never be swept
 # (r8 ADVICE). Bench/pytest scratch dirs live minutes; anything this
-# old is an orphan regardless of what its pid number now points at.
+# old is an orphan — but ONLY when the recycling can actually be
+# proven or nothing stronger is available (r9 ADVICE: a legitimately
+# long-running process must never lose its dir). Two guards make that
+# safe: ``claim_scratch_dir`` re-touches the dir on every claim so a
+# live owner's mtime stays fresh, and where ``/proc`` exposes process
+# start times the sweep removes an alive-probing dir only when the
+# process provably started AFTER the dir existed (pid recycled ⇒ the
+# creator is dead).
 _STALE_SECONDS = 7 * 24 * 3600
+
+
+def _proc_start_time(pid: int) -> float | None:
+    """Process start time as a unix timestamp via ``/proc`` (Linux),
+    else ``None``. Field 22 of ``/proc/<pid>/stat`` is clock ticks
+    since boot; boot time comes from ``/proc/stat``'s ``btime``."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            stat = f.read()
+        # comm can contain spaces/parens: split after the LAST ')'.
+        fields = stat[stat.rindex(b")") + 2 :].split()
+        ticks = int(fields[19])  # starttime is field 22, 0-indexed 19 here
+        with open("/proc/stat", "rb") as f:
+            for line in f:
+                if line.startswith(b"btime "):
+                    btime = int(line.split()[1])
+                    break
+            else:
+                return None
+        return btime + ticks / os.sysconf("SC_CLK_TCK")
+    except (OSError, ValueError, IndexError):
+        return None
 
 
 def sweep_dead_siblings(base: str) -> None:
     """Remove ``{base}_{uid}_{pid}_*`` temp dirs whose pid is dead, or
-    whose mtime is older than ``_STALE_SECONDS`` (pid-recycling bound).
+    whose pid was provably recycled / whose mtime is older than
+    ``_STALE_SECONDS`` (pid-recycling bound).
 
     Only this uid's dirs are considered (other users' dirs are not
-    removable anyway), and only exact pattern matches — a live
-    process's dir is never touched because its pid probes alive and
-    its mtime is recent.
+    removable anyway), and only exact pattern matches. A live owner is
+    protected two ways: when ``/proc`` start times are readable, an
+    alive-probing pid older than the dir keeps its dir no matter the
+    mtime (only a provably-recycled pid — process started after the
+    dir last changed — is swept early); and ``claim_scratch_dir``
+    refreshes the dir mtime on every claim, so even without ``/proc``
+    a live owner stays inside the staleness window for as long as it
+    keeps claiming.
     """
     import time
 
@@ -67,12 +102,21 @@ def sweep_dead_siblings(base: str) -> None:
         if m is None or int(m.group(1)) == os.getpid():
             continue
         path = os.path.join(tmp, name)
+        pid = int(m.group(1))
         stale = False
-        if _pid_alive(int(m.group(1))):
+        if _pid_alive(pid):
             try:
-                stale = os.path.getmtime(path) < cutoff
+                mtime = os.path.getmtime(path)
             except OSError:
                 continue  # raced away / unreadable: leave it
+            started = _proc_start_time(pid)
+            if started is not None:
+                # Provable: pid recycled iff the process began after
+                # the dir was last touched (60 s slack for clock/tick
+                # rounding). A genuine owner always predates its dir.
+                stale = started > mtime + 60.0
+            else:
+                stale = mtime < cutoff
         else:
             stale = True
         if stale:
@@ -92,4 +136,12 @@ def claim_scratch_dir(base: str, tag: str) -> str:
         _CLAIMED.add(path)
         atexit.register(shutil.rmtree, path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
+    # Keep a live owner's mtime fresh: makedirs(exist_ok=True) does NOT
+    # update mtime on reuse, and files rewritten in place don't either,
+    # so without this a long-running claimer would age into the
+    # staleness window (r9 ADVICE).
+    try:
+        os.utime(path, None)
+    except OSError:
+        pass
     return path

@@ -61,11 +61,13 @@ def test_sweep_ignores_malformed_names(tmp_path, monkeypatch):
     assert odd.exists()
 
 
-def test_sweep_reclaims_stale_dir_even_with_live_pid(monkeypatch, tmp_path):
-    """Pid recycling bound: an orphan whose recorded pid now belongs to
-    an unrelated LIVE process (here: pid 1) is still swept once its
-    mtime crosses the staleness cutoff; a fresh dir with a live pid is
-    left alone."""
+def test_sweep_reclaims_provably_recycled_pid(monkeypatch, tmp_path):
+    """Pid recycling, provable via /proc start time: an orphan whose
+    recorded pid now belongs to an unrelated LIVE process that STARTED
+    AFTER the dir was last touched is swept immediately (no staleness
+    wait); a dir whose live pid predates it is the legitimate owner
+    and is kept even past the mtime cutoff (r9 ADVICE: a long-running
+    owner must never lose its dir)."""
     import os
     import time
 
@@ -75,12 +77,74 @@ def test_sweep_reclaims_stale_dir_even_with_live_pid(monkeypatch, tmp_path):
         scratch.tempfile, "gettempdir", lambda: str(tmp_path)
     )
     uid = os.getuid()
-    stale = tmp_path / f"swt_{uid}_1_deadbeef"  # pid 1 is always alive
-    fresh = tmp_path / f"swt_{uid}_1_cafef00d"
+    now = time.time()
+    recycled = tmp_path / f"swt_{uid}_1_deadbeef"  # pid 1 is always alive
+    owned = tmp_path / f"swt_{uid}_1_cafef00d"
+    recycled.mkdir()
+    owned.mkdir()
+    # recycled: fresh mtime, but the live pid started an hour later
+    os.utime(recycled, (now - 7200, now - 7200))
+    # owned: mtime far past the staleness cutoff, but the live pid
+    # predates the dir — legitimate long-running owner
+    old = now - scratch._STALE_SECONDS - 60
+    os.utime(owned, (old, old))
+    # Both dirs record pid 1; the sweep probes start time once per dir
+    # in listdir order — map each probe to its dir's intended start.
+    starts = {recycled.name: now - 3600, owned.name: old - 1000}
+    order = sorted(n for n in os.listdir(tmp_path) if n.startswith("swt_"))
+    starts_list = [starts[n] for n in order]
+    calls: list[int] = []
+
+    def start_time(pid: int) -> float:
+        calls.append(pid)
+        return starts_list[len(calls) - 1]
+
+    monkeypatch.setattr(scratch, "_proc_start_time", start_time)
+    monkeypatch.setattr(scratch.os, "listdir", lambda p: order)
+    scratch.sweep_dead_siblings("swt")
+    assert not recycled.exists()  # live pid, started after dir: recycled
+    assert owned.exists()  # live pid, predates dir: kept despite mtime
+
+
+def test_sweep_mtime_fallback_without_proc(monkeypatch, tmp_path):
+    """Where /proc start times are unavailable the 7-day mtime bound
+    still reclaims alive-probing orphans, and fresh dirs survive."""
+    import os
+    import time
+
+    from pyspark_postgres_loader_spark import scratch
+
+    monkeypatch.setattr(
+        scratch.tempfile, "gettempdir", lambda: str(tmp_path)
+    )
+    monkeypatch.setattr(scratch, "_proc_start_time", lambda pid: None)
+    uid = os.getuid()
+    stale = tmp_path / f"swf_{uid}_1_deadbeef"
+    fresh = tmp_path / f"swf_{uid}_1_cafef00d"
     stale.mkdir()
     fresh.mkdir()
     old = time.time() - scratch._STALE_SECONDS - 60
     os.utime(stale, (old, old))
-    scratch.sweep_dead_siblings("swt")
-    assert not stale.exists()  # stale + recycled pid: reclaimed
+    scratch.sweep_dead_siblings("swf")
+    assert not stale.exists()  # past cutoff, recycling unprovable: swept
     assert fresh.exists()  # recent + live pid: untouched
+
+
+def test_claim_refreshes_mtime(monkeypatch, tmp_path):
+    """Repeat claims re-touch the dir so a live owner never ages into
+    the staleness window (files rewritten in place don't bump dir
+    mtime)."""
+    import os
+    import time
+
+    from pyspark_postgres_loader_spark import scratch
+
+    monkeypatch.setattr(
+        scratch.tempfile, "gettempdir", lambda: str(tmp_path)
+    )
+    got = scratch.claim_scratch_dir("swtouch", "cc33")
+    old = time.time() - scratch._STALE_SECONDS - 60
+    os.utime(got, (old, old))
+    again = scratch.claim_scratch_dir("swtouch", "cc33")
+    assert again == got
+    assert os.path.getmtime(got) > old + scratch._STALE_SECONDS / 2

@@ -186,3 +186,49 @@ def test_banded_neardup_query_matches_oracle(spark):
     from oracle_harness import compare_query
 
     compare_query(spark, "/root/testdata/sf0.001", "video_frame_banded_neardup")
+
+
+def test_band_buckets_bounded_over_full_class_universe():
+    """r9 ADVICE: the banded near-dup query drops band buckets larger
+    than _ND_CAP, but the DuckDB oracle replays an UNCAPPED Hamming
+    join — the two agree only while no bucket overflows. The hash
+    class universe is finite by construction (every doc_id maps to
+    (g, v, rb) = (doc_id%12, (doc_id%24)//12, (doc_id//24)%8), so the
+    full set of possible frame hashes is enumerable INDEPENDENT of
+    corpus size or fixture round). Enumerate it, band every distinct
+    hash, and assert the largest possible bucket stays under the cap —
+    the invariant is now checked, not assumed."""
+    from pyspark_postgres_loader_spark.operators.video import (
+        _ND_BANDS,
+        _ND_CAP,
+        _nd_cells,
+    )
+
+    hashes = set()
+    for g in range(12):
+        for v in range(2):
+            for rb in range(8):
+                for f in range(2 + g % 3):
+                    cells = _nd_cells(g, f, v, rb)
+                    # closed-form aHash: balanced ±32 pattern means the
+                    # integer mean is exactly 128, so bit i is the sign
+                    # of cell i (the oracle replays the same identity)
+                    bits = (cells.flatten() > 128).astype(int)
+                    u = 0
+                    for i, b in enumerate(bits):
+                        u |= int(b) << (63 - i)
+                    hashes.add(u)
+    # The universe collapses to exactly the 64 base rotations: flipping
+    # the first high cell and the midpoint low cell (v=1) IS rotation
+    # c-1, so variant hashes coincide with neighbouring rotations —
+    # which is precisely why every near-dup pair sits at Hamming 2.
+    assert len(hashes) == 64
+    buckets: dict[tuple[int, int], int] = {}
+    for u in hashes:
+        for j in range(_ND_BANDS):
+            key = (j, (u >> (16 * j)) & 0xFFFF)
+            buckets[key] = buckets.get(key, 0) + 1
+    worst = max(buckets.values())
+    # strict margin: even the worst POSSIBLE bucket (all classes
+    # present, any SF) is under half the cap
+    assert worst <= _ND_CAP // 2, f"worst band bucket {worst} vs cap {_ND_CAP}"
