@@ -967,3 +967,158 @@ def dedup_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_prefix_containment.__doc__ = dedup_prefix_containment.__doc__.format(
     k=_PFX_KEY_WORDS, cap=_PFX_MAX_BUCKET
 )
+
+
+# ---------------------------------------------------------------------------
+# 7. Exact-substring overlap (Lee et al. 2022, "Deduplicating Training
+#    Data Makes Language Models Better") — flag document pairs sharing a
+#    VERBATIM span of >= _SUB_K tokens. This is the dedup family the set
+#    measures above cannot express: a long quote inside two otherwise-
+#    distinct documents moves n-gram Jaccard by only ~quote/union (far
+#    below any near-dup threshold) yet is exactly the contamination /
+#    memorization hazard the paper targets. Candidate generation is the
+#    bucketed shingle-fingerprint composition used by the MinHash path:
+#    hash every K-token window, group windows (never doc pairs) by
+#    fingerprint, cap bucket width, and count shared windows per pair —
+#    O(total_windows) shuffle, never all-pairs.
+# ---------------------------------------------------------------------------
+
+_SUB_K = 16       # verbatim span threshold, in tokens (one shared window
+                  # == one shared K-token span)
+_SUB_CAP = 64     # per-fingerprint bucket cap over DISTINCT docs (skew
+                  # guard — boilerplate spans; modeled in the oracle, the
+                  # r9 video-cap ADVICE lesson)
+_SUB_QL = 20      # planted quote length (> K so each planted pair shares
+                  # QL - K + 1 = 5 windows, exercising the count)
+_SUB_BLOCK = 40   # quote-class block: docs quote their block's passage
+
+
+def _quoted_tokens_spark() -> str:
+    """SQL expression (Spark dialect) building the quoted corpus from the
+    ``documents`` table: every ``doc_id % 5 == 2`` document splices a
+    canonical 20-token passage ``quo<block>t<j>`` into the MIDDLE of its
+    own token stream (the fixture-derivation pattern the multimodal
+    operators use — the corpus is a pure deterministic function of the
+    table, replayed verbatim by the DuckDB oracle). Mid-document
+    insertion is the point: prefix/suffix containment (family 6) cannot
+    see it, and the synthetic passage tokens are disjoint from the
+    natural vocabulary so the added 3-gram Jaccard mass is exactly the
+    quote — provably below the 0.5 near-dup threshold for ~30-token
+    documents."""
+    quote = (
+        f"transform(sequence(0, {_SUB_QL - 1}), j -> concat('quo',"
+        f" cast((doc_id div {_SUB_BLOCK}) as string), 't', cast(j as string)))"
+    )
+    return (
+        f"CASE WHEN doc_id % 5 = 2 AND size(w) >= 8 THEN"
+        f" concat(slice(w, 1, size(w) div 2), {quote},"
+        f" slice(w, size(w) div 2 + 1, size(w) - size(w) div 2))"
+        f" ELSE w END"
+    )
+
+
+def _substring_oracle() -> str:
+    """DuckDB replay: identical quoted-corpus construction, K-token
+    windows kept as STRINGS (the Spark side fingerprints them with
+    xxhash64 purely to shuffle fixed-width longs instead of ~100-char
+    strings — same |A ∩ B| counts, collision probability ~1e-7 per
+    corpus, the dedup_ngram_jaccard argument), same bucket cap, same
+    per-pair shared-window count."""
+    return f"""
+    WITH w0 AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+      FROM documents
+    ), qw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 2 AND len(w) >= 8 THEN
+               w[1:len(w)//2]
+               || list_transform(range(0, {_SUB_QL}),
+                    j -> 'quo' || (doc_id // {_SUB_BLOCK}) || 't' || j)
+               || w[len(w)//2 + 1:len(w)]
+             ELSE w END AS w
+      FROM w0
+    ), fp AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - {_SUB_K} + 2),
+               i -> list_aggregate(w[i:i + {_SUB_K} - 1], 'string_agg', ' ')))) AS g
+      FROM qw WHERE len(w) >= {_SUB_K}
+    ), sizes AS (
+      SELECT g, COUNT(DISTINCT doc_id) AS cnt FROM fp GROUP BY g
+    )
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_windows
+    FROM fp x
+    JOIN fp y ON x.g = y.g AND y.doc_id > x.doc_id
+    JOIN sizes z ON z.g = x.g AND z.cnt > 1 AND z.cnt <= {_SUB_CAP}
+    GROUP BY x.doc_id, y.doc_id
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register("dedup_substring_overlap", oracle=_substring_oracle())
+def dedup_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022): pairs of documents
+    sharing a verbatim span of >= {k} tokens, with the count of shared
+    distinct {k}-token windows (a contiguous shared span of L tokens
+    contributes L - {k} + 1). Runs over the quoted corpus derived from
+    ``documents`` (see ``_quoted_tokens_spark``): planted mid-document
+    20-token passages produce true verbatim-overlap pairs whose 3-gram
+    Jaccard is far below 0.5 — the pairs ``dedup_ngram_jaccard`` /
+    ``dedup_minhash_lsh`` are *supposed* to miss and this operator is
+    supposed to catch (tests pin both directions).
+
+    Plan: tokenize → one {k}-token sliding window pass per document
+    (array expression, JVM codegen, no Python) → xxhash64 fingerprint
+    per window → explode to slim (fp, doc_id) rows → hash-aggregate by
+    fingerprint (the ONLY wide shuffle, hash-uniform key) → bucket cap
+    {cap} → per-bucket pair fan-out → count shared windows per pair.
+
+    Scale notes (100 TB): work is O(total windows), never O(n²) —
+    candidate pairs exist only inside fingerprint buckets, bucket width
+    is capped (boilerplate K-grams are the classic skew: a disclaimer
+    shared by 10^6 docs would otherwise fan out 10^12 pairs; the cap
+    drops it, the standard LSH recall/cost trade, observable via the
+    dedup_lsh_bucket_stats pattern), and the pair aggregation shuffles
+    slim (doc_a, doc_b) longs. Reference scope note: the reference
+    loader (postgres_loader.py) has no dedup surface — this extends the
+    engine along SURVEY.md §2l.
+    """
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    qw = docs.select(
+        "doc_id", _tokens().alias("w")
+    ).select("doc_id", F.expr(_quoted_tokens_spark()).alias("w"))
+    fps = (
+        qw.filter(F.size("w") >= _SUB_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(1, size(w) - {_SUB_K} + 1),"
+                    f" i -> xxhash64(concat_ws(' ', slice(w, i, {_SUB_K})))))"
+                )
+            ).alias("fp"),
+        )
+    )
+    buckets = (
+        fps.groupBy("fp")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= _SUB_CAP))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) ->"
+                " transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared_windows"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+dedup_substring_overlap.__doc__ = dedup_substring_overlap.__doc__.format(
+    k=_SUB_K, cap=_SUB_CAP
+)

@@ -198,3 +198,67 @@ def test_cluster_keep_best_plan_is_window_free(spark):
     # allowed are the ones inside the reused CC/jaccard subtree
     tail = plan.split("SortAggregate")[0]
     assert "Window" not in tail
+
+
+# ------------------------- exact-substring overlap (Lee et al. 2022)
+
+
+def test_substring_overlap_catches_what_jaccard_misses(spark, sf_dir):
+    """The point of the operator: a planted mid-document 20-token quote
+    makes a verbatim-overlap pair whose 3-gram Jaccard is FAR below the
+    0.5 near-dup threshold — dedup_ngram_jaccard misses it (checked
+    against its actual output), dedup_substring_overlap reports it with
+    exactly QL - K + 1 = 5 shared windows."""
+    from pyspark_postgres_loader_spark.operators.dedup import (
+        _SUB_K,
+        _SUB_QL,
+        dedup_ngram_jaccard,
+        dedup_substring_overlap,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b): r.n_shared_windows
+        for r in dedup_substring_overlap(spark, sf_dir).collect()
+    }
+    jac_pairs = {
+        (r.doc_a, r.doc_b) for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    # docs 2 and 7 are in block 0, both quoted with passage quo0t*:
+    # a true verbatim pair built from otherwise-unrelated documents
+    assert got.get((2, 7)) == _SUB_QL - _SUB_K + 1
+    assert (2, 7) not in jac_pairs  # Jaccard-at-threshold misses it
+    # non-vacuous the other way: substring pairs that are NOT planted
+    # exist (the fixture's natural near-identical docs share long runs)
+    natural = [p for p in got if not (p[0] % 5 == 2 and p[1] % 5 == 2)]
+    assert natural, "expected natural verbatim-span pairs in the fixture"
+
+
+def test_substring_overlap_no_cross_block_quote_pairs(spark, sf_dir):
+    """Quotes are per-block (quo<block>t<j>): quoted docs from DIFFERENT
+    blocks must not pair through the planted passage. Doc 2 (block 0)
+    and doc 42 (block 1) are both quoted; any pairing between them could
+    only come from natural text, and for this fixture there is none."""
+    from pyspark_postgres_loader_spark.operators.dedup import (
+        dedup_substring_overlap,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_substring_overlap(spark, sf_dir).collect()
+    }
+    assert (2, 42) not in got
+
+
+def test_substring_overlap_id_distance_exceeds_prefix_blocking(spark, sf_dir):
+    """Planted pairs span id distances up to _SUB_BLOCK - 5 = 35 — far
+    beyond adjacency — and are generated by CONTENT buckets, not id
+    windows: the pair (2, 37) sits 35 ids apart and is still found."""
+    from pyspark_postgres_loader_spark.operators.dedup import (
+        dedup_substring_overlap,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_substring_overlap(spark, sf_dir).collect()
+    }
+    assert (2, 37) in got
