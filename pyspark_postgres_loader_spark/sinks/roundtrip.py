@@ -45,6 +45,7 @@ exactly as in the reference.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import hashlib
 import os
@@ -57,7 +58,8 @@ from pyspark.sql.window import Window
 from ..registry import register
 from ..scratch import claim_scratch_dir
 from ..tables import load_table
-from .sql_builder import DUCKDB
+from .async_adapter import adapt_async_factory
+from .sql_builder import ASYNCPG, DUCKDB
 from .upsert import upsert_dataframe, upsert_via_staging
 
 _BATCH = 256
@@ -74,6 +76,20 @@ _POISON_RES = 3
 # there; sf0.01's 15,000 are partially covered.)
 _SINK_ROWS = 6_000  # row-quarantine path (per-row statement cost)
 _STAGE_ROWS = 30_000  # staging path (set-based, cheaper per row)
+_ASYNC_ROWS = 1_500  # async executemany path: DuckDB's Python
+                     # executemany costs ~3 ms per call regardless of
+                     # chunk size (fresh prepare), so the cap is tighter
+                     # still; 6 batches cover every semantic case
+# The async personality pays the event loop + a DuckDB prepare PER
+# bisection chunk, so the sync workload's mod-7 poison density (which
+# degenerates every batch to near-single-row chunks — the deliberate
+# bisection STRESS test, owned by sink_upsert_final_state) would cost
+# ~3,200 chunk statements here for zero new coverage. A sparser stride
+# keeps every async-path case live (happy executemany, failure →
+# rollback → bisect → single-row quarantine, commit-per-chunk, per-row
+# verdicts) at ~1/5 the chunk count. 31 is prime vs _KEYS and _BATCH,
+# so poison rows still land on varied keys and batch offsets.
+_ASYNC_POISON_MOD = 31
 
 _TARGET_DDL = (
     "CREATE TABLE sink_final_state ("
@@ -92,20 +108,25 @@ def _connect(path: str):
     return _duckdb.connect(path)
 
 
-def _changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _changelog(
+    spark: SparkSession,
+    sf_dir: str,
+    limit: int = _SINK_ROWS,
+    poison_mod: int = _POISON_MOD,
+) -> DataFrame:
     """Deterministic upsert workload derived from ``orders``: key
-    collisions (rnk % 50), poison rows (rnk % 7 = 3 → negative amount,
-    violating the target's CHECK), arrival order = rank order."""
+    collisions (rnk % 50), poison rows (rnk % poison_mod = 3 → negative
+    amount, violating the target's CHECK), arrival order = rank order."""
     orders = load_table(spark, sf_dir, "orders")
     w = Window.orderBy("o_orderkey")
     ranked = orders.select(
         F.row_number().over(w).alias("rnk"), "o_totalprice", "o_orderstatus"
-    ).filter(F.col("rnk") <= _SINK_ROWS)
+    ).filter(F.col("rnk") <= limit)
     return ranked.select(
         (F.col("rnk") % _KEYS).cast("long").alias("k"),
         F.col("rnk").cast("long").alias("rnk"),
         F.when(
-            F.col("rnk") % _POISON_MOD == _POISON_RES, -F.col("o_totalprice")
+            F.col("rnk") % poison_mod == _POISON_RES, -F.col("o_totalprice")
         )
         .otherwise(F.col("o_totalprice"))
         .cast("double")
@@ -330,3 +351,172 @@ def sink_staging_merge_final_state(spark: SparkSession, sf_dir: str) -> DataFram
     return out.withColumn(
         "rows_staged", F.lit(stats.rows_loaded).cast("long")
     ).orderBy("k")
+
+
+# --------------------- async-dialect roundtrip (reference U6 + $n SQL)
+
+
+class FakeAsyncDuckDB:
+    """asyncpg-style async surface (coroutine ``execute(sql, *args)`` /
+    ``executemany(sql, rows)`` / ``close()``) over a DuckDB file — the
+    same shape ``tests/test_async_adapter.py`` fakes over SQLite, here
+    backing the driver-oracled roundtrip. DuckDB natively binds
+    asyncpg's ``$1``-numbered placeholders, so the generated SQL passes
+    through untranslated. Instantiated ON the executor (the factory
+    pickles the path, not the connection)."""
+
+    def __init__(self, path: str):
+        import duckdb as _duckdb
+
+        self._db = _duckdb.connect(path)
+
+    async def execute(self, sql: str, *params):
+        self._db.execute(sql, params if params else None)
+
+    async def executemany(self, sql: str, rows):
+        self._db.executemany(sql, [tuple(r) for r in rows])
+
+    async def close(self):
+        self._db.close()
+
+
+async def _async_connect(path: str):
+    return FakeAsyncDuckDB(path)
+
+
+@register(
+    "sink_async_upsert_final_state",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT rnk, o_totalprice, o_orderstatus FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rnk,
+               o_totalprice, o_orderstatus
+        FROM orders
+      ) WHERE rnk <= {_ASYNC_ROWS}
+    ), changelog AS (
+      SELECT rnk,
+             rnk % {_KEYS} AS k,
+             CASE WHEN rnk % {_ASYNC_POISON_MOD} = {_POISON_RES}
+                  THEN -o_totalprice ELSE o_totalprice END AS amount,
+             o_orderstatus AS status,
+             rnk % {_ASYNC_POISON_MOD} <> {_POISON_RES} AS ok
+      FROM ordered
+    ), stats AS (
+      -- sequential executemany semantics: EVERY row gets its own
+      -- constraint verdict (no multirow winner/replay logic — that is
+      -- the sync fast path, oracled by sink_upsert_final_state)
+      SELECT CAST(COUNT(*) AS BIGINT) AS rows_seen,
+             CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS rows_loaded,
+             CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
+               AS rows_rejected
+      FROM changelog
+    ), final AS (
+      SELECT k, rnk, amount, status,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY rnk DESC) AS rn
+      FROM changelog WHERE ok
+    )
+    SELECT CAST(f.k AS BIGINT) AS k,
+           CAST(f.rnk AS BIGINT) AS rnk,
+           CAST(f.amount AS DOUBLE) AS amount,
+           f.status,
+           s.rows_seen, s.rows_loaded, s.rows_rejected,
+           CAST(1 AS BIGINT) AS partitions_used,
+           CAST(0 AS BIGINT) AS aborted_partitions
+    FROM final f CROSS JOIN stats s
+    WHERE f.rn = 1
+    ORDER BY k
+    """,
+    doc="async-dialect upsert sink: the real sink through the asyncpg "
+    "adapter ($n placeholders, per-row executemany, no savepoints), "
+    "same CHECK quarantine + last-wins workload under the driver hash",
+)
+def sink_async_upsert_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sink's THIRD execution personality under the driver hash —
+    the reference's asyncpg path (asyncpg_database_helper.py:123-192):
+    an async driver lifted into the sink's sync DBAPI surface by
+    :class:`..sinks.async_adapter.SyncConnectionAdapter`, ``$n``
+    numbered placeholders from ``sql_builder.ASYNCPG``, and the
+    generic sequential ``executemany`` path (no multirow fast path —
+    exactly like the reference's asyncpg personality, which has no
+    ``execute_values``). Same changelog workload as
+    ``sink_upsert_final_state`` (key collisions + CHECK-violating
+    poison rows), capped at {rows} rows because the per-chunk
+    commit-and-bisect cost rides the event loop per statement.
+
+    Two semantic deltas vs the sync multirow query, both deliberate
+    and both visible in the oracle: (1) savepoints are disabled —
+    the backing store is DuckDB, which has none, so the quarantine
+    runs commit-per-chunk + rollback-on-error (the savepoint flavor
+    of the SAME async adapter is pytest-proven over SQLite in
+    test_async_adapter.py); (2) sequential executemany gives every
+    row its OWN constraint verdict — no batch dedup, no
+    rejected-winner replay — so ``rows_loaded``/``rows_rejected``
+    are plain per-row counts and the final state is simply the last
+    constraint-satisfying occurrence per key.
+
+    Scale note: the event loop adds no throughput at one in-flight
+    statement per writer (the adapter docstring's argument) — this
+    personality exists for driver compatibility, not speed; the 100 TB
+    path remains the staging merge. Single sorted partition = the
+    harness determinism choice, as in the sibling queries."""
+    tag = hashlib.md5((sf_dir + ":async").encode()).hexdigest()[:8]
+    scratch = claim_scratch_dir("sink_roundtrip", tag)
+    dbfile = os.path.join(scratch, "async_target.duckdb")
+    for leftover in (dbfile, dbfile + ".wal"):
+        if os.path.exists(leftover):
+            os.remove(leftover)
+
+    con = duckdb.connect(dbfile)
+    try:
+        con.execute(_TARGET_DDL)
+    finally:
+        con.close()
+
+    rows = (
+        _changelog(spark, sf_dir, limit=_ASYNC_ROWS, poison_mod=_ASYNC_POISON_MOD)
+        .coalesce(1)
+        .sortWithinPartitions("rnk")
+    )
+    # asyncpg paramstyle over a savepoint-free store: the one dialect
+    # knob that differs from stock ASYNCPG (Postgres HAS savepoints;
+    # DuckDB is the harness stand-in), flipped via dataclasses.replace
+    # so everything else — $n numbering, no multirow — is the stock
+    # asyncpg personality.
+    dialect = dataclasses.replace(ASYNCPG, supports_savepoint=False)
+    stats = upsert_dataframe(
+        rows,
+        adapt_async_factory(functools.partial(_async_connect, dbfile)),
+        "sink_final_state",
+        unique_key=["k"],
+        batch_size=_BATCH,
+        parallelism=1,
+        dialect=dialect,
+    )
+
+    con = duckdb.connect(dbfile)
+    try:
+        final = con.execute(
+            "SELECT k, rnk, amount, status FROM sink_final_state ORDER BY k"
+        ).fetchall()
+    finally:
+        con.close()
+
+    out = spark.createDataFrame(
+        final, "k long, rnk long, amount double, status string"
+    )
+    return (
+        out.withColumn("rows_seen", F.lit(stats.rows_seen).cast("long"))
+        .withColumn("rows_loaded", F.lit(stats.rows_loaded).cast("long"))
+        .withColumn("rows_rejected", F.lit(stats.rows_rejected).cast("long"))
+        .withColumn("partitions_used", F.lit(stats.partitions).cast("long"))
+        .withColumn(
+            "aborted_partitions", F.lit(stats.aborted_partitions).cast("long")
+        )
+        .orderBy("k")
+    )
+
+
+sink_async_upsert_final_state.__doc__ = (
+    sink_async_upsert_final_state.__doc__.format(rows=_ASYNC_ROWS)
+)
