@@ -336,6 +336,7 @@ def _ensure_loaded() -> None:
         ivfpq,
         joins_advanced,
         jpeg12,
+        jpeg_lossless,
         jpeg_progressive,
         json_ops,
         layout_stats,
