@@ -353,6 +353,7 @@ def _ensure_loaded() -> None:
         tokenizer,
         tpch_extra,
         training,
+        unigram,
         udtf_ops,
         video,
     )
