@@ -147,10 +147,23 @@ def _recompute(assigned: DataFrame) -> DataFrame:
     )
 
 
-def _kmeans_final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared pipeline: _ITERS Lloyd rounds, then the assignment under
-    the final centroids. Returns (vec_id, emb_micro, cluster, sq_dist
-    [micro^2])."""
+# Final-assignment artifact shared by the three k-means consumers
+# (cluster_kmeans_embeddings, sample_cluster_diversity,
+# dedup_semantic_cluster): each used to re-derive the identical
+# fixed-Lloyd pipeline (~2.4 s apiece in-suite). Keyed by
+# (sf_dir, applicationId) so a DataFrame never leaks across Spark
+# sessions — a fresh session (the driver's vanilla rehearsal, a new
+# bench process) gets a fresh applicationId and rebuilds; fixture
+# files never change under a live session, so the memo cannot go
+# stale (the tokenizer._TRAINED precedent).
+_ASSIGN_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _build_final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw pipeline: _ITERS Lloyd rounds, then the assignment under
+    the final centroids — (vec_id, emb_micro, cluster, sq_dist
+    [micro^2]). Plan-shape tests inspect THIS (broadcast centroids,
+    pruned scan); consumers go through the memoizing wrapper below."""
     corpus = _spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", _quantize(F.col("embedding")).alias("emb_micro")
     )
@@ -160,6 +173,17 @@ def _kmeans_final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_ITERS):
         cents = _recompute(_assign(corpus, cents))
     return _assign(corpus, cents)
+
+
+def _kmeans_final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (sf_dir, spark.sparkContext.applicationId)
+    cached = _ASSIGN_CACHE.get(key)
+    if cached is None:
+        cached = _build_final_assignment(spark, sf_dir).localCheckpoint(
+            eager=True
+        )
+        _ASSIGN_CACHE[key] = cached
+    return cached
 
 
 def _kmeans_oracle_ctes() -> str:

@@ -13,7 +13,7 @@ from pyspark_postgres_loader_spark.tables import load_table
 
 @pytest.fixture(scope="module")
 def final_assign(spark, sf_dir):
-    df = clustering._kmeans_final_assignment(spark, sf_dir).cache()
+    df = clustering._build_final_assignment(spark, sf_dir).cache()
     yield df
     df.unpersist()
 
@@ -82,7 +82,7 @@ def test_kmeans_plan_broadcasts_centroids_and_prunes_scan(spark, sf_dir):
     """Assignment must be map-side (broadcast centroid join, no shuffle
     of the corpus for scoring) and the scan must read only the two
     needed columns."""
-    df = clustering._kmeans_final_assignment(spark, sf_dir)
+    df = clustering._build_final_assignment(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
