@@ -76,84 +76,30 @@ _LOADED = False
 # order and records correctness for a bounded prefix (exactly 50
 # rows/round — CORRECTNESS_r04/r05 confirmed the window is _PRIORITY[:50]).
 #
-# Round-9 rotation. Entering this round all 198 pre-existing queries
+# Round-10 rotation. Entering this round all 207 pre-existing queries
 # are driver-verified with every latest check green; staleness
-# histogram after r8: r8=50, r7=50, r6=50, r5=48. (The r8 window that
-# actually executed was the 2 r3-latest + 47 r4-latest + 1 r5 name —
-# the five round-8-planned registrations were commented out pending
-# implementation; four of them shipped THIS round and head this
-# window.) This window = the 9 round-9 registrations
-# (sink_upsert_final_state and sink_staging_merge_final_state — both
-# sink strategies under the hash; multimodal_jpeg_prog420_decode;
-# video_frame_banded_neardup; ann_hnsw_layered_topk; the r8 stretch
-# item shipped as audio_mp3_frame_walk plus its transport sibling
-# audio_aac_adts_walk — honest structural scope: frame sync + header
-# tables + CRC under oracle, audio synthesis still a typed stub; and
-# multimodal_jpeg12_decode — 12-bit extended-precision baseline
-# JPEG; and dedup_semantic_cluster — the SemDeDup composition over the
-# k-means core) + the first 41 of the 48 r5-latest names = 50 exactly.
-# The 7 r5 names that don't fit (dedup_ngram_jaccard,
-# dedup_minhash_lsh, dedup_simhash, contamination_bloom_prefilter,
-# dedup_connected_components, train_user_event_sequences,
-# quality_winsorize_doclen) are the round-10 rotation head, followed by the 50 r6-latest, the 50
-# r7-latest, and the 50 r8-checked names last — the list is the FULL
-# registry in staleness order for drivers that check more than 50
-# rows.
+# histogram after r9: r9=50, r8=50, r7=50, r6=50, r5=7 (the 7 r5
+# leftovers are exactly the head VERDICT r9 prescribed). This window =
+# the 5 round-10 registrations (dedup_substring_overlap — Lee et al.
+# 2022 exact-substring dedup; sink_async_upsert_final_state — the
+# asyncpg-dialect sink personality, the last sink surface that only
+# had pytest evidence; multimodal_jpeg_lossless_decode — SOF3
+# predictive lossless; tokenizer_unigram_train_scores and
+# tokenizer_unigram_apply_tokens — the SentencePiece-style unigram-LM
+# pair under integer-EM/exact-Viterbi oracles) + the 7 r5-latest
+# leftovers + the first 38 of the 50 r6-latest names = 50 exactly.
+# The remaining 12 r6 names are the round-11 rotation head, followed
+# by the 50 r7-latest, the 50 r8-checked, and the 50 r9-checked names
+# last — the list is the FULL registry in staleness order for drivers
+# that check more than 50 rows.
 _PRIORITY = [
-    # (a) round-9 registrations — never driver-checked (9)
-    "sink_upsert_final_state",
-    "multimodal_jpeg_prog420_decode",
-    "video_frame_banded_neardup",
-    "ann_hnsw_layered_topk",
-    "audio_mp3_frame_walk",
-    "sink_staging_merge_final_state",
-    "multimodal_jpeg12_decode",
-    "audio_aac_adts_walk",
-    "dedup_semantic_cluster",
-    # (b) r5-latest (first 41 of 48) — window tail
-    "scalar_case_math",
-    "agg_unpivot_metrics",
-    "stream_session_dynamic_gap",
-    "stream_session_windows",
-    "multimodal_byte_histogram_arrow",
-    "timeseries_ohlc_hourly",
-    "text_boilerplate_share",
-    "quality_expectations_report",
-    "multimodal_ahash_near_dup",
-    "graph_pagerank_custsupp",
-    "ann_recall_report",
-    "dedup_cluster_keep_best",
-    "stream_ohlc_hourly",
-    "cluster_kmeans_embeddings",
-    "sample_cluster_diversity",
-    "text_tfidf_top_terms",
-    "quality_char_diversity",
-    "skyline_orders_price_date",
-    "concurrency_gauge_hourly",
-    "anomaly_mad_robust",
-    "profile_orders_columns",
-    "stream_upsert_incremental",
-    "stream_dedup_exactly_once",
-    "train_global_shuffle",
-    "embedding_gram_matrix",
-    "hierarchy_recursive_cte",
-    "scalar_try_ansi_safe",
-    "stream_late_data_drop",
-    "repair_impute_group_median",
-    "trend_value_slope_per_user",
-    "ingest_schema_evolution_merge",
-    "dedup_prefix_containment",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q4_order_priority_exists",
-    "q17_small_quantity_revenue",
-    "cast_align_orders",
-    "join_asof_latest_order",
-    "join_range_price_band",
-    "join_skew_salted_orders",
-    # --- window boundary (driver checks exactly 50) ---
-    # r5-latest remainder (7): the round-10 rotation head
+    # (a) round-10 registrations — never driver-checked (5)
+    "dedup_substring_overlap",
+    "sink_async_upsert_final_state",
+    "multimodal_jpeg_lossless_decode",
+    "tokenizer_unigram_train_scores",
+    "tokenizer_unigram_apply_tokens",
+    # (b) r5-latest leftovers (7) — stalest greens, 4 rounds old
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -161,7 +107,7 @@ _PRIORITY = [
     "dedup_connected_components",
     "train_user_event_sequences",
     "quality_winsorize_doclen",
-    # r6-latest (50)
+    # (c) r6-latest (first 38 of 50) — window tail
     "basket_part_pair_lift",
     "agg_histogram_equidepth",
     "attribution_linear_touch",
@@ -200,6 +146,8 @@ _PRIORITY = [
     "embedding_norm_stats",
     "dedup_hyperplane_lsh",
     "q18_large_volume_customer",
+    # --- window boundary (driver checks exactly 50) ---
+    # r6-latest remainder (12): the round-11 rotation head
     "q10_returned_item_revenue",
     "q7_volume_shipping",
     "q8_market_share",
@@ -263,7 +211,7 @@ _PRIORITY = [
     "video_frame_ahash_dedup",
     "filetail_batch_offsets",
     "stream_filetail_log_counts",
-    # r8-checked (50, freshest)
+    # r8-checked (50)
     "cogroup_user_activity_profile",
     "pysource_synthetic_events",
     "text_repetition_filter",
@@ -314,6 +262,57 @@ _PRIORITY = [
     "setop_customer_only_nations",
     "setop_union_all_keys",
     "scalar_string_date_funcs",
+    # r9-checked (50, freshest)
+    "sink_upsert_final_state",
+    "multimodal_jpeg_prog420_decode",
+    "video_frame_banded_neardup",
+    "ann_hnsw_layered_topk",
+    "audio_mp3_frame_walk",
+    "sink_staging_merge_final_state",
+    "multimodal_jpeg12_decode",
+    "audio_aac_adts_walk",
+    "dedup_semantic_cluster",
+    "scalar_case_math",
+    "agg_unpivot_metrics",
+    "stream_session_dynamic_gap",
+    "stream_session_windows",
+    "multimodal_byte_histogram_arrow",
+    "timeseries_ohlc_hourly",
+    "text_boilerplate_share",
+    "quality_expectations_report",
+    "multimodal_ahash_near_dup",
+    "graph_pagerank_custsupp",
+    "ann_recall_report",
+    "dedup_cluster_keep_best",
+    "stream_ohlc_hourly",
+    "cluster_kmeans_embeddings",
+    "sample_cluster_diversity",
+    "text_tfidf_top_terms",
+    "quality_char_diversity",
+    "skyline_orders_price_date",
+    "concurrency_gauge_hourly",
+    "anomaly_mad_robust",
+    "profile_orders_columns",
+    "stream_upsert_incremental",
+    "stream_dedup_exactly_once",
+    "train_global_shuffle",
+    "embedding_gram_matrix",
+    "hierarchy_recursive_cte",
+    "scalar_try_ansi_safe",
+    "stream_late_data_drop",
+    "repair_impute_group_median",
+    "trend_value_slope_per_user",
+    "ingest_schema_evolution_merge",
+    "dedup_prefix_containment",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q4_order_priority_exists",
+    "q17_small_quantity_revenue",
+    "cast_align_orders",
+    "join_asof_latest_order",
+    "join_range_price_band",
+    "join_skew_salted_orders",
 ]
 
 
