@@ -80,25 +80,29 @@ _LOADED = False
 # are driver-verified with every latest check green; staleness
 # histogram after r9: r9=50, r8=50, r7=50, r6=50, r5=7 (the 7 r5
 # leftovers are exactly the head VERDICT r9 prescribed). This window =
-# the 5 round-10 registrations (dedup_substring_overlap — Lee et al.
+# the 7 round-10 registrations (dedup_substring_overlap — Lee et al.
 # 2022 exact-substring dedup; sink_async_upsert_final_state — the
 # asyncpg-dialect sink personality, the last sink surface that only
 # had pytest evidence; multimodal_jpeg_lossless_decode — SOF3
 # predictive lossless; tokenizer_unigram_train_scores and
 # tokenizer_unigram_apply_tokens — the SentencePiece-style unigram-LM
-# pair under integer-EM/exact-Viterbi oracles) + the 7 r5-latest
-# leftovers + the first 38 of the 50 r6-latest names = 50 exactly.
-# The remaining 12 r6 names are the round-11 rotation head, followed
-# by the 50 r7-latest, the 50 r8-checked, and the 50 r9-checked names
-# last — the list is the FULL registry in staleness order for drivers
-# that check more than 50 rows.
+# pair under integer-EM/exact-Viterbi oracles; ingest_gzip_member_walk
+# and ingest_zstd_frame_walk — the compressed-container ingestion pair
+# with CRC-32/XXH64 integrity verdicts) + the 7 r5-latest leftovers +
+# the first 36 of the 50 r6-latest names = 50 exactly. The remaining
+# 14 r6 names are the round-11 rotation head, followed by the 50
+# r7-latest, the 50 r8-checked, and the 50 r9-checked names last — the
+# list is the FULL registry in staleness order for drivers that check
+# more than 50 rows.
 _PRIORITY = [
-    # (a) round-10 registrations — never driver-checked (5)
+    # (a) round-10 registrations — never driver-checked (7)
     "dedup_substring_overlap",
     "sink_async_upsert_final_state",
     "multimodal_jpeg_lossless_decode",
     "tokenizer_unigram_train_scores",
     "tokenizer_unigram_apply_tokens",
+    "ingest_gzip_member_walk",
+    "ingest_zstd_frame_walk",
     # (b) r5-latest leftovers (7) — stalest greens, 4 rounds old
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -107,7 +111,7 @@ _PRIORITY = [
     "dedup_connected_components",
     "train_user_event_sequences",
     "quality_winsorize_doclen",
-    # (c) r6-latest (first 38 of 50) — window tail
+    # (c) r6-latest (first 36 of 50) — window tail
     "basket_part_pair_lift",
     "agg_histogram_equidepth",
     "attribution_linear_touch",
@@ -144,10 +148,10 @@ _PRIORITY = [
     "text_heavy_hitters_approx",
     "dedup_lsh_bucket_stats",
     "embedding_norm_stats",
+    # --- window boundary (driver checks exactly 50) ---
+    # r6-latest remainder (14): the round-11 rotation head
     "dedup_hyperplane_lsh",
     "q18_large_volume_customer",
-    # --- window boundary (driver checks exactly 50) ---
-    # r6-latest remainder (12): the round-11 rotation head
     "q10_returned_item_revenue",
     "q7_volume_shipping",
     "q8_market_share",
@@ -331,6 +335,7 @@ def _ensure_loaded() -> None:
         expectations,
         flac,
         graph,
+        gzipwalk,
         inference,
         ivfpq,
         joins_advanced,
@@ -355,6 +360,7 @@ def _ensure_loaded() -> None:
         unigram,
         udtf_ops,
         video,
+        zstdwalk,
     )
     from .sinks import roundtrip  # noqa: F401
     from .sources import filetail, pydatasource  # noqa: F401
