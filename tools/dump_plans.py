@@ -74,6 +74,20 @@ SHOWCASE = [
         "whole Lloyd DAG)",
     ),
     (
+        "dedup_substring_overlap",
+        "round-10 exact-substring dedup: one pruned scan -> window "
+        "fingerprints (codegen array expr) -> ONE hash aggregation into "
+        "capped buckets -> bounded per-bucket pair fan-out + pair-keyed "
+        "count — O(total windows), no all-pairs join anywhere",
+    ),
+    (
+        "tokenizer_unigram_apply_tokens",
+        "round-10 unigram serving: model joins onto word TYPES "
+        "broadcast, Arrow-batched integer Viterbi per type, instances "
+        "join back by word (broadcast) — nothing document-sized "
+        "shuffles and the train-side EM never touches the driver",
+    ),
+    (
         "sink_upsert_final_state",
         "round-9 sink roundtrip: the returned frame is the tiny "
         "read-back final state (createDataFrame + literal stats); the "
