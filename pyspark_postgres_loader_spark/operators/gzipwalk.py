@@ -149,12 +149,14 @@ def build_gzip_member(
 _GZ_GROUPS = 10
 
 
-def _gz_members_of(g: int) -> list[tuple[str | None, bytes]]:
-    """Closed-form member set for group ``g``: 1 + g % 3 members;
-    member m holds 64 + 16m + g bytes of the lattice
-    ``(7 i + 13 m + 17 g) % 251``; even members carry FNAME
-    ``m<m>.txt``, members divisible by 3 a comment, member 1 a header
-    CRC. The oracle replays the lattice — never the deflate bytes."""
+def _gz_members_of(g: int) -> list[tuple]:
+    """Closed-form member set for group ``g`` as (name, content,
+    comment, hcrc) tuples: 1 + g % 3 members; member m holds
+    64 + 16m + g bytes of the lattice ``(7 i + 13 m + 17 g) % 251``;
+    even members carry FNAME ``m<m>.txt`` (6 chars — m never exceeds
+    one digit, which the oracle's names_len term relies on), members
+    divisible by 3 a comment, member 1 a verified header CRC. The
+    oracle replays the lattice — never the deflate bytes."""
     out = []
     for m in range(1 + g % 3):
         content = bytes(

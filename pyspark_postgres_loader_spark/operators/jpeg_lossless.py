@@ -379,7 +379,7 @@ def multimodal_jpeg_lossless_decode(spark: SparkSession, sf_dir: str) -> DataFra
     """LOSSLESS JPEG (SOF3) decode end to end — predictive Huffman
     difference coding, all 7 Annex H predictors (cycled across fixture
     groups, pinned by the ``predictor`` output column), both point
-    transforms Pt ∈ {{0, 1}}, 12-bit samples, non-8-aligned dims (the
+    transforms Pt in {0, 1}, 12-bit samples, non-8-aligned dims (the
     mode has no blocks). Because the mode is lossless the oracle
     replays the exact closed-form sample lattice — no fixed-point
     kernel argument needed, the FLAC precedent. Typed quarantine rows:
