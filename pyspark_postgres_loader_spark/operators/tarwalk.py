@@ -1,0 +1,332 @@
+"""POSIX ustar archive walk — the WebDataset container.
+
+Large multimodal training corpora ship as tar archives of sample
+files (the WebDataset convention: shard-NNNN.tar holding
+``<key>.jpg`` / ``<key>.txt`` / ``<key>.json`` triples), read
+sequentially for throughput. This operator walks the format natively:
+512-byte block framing, the ustar header layout (name, octal size,
+typeflag, magic/version), END-OF-ARCHIVE detection (two zero blocks),
+member padding arithmetic, and the HEADER CHECKSUM (sum of header
+bytes with the chksum field read as spaces — the one integrity check
+the format has). WebDataset-style sample grouping (members sharing a
+basename before the first dot) is computed as an output fact.
+
+Honest scope, typed verdicts: regular files ('0'/NUL) and directories
+('5') decode; GNU long-name/long-link extensions ('L'/'K') and PAX
+extended headers ('x'/'g') raise the typed ``NotImplementedError``
+('unsupported'); a corrupted header checksum is the 'crc_error'
+class; truncation and non-octal size fields are 'corrupt'.
+
+Determinism: member names, sizes and contents are closed-form per
+(group, member), so the DuckDB oracle replays every content byte —
+member/sample counts, total sizes, a global-position-weighted content
+sum (pins member order AND the 512-block padding arithmetic, because
+position is measured in CONTENT space which only lines up if every
+header/padding boundary was walked correctly).
+
+Scale notes (100 TB): Arrow-batched ``mapInPandas`` decode map; a tar
+is sequential by design (that is why WebDataset uses it), corpus
+parallelism is across shards/documents; integer facts only re-enter
+the JVM.
+
+Reference: no counterpart (SURVEY.md §2l multimodal/ingest extension).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..tables import load_table
+
+_BLK = 512
+
+
+def _octal(field: bytes) -> int:
+    s = field.split(b"\x00", 1)[0].strip()
+    if not s:
+        return 0
+    try:
+        return int(s, 8)
+    except ValueError as exc:
+        raise ValueError(f"bad octal field {field!r}") from exc
+
+
+def build_tar_member(name: str, content: bytes, typeflag: bytes = b"0") -> bytes:
+    """One ustar member: 512-byte header (name, mode 0644, uid/gid 0,
+    size, mtime 0, ustar magic, checksum) + content padded to blocks."""
+    if len(name.encode()) > 100:
+        raise ValueError("fixture names stay in the 100-byte name field")
+    hdr = bytearray(_BLK)
+    hdr[0 : len(name.encode())] = name.encode()
+    hdr[100:108] = b"0000644\x00"
+    hdr[108:116] = b"0000000\x00"
+    hdr[116:124] = b"0000000\x00"
+    hdr[124:136] = ("%011o" % len(content)).encode() + b"\x00"
+    hdr[136:148] = b"00000000000\x00"
+    hdr[148:156] = b" " * 8  # chksum computed over spaces
+    hdr[156:157] = typeflag
+    hdr[257:263] = b"ustar\x00"
+    hdr[263:265] = b"00"
+    chk = sum(hdr)
+    hdr[148:156] = ("%06o" % chk).encode() + b"\x00 "
+    pad = (-len(content)) % _BLK
+    return bytes(hdr) + content + b"\x00" * pad
+
+
+def walk_tar_members(payload: bytes) -> list[tuple[str, bytes, str]]:
+    """Walk a ustar stream → [(name, content, typeflag)]. Typed
+    verdicts: ``NotImplementedError`` for GNU/PAX extension headers
+    ('unsupported'), ``ValueError`` with 'CHECKSUM' for a header
+    checksum mismatch ('crc_error'), plain ``ValueError`` for
+    structural damage ('corrupt'). The end-of-archive marker (two
+    zero blocks) is REQUIRED — a stream that just stops mid-archive
+    is corrupt, which is what makes truncation detectable."""
+    members: list[tuple[str, bytes, str]] = []
+    pos = 0
+    while True:
+        if pos + _BLK > len(payload):
+            raise ValueError("truncated tar header block")
+        hdr = payload[pos : pos + _BLK]
+        if hdr == b"\x00" * _BLK:
+            if pos + 2 * _BLK > len(payload):
+                raise ValueError("truncated end-of-archive marker")
+            if payload[pos + _BLK : pos + 2 * _BLK] != b"\x00" * _BLK:
+                raise ValueError("lone zero block inside archive")
+            return members
+        stored = _octal(hdr[148:156])
+        calc = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+        if stored != calc:
+            raise ValueError(
+                f"tar header CHECKSUM mismatch ({stored} != {calc})"
+            )
+        if hdr[257:262] != b"ustar":
+            raise ValueError("missing ustar magic")
+        typeflag = hdr[156:157]
+        name = hdr[0:100].split(b"\x00", 1)[0].decode("latin-1")
+        size = _octal(hdr[124:136])
+        pos += _BLK
+        if typeflag in (b"L", b"K"):
+            raise NotImplementedError("GNU long-name/long-link extension")
+        if typeflag in (b"x", b"g"):
+            raise NotImplementedError("PAX extended header")
+        if typeflag not in (b"0", b"\x00", b"5"):
+            raise NotImplementedError(
+                f"tar typeflag {typeflag!r}"
+            )
+        if pos + size > len(payload):
+            raise ValueError("truncated tar member content")
+        content = payload[pos : pos + size]
+        pos += size + ((-size) % _BLK)
+        members.append((name, content, typeflag.decode("latin-1") or "0"))
+
+
+# ------------------------------------------------- driver-oracled query
+
+_TAR_GROUPS = 10  # coprime with the 11/17/13 status classes —
+                  # every group exercises every verdict
+
+
+def _tar_members_of(g: int) -> list[tuple[str, bytes]]:
+    """WebDataset-style closed-form shard for group ``g``: 1 + g % 3
+    samples, each contributing a ``.txt`` member (40 + 8*s + g bytes of
+    the lattice ``(13 i + 19 s + 23 g) % 251``) and, for even s, a
+    ``.bin`` sibling (24 + 4*s bytes of ``(17 i + 7 s + 29 g) % 251``)
+    under the same sample key ``sample<g>_<s>``."""
+    out = []
+    for s in range(1 + g % 3):
+        key = f"sample{g}_{s}"
+        out.append(
+            (
+                f"{key}.txt",
+                bytes((13 * i + 19 * s + 23 * g) % 251
+                      for i in range(40 + 8 * s + g)),
+            )
+        )
+        if s % 2 == 0:
+            out.append(
+                (
+                    f"{key}.bin",
+                    bytes((17 * i + 7 * s + 29 * g) % 251
+                          for i in range(24 + 4 * s)),
+                )
+            )
+    return out
+
+
+def _tar_payload(doc_id: int) -> bytes:
+    g = doc_id % _TAR_GROUPS
+    body = b"".join(
+        build_tar_member(name, content) for name, content in _tar_members_of(g)
+    )
+    payload = body + b"\x00" * (2 * _BLK)
+    if doc_id % 17 == 2 and doc_id % 11 == 3:
+        pass  # exclusive classes; combinations fall through to corrupt
+    if doc_id % 17 == 2 and doc_id % 11 != 3:
+        # corrupt the FIRST header's checksum field (one octal digit)
+        payload = payload[:148] + b"7" + payload[149:]
+    if doc_id % 13 == 5 and doc_id % 17 != 2 and doc_id % 11 != 3:
+        # patch the first member's typeflag to a PAX extended header
+        payload = payload[:156] + b"x" + payload[157:]
+        # keep the header checksum VALID so the typed routing is what
+        # fires, not the integrity check: recompute it
+        hdr = bytearray(payload[:_BLK])
+        hdr[148:156] = b" " * 8
+        chk = sum(hdr)
+        hdr[148:156] = ("%06o" % chk).encode() + b"\x00 "
+        payload = bytes(hdr) + payload[_BLK:]
+    if doc_id % 11 == 3:
+        payload = payload[: len(payload) - _BLK - 7]
+        # drops the final zero block AND cuts into the first one: the
+        # end-of-archive marker can never re-align (tail-drop rule)
+    return payload
+
+
+def _tar_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cache: dict[tuple, tuple] = {}
+
+    def facts(doc_id: int) -> tuple:
+        g = doc_id % _TAR_GROUPS
+        key = (g, doc_id % 11 == 3, doc_id % 17 == 2, doc_id % 13 == 5)
+        if key not in cache:
+            try:
+                members = walk_tar_members(_tar_payload(doc_id))
+                samples = {n.rsplit(".", 1)[0] for n, _c, _t in members}
+                csum = wsum = off = 0
+                for _n, c, _t in members:
+                    for i, b in enumerate(c):
+                        csum += b
+                        wsum += (off + i + 1) * b
+                    off += len(c)
+                names_len = sum(len(n) for n, _c, _t in members)
+                cache[key] = (
+                    "decoded", len(members), len(samples), off, csum, wsum,
+                    names_len,
+                )
+            except NotImplementedError:
+                cache[key] = ("unsupported", 0, 0, 0, 0, 0, 0)
+            except ValueError as exc:
+                status = "crc_error" if "CHECKSUM" in str(exc) else "corrupt"
+                cache[key] = (status, 0, 0, 0, 0, 0, 0)
+            except Exception:  # noqa: BLE001 — malformed bytes quarantine
+                cache[key] = ("corrupt", 0, 0, 0, 0, 0, 0)
+        return cache[key]
+
+    for pdf in it:
+        if pdf.empty:
+            continue
+        out = [(int(d),) + facts(int(d)) for d in pdf["doc_id"]]
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "doc_id", "status", "n_members", "n_samples", "total_bytes",
+                "content_sum", "wsum", "names_len",
+            ],
+        ).astype(
+            {
+                "doc_id": "int64", "n_members": "int32", "n_samples": "int32",
+                "total_bytes": "int64", "content_sum": "int64",
+                "wsum": "int64", "names_len": "int32",
+            }
+        )
+
+
+def _tar_oracle() -> str:
+    # member layout per (g, s): a .txt always, a .bin when s % 2 = 0;
+    # name 'sample<g>_<s>.<ext>' is 13 chars with single-digit g (< 10)
+    # and s (< 3), .txt and .bin alike
+    return f"""
+    WITH grp AS (
+      SELECT DISTINCT doc_id % {_TAR_GROUPS} AS g FROM documents
+    ),
+    sm AS (
+      SELECT g, unnest(range(0, 1 + g % 3)) AS s FROM grp
+    ),
+    mem AS (
+      SELECT g, s, 0 AS kind, 40 + 8 * s + g AS len FROM sm
+      UNION ALL
+      SELECT g, s, 1 AS kind, 24 + 4 * s AS len FROM sm WHERE s % 2 = 0
+    ),
+    offs AS (
+      SELECT *, COALESCE(SUM(len) OVER (
+               PARTITION BY g ORDER BY s, kind
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS off
+      FROM mem
+    ),
+    vals AS (
+      SELECT g, off + i + 1 AS gpos,
+             CASE WHEN kind = 0 THEN (13 * i + 19 * s + 23 * g) % 251
+                  ELSE (17 * i + 7 * s + 29 * g) % 251 END AS v
+      FROM (SELECT *, unnest(range(0, len)) AS i FROM offs)
+    ),
+    sums AS (
+      SELECT v.g,
+             CAST((SELECT COUNT(*) FROM mem WHERE mem.g = v.g) AS INT)
+               AS n_members,
+             CAST((SELECT COUNT(*) FROM sm WHERE sm.g = v.g) AS INT)
+               AS n_samples,
+             CAST(COUNT(*) AS BIGINT) AS total_bytes,
+             CAST(SUM(v.v) AS BIGINT) AS content_sum,
+             CAST(SUM(v.gpos * v.v) AS BIGINT) AS wsum,
+             CAST((SELECT 13 * COUNT(*)
+                   FROM mem WHERE mem.g = v.g) AS INT) AS names_len
+      FROM vals v GROUP BY v.g
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 11 = 3 THEN 'corrupt'
+                WHEN d.doc_id % 17 = 2 THEN 'crc_error'
+                WHEN d.doc_id % 13 = 5 THEN 'unsupported'
+                ELSE 'decoded' END AS status,
+           CASE WHEN d.doc_id % 11 = 3 OR d.doc_id % 17 = 2
+                     OR d.doc_id % 13 = 5
+                THEN 0 ELSE s.n_members END AS n_members,
+           CASE WHEN d.doc_id % 11 = 3 OR d.doc_id % 17 = 2
+                     OR d.doc_id % 13 = 5
+                THEN 0 ELSE s.n_samples END AS n_samples,
+           CASE WHEN d.doc_id % 11 = 3 OR d.doc_id % 17 = 2
+                     OR d.doc_id % 13 = 5
+                THEN 0 ELSE s.total_bytes END AS total_bytes,
+           CASE WHEN d.doc_id % 11 = 3 OR d.doc_id % 17 = 2
+                     OR d.doc_id % 13 = 5
+                THEN 0 ELSE s.content_sum END AS content_sum,
+           CASE WHEN d.doc_id % 11 = 3 OR d.doc_id % 17 = 2
+                     OR d.doc_id % 13 = 5
+                THEN 0 ELSE s.wsum END AS wsum,
+           CASE WHEN d.doc_id % 11 = 3 OR d.doc_id % 17 = 2
+                     OR d.doc_id % 13 = 5
+                THEN 0 ELSE s.names_len END AS names_len
+    FROM documents d
+    JOIN sums s ON d.doc_id % {_TAR_GROUPS} = s.g
+    ORDER BY d.doc_id
+    """
+
+
+@register("ingest_tar_member_walk", oracle=_tar_oracle())
+def ingest_tar_member_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-shard ingestion: native POSIX ustar walk — 512-byte
+    block framing, octal header fields, the header CHECKSUM verified
+    per member, end-of-archive marker required (a stream that just
+    stops is 'corrupt' — that is what makes truncation detectable) —
+    plus the WebDataset sample grouping (members sharing a basename)
+    as an oracled fact. The position-weighted content sum is measured
+    in CONTENT space, so it only matches if every header/padding
+    block boundary was walked correctly. Typed verdicts: truncation
+    ('corrupt'), a corrupted checksum digit ('crc_error'), a PAX
+    extended header with a VALID checksum ('unsupported' — proving the
+    typed routing fires, not the integrity check).
+
+    Scale notes (100 TB): Arrow-batched mapInPandas decode map; only
+    integer facts re-enter the JVM; shard-level parallelism is the
+    WebDataset design this walk serves."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        _tar_batches,
+        schema=(
+            "doc_id long, status string, n_members int, n_samples int, "
+            "total_bytes long, content_sum long, wsum long, names_len int"
+        ),
+    ).orderBy("doc_id")

@@ -1,0 +1,412 @@
+"""Baseline TIFF decode (TIFF 6.0) — greyscale, both byte orders,
+multi-strip, uncompressed + PackBits.
+
+TIFF is the scan/document/geo corpus staple. This module implements
+the baseline structure natively from the public spec: the II/MM
+header (BOTH endiannesses — the value-fits-in-field rule is
+endian-sensitive and a classic decoder bug, so fixtures alternate),
+the IFD entry walk (tag/type/count/value-or-offset with values
+LEFT-JUSTIFIED in the 4-byte field), required baseline tags
+(ImageWidth/Length, BitsPerSample 8, Compression, Photometric,
+StripOffsets/StripByteCounts/RowsPerStrip, SamplesPerPixel), striped
+layout with the last-strip short-row rule, and PackBits (Compression
+32773: literal runs, repeat runs, the 128 noop).
+
+Honest scope, typed quarantine: LZW (5), old/new JPEG (6/7), CCITT
+(2-4), tiled layout (TileWidth 322), BitsPerSample != 8 and
+multi-sample images raise ``NotImplementedError`` ('unsupported');
+structural damage is 'corrupt'. TIFF defines no checksums, so there is
+no crc class (same status set as the 12-bit JPEG query).
+
+Determinism: fixtures carry a closed-form pixel lattice with BOTH
+run-heavy rows (PackBits repeat path) and literal rows (PackBits copy
+path); the decode is lossless, so the oracle replays every pixel
+directly — the FLAC/SOF3 argument.
+
+Scale notes (100 TB): the standard Arrow-batched ``mapInPandas``
+decode map; integer facts only re-enter the JVM.
+
+Reference: no counterpart (SURVEY.md §2l multimodal extension).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..tables import load_table
+
+_II, _MM = b"II", b"MM"
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
+
+
+def packbits_encode(row: bytes) -> bytes:
+    """Spec-faithful PackBits: repeat runs of >= 3 become (257 - n)
+    control + byte; everything else accumulates into literal runs of
+    <= 128."""
+    out = bytearray()
+    i = 0
+    n = len(row)
+    while i < n:
+        # find run length at i
+        j = i + 1
+        while j < n and j - i < 128 and row[j] == row[i]:
+            j += 1
+        run = j - i
+        if run >= 3:
+            out.append(257 - run)
+            out.append(row[i])
+            i = j
+            continue
+        # literal: extend until a >=3 run starts or 128 bytes
+        lit_start = i
+        i = j
+        while i < n and i - lit_start < 128:
+            j = i + 1
+            while j < n and row[j] == row[i]:
+                j += 1
+            if j - i >= 3:
+                break
+            i = j
+        lit = row[lit_start : min(i, lit_start + 128)]
+        i = lit_start + len(lit)
+        out.append(len(lit) - 1)
+        out += lit
+    return bytes(out)
+
+
+def packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while len(out) < expected:
+        if i >= len(data):
+            raise ValueError("truncated PackBits stream")
+        c = data[i]
+        i += 1
+        if c == 128:
+            continue  # noop
+        if c < 128:
+            if i + c + 1 > len(data):
+                raise ValueError("truncated PackBits literal")
+            out += data[i : i + c + 1]
+            i += c + 1
+        else:
+            if i >= len(data):
+                raise ValueError("truncated PackBits run")
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+    if len(out) != expected:
+        raise ValueError("PackBits output overruns the strip size")
+    return bytes(out)
+
+
+def build_tiff_grey(
+    pixels,
+    big_endian: bool = False,
+    rows_per_strip: int = 8,
+    compression: int = 1,
+    tag_override: dict | None = None,
+) -> bytes:
+    """Encode an ``(h, w)`` uint8 array as a baseline greyscale TIFF —
+    multi-strip, ``compression`` 1 (none) or 32773 (PackBits), either
+    byte order. ``tag_override`` patches IFD tag values (fixtures use
+    it to declare unsupported modes without fabricating their data)."""
+    e = ">" if big_endian else "<"
+    h, w = len(pixels), len(pixels[0])
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        raw = b"".join(
+            bytes(int(v) & 0xFF for v in pixels[y])
+            for y in range(y0, min(y0 + rows_per_strip, h))
+        )
+        strips.append(packbits_encode(raw) if compression == 32773 else raw)
+
+    # layout: header(8) | strip data | IFD
+    header = struct.pack(e + "2sH", _MM if big_endian else _II, 42)
+    offsets = []
+    pos = 8
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    ifd_off = pos
+    header += struct.pack(e + "I", ifd_off)
+
+    n_strips = len(strips)
+    # external value areas (needed when count > 1): placed after the IFD
+    tags = {
+        256: (4, 1, w),               # ImageWidth LONG
+        257: (4, 1, h),               # ImageLength LONG
+        258: (3, 1, 8),               # BitsPerSample SHORT
+        259: (3, 1, compression),     # Compression
+        262: (3, 1, 1),               # Photometric BlackIsZero
+        273: (4, n_strips, offsets),  # StripOffsets
+        277: (3, 1, 1),               # SamplesPerPixel
+        278: (4, 1, rows_per_strip),  # RowsPerStrip
+        279: (4, n_strips, [len(s) for s in strips]),  # StripByteCounts
+    }
+    for t, v in (tag_override or {}).items():
+        tags[t] = v
+    order = sorted(tags)
+    ifd_size = 2 + 12 * len(order) + 4
+    ext_pos = ifd_off + ifd_size
+    entries = b""
+    ext = b""
+    for tag in order:
+        typ, cnt, val = tags[tag]
+        unit = _TYPE_SIZE[typ]
+        fmt = {3: "H", 4: "I"}[typ]
+        vals = val if isinstance(val, list) else [val]
+        packed = b"".join(struct.pack(e + fmt, v) for v in vals)
+        if len(packed) <= 4:
+            field = packed + b"\x00" * (4 - len(packed))  # LEFT-justified
+        else:
+            field = struct.pack(e + "I", ext_pos)
+            ext += packed
+            ext_pos += len(packed)
+        entries += struct.pack(e + "HHI", tag, typ, cnt) + field
+    ifd = struct.pack(e + "H", len(order)) + entries + struct.pack(e + "I", 0)
+    return header + b"".join(strips) + ifd + ext
+
+
+def decode_tiff_grey(payload: bytes):
+    """Decode a baseline greyscale TIFF → (w, h, big_endian, strips,
+    rows) with ``rows`` a list of per-row byte strings. Unsupported
+    baseline-adjacent modes raise the typed quarantine."""
+    if len(payload) < 8:
+        raise ValueError("truncated TIFF header")
+    bo = payload[0:2]
+    if bo == _II:
+        e = "<"
+    elif bo == _MM:
+        e = ">"
+    else:
+        raise ValueError("bad TIFF byte order")
+    if struct.unpack(e + "H", payload[2:4])[0] != 42:
+        raise ValueError("bad TIFF magic number")
+    ifd_off = struct.unpack(e + "I", payload[4:8])[0]
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated IFD offset")
+    n = struct.unpack(e + "H", payload[ifd_off : ifd_off + 2])[0]
+    if ifd_off + 2 + 12 * n + 4 > len(payload):
+        raise ValueError("truncated IFD")
+    tags: dict[int, list[int]] = {}
+    for k in range(n):
+        off = ifd_off + 2 + 12 * k
+        tag, typ, cnt = struct.unpack(e + "HHI", payload[off : off + 8])
+        if typ not in (3, 4):
+            continue  # baseline greyscale needs only SHORT/LONG tags
+        unit = _TYPE_SIZE[typ]
+        fmt = {3: "H", 4: "I"}[typ]
+        total = unit * cnt
+        if total <= 4:
+            area = payload[off + 8 : off + 8 + total]  # left-justified
+        else:
+            p = struct.unpack(e + "I", payload[off + 8 : off + 12])[0]
+            if p + total > len(payload):
+                raise ValueError("truncated external tag values")
+            area = payload[p : p + total]
+        tags[tag] = [
+            struct.unpack(e + fmt, area[u * unit : (u + 1) * unit])[0]
+            for u in range(cnt)
+        ]
+
+    def one(tag: int, default: int | None = None) -> int:
+        if tag in tags:
+            return tags[tag][0]
+        if default is None:
+            raise ValueError(f"missing required TIFF tag {tag}")
+        return default
+
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF layout")
+    comp = one(259, 1)
+    if comp not in (1, 32773):
+        raise NotImplementedError(f"TIFF compression {comp}")
+    if one(258, 8) != 8:
+        raise NotImplementedError(f"TIFF BitsPerSample {one(258)}")
+    if one(277, 1) != 1:
+        raise NotImplementedError("multi-sample TIFF")
+    w, h = one(256), one(257)
+    rps = one(278, h)
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("missing/mismatched strip tables")
+    if len(offsets) != -(-h // rps):
+        raise ValueError("strip count does not cover the image")
+    rows: list[bytes] = []
+    for si, (o, c) in enumerate(zip(offsets, counts)):
+        if o + c > len(payload):
+            raise ValueError("truncated strip data")
+        nrows = min(rps, h - si * rps)
+        raw = payload[o : o + c]
+        if comp == 32773:
+            raw = packbits_decode(raw, nrows * w)
+        elif len(raw) != nrows * w:
+            raise ValueError("strip byte count mismatch")
+        rows += [raw[r * w : (r + 1) * w] for r in range(nrows)]
+    return w, h, e == ">", len(offsets), rows
+
+
+# ------------------------------------------------- driver-oracled query
+
+_TIFF_GROUPS = 12
+
+
+def _tiff_pixels(g: int):
+    """Closed-form lattice mixing PackBits code paths: literal rows
+    (y % 3 == 0: per-pixel variation) and run rows (values constant in
+    5-pixel blocks)."""
+    w, h = 19 + g, 10 + g % 5
+    return [
+        [
+            (7 * x + 11 * y + 5 * g) % 256
+            if y % 3 == 0
+            else (9 * (x // 5) + 31 * y + 5 * g) % 256
+            for x in range(w)
+        ]
+        for y in range(h)
+    ]
+
+
+def _tiff_payload(doc_id: int) -> bytes:
+    g = doc_id % _TIFF_GROUPS
+    payload = build_tiff_grey(
+        _tiff_pixels(g),
+        big_endian=g % 2 == 1,
+        rows_per_strip=4,
+        compression=32773 if g % 3 != 0 else 1,
+    )
+    if doc_id % 13 == 5 and doc_id % 11 != 3:
+        # declare LZW in the Compression tag (data untouched): the
+        # typed boundary fires on the tag, deterministically
+        payload = build_tiff_grey(
+            _tiff_pixels(g),
+            big_endian=g % 2 == 1,
+            rows_per_strip=4,
+            compression=1,
+            tag_override={259: (3, 1, 5)},
+        )
+    if doc_id % 11 == 3:
+        payload = payload[: len(payload) // 2]
+    return payload
+
+
+def _tiff_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cache: dict[tuple, tuple] = {}
+
+    def facts(doc_id: int) -> tuple:
+        g = doc_id % _TIFF_GROUPS
+        key = (g, doc_id % 11 == 3, doc_id % 13 == 5)
+        if key not in cache:
+            try:
+                w, h, be, n_strips, rows = decode_tiff_grey(
+                    _tiff_payload(doc_id)
+                )
+                csum = wsum = 0
+                pos = 0
+                for row in rows:
+                    for b in row:
+                        pos += 1
+                        csum += b
+                        wsum += pos * b
+                cache[key] = (
+                    "decoded", w, h, int(be), n_strips, csum, wsum,
+                )
+            except NotImplementedError:
+                cache[key] = ("unsupported", 0, 0, 0, 0, 0, 0)
+            except Exception:  # noqa: BLE001 — malformed bytes quarantine
+                cache[key] = ("corrupt", 0, 0, 0, 0, 0, 0)
+        return cache[key]
+
+    for pdf in it:
+        if pdf.empty:
+            continue
+        out = [(int(d),) + facts(int(d)) for d in pdf["doc_id"]]
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "doc_id", "status", "width", "height", "big_endian",
+                "n_strips", "px_sum", "wpx_sum",
+            ],
+        ).astype(
+            {
+                "doc_id": "int64", "width": "int32", "height": "int32",
+                "big_endian": "int32", "n_strips": "int32",
+                "px_sum": "int64", "wpx_sum": "int64",
+            }
+        )
+
+
+def _tiff_oracle() -> str:
+    v = ("CASE WHEN (i // w) % 3 = 0"
+         " THEN (7 * (i % w) + 11 * (i // w) + 5 * g) % 256"
+         " ELSE (9 * ((i % w) // 5) + 31 * (i // w) + 5 * g) % 256 END")
+    return f"""
+    WITH grp AS (
+      SELECT DISTINCT doc_id % {_TIFF_GROUPS} AS g FROM documents
+    ),
+    dims AS (
+      SELECT g, 19 + g AS w, 10 + g % 5 AS h FROM grp
+    ),
+    vals AS (
+      SELECT g, w, h, i, {v} AS s
+      FROM (SELECT g, w, h, unnest(range(0, w * h)) AS i FROM dims)
+    ),
+    sums AS (
+      SELECT g, w, h,
+             CAST((h + 3) // 4 AS INT) AS n_strips,
+             CAST(SUM(s) AS BIGINT) AS px_sum,
+             CAST(SUM((i + 1) * s) AS BIGINT) AS wpx_sum
+      FROM vals GROUP BY g, w, h
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 11 = 3 THEN 'corrupt'
+                WHEN d.doc_id % 13 = 5 THEN 'unsupported'
+                ELSE 'decoded' END AS status,
+           CASE WHEN d.doc_id % 11 = 3 OR d.doc_id % 13 = 5
+                THEN 0 ELSE s.w END AS width,
+           CASE WHEN d.doc_id % 11 = 3 OR d.doc_id % 13 = 5
+                THEN 0 ELSE s.h END AS height,
+           CASE WHEN d.doc_id % 11 = 3 OR d.doc_id % 13 = 5
+                THEN 0 ELSE CAST(d.doc_id % {_TIFF_GROUPS} % 2 AS INT)
+                END AS big_endian,
+           CASE WHEN d.doc_id % 11 = 3 OR d.doc_id % 13 = 5
+                THEN 0 ELSE s.n_strips END AS n_strips,
+           CASE WHEN d.doc_id % 11 = 3 OR d.doc_id % 13 = 5
+                THEN 0 ELSE s.px_sum END AS px_sum,
+           CASE WHEN d.doc_id % 11 = 3 OR d.doc_id % 13 = 5
+                THEN 0 ELSE s.wpx_sum END AS wpx_sum
+    FROM documents d
+    JOIN sums s ON d.doc_id % {_TIFF_GROUPS} = s.g
+    ORDER BY d.doc_id
+    """
+
+
+@register("multimodal_tiff_decode", oracle=_tiff_oracle())
+def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline TIFF decode end to end: II AND MM byte orders (the
+    oracled ``big_endian`` column pins the endianness-sensitive
+    left-justified tag-value rule), multi-strip layout with the
+    short-last-strip rule (``n_strips`` pinned), and PackBits
+    decompression exercised on BOTH its code paths (fixture rows mix
+    literal and run content; groups divisible by 3 stay uncompressed
+    so the raw-strip path is oracled too). Lossless ⇒ the oracle
+    replays the exact pixel lattice. Typed quarantine: truncation
+    ('corrupt'), an LZW Compression tag ('unsupported' — as are JPEG,
+    CCITT, tiles, non-8-bit and multi-sample).
+
+    Scale notes (100 TB): same Arrow-batched mapInPandas decode map as
+    every codec query; integer facts only re-enter the JVM."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        _tiff_batches,
+        schema=(
+            "doc_id long, status string, width int, height int, "
+            "big_endian int, n_strips int, px_sum long, wpx_sum long"
+        ),
+    ).orderBy("doc_id")

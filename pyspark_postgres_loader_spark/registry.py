@@ -80,7 +80,7 @@ _LOADED = False
 # are driver-verified with every latest check green; staleness
 # histogram after r9: r9=50, r8=50, r7=50, r6=50, r5=7 (the 7 r5
 # leftovers are exactly the head VERDICT r9 prescribed). This window =
-# the 7 round-10 registrations (dedup_substring_overlap — Lee et al.
+# the 9 round-10 registrations (dedup_substring_overlap — Lee et al.
 # 2022 exact-substring dedup; sink_async_upsert_final_state — the
 # asyncpg-dialect sink personality, the last sink surface that only
 # had pytest evidence; multimodal_jpeg_lossless_decode — SOF3
@@ -88,14 +88,17 @@ _LOADED = False
 # tokenizer_unigram_apply_tokens — the SentencePiece-style unigram-LM
 # pair under integer-EM/exact-Viterbi oracles; ingest_gzip_member_walk
 # and ingest_zstd_frame_walk — the compressed-container ingestion pair
-# with CRC-32/XXH64 integrity verdicts) + the 7 r5-latest leftovers +
-# the first 36 of the 50 r6-latest names = 50 exactly. The remaining
-# 14 r6 names are the round-11 rotation head, followed by the 50
+# with CRC-32/XXH64 integrity verdicts; ingest_tar_member_walk — the
+# WebDataset ustar container with checksum verdicts; and
+# multimodal_tiff_decode — baseline TIFF, both byte orders + PackBits)
+# + the 7 r5-latest leftovers + the first 34 of the 50 r6-latest
+# names = 50 exactly. The remaining 16 r6 names are the round-11
+# rotation head, followed by the 50
 # r7-latest, the 50 r8-checked, and the 50 r9-checked names last — the
 # list is the FULL registry in staleness order for drivers that check
 # more than 50 rows.
 _PRIORITY = [
-    # (a) round-10 registrations — never driver-checked (7)
+    # (a) round-10 registrations — never driver-checked (9)
     "dedup_substring_overlap",
     "sink_async_upsert_final_state",
     "multimodal_jpeg_lossless_decode",
@@ -103,6 +106,8 @@ _PRIORITY = [
     "tokenizer_unigram_apply_tokens",
     "ingest_gzip_member_walk",
     "ingest_zstd_frame_walk",
+    "ingest_tar_member_walk",
+    "multimodal_tiff_decode",
     # (b) r5-latest leftovers (7) — stalest greens, 4 rounds old
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -111,7 +116,7 @@ _PRIORITY = [
     "dedup_connected_components",
     "train_user_event_sequences",
     "quality_winsorize_doclen",
-    # (c) r6-latest (first 36 of 50) — window tail
+    # (c) r6-latest (first 34 of 50) — window tail
     "basket_part_pair_lift",
     "agg_histogram_equidepth",
     "attribution_linear_touch",
@@ -146,10 +151,10 @@ _PRIORITY = [
     "pipeline_clean_corpus",
     "text_word_count_topk",
     "text_heavy_hitters_approx",
+    # --- window boundary (driver checks exactly 50) ---
+    # r6-latest remainder (16): the round-11 rotation head
     "dedup_lsh_bucket_stats",
     "embedding_norm_stats",
-    # --- window boundary (driver checks exactly 50) ---
-    # r6-latest remainder (14): the round-11 rotation head
     "dedup_hyperplane_lsh",
     "q18_large_volume_customer",
     "q10_returned_item_revenue",
@@ -352,8 +357,10 @@ def _ensure_loaded() -> None:
         relational,
         sampling,
         similarity,
+        tarwalk,
         temporal,
         text,
+        tiff,
         tokenizer,
         tpch_extra,
         training,
