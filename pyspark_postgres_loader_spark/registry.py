@@ -80,7 +80,7 @@ _LOADED = False
 # are driver-verified with every latest check green; staleness
 # histogram after r9: r9=50, r8=50, r7=50, r6=50, r5=7 (the 7 r5
 # leftovers are exactly the head VERDICT r9 prescribed). This window =
-# the 9 round-10 registrations (dedup_substring_overlap — Lee et al.
+# the 11 round-10 registrations (dedup_substring_overlap — Lee et al.
 # 2022 exact-substring dedup; sink_async_upsert_final_state — the
 # asyncpg-dialect sink personality, the last sink surface that only
 # had pytest evidence; multimodal_jpeg_lossless_decode — SOF3
@@ -90,15 +90,17 @@ _LOADED = False
 # and ingest_zstd_frame_walk — the compressed-container ingestion pair
 # with CRC-32/XXH64 integrity verdicts; ingest_tar_member_walk — the
 # WebDataset ustar container with checksum verdicts; and
-# multimodal_tiff_decode — baseline TIFF, both byte orders + PackBits)
-# + the 7 r5-latest leftovers + the first 34 of the 50 r6-latest
-# names = 50 exactly. The remaining 16 r6 names are the round-11
-# rotation head, followed by the 50
+# multimodal_tiff_decode — baseline TIFF, both byte orders + PackBits;
+# ingest_tfrecord_walk — masked-CRC32C framed records; and
+# ingest_warc_record_walk — Common Crawl records with SHA-1 block
+# digests) + the 7 r5-latest leftovers + the first 32 of the 50
+# r6-latest names = 50 exactly. The remaining 18 r6 names are the
+# round-11 rotation head, followed by the 50
 # r7-latest, the 50 r8-checked, and the 50 r9-checked names last — the
 # list is the FULL registry in staleness order for drivers that check
 # more than 50 rows.
 _PRIORITY = [
-    # (a) round-10 registrations — never driver-checked (9)
+    # (a) round-10 registrations — never driver-checked (11)
     "dedup_substring_overlap",
     "sink_async_upsert_final_state",
     "multimodal_jpeg_lossless_decode",
@@ -108,6 +110,8 @@ _PRIORITY = [
     "ingest_zstd_frame_walk",
     "ingest_tar_member_walk",
     "multimodal_tiff_decode",
+    "ingest_tfrecord_walk",
+    "ingest_warc_record_walk",
     # (b) r5-latest leftovers (7) — stalest greens, 4 rounds old
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -116,7 +120,7 @@ _PRIORITY = [
     "dedup_connected_components",
     "train_user_event_sequences",
     "quality_winsorize_doclen",
-    # (c) r6-latest (first 34 of 50) — window tail
+    # (c) r6-latest (first 32 of 50) — window tail
     "basket_part_pair_lift",
     "agg_histogram_equidepth",
     "attribution_linear_touch",
@@ -149,10 +153,10 @@ _PRIORITY = [
     "text_fingerprint",
     "text_rolling_hash",
     "pipeline_clean_corpus",
+    # --- window boundary (driver checks exactly 50) ---
+    # r6-latest remainder (18): the round-11 rotation head
     "text_word_count_topk",
     "text_heavy_hitters_approx",
-    # --- window boundary (driver checks exactly 50) ---
-    # r6-latest remainder (16): the round-11 rotation head
     "dedup_lsh_bucket_stats",
     "embedding_norm_stats",
     "dedup_hyperplane_lsh",
@@ -362,11 +366,13 @@ def _ensure_loaded() -> None:
         text,
         tiff,
         tokenizer,
+        tfrecord,
         tpch_extra,
         training,
         unigram,
         udtf_ops,
         video,
+        warc,
         zstdwalk,
     )
     from .sinks import roundtrip  # noqa: F401
