@@ -176,9 +176,16 @@ def _build_final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (sf_dir, spark.sparkContext.applicationId)
+    app_id = spark.sparkContext.applicationId
+    key = (sf_dir, app_id)
     cached = _ASSIGN_CACHE.get(key)
     if cached is None:
+        # Evict entries from dead sessions: a long-lived process that
+        # restarts Spark would otherwise accumulate unreachable
+        # DataFrames (and their localCheckpoint blocks) keyed by old
+        # applicationIds (r10 ADVICE).
+        for stale_key in [k for k in _ASSIGN_CACHE if k[1] != app_id]:
+            del _ASSIGN_CACHE[stale_key]
         cached = _build_final_assignment(spark, sf_dir).localCheckpoint(
             eager=True
         )

@@ -114,7 +114,15 @@ def sweep_dead_siblings(base: str) -> None:
                 # Provable: pid recycled iff the process began after
                 # the dir was last touched (60 s slack for clock/tick
                 # rounding). A genuine owner always predates its dir.
-                stale = started > mtime + 60.0
+                # Inside the 60 s ambiguity band the proof is
+                # inconclusive (a pid recycled within the slack of the
+                # dir's last touch looks like the owner), so the mtime
+                # staleness fallback still applies there — a genuine
+                # owner keeps re-touching via claim_scratch_dir and
+                # never ages past the cutoff (r10 ADVICE).
+                stale = started > mtime + 60.0 or (
+                    started > mtime - 60.0 and mtime < cutoff
+                )
             else:
                 stale = mtime < cutoff
         else:

@@ -79,7 +79,11 @@ _STAGE_ROWS = 30_000  # staging path (set-based, cheaper per row)
 _ASYNC_ROWS = 1_500  # async executemany path: DuckDB's Python
                      # executemany costs ~3 ms per call regardless of
                      # chunk size (fresh prepare), so the cap is tighter
-                     # still; 6 batches cover every semantic case
+                     # still; 6 batches cover every semantic case.
+                     # Bisection also re-materializes [tuple(r) ...]
+                     # for each overlapping half, so an all-poison
+                     # batch costs O(n log n) row copies on top of the
+                     # prepares — another reason the cap stays small.
 # The async personality pays the event loop + a DuckDB prepare PER
 # bisection chunk, so the sync workload's mod-7 poison density (which
 # degenerates every batch to near-single-row chunks — the deliberate
