@@ -100,7 +100,10 @@ _LOADED = False
 # list is the FULL registry in staleness order for drivers that check
 # more than 50 rows.
 _PRIORITY = [
-    # (a) round-10 registrations — never driver-checked (11)
+    # (a) round-11 registrations — never driver-checked
+    "ingest_zip_member_walk",
+    "audio_ogg_page_walk",
+    # (b) round-10 registrations (all driver-checked green in r10)
     "dedup_substring_overlap",
     "sink_async_upsert_final_state",
     "multimodal_jpeg_lossless_decode",
@@ -356,6 +359,7 @@ def _ensure_loaded() -> None:
         mp3,
         multimodal,
         nsw,
+        oggwalk,
         pq,
         preference,
         relational,
@@ -373,6 +377,7 @@ def _ensure_loaded() -> None:
         udtf_ops,
         video,
         warc,
+        zipwalk,
         zstdwalk,
     )
     from .sinks import roundtrip  # noqa: F401
