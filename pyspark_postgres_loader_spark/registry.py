@@ -103,6 +103,7 @@ _PRIORITY = [
     # (a) round-11 registrations — never driver-checked
     "ingest_zip_member_walk",
     "audio_ogg_page_walk",
+    "ann_ivf_incremental_topk",
     # (b) round-10 registrations (all driver-checked green in r10)
     "dedup_substring_overlap",
     "sink_async_upsert_final_state",
@@ -349,6 +350,7 @@ def _ensure_loaded() -> None:
         graph,
         gzipwalk,
         inference,
+        ivf_incremental,
         ivfpq,
         joins_advanced,
         jpeg12,
