@@ -104,6 +104,8 @@ _PRIORITY = [
     "ingest_zip_member_walk",
     "audio_ogg_page_walk",
     "ann_ivf_incremental_topk",
+    "quality_classifier_train",
+    "quality_classifier_filter",
     # (b) round-10 registrations (all driver-checked green in r10)
     "dedup_substring_overlap",
     "sink_async_upsert_final_state",
@@ -364,6 +366,7 @@ def _ensure_loaded() -> None:
         oggwalk,
         pq,
         preference,
+        quality_model,
         relational,
         sampling,
         similarity,
