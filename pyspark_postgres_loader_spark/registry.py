@@ -76,91 +76,36 @@ _LOADED = False
 # order and records correctness for a bounded prefix (exactly 50
 # rows/round — CORRECTNESS_r04/r05 confirmed the window is _PRIORITY[:50]).
 #
-# Round-10 rotation. Entering this round all 207 pre-existing queries
+# Round-11 rotation. Entering this round all 218 pre-existing queries
 # are driver-verified with every latest check green; staleness
-# histogram after r9: r9=50, r8=50, r7=50, r6=50, r5=7 (the 7 r5
-# leftovers are exactly the head VERDICT r9 prescribed). This window =
-# the 11 round-10 registrations (dedup_substring_overlap — Lee et al.
-# 2022 exact-substring dedup; sink_async_upsert_final_state — the
-# asyncpg-dialect sink personality, the last sink surface that only
-# had pytest evidence; multimodal_jpeg_lossless_decode — SOF3
-# predictive lossless; tokenizer_unigram_train_scores and
-# tokenizer_unigram_apply_tokens — the SentencePiece-style unigram-LM
-# pair under integer-EM/exact-Viterbi oracles; ingest_gzip_member_walk
-# and ingest_zstd_frame_walk — the compressed-container ingestion pair
-# with CRC-32/XXH64 integrity verdicts; ingest_tar_member_walk — the
-# WebDataset ustar container with checksum verdicts; and
-# multimodal_tiff_decode — baseline TIFF, both byte orders + PackBits;
-# ingest_tfrecord_walk — masked-CRC32C framed records; and
-# ingest_warc_record_walk — Common Crawl records with SHA-1 block
-# digests) + the 7 r5-latest leftovers + the first 32 of the 50
-# r6-latest names = 50 exactly. The remaining 18 r6 names are the
-# round-11 rotation head, followed by the 50
-# r7-latest, the 50 r8-checked, and the 50 r9-checked names last — the
-# list is the FULL registry in staleness order for drivers that check
-# more than 50 rows.
+# histogram after r10: r10=50, r9=50, r8=50, r7=50, r6=18. This window
+# = the 6 round-11 registrations (ingest_zip_member_walk — EOCD/
+# central-directory ZIP walk with CD/LH cross-validation;
+# audio_ogg_page_walk — RFC 3533 pages under the non-reflected
+# CRC-32 with cross-page packets; ann_ivf_incremental_topk —
+# frozen-centroid delta insertion into a built IVF index;
+# quality_classifier_train and quality_classifier_filter — the
+# DCLM-style model-based quality filter trained by integer-GD
+# logistic regression under an unrolled-CTE oracle;
+# ingest_zstd_compressed_decode — the full FSE+Huffman zstd block
+# decoder over CLI-produced frames, removing zstdwalk's documented
+# entropy-stage scope boundary) + the 18 r6-latest leftovers
+# (exactly the head VERDICT r10 prescribed: core TPC-H joins
+# q7/q8/q10/q15/q18/q20 and the hyperplane-LSH dedup among them,
+# 5 rounds stale) + the first 26 of the 50 r7-latest names = 50
+# exactly. The remaining 24 r7 names are the round-12 rotation head,
+# followed by the 50 r8-checked, the 50 r9-checked, and the 50
+# r10-checked names last — the list is the FULL registry in
+# staleness order for drivers that check more than 50 rows.
 _PRIORITY = [
-    # (a) round-11 registrations — never driver-checked
+    # (a) round-11 registrations — never driver-checked (6)
     "ingest_zip_member_walk",
     "audio_ogg_page_walk",
     "ann_ivf_incremental_topk",
     "quality_classifier_train",
     "quality_classifier_filter",
-    # (b) round-10 registrations (all driver-checked green in r10)
-    "dedup_substring_overlap",
-    "sink_async_upsert_final_state",
-    "multimodal_jpeg_lossless_decode",
-    "tokenizer_unigram_train_scores",
-    "tokenizer_unigram_apply_tokens",
-    "ingest_gzip_member_walk",
-    "ingest_zstd_frame_walk",
-    "ingest_tar_member_walk",
-    "multimodal_tiff_decode",
-    "ingest_tfrecord_walk",
-    "ingest_warc_record_walk",
-    # (b) r5-latest leftovers (7) — stalest greens, 4 rounds old
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "contamination_bloom_prefilter",
-    "dedup_connected_components",
-    "train_user_event_sequences",
-    "quality_winsorize_doclen",
-    # (c) r6-latest (first 32 of 50) — window tail
-    "basket_part_pair_lift",
-    "agg_histogram_equidepth",
-    "attribution_linear_touch",
-    "arrow_grouped_value_stats",
-    "graph_triangle_count_suppliers",
-    "rollup_hll_mergeable",
-    "ann_ivf_topk",
-    "sim_cosine_pairs",
-    "multimodal_payload_stats",
-    "dedup_exact_fingerprint",
-    "dedup_distinct_user_event",
-    "dedup_latest_event_per_user_type",
-    "ann_bruteforce_topk",
-    "sim_label_envelope",
-    "dedup_embedding_cosine",
-    "json_props_by_event_type",
-    "json_from_json_struct",
-    "json_map_explode",
-    "multimodal_decode_meta",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "multimodal_feature_extract",
-    "agg_approx_sketches",
-    "scalar_higher_order_array",
-    "sample_uniform_docs",
-    "sample_stratified_by_lang",
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_rolling_hash",
-    "pipeline_clean_corpus",
-    # --- window boundary (driver checks exactly 50) ---
-    # r6-latest remainder (18): the round-11 rotation head
+    "ingest_zstd_compressed_decode",
+    # (b) r6-latest remainder (18) — stalest greens, 5 rounds old
     "text_word_count_topk",
     "text_heavy_hitters_approx",
     "dedup_lsh_bucket_stats",
@@ -179,7 +124,7 @@ _PRIORITY = [
     "agg_stats_moments",
     "window_range_frame_spend",
     "join_full_outer_event_coverage",
-    # r7-latest (50)
+    # (c) r7-latest head (26) — window tail ends here (6+18+26=50)
     "audio_adpcm_decode",
     "multimodal_flac_decode",
     "audio_spectral_bins",
@@ -206,6 +151,8 @@ _PRIORITY = [
     "q19_disjunctive_predicates",
     "q22_idle_rich_customers",
     "scd2_user_state_intervals",
+    # --- window boundary (driver checks exactly 50) ---
+    # r7-latest remainder (24): the round-12 rotation head
     "sessionize_events_30m",
     "pipeline_training_mix",
     "text_length_histogram",
@@ -281,7 +228,7 @@ _PRIORITY = [
     "setop_customer_only_nations",
     "setop_union_all_keys",
     "scalar_string_date_funcs",
-    # r9-checked (50, freshest)
+    # r9-checked (50)
     "sink_upsert_final_state",
     "multimodal_jpeg_prog420_decode",
     "video_frame_banded_neardup",
@@ -332,6 +279,58 @@ _PRIORITY = [
     "join_asof_latest_order",
     "join_range_price_band",
     "join_skew_salted_orders",
+    # r10-checked (50): round-10 registrations + r5 leftovers +
+    # r6 head, all driver-green in CORRECTNESS_r10
+    "dedup_substring_overlap",
+    "sink_async_upsert_final_state",
+    "multimodal_jpeg_lossless_decode",
+    "tokenizer_unigram_train_scores",
+    "tokenizer_unigram_apply_tokens",
+    "ingest_gzip_member_walk",
+    "ingest_zstd_frame_walk",
+    "ingest_tar_member_walk",
+    "multimodal_tiff_decode",
+    "ingest_tfrecord_walk",
+    "ingest_warc_record_walk",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "contamination_bloom_prefilter",
+    "dedup_connected_components",
+    "train_user_event_sequences",
+    "quality_winsorize_doclen",
+    "basket_part_pair_lift",
+    "agg_histogram_equidepth",
+    "attribution_linear_touch",
+    "arrow_grouped_value_stats",
+    "graph_triangle_count_suppliers",
+    "rollup_hll_mergeable",
+    "ann_ivf_topk",
+    "sim_cosine_pairs",
+    "multimodal_payload_stats",
+    "dedup_exact_fingerprint",
+    "dedup_distinct_user_event",
+    "dedup_latest_event_per_user_type",
+    "ann_bruteforce_topk",
+    "sim_label_envelope",
+    "dedup_embedding_cosine",
+    "json_props_by_event_type",
+    "json_from_json_struct",
+    "json_map_explode",
+    "multimodal_decode_meta",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "multimodal_feature_extract",
+    "agg_approx_sketches",
+    "scalar_higher_order_array",
+    "sample_uniform_docs",
+    "sample_stratified_by_lang",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_rolling_hash",
+    "pipeline_clean_corpus",
 ]
 
 
@@ -383,6 +382,7 @@ def _ensure_loaded() -> None:
         video,
         warc,
         zipwalk,
+        zstdfse,
         zstdwalk,
     )
     from .sinks import roundtrip  # noqa: F401
