@@ -186,10 +186,41 @@ def _fold_weights(w: DataFrame) -> DataFrame:
     )
 
 
+# Trained-weight artifact shared by the two consumers (train + filter
+# queries would otherwise each replay the 6 GD rounds, ~2.8 s apiece
+# in-suite). Keyed by (sf_dir, applicationId) with dead-session
+# eviction — the clustering._ASSIGN_CACHE pattern: a fresh session
+# (the driver's vanilla rehearsal, a new bench process) rebuilds, and
+# fixture files never change under a live session.
+_WEIGHTS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def train_quality_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoizing wrapper: one trained k-row weight table per
+    (fixture, session)."""
+    app_id = spark.sparkContext.applicationId
+    key = (sf_dir, app_id)
+    cached = _WEIGHTS_CACHE.get(key)
+    if cached is None:
+        for stale in [k for k in _WEIGHTS_CACHE if k[1] != app_id]:
+            del _WEIGHTS_CACHE[stale]
+        cached = _train_quality_weights_raw(spark, sf_dir)
+        _WEIGHTS_CACHE[key] = cached
+    return cached
+
+
+def _train_quality_weights_raw(
+    spark: SparkSession, sf_dir: str, train_pred: Column | None = None
+) -> DataFrame:
     """The trainer: fixed-round integer-GD logistic regression.
-    Returns the k-row weight table (j, w) in micro-units."""
+    Returns the k-row weight table (j, w) in micro-units (already
+    localCheckpointed — the per-round lineage break doubles as the
+    shareable artifact). ``train_pred`` restricts the GD passes to a
+    training split (the eval query's holdout discipline); gradients
+    and N then see ONLY training rows."""
     feats = _labeled_features(spark, sf_dir)
+    if train_pred is not None:
+        feats = feats.filter(train_pred)
     w = spark.range(_NFEAT).select(
         F.col("id").cast("int").alias("j"),
         F.lit(0).cast("long").alias("w"),
@@ -225,10 +256,13 @@ def train_quality_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------ oracle CTEs
 
-def _gd_oracle_ctes() -> str:
+def _gd_oracle_ctes(train_where: str = "") -> str:
     """Feature pass + label split + every GD round unrolled (the
     unigram lesson: CTE layers that bind once, never recursive
-    lateral aliases)."""
+    lateral aliases). ``train_where`` (e.g. "WHERE s.doc_id % 5 <> 4")
+    restricts the gradient passes to a training split; with the
+    default empty string the generated SQL is byte-identical to the
+    original full-corpus program."""
     dot = (
         "list_reduce(list_prepend(CAST(0 AS BIGINT), "
         "list_transform(range(1, {n} + 1), i -> s.x[i] * wv[i])), "
@@ -263,7 +297,7 @@ def _gd_oracle_ctes() -> str:
              COUNT(*) AS n
       FROM feats s, w{t},
            (SELECT unnest(range(1, {_NFEAT} + 1)) AS j) jj
-      GROUP BY jj.j)""")
+      {train_where}GROUP BY jj.j)""")
         parts.append(f"""w{t + 1} AS (
       SELECT list(wj ORDER BY j) AS wv FROM (
         SELECT g.j AS j,
@@ -356,4 +390,105 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 quality_classifier_filter.__doc__ = quality_classifier_filter.__doc__.format(
     keep=_KEEP_MILLI
+)
+
+
+# ------------------------------------------------------ holdout eval
+
+_EVAL_MOD = 5  # doc_id % 5 == 4 is the held-out 20%
+_TRAIN_WHERE = f"WHERE s.doc_id % {_EVAL_MOD} <> {_EVAL_MOD - 1} "
+
+
+def _eval_pred() -> Column:
+    return (F.col("doc_id") % _EVAL_MOD) == (_EVAL_MOD - 1)
+
+
+@register(
+    "quality_classifier_eval",
+    oracle=f"""
+    {_gd_oracle_ctes(_TRAIN_WHERE)},
+    holdout AS (
+      SELECT CASE WHEN {_SIG_SQL}[CAST(greatest(-17, least(16,
+               floor((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, {_NFEAT} + 1),
+                                i -> s.x[i] * wv[i])),
+                 (a, b) -> a + b)) / 250000000.0))) AS INT) + 18]
+               >= {_KEEP_MILLI} THEN 1 ELSE 0 END AS pred,
+             CASE WHEN s.y = 1000 THEN 1 ELSE 0 END AS actual
+      FROM feats s, w{_ROUNDS}
+      WHERE s.doc_id % {_EVAL_MOD} = {_EVAL_MOD - 1}
+    ),
+    conf AS (
+      SELECT CAST(SUM(pred * actual) AS BIGINT) AS tp,
+             CAST(SUM(pred * (1 - actual)) AS BIGINT) AS fp,
+             CAST(SUM((1 - pred) * (1 - actual)) AS BIGINT) AS tn,
+             CAST(SUM((1 - pred) * actual) AS BIGINT) AS fn,
+             CAST(COUNT(*) AS BIGINT) AS n_eval
+      FROM holdout
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM feats s
+            {_TRAIN_WHERE.strip()}) AS n_train,
+           n_eval, tp, fp, tn, fn,
+           CAST(floor(1000.0 * (tp + tn) / n_eval) AS BIGINT) AS acc_milli,
+           CASE WHEN tp + fp = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(1000.0 * tp / (tp + fp)) AS BIGINT)
+                END AS prec_milli,
+           CASE WHEN tp + fn = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(1000.0 * tp / (tp + fn)) AS BIGINT)
+                END AS rec_milli
+    FROM conf
+    """,
+)
+def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holdout evaluation of the quality classifier — the discipline
+    the train/filter pair deliberately lacks (they train and score on
+    the full corpus, the production filter shape): re-train the SAME
+    integer-GD program on the 80% train split only (doc_id % {m} !=
+    {m1}), then report the confusion matrix and milli-unit accuracy /
+    precision / recall on the untouched 20% holdout. Every GD round
+    over the SUBSET is replayed by the oracle's unrolled CTEs, so the
+    metrics match exactly — an evaluation stage whose numbers are
+    themselves differential-tested.
+
+    Scale notes: identical regime to training (k-row shuffles per
+    round); the eval pass is one broadcast-weights map + a single
+    5-integer aggregate row."""
+    feats = _labeled_features(spark, sf_dir)
+    w = _train_quality_weights_raw(spark, sf_dir, ~_eval_pred())
+    holdout = feats.filter(_eval_pred()).crossJoin(
+        F.broadcast(_fold_weights(w))
+    )
+    p = _score_col("x", "wv")
+    scored = holdout.select(
+        F.when(p >= _KEEP_MILLI, 1).otherwise(0).alias("pred"),
+        F.when(F.col("y") == 1000, 1).otherwise(0).alias("actual"),
+    )
+    n_train = feats.filter(~_eval_pred()).count()
+    conf = scored.agg(
+        F.sum(F.col("pred") * F.col("actual")).alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("actual"))).alias("fp"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("actual"))).alias("tn"),
+        F.sum((1 - F.col("pred")) * F.col("actual")).alias("fn"),
+        F.count("*").alias("n_eval"),
+    )
+    guard = lambda num, den: F.when(  # noqa: E731
+        den == 0, F.lit(0).cast("long")
+    ).otherwise(F.floor(F.lit(1000.0) * num / den).cast("long"))
+    return conf.select(
+        F.lit(n_train).cast("long").alias("n_train"),
+        F.col("n_eval").cast("long").alias("n_eval"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("tn").cast("long").alias("tn"),
+        F.col("fn").cast("long").alias("fn"),
+        F.floor(
+            F.lit(1000.0) * (F.col("tp") + F.col("tn")) / F.col("n_eval")
+        ).cast("long").alias("acc_milli"),
+        guard(F.col("tp"), F.col("tp") + F.col("fp")).alias("prec_milli"),
+        guard(F.col("tp"), F.col("tp") + F.col("fn")).alias("rec_milli"),
+    )
+
+
+quality_classifier_eval.__doc__ = quality_classifier_eval.__doc__.format(
+    m=_EVAL_MOD, m1=_EVAL_MOD - 1
 )

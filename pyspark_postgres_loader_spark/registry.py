@@ -79,7 +79,7 @@ _LOADED = False
 # Round-11 rotation. Entering this round all 218 pre-existing queries
 # are driver-verified with every latest check green; staleness
 # histogram after r10: r10=50, r9=50, r8=50, r7=50, r6=18. This window
-# = the 6 round-11 registrations (ingest_zip_member_walk — EOCD/
+# = the 7 round-11 registrations (ingest_zip_member_walk — EOCD/
 # central-directory ZIP walk with CD/LH cross-validation;
 # audio_ogg_page_walk — RFC 3533 pages under the non-reflected
 # CRC-32 with cross-page packets; ann_ivf_incremental_topk —
@@ -87,23 +87,26 @@ _LOADED = False
 # quality_classifier_train and quality_classifier_filter — the
 # DCLM-style model-based quality filter trained by integer-GD
 # logistic regression under an unrolled-CTE oracle;
+# quality_classifier_eval — the holdout confusion-matrix stage,
+# trained on the 80% split by the same unrolled-CTE program;
 # ingest_zstd_compressed_decode — the full FSE+Huffman zstd block
 # decoder over CLI-produced frames, removing zstdwalk's documented
 # entropy-stage scope boundary) + the 18 r6-latest leftovers
 # (exactly the head VERDICT r10 prescribed: core TPC-H joins
 # q7/q8/q10/q15/q18/q20 and the hyperplane-LSH dedup among them,
-# 5 rounds stale) + the first 26 of the 50 r7-latest names = 50
-# exactly. The remaining 24 r7 names are the round-12 rotation head,
+# 5 rounds stale) + the first 25 of the 50 r7-latest names = 50
+# exactly. The remaining 25 r7 names are the round-12 rotation head,
 # followed by the 50 r8-checked, the 50 r9-checked, and the 50
 # r10-checked names last — the list is the FULL registry in
 # staleness order for drivers that check more than 50 rows.
 _PRIORITY = [
-    # (a) round-11 registrations — never driver-checked (6)
+    # (a) round-11 registrations — never driver-checked (7)
     "ingest_zip_member_walk",
     "audio_ogg_page_walk",
     "ann_ivf_incremental_topk",
     "quality_classifier_train",
     "quality_classifier_filter",
+    "quality_classifier_eval",
     "ingest_zstd_compressed_decode",
     # (b) r6-latest remainder (18) — stalest greens, 5 rounds old
     "text_word_count_topk",
@@ -124,7 +127,7 @@ _PRIORITY = [
     "agg_stats_moments",
     "window_range_frame_spend",
     "join_full_outer_event_coverage",
-    # (c) r7-latest head (26) — window tail ends here (6+18+26=50)
+    # (c) r7-latest head (25) — window tail ends here (7+18+25=50)
     "audio_adpcm_decode",
     "multimodal_flac_decode",
     "audio_spectral_bins",
@@ -150,9 +153,9 @@ _PRIORITY = [
     "q14_promo_revenue_share",
     "q19_disjunctive_predicates",
     "q22_idle_rich_customers",
-    "scd2_user_state_intervals",
     # --- window boundary (driver checks exactly 50) ---
-    # r7-latest remainder (24): the round-12 rotation head
+    # r7-latest remainder (25): the round-12 rotation head
+    "scd2_user_state_intervals",
     "sessionize_events_30m",
     "pipeline_training_mix",
     "text_length_histogram",

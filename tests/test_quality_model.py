@@ -143,3 +143,38 @@ def test_query_matches_oracle(spark, name):
     from oracle_harness import compare_query
 
     compare_query(spark, SF, name)
+
+
+def test_eval_holdout_discipline(spark):
+    """The eval weights are trained on the 80% split only: they must
+    DIFFER from the full-corpus weights (the holdout actually changes
+    the gradients), and the metrics row must be internally consistent
+    (tp+fp+tn+fn == n_eval, n_train+n_eval == corpus)."""
+    from pyspark_postgres_loader_spark.operators.quality_model import (
+        _eval_pred,
+        _train_quality_weights_raw,
+    )
+
+    full = {r.j: r.w for r in
+            _train_quality_weights_raw(spark, SF).collect()}
+    split = {r.j: r.w for r in
+             _train_quality_weights_raw(spark, SF, ~_eval_pred()).collect()}
+    assert full != split, "holdout did not change the gradients"
+
+    import __spark_entry__ as E
+
+    row = E.queries()["quality_classifier_eval"](spark, SF).collect()[0]
+    assert row.tp + row.fp + row.tn + row.fn == row.n_eval
+    total = E.queries()["quality_classifier_filter"](spark, SF).count()
+    assert row.n_train + row.n_eval == total
+    assert 0 <= row.acc_milli <= 1000
+    assert row.acc_milli >= 520, "holdout accuracy at coin-flip level"
+
+
+def test_eval_query_matches_oracle(spark):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from oracle_harness import compare_query
+
+    compare_query(spark, SF, "quality_classifier_eval")
