@@ -79,7 +79,7 @@ _LOADED = False
 # Round-11 rotation. Entering this round all 218 pre-existing queries
 # are driver-verified with every latest check green; staleness
 # histogram after r10: r10=50, r9=50, r8=50, r7=50, r6=18. This window
-# = the 7 round-11 registrations (ingest_zip_member_walk — EOCD/
+# = the 10 round-11 registrations (ingest_zip_member_walk — EOCD/
 # central-directory ZIP walk with CD/LH cross-validation;
 # audio_ogg_page_walk — RFC 3533 pages under the non-reflected
 # CRC-32 with cross-page packets; ann_ivf_incremental_topk —
@@ -91,16 +91,22 @@ _LOADED = False
 # trained on the 80% split by the same unrolled-CTE program;
 # ingest_zstd_compressed_decode — the full FSE+Huffman zstd block
 # decoder over CLI-produced frames, removing zstdwalk's documented
-# entropy-stage scope boundary) + the 18 r6-latest leftovers
-# (exactly the head VERDICT r10 prescribed: core TPC-H joins
-# q7/q8/q10/q15/q18/q20 and the hyperplane-LSH dedup among them,
-# 5 rounds stale) + the first 25 of the 50 r7-latest names = 50
-# exactly. The remaining 25 r7 names are the round-12 rotation head,
-# followed by the 50 r8-checked, the 50 r9-checked, and the 50
-# r10-checked names last — the list is the FULL registry in
-# staleness order for drivers that check more than 50 rows.
+# entropy-stage scope boundary; ingest_lz4_frame_decode — native
+# XXH32 + LZ4 frame/block decode over CLI-produced frames;
+# ingest_snappy_framed_decode — raw snappy + framing format with
+# masked CRC-32C, cross-validated against pyarrow's codec;
+# ingest_gzip_native_inflate — our own RFC 1951 inflate replacing
+# the one zlib delegation, zlib staying as the independent encoder)
+# + the 18 r6-latest leftovers (exactly the head VERDICT r10
+# prescribed: core TPC-H joins q7/q8/q10/q15/q18/q20 and the
+# hyperplane-LSH dedup among them, 5 rounds stale) + the first 22 of
+# the 50 r7-latest names = 50 exactly. The remaining 28 r7 names are
+# the round-12 rotation head, followed by the 50 r8-checked, the 50
+# r9-checked, and the 50 r10-checked names last — the list is the
+# FULL registry in staleness order for drivers that check more than
+# 50 rows.
 _PRIORITY = [
-    # (a) round-11 registrations — never driver-checked (7)
+    # (a) round-11 registrations — never driver-checked (10)
     "ingest_zip_member_walk",
     "audio_ogg_page_walk",
     "ann_ivf_incremental_topk",
@@ -108,6 +114,9 @@ _PRIORITY = [
     "quality_classifier_filter",
     "quality_classifier_eval",
     "ingest_zstd_compressed_decode",
+    "ingest_lz4_frame_decode",
+    "ingest_snappy_framed_decode",
+    "ingest_gzip_native_inflate",
     # (b) r6-latest remainder (18) — stalest greens, 5 rounds old
     "text_word_count_topk",
     "text_heavy_hitters_approx",
@@ -127,7 +136,7 @@ _PRIORITY = [
     "agg_stats_moments",
     "window_range_frame_spend",
     "join_full_outer_event_coverage",
-    # (c) r7-latest head (25) — window tail ends here (7+18+25=50)
+    # (c) r7-latest head (22) — window tail ends here (10+18+22=50)
     "audio_adpcm_decode",
     "multimodal_flac_decode",
     "audio_spectral_bins",
@@ -150,11 +159,11 @@ _PRIORITY = [
     "agg_rollup_grouping_id",
     "q6_revenue_forecast",
     "q13_customer_order_distribution",
+    # --- window boundary (driver checks exactly 50) ---
+    # r7-latest remainder (28): the round-12 rotation head
     "q14_promo_revenue_share",
     "q19_disjunctive_predicates",
     "q22_idle_rich_customers",
-    # --- window boundary (driver checks exactly 50) ---
-    # r7-latest remainder (25): the round-12 rotation head
     "scd2_user_state_intervals",
     "sessionize_events_30m",
     "pipeline_training_mix",
@@ -354,6 +363,7 @@ def _ensure_loaded() -> None:
         graph,
         gzipwalk,
         inference,
+        inflate,
         ivf_incremental,
         ivfpq,
         joins_advanced,
@@ -362,6 +372,7 @@ def _ensure_loaded() -> None:
         jpeg_progressive,
         json_ops,
         layout_stats,
+        lz4frame,
         mp3,
         multimodal,
         nsw,
@@ -372,6 +383,7 @@ def _ensure_loaded() -> None:
         relational,
         sampling,
         similarity,
+        snappy,
         tarwalk,
         temporal,
         text,
