@@ -79,7 +79,7 @@ _LOADED = False
 # Round-11 rotation. Entering this round all 218 pre-existing queries
 # are driver-verified with every latest check green; staleness
 # histogram after r10: r10=50, r9=50, r8=50, r7=50, r6=18. This window
-# = the 11 round-11 registrations (ingest_zip_member_walk — EOCD/
+# = the 12 round-11 registrations (ingest_zip_member_walk — EOCD/
 # central-directory ZIP walk with CD/LH cross-validation;
 # audio_ogg_page_walk — RFC 3533 pages under the non-reflected
 # CRC-32 with cross-page packets; ann_ivf_incremental_topk —
@@ -99,16 +99,19 @@ _LOADED = False
 # the one zlib delegation, zlib staying as the independent encoder;
 # ingest_bzip2_decode — the Wikipedia-dump codec: BWT/MTF/RLE/grouped
 # Huffman over an unaligned MSB bitstream, stdlib bz2 as the
-# independent encoder) + the 18 r6-latest leftovers (exactly the
+# independent encoder; ingest_parquet_native_walk — Thrift-compact
+# footer + page headers + RLE levels + PLAIN values with page CRCs,
+# pages inflating through OUR snappy/gzip decoders, pyarrow as the
+# independent writer) + the 18 r6-latest leftovers (exactly the
 # head VERDICT r10 prescribed: core TPC-H joins q7/q8/q10/q15/q18/
 # q20 and the hyperplane-LSH dedup among them, 5 rounds stale) + the
-# first 21 of the 50 r7-latest names = 50 exactly. The remaining 29
+# first 20 of the 50 r7-latest names = 50 exactly. The remaining 30
 # r7 names are the round-12 rotation head, followed by the 50
 # r8-checked, the 50 r9-checked, and the 50 r10-checked names last —
 # the list is the FULL registry in staleness order for drivers that
 # check more than 50 rows.
 _PRIORITY = [
-    # (a) round-11 registrations — never driver-checked (11)
+    # (a) round-11 registrations — never driver-checked (12)
     "ingest_zip_member_walk",
     "audio_ogg_page_walk",
     "ann_ivf_incremental_topk",
@@ -120,6 +123,7 @@ _PRIORITY = [
     "ingest_snappy_framed_decode",
     "ingest_gzip_native_inflate",
     "ingest_bzip2_decode",
+    "ingest_parquet_native_walk",
     # (b) r6-latest remainder (18) — stalest greens, 5 rounds old
     "text_word_count_topk",
     "text_heavy_hitters_approx",
@@ -139,7 +143,7 @@ _PRIORITY = [
     "agg_stats_moments",
     "window_range_frame_spend",
     "join_full_outer_event_coverage",
-    # (c) r7-latest head (21) — window tail ends here (11+18+21=50)
+    # (c) r7-latest head (20) — window tail ends here (12+18+20=50)
     "audio_adpcm_decode",
     "multimodal_flac_decode",
     "audio_spectral_bins",
@@ -160,9 +164,9 @@ _PRIORITY = [
     "agg_bitwise_flags",
     "scalar_explode_outer_arrays",
     "agg_rollup_grouping_id",
-    "q6_revenue_forecast",
     # --- window boundary (driver checks exactly 50) ---
-    # r7-latest remainder (29): the round-12 rotation head
+    # r7-latest remainder (30): the round-12 rotation head
+    "q6_revenue_forecast",
     "q13_customer_order_distribution",
     "q14_promo_revenue_share",
     "q19_disjunctive_predicates",
@@ -381,6 +385,7 @@ def _ensure_loaded() -> None:
         multimodal,
         nsw,
         oggwalk,
+        parquetwalk,
         pq,
         preference,
         quality_model,
