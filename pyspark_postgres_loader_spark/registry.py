@@ -79,7 +79,7 @@ _LOADED = False
 # Round-11 rotation. Entering this round all 218 pre-existing queries
 # are driver-verified with every latest check green; staleness
 # histogram after r10: r10=50, r9=50, r8=50, r7=50, r6=18. This window
-# = the 12 round-11 registrations (ingest_zip_member_walk — EOCD/
+# = the 13 round-11 registrations (ingest_zip_member_walk — EOCD/
 # central-directory ZIP walk with CD/LH cross-validation;
 # audio_ogg_page_walk — RFC 3533 pages under the non-reflected
 # CRC-32 with cross-page packets; ann_ivf_incremental_topk —
@@ -102,16 +102,19 @@ _LOADED = False
 # independent encoder; ingest_parquet_native_walk — Thrift-compact
 # footer + page headers + RLE levels + PLAIN values with page CRCs,
 # pages inflating through OUR snappy/gzip decoders, pyarrow as the
-# independent writer) + the 18 r6-latest leftovers (exactly the
+# independent writer; ingest_xz_lzma2_decode — the full LZMA range
+# decoder + match model, the LZMA2 chunk layer and the XZ container
+# with CRC32/CRC64/SHA-256 block checks, stdlib lzma as the
+# independent encoder) + the 18 r6-latest leftovers (exactly the
 # head VERDICT r10 prescribed: core TPC-H joins q7/q8/q10/q15/q18/
 # q20 and the hyperplane-LSH dedup among them, 5 rounds stale) + the
-# first 20 of the 50 r7-latest names = 50 exactly. The remaining 30
+# first 19 of the 50 r7-latest names = 50 exactly. The remaining 31
 # r7 names are the round-12 rotation head, followed by the 50
 # r8-checked, the 50 r9-checked, and the 50 r10-checked names last —
 # the list is the FULL registry in staleness order for drivers that
 # check more than 50 rows.
 _PRIORITY = [
-    # (a) round-11 registrations — never driver-checked (12)
+    # (a) round-11 registrations — never driver-checked (13)
     "ingest_zip_member_walk",
     "audio_ogg_page_walk",
     "ann_ivf_incremental_topk",
@@ -124,6 +127,7 @@ _PRIORITY = [
     "ingest_gzip_native_inflate",
     "ingest_bzip2_decode",
     "ingest_parquet_native_walk",
+    "ingest_xz_lzma2_decode",
     # (b) r6-latest remainder (18) — stalest greens, 5 rounds old
     "text_word_count_topk",
     "text_heavy_hitters_approx",
@@ -143,7 +147,7 @@ _PRIORITY = [
     "agg_stats_moments",
     "window_range_frame_spend",
     "join_full_outer_event_coverage",
-    # (c) r7-latest head (20) — window tail ends here (12+18+20=50)
+    # (c) r7-latest head (19) — window tail ends here (13+18+19=50)
     "audio_adpcm_decode",
     "multimodal_flac_decode",
     "audio_spectral_bins",
@@ -163,9 +167,9 @@ _PRIORITY = [
     "scalar_regexp_datetime",
     "agg_bitwise_flags",
     "scalar_explode_outer_arrays",
-    "agg_rollup_grouping_id",
     # --- window boundary (driver checks exactly 50) ---
-    # r7-latest remainder (30): the round-12 rotation head
+    # r7-latest remainder (31): the round-12 rotation head
+    "agg_rollup_grouping_id",
     "q6_revenue_forecast",
     "q13_customer_order_distribution",
     "q14_promo_revenue_share",
@@ -405,6 +409,7 @@ def _ensure_loaded() -> None:
         udtf_ops,
         video,
         warc,
+        xzwalk,
         zipwalk,
         zstdfse,
         zstdwalk,
