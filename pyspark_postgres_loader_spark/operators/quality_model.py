@@ -186,27 +186,35 @@ def _fold_weights(w: DataFrame) -> DataFrame:
     )
 
 
-# Trained-weight artifact shared by the two consumers (train + filter
-# queries would otherwise each replay the 6 GD rounds, ~2.8 s apiece
-# in-suite). Keyed by (sf_dir, applicationId) with dead-session
-# eviction — the clustering._ASSIGN_CACHE pattern: a fresh session
-# (the driver's vanilla rehearsal, a new bench process) rebuilds, and
-# fixture files never change under a live session.
-_WEIGHTS_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Trained-weight artifact shared by the consumers (train + filter
+# replay one full-corpus fit, eval a train-split fit — each would
+# otherwise repeat its 6 GD rounds, ~3-4 s apiece in-suite). Keyed by
+# (sf_dir, split, applicationId) with dead-session eviction — the
+# clustering._ASSIGN_CACHE pattern: a fresh session (the driver's
+# vanilla rehearsal, a new bench process) rebuilds, and fixture files
+# never change under a live session.
+_WEIGHTS_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _cached_weights(
+    spark: SparkSession, sf_dir: str, split: str,
+    train_pred: Column | None,
+) -> DataFrame:
+    app_id = spark.sparkContext.applicationId
+    key = (sf_dir, split, app_id)
+    cached = _WEIGHTS_CACHE.get(key)
+    if cached is None:
+        for stale in [k for k in _WEIGHTS_CACHE if k[2] != app_id]:
+            del _WEIGHTS_CACHE[stale]
+        cached = _train_quality_weights_raw(spark, sf_dir, train_pred)
+        _WEIGHTS_CACHE[key] = cached
+    return cached
 
 
 def train_quality_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoizing wrapper: one trained k-row weight table per
     (fixture, session)."""
-    app_id = spark.sparkContext.applicationId
-    key = (sf_dir, app_id)
-    cached = _WEIGHTS_CACHE.get(key)
-    if cached is None:
-        for stale in [k for k in _WEIGHTS_CACHE if k[1] != app_id]:
-            del _WEIGHTS_CACHE[stale]
-        cached = _train_quality_weights_raw(spark, sf_dir)
-        _WEIGHTS_CACHE[key] = cached
-    return cached
+    return _cached_weights(spark, sf_dir, "full", None)
 
 
 def _train_quality_weights_raw(
@@ -454,7 +462,7 @@ def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     round); the eval pass is one broadcast-weights map + a single
     5-integer aggregate row."""
     feats = _labeled_features(spark, sf_dir)
-    w = _train_quality_weights_raw(spark, sf_dir, ~_eval_pred())
+    w = _cached_weights(spark, sf_dir, "train80", ~_eval_pred())
     holdout = feats.filter(_eval_pred()).crossJoin(
         F.broadcast(_fold_weights(w))
     )
