@@ -226,39 +226,52 @@ def _decode_block(bits: _MsbBits, block_size: int) -> bytes:
 
 
 def decompress_bz2(payload: bytes) -> tuple[bytes, dict]:
-    """Decode one bzip2 stream → (content, stats). Raises
-    NotImplementedError for randomized blocks ('unsupported'),
-    ValueError with 'CRC' for block/stream checksum mismatches, plain
-    ValueError for structural damage."""
-    if len(payload) < 10 or payload[:3] != b"BZh":
-        raise ValueError("bad bzip2 stream header")
-    level = payload[3] - 0x30
-    if not 1 <= level <= 9:
-        raise ValueError(f"invalid bzip2 level byte {payload[3]!r}")
-    block_size = level * 100_000
-    bits = _MsbBits(payload)
-    bits.read(32)  # header
+    """Decode a bzip2 payload of one or more CONCATENATED streams —
+    the enwiki 'multistream' layout, where each article span is its
+    own stream so readers can seek; streams are byte-aligned even
+    though blocks inside one are not. Raises NotImplementedError for
+    randomized blocks ('unsupported'), ValueError with 'CRC' for
+    block/stream checksum mismatches, plain ValueError for structural
+    damage (including trailing garbage after the final stream)."""
     out = bytearray()
-    stream_crc = 0
-    n_blocks = 0
-    while True:
-        magic = bits.read(48)
-        if magic == _BLOCK_MAGIC:
-            block = _decode_block(bits, block_size)
-            out += block
-            bc = bz2_crc(block)
-            stream_crc = (
-                ((stream_crc << 1) | (stream_crc >> 31)) & 0xFFFFFFFF
-            ) ^ bc
-            n_blocks += 1
-        elif magic == _FOOTER_MAGIC:
-            stored = bits.read(32)
-            if stored != stream_crc:
-                raise ValueError("bzip2 stream CRC mismatch (CRC)")
-            break
-        else:
-            raise ValueError("bad bzip2 block magic")
-    return bytes(out), {"n_blocks": n_blocks, "level": level}
+    n_blocks = n_streams = 0
+    level0 = None
+    byte_pos = 0
+    while byte_pos < len(payload):
+        rest = payload[byte_pos:]
+        if len(rest) < 10 or rest[:3] != b"BZh":
+            raise ValueError("bad bzip2 stream header")
+        level = rest[3] - 0x30
+        if not 1 <= level <= 9:
+            raise ValueError(f"invalid bzip2 level byte {rest[3]!r}")
+        if level0 is None:
+            level0 = level
+        block_size = level * 100_000
+        bits = _MsbBits(rest)
+        bits.read(32)  # header
+        stream_crc = 0
+        while True:
+            magic = bits.read(48)
+            if magic == _BLOCK_MAGIC:
+                block = _decode_block(bits, block_size)
+                out += block
+                bc = bz2_crc(block)
+                stream_crc = (
+                    ((stream_crc << 1) | (stream_crc >> 31)) & 0xFFFFFFFF
+                ) ^ bc
+                n_blocks += 1
+            elif magic == _FOOTER_MAGIC:
+                stored = bits.read(32)
+                if stored != stream_crc:
+                    raise ValueError("bzip2 stream CRC mismatch (CRC)")
+                break
+            else:
+                raise ValueError("bad bzip2 block magic")
+        n_streams += 1
+        byte_pos += (bits.pos + 7) >> 3  # next stream is byte-aligned
+    return bytes(out), {
+        "n_blocks": n_blocks, "n_streams": n_streams, "level": level0,
+    }
 
 
 # ------------------------------------------------- driver-oracled query

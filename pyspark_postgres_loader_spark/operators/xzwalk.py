@@ -368,7 +368,43 @@ _CHECK_NAMES = {0: "none", 1: "crc32", 4: "crc64", 10: "sha256"}
 
 
 def decompress_xz(payload: bytes) -> tuple[bytes, dict]:
-    """Decode one XZ stream → (content, stats). Raises
+    """Decode an XZ payload of one or more CONCATENATED streams with
+    optional 4-byte-aligned zero stream padding between them (the
+    spec's multi-stream layout — note stdlib lzma silently STOPS at
+    stream padding, so the spec-following walk is strictly more
+    complete). Returns (content, stats)."""
+    out = bytearray()
+    n_blocks = n_streams = 0
+    check = None
+    pos = 0
+    while pos < len(payload):
+        if payload[pos] == 0:
+            # stream padding: zeros in multiples of 4
+            pad_start = pos
+            while pos < len(payload) and payload[pos] == 0:
+                pos += 1
+            if (pos - pad_start) % 4:
+                raise ValueError("XZ stream padding not 4-aligned")
+            continue
+        content, st = _decompress_xz_stream(payload[pos:])
+        out += content
+        n_blocks += st["n_blocks"]
+        n_streams += 1
+        if check is None:
+            check = st["check"]
+        pos += st["consumed"]
+    if n_streams == 0:
+        raise ValueError("empty XZ payload")
+    return bytes(out), {
+        "n_blocks": n_blocks,
+        "n_streams": n_streams,
+        "check": check,
+        "consumed": pos,
+    }
+
+
+def _decompress_xz_stream(payload: bytes) -> tuple[bytes, dict]:
+    """Decode ONE XZ stream → (content, stats). Raises
     NotImplementedError for non-LZMA2 filters or reserved check types
     ('unsupported'), ValueError with 'CRC' for any checksum/digest
     mismatch, plain ValueError for structural damage."""

@@ -109,3 +109,18 @@ def test_query_matches_oracle(spark):
     from oracle_harness import compare_query
 
     compare_query(spark, "/root/testdata/sf0.001", "ingest_bzip2_decode")
+
+
+def test_multistream_concatenation():
+    """The enwiki 'multistream' layout: independently seekable
+    streams concatenated at byte boundaries; stdlib agrees on the
+    joined content."""
+    m = (bz2.compress(b"first article ", 1)
+         + bz2.compress(b"second article", 5)
+         + bz2.compress(b"third", 9))
+    out, st = decompress_bz2(m)
+    assert out == b"first article second articlethird"
+    assert st["n_streams"] == 3 and st["n_blocks"] == 3
+    assert bz2.decompress(m) == out
+    with pytest.raises(ValueError, match="header"):
+        decompress_bz2(bz2.compress(b"x") + b"JUNK")

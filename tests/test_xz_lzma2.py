@@ -123,3 +123,22 @@ def test_query_matches_oracle(spark):
     from oracle_harness import compare_query
 
     compare_query(spark, "/root/testdata/sf0.001", "ingest_xz_lzma2_decode")
+
+
+def test_multistream_concatenation_and_padding():
+    """Concatenated XZ streams with optional 4-aligned zero padding —
+    the spec's multi-stream layout. stdlib agrees on plain
+    concatenation; on padded input stdlib silently STOPS at the
+    padding, so only the content of the spec-following walk is
+    compared there."""
+    x = lzma.compress(b"first") + lzma.compress(
+        b"second", check=lzma.CHECK_CRC32
+    )
+    out, st = decompress_xz(x)
+    assert out == b"firstsecond" and st["n_streams"] == 2
+    assert lzma.decompress(x) == out
+    x2 = lzma.compress(b"alpha") + b"\x00" * 8 + lzma.compress(b"beta")
+    out, st = decompress_xz(x2)
+    assert out == b"alphabeta" and st["n_streams"] == 2
+    with pytest.raises(ValueError, match="padding"):
+        decompress_xz(lzma.compress(b"a") + b"\x00" * 3 + lzma.compress(b"b"))
