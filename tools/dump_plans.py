@@ -95,6 +95,30 @@ SHOWCASE = [
         "sorted partition by harness design — production uses "
         "parallelism=N with partition_cols)",
     ),
+    (
+        "quality_classifier_filter",
+        "round-11 model-based filter: feature projection "
+        "localCheckpointed once, every GD round is a k-row "
+        "partial-aggregated shuffle (network cost independent of "
+        "corpus size), scoring is a broadcast-weights map — the "
+        "fastText regime",
+    ),
+    (
+        "ann_ivf_incremental_topk",
+        "round-11 incremental IVF: frozen centroid table "
+        "localCheckpointed (the stored index artifact), delta batch "
+        "assigned by broadcast without re-clustering, merged probe "
+        "search on exact integer distances — 3 pruned FileScans, "
+        "never the Lloyd DAG per consumer",
+    ),
+    (
+        "ingest_xz_lzma2_decode",
+        "round-11 codec family exemplar: ONE pruned FileScan (doc_id) "
+        "into Arrow-batched MapInPandas — LZMA range decoding is "
+        "executor-side CPU, the only shuffle is the presentation "
+        "sort of ~60-byte fact rows; same plan shape for "
+        "zip/ogg/zstd/lz4/snappy/inflate/bzip2/parquet walks",
+    ),
 ]
 
 _INTERESTING = re.compile(
