@@ -120,6 +120,8 @@ def walk_zip_members(payload: bytes) -> list[tuple[str, bytes, int]]:
     ) = struct.unpack("<HHHHIIH", payload[sig_at + 4 : sig_at + 22])
     if sig_at + 22 + comment_len != len(payload):
         raise ValueError("EOCD comment length inconsistent")
+    if n_total == 0xFFFF or cd_size == 0xFFFFFFFF or cd_off == 0xFFFFFFFF:
+        raise NotImplementedError("zip64 archive (EOCD64 locator needed)")
     if disk_no != 0 or cd_disk != 0 or n_disk != n_total:
         raise NotImplementedError("multi-disk (spanned) ZIP archive")
     if cd_off + cd_size != sig_at:

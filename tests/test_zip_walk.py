@@ -105,3 +105,17 @@ def test_query_matches_oracle(spark):
     from oracle_harness import compare_query
 
     compare_query(spark, "/root/testdata/sf0.001", "ingest_zip_member_walk")
+
+
+def test_zip64_markers_are_typed_unsupported():
+    """0xFFFF/0xFFFFFFFF EOCD sentinel values mean the real numbers
+    live in an EOCD64 record — honestly out of scope, never
+    misparsed as a tiny archive."""
+    blob = bytearray(build_zip([("a.txt", b"data", 0)]))
+    blob[-6:-2] = b"\xff\xff\xff\xff"  # cd_offset sentinel
+    with pytest.raises(NotImplementedError, match="zip64"):
+        walk_zip_members(bytes(blob))
+    blob = bytearray(build_zip([("a.txt", b"data", 0)]))
+    blob[-12:-10] = b"\xff\xff"  # total-entries sentinel
+    with pytest.raises(NotImplementedError, match="zip64"):
+        walk_zip_members(bytes(blob))
