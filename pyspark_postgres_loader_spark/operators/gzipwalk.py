@@ -54,6 +54,16 @@ def walk_gzip_members(payload: bytes) -> list[tuple[str, bytes]]:
     'unsupported'), ``ValueError`` with 'CRC'/'ISIZE' in the message
     for trailer mismatches (classified 'crc_error'), and plain
     ``ValueError`` for structural damage ('corrupt')."""
+    try:
+        return _walk_gzip_members(payload)
+    except (struct.error, zlib.error) as exc:
+        # byte-corrupted input walking off a field or feeding the
+        # inflater garbage: structural damage, typed like every other
+        # truncation (fuzz-pinned in tests)
+        raise ValueError(f"corrupt gzip structure ({exc})") from exc
+
+
+def _walk_gzip_members(payload: bytes) -> list[tuple[str, bytes]]:
     members: list[tuple[str, bytes]] = []
     pos = 0
     if not payload:

@@ -240,6 +240,16 @@ def walk_parquet(data: bytes) -> dict:
     encodings we do not implement ('unsupported'), ValueError with
     'CRC' for page-checksum mismatches, plain ValueError for
     structural damage."""
+    try:
+        return _walk_parquet(data)
+    except (IndexError, struct.error, TypeError) as exc:
+        # byte-corrupted metadata decoding to the wrong thrift shape
+        # (or walking off a field): structural damage, typed like
+        # every other truncation (fuzz-pinned in tests)
+        raise ValueError(f"malformed parquet structure ({exc})") from exc
+
+
+def _walk_parquet(data: bytes) -> dict:
     if len(data) < 12 or data[:4] != b"PAR1":
         raise ValueError("missing parquet header magic")
     if data[-4:] != b"PAR1":

@@ -377,6 +377,16 @@ def decompress_xz(payload: bytes) -> tuple[bytes, dict]:
     n_blocks = n_streams = 0
     check = None
     pos = 0
+    try:
+        return _decompress_xz_multi(payload, out, n_blocks, n_streams,
+                                    check, pos)
+    except (IndexError, struct.error) as exc:
+        # byte-corrupted input walking off a field: structural damage,
+        # typed like every other truncation (fuzz-pinned in tests)
+        raise ValueError(f"truncated XZ data ({exc})") from exc
+
+
+def _decompress_xz_multi(payload, out, n_blocks, n_streams, check, pos):
     while pos < len(payload):
         if payload[pos] == 0:
             # stream padding: zeros in multiples of 4

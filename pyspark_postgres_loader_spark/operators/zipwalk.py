@@ -105,6 +105,16 @@ def walk_zip_members(payload: bytes) -> list[tuple[str, bytes, int]]:
     ('crc_error'), ``ValueError`` with 'MISMATCH' for central/local
     disagreements ('mismatch'), and plain ``ValueError`` for
     structural damage ('corrupt')."""
+    try:
+        return _walk_zip_members(payload)
+    except (struct.error, zlib.error) as exc:
+        # byte-corrupted input walking off a field or feeding the
+        # inflater garbage: structural damage, typed like every other
+        # truncation (fuzz-pinned in tests)
+        raise ValueError(f"corrupt zip structure ({exc})") from exc
+
+
+def _walk_zip_members(payload: bytes) -> list[tuple[str, bytes, int]]:
     if len(payload) < 22:
         raise ValueError("payload shorter than an EOCD record")
     # EOCD scan: the record is 22 bytes + an up-to-64KiB comment, so

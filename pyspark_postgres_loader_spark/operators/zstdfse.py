@@ -601,6 +601,17 @@ def decode_compressed_block(
 def decompress_frame(
     payload: bytes, stats: dict | None = None
 ) -> tuple[bytes, int]:
+    try:
+        return _decompress_frame(payload, stats)
+    except IndexError as exc:
+        # byte-corrupted input walking off a field: structural damage,
+        # typed like every other truncation (fuzz-pinned in tests)
+        raise ValueError(f"truncated zstd data ({exc})") from exc
+
+
+def _decompress_frame(
+    payload: bytes, stats: dict | None = None
+) -> tuple[bytes, int]:
     """Decode ONE zstd frame (no dictionaries) → (content, bytes
     consumed). Raises NotImplementedError for dictionary frames,
     ValueError for structural damage, ValueError with 'CRC' for an

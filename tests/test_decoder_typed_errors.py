@@ -1,0 +1,90 @@
+"""Corruption fuzz over every native decoder: byte-corrupted input
+must ALWAYS surface as a TYPED error (ValueError /
+NotImplementedError) or a successful decode — never a raw
+IndexError / struct.error / zlib.error / TypeError escaping the
+walker. The mapInPandas quarantine would still classify an untyped
+escape as 'corrupt', but the walker APIs are a library surface too,
+and an untyped escape is one refactor away from a silent
+misclassification."""
+
+from __future__ import annotations
+
+import base64
+import bz2 as _bz2
+import lzma as _lzma
+import random
+
+import pytest
+
+from pyspark_postgres_loader_spark.operators import (
+    bzip2,
+    gzipwalk,
+    inflate,
+    lz4frame,
+    oggwalk,
+    parquetwalk,
+    snappy,
+    tfrecord,
+    warc,
+    xzwalk,
+    zipwalk,
+    zstdfse,
+    zstdwalk,
+)
+
+_TARGETS = [
+    ("zstd-full", lambda: base64.b64decode(zstdfse._GOLDEN_B64[0]),
+     lambda b: zstdfse.decompress_frame(b)),
+    ("lz4", lambda: base64.b64decode(lz4frame._LZ_GOLDEN_B64[0]),
+     lambda b: lz4frame.decompress_lz4_frame(b)),
+    ("snappy", lambda: snappy._sn_payload(0),
+     lambda b: snappy.walk_snappy_frame(b)),
+    ("gzip-native", lambda: inflate._ni_payload(0),
+     lambda b: inflate.walk_gzip_native(b)),
+    ("bzip2", lambda: _bz2.compress(b"corpus text " * 300, 1),
+     lambda b: bzip2.decompress_bz2(b)),
+    ("xz", lambda: _lzma.compress(b"corpus text " * 300),
+     lambda b: xzwalk.decompress_xz(b)),
+    ("parquet", lambda: parquetwalk._pq_bytes(0),
+     lambda b: parquetwalk.walk_parquet(b)),
+    ("zip", lambda: zipwalk._zip_payload(0),
+     lambda b: zipwalk.walk_zip_members(b)),
+    ("ogg", lambda: oggwalk._ogg_payload(0),
+     lambda b: oggwalk.walk_ogg_pages(b)),
+    ("gzip-walk", lambda: gzipwalk._gz_payload(0),
+     lambda b: gzipwalk.walk_gzip_members(b)),
+    ("zstd-walk", lambda: zstdwalk._zs_payload(0),
+     lambda b: list(zstdwalk.walk_zstd_frames(b))),
+    ("tfrecord", lambda: tfrecord._tfr_payload(0),
+     lambda b: tfrecord.walk_tfrecords(b)),
+    ("warc", lambda: warc._warc_payload(0),
+     lambda b: warc.walk_warc_records(b)),
+]
+
+
+@pytest.mark.parametrize("name,mk,fn", _TARGETS, ids=[t[0] for t in _TARGETS])
+def test_corrupted_input_errors_are_typed(name, mk, fn):
+    blob = mk()
+    rng = random.Random(hash(name) & 0xFFFF)
+    for trial in range(200):
+        b = bytearray(blob)
+        mode = trial % 4
+        if mode == 0:  # single bit flip
+            i = rng.randrange(len(b))
+            b[i] ^= 1 << rng.randrange(8)
+        elif mode == 1:  # byte overwrite
+            i = rng.randrange(len(b))
+            b[i] = rng.randrange(256)
+        elif mode == 2:  # truncation
+            b = b[: rng.randrange(len(b))]
+        else:  # random splice
+            i = rng.randrange(len(b))
+            b = (b[:i]
+                 + bytes(rng.randrange(256)
+                         for _ in range(rng.randrange(1, 9)))
+                 + b[i:])
+        try:
+            fn(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
+        # anything else propagates and fails the test
