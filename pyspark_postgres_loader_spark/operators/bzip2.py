@@ -169,6 +169,8 @@ def _decode_block(bits: _MsbBits, block_size: int) -> bytes:
         if sym <= 1:  # RUNA / RUNB
             run += (sym + 1) << run_k
             run_k += 1
+            if len(bwt) + run > block_size:
+                raise ValueError("bzip2 block overflows its declared size")
             continue
         if run:
             bwt.extend(bytes([mtf[0]]) * run)

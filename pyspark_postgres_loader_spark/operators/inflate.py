@@ -262,6 +262,8 @@ def walk_gzip_native(payload: bytes) -> dict:
             raise NotImplementedError("reserved gzip FLG bits")
         pos += 10
         if flg & 4:  # FEXTRA
+            if pos + 2 > len(payload):
+                raise ValueError("corrupt gzip structure (truncated FEXTRA)")
             xlen = struct.unpack_from("<H", payload, pos)[0]
             pos += 2 + xlen
         if flg & 8:  # FNAME

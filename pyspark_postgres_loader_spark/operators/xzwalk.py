@@ -389,7 +389,11 @@ def decompress_xz(payload: bytes) -> tuple[bytes, dict]:
 def _decompress_xz_multi(payload, out, n_blocks, n_streams, check, pos):
     while pos < len(payload):
         if payload[pos] == 0:
-            # stream padding: zeros in multiples of 4
+            # stream padding: zeros in multiples of 4, permitted only
+            # BETWEEN/AFTER streams per the XZ spec — never before the
+            # first stream (leading zeros are not a valid container)
+            if n_streams == 0:
+                raise ValueError("XZ stream padding before first stream")
             pad_start = pos
             while pos < len(payload) and payload[pos] == 0:
                 pos += 1

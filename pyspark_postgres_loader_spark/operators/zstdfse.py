@@ -570,9 +570,9 @@ def _decode_sequences(
                 rep[2] = rep[1]
                 rep[1] = rep[0]
                 rep[0] = offset
-        out.extend(lits[lit_pos : lit_pos + ll])
         if lit_pos + ll > len(lits):
             raise ValueError("sequence consumes more literals than exist")
+        out.extend(lits[lit_pos : lit_pos + ll])
         lit_pos += ll
         if offset > len(out):
             raise ValueError("match offset beyond window start")

@@ -124,3 +124,50 @@ def test_multistream_concatenation():
     assert bz2.decompress(m) == out
     with pytest.raises(ValueError, match="header"):
         decompress_bz2(bz2.compress(b"x") + b"JUNK")
+
+
+def test_exponential_zero_run_is_typed_not_oom():
+    """ADVICE r11: RUNA/RUNB run length grows as run += (sym+1)<<k, so
+    ~60 crafted run symbols request a multi-exabyte bytearray unless the
+    run is bounds-checked BEFORE materialization. Hand-assemble a block
+    whose data section is 64 RUNA symbols (run -> 2^64-1) and assert the
+    typed block-overflow ValueError fires instead of a MemoryError."""
+
+    class _W:
+        def __init__(self):
+            self.bits: list[int] = []
+
+        def w(self, val: int, n: int):
+            for i in range(n - 1, -1, -1):
+                self.bits.append((val >> i) & 1)
+
+        def bytes(self) -> bytes:
+            bs = self.bits + [0] * (-len(self.bits) % 8)
+            return bytes(
+                int("".join(map(str, bs[i : i + 8])), 2)
+                for i in range(0, len(bs), 8)
+            )
+
+    w = _W()
+    w.w(int.from_bytes(b"BZh1", "big"), 32)  # level 1 -> block_size 100k
+    w.w(0x314159265359, 48)  # block magic
+    w.w(0, 32)  # block CRC (never reached)
+    w.w(0, 1)  # randomized = 0
+    w.w(0, 24)  # origPtr
+    w.w(1 << 15, 16)  # used_ranges: range 0 only
+    w.w(1 << 15, 16)  # symbol 0 used -> alpha = 3
+    w.w(2, 3)  # n_groups = 2
+    w.w(2, 15)  # n_sel = 2
+    w.w(0, 1)  # selector 0 -> group 0
+    w.w(0, 1)  # selector 1 -> group 0
+    for _ in range(2):  # two identical tables, lengths [1, 2, 2]
+        w.w(1, 5)  # start c = 1
+        w.w(0, 1)  # sym0: len 1
+        w.w(0b10, 2)  # sym1: +1 -> 2
+        w.w(0, 1)  # sym1 stop: len 2
+        w.w(0, 1)  # sym2: len 2
+    for _ in range(64):  # 64 RUNA symbols: run = 2^64 - 1
+        w.w(0, 1)
+    w.w(0b11, 2)  # EOB (never reached)
+    with pytest.raises(ValueError, match="overflows"):
+        decompress_bz2(w.bytes())

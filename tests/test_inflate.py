@@ -127,3 +127,14 @@ def test_query_matches_oracle(spark):
     compare_query(
         spark, "/root/testdata/sf0.001", "ingest_gzip_native_inflate"
     )
+
+
+def test_fextra_truncated_header_is_typed():
+    """ADVICE r11: FEXTRA xlen read on a payload cut right after the
+    10-byte fixed header must raise the typed ValueError, not leak a
+    raw struct.error."""
+    hdr = bytes([0x1F, 0x8B, 8, 4, 0, 0, 0, 0, 0, 255])  # FLG=FEXTRA
+    with pytest.raises(ValueError):
+        walk_gzip_native(hdr)
+    with pytest.raises(ValueError):
+        walk_gzip_native(hdr + b"\x02")  # 1 of 2 xlen bytes

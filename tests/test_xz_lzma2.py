@@ -142,3 +142,15 @@ def test_multistream_concatenation_and_padding():
     assert out == b"alphabeta" and st["n_streams"] == 2
     with pytest.raises(ValueError, match="padding"):
         decompress_xz(lzma.compress(b"a") + b"\x00" * 3 + lzma.compress(b"b"))
+
+
+def test_leading_stream_padding_rejected():
+    """ADVICE r11: the XZ spec permits 4-aligned zero stream padding
+    only BETWEEN/AFTER streams; zeros before the first stream must be
+    a typed reject, not silently skipped."""
+    blob = lzma.compress(b"payload " * 40, format=lzma.FORMAT_XZ)
+    with pytest.raises(ValueError, match="before first stream"):
+        decompress_xz(b"\x00" * 4 + blob)
+    # padding BETWEEN streams stays legal
+    out, st = decompress_xz(blob + b"\x00" * 8 + blob)
+    assert out == b"payload " * 80 and st["n_streams"] == 2
