@@ -367,6 +367,7 @@ def _ensure_loaded() -> None:
         aac,
         adpcm,
         analytics_extra,
+        avrowalk,
         bzip2,
         clustering,
         dedup,

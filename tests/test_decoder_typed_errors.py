@@ -17,6 +17,7 @@ import random
 import pytest
 
 from pyspark_postgres_loader_spark.operators import (
+    avrowalk,
     bzip2,
     gzipwalk,
     inflate,
@@ -59,6 +60,12 @@ _TARGETS = [
      lambda b: tfrecord.walk_tfrecords(b)),
     ("warc", lambda: warc._warc_payload(0),
      lambda b: warc.walk_warc_records(b)),
+    ("avro", lambda: avrowalk._av_payload(0),
+     lambda b: avrowalk.walk_avro(b)),
+    ("avro-deflate", lambda: avrowalk._av_payload(1),
+     lambda b: avrowalk.walk_avro(b)),
+    ("avro-snappy", lambda: avrowalk._av_payload(2),
+     lambda b: avrowalk.walk_avro(b)),
 ]
 
 
