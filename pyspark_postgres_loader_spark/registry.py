@@ -367,6 +367,7 @@ def _ensure_loaded() -> None:
         aac,
         adpcm,
         analytics_extra,
+        arrowipc,
         avrowalk,
         bzip2,
         clustering,

@@ -17,6 +17,7 @@ import random
 import pytest
 
 from pyspark_postgres_loader_spark.operators import (
+    arrowipc,
     avrowalk,
     bzip2,
     gzipwalk,
@@ -66,6 +67,10 @@ _TARGETS = [
      lambda b: avrowalk.walk_avro(b)),
     ("avro-snappy", lambda: avrowalk._av_payload(2),
      lambda b: avrowalk.walk_avro(b)),
+    ("arrow-ipc", lambda: arrowipc._ar_payload(0),
+     lambda b: arrowipc.walk_arrow_ipc(b)),
+    ("arrow-ipc-lz4", lambda: arrowipc._ar_payload(1),
+     lambda b: arrowipc.walk_arrow_ipc(b)),
 ]
 
 
