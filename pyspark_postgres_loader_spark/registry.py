@@ -392,6 +392,7 @@ def _ensure_loaded() -> None:
         nsw,
         oggwalk,
         parquetwalk,
+        perplexity,
         pq,
         preference,
         quality_model,
