@@ -5,6 +5,8 @@ typed quarantine, oracle compare."""
 
 from __future__ import annotations
 
+import random
+
 import pytest
 
 from pyspark_postgres_loader_spark.operators.tiff import (
@@ -15,6 +17,8 @@ from pyspark_postgres_loader_spark.operators.tiff import (
     decode_tiff_grey,
     packbits_decode,
     packbits_encode,
+    tiff_lzw_decode,
+    tiff_lzw_encode,
 )
 
 
@@ -100,13 +104,27 @@ def test_multistrip_and_short_last_strip():
 
 def test_typed_quarantine():
     px = [[0, 1], [2, 3]]
-    with pytest.raises(NotImplementedError, match="compression 5"):
+    for codec in (2, 6, 7):  # CCITT, old JPEG, new JPEG
+        with pytest.raises(NotImplementedError,
+                           match=f"compression {codec}"):
+            decode_tiff_grey(
+                build_tiff_grey(px, tag_override={259: (3, 1, codec)})
+            )
+    # LZW graduated from 'unsupported' to decoded: a raw strip
+    # MIS-DECLARED as LZW is now structural damage, not a boundary
+    with pytest.raises(ValueError, match="LZW"):
         decode_tiff_grey(
             build_tiff_grey(px, tag_override={259: (3, 1, 5)})
         )
-    with pytest.raises(NotImplementedError, match="tiled"):
+    # a tiled declaration without tile tables is typed damage too
+    with pytest.raises(ValueError, match="tile"):
         decode_tiff_grey(
-            build_tiff_grey(px, tag_override={322: (4, 1, 16)})
+            build_tiff_grey(px, tag_override={322: (4, 1, 16),
+                                              323: (4, 1, 16)})
+        )
+    with pytest.raises(NotImplementedError, match="predictor"):
+        decode_tiff_grey(
+            build_tiff_grey(px, tag_override={317: (3, 1, 3)})
         )
     with pytest.raises(NotImplementedError, match="BitsPerSample"):
         decode_tiff_grey(
@@ -139,3 +157,104 @@ def test_query_matches_oracle(spark):
     from oracle_harness import compare_query
 
     compare_query(spark, "/root/testdata/sf0.001", "multimodal_tiff_decode")
+
+
+def _pack_msb(codes, widths):
+    """Test-local MSB bit packer (independent of the encoder's
+    dictionary logic) — turns a hand-derived code list into bytes."""
+    acc = bits = 0
+    out = bytearray()
+    for c, w in zip(codes, widths):
+        acc = (acc << w) | c
+        bits += w
+        while bits >= 8:
+            out.append((acc >> (bits - 8)) & 0xFF)
+            bits -= 8
+    if bits:
+        out.append((acc << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_spec_example_codes():
+    """The TIFF 6.0 §13 worked example (7 7 7 8 8 7 7 6 6): the code
+    sequence is hand-derived from the spec's algorithm and pinned;
+    the encoder must produce exactly that bitstream and the decoder
+    must invert it."""
+    data = bytes([7, 7, 7, 8, 8, 7, 7, 6, 6])
+    codes = [256, 7, 258, 8, 8, 258, 6, 6, 257]
+    blob = _pack_msb(codes, [9] * len(codes))
+    assert tiff_lzw_encode(data) == blob
+    assert tiff_lzw_decode(blob, len(data)) == data
+
+
+def test_lzw_roundtrip_battery_crosses_width_boundaries():
+    rng = random.Random(11)
+    for n in (1, 300, 1000, 5000, 60_000):
+        data = bytes(rng.randrange(256) for _ in range(n))
+        assert tiff_lzw_decode(tiff_lzw_encode(data), n) == data
+    runs = bytes(rng.choice(b"xy") for _ in range(9000))
+    assert tiff_lzw_decode(tiff_lzw_encode(runs), len(runs)) == runs
+
+
+def test_lzw_typed_errors():
+    good = tiff_lzw_encode(b"hello world " * 30)
+    with pytest.raises(ValueError, match="EOI"):
+        tiff_lzw_decode(good, 1000)  # wrong declared size
+    with pytest.raises(ValueError):
+        tiff_lzw_decode(good[:-4], 360)  # cut before EOI
+    with pytest.raises(ValueError, match="Clear"):
+        tiff_lzw_decode(b"\x00\x01\x02\x03", 4)
+
+
+def test_lzw_tiled_predictor_matrix():
+    """Every (endianness, layout, predictor) cell decodes to the
+    exact pixel grid, tile padding discarded."""
+    px = [[(x * 7 + y * 11) % 256 for x in range(37)] for y in range(21)]
+    for be in (False, True):
+        for tile in (None, (16, 16), (32, 16)):
+            for pred in (1, 2):
+                blob = build_tiff_grey(
+                    px, big_endian=be, compression=5,
+                    predictor=pred, tile=tile,
+                )
+                w, h, b2, nch, rows = decode_tiff_grey(blob)
+                assert (w, h, b2) == (37, 21, be)
+                assert [[rows[y][x] for x in range(w)]
+                        for y in range(h)] == px
+                if tile == (16, 16):
+                    assert nch == 6  # 3 across x 2 down
+                elif tile == (32, 16):
+                    assert nch == 4
+
+
+def test_tile_dimensions_must_be_16_multiples():
+    px = [[0] * 20 for _ in range(20)]
+    blob = build_tiff_grey(px, tile=(16, 16),
+                           tag_override={322: (4, 1, 20)})
+    with pytest.raises(ValueError, match="16-multiple"):
+        decode_tiff_grey(blob)
+
+
+def test_lzw_fixture_truncation_always_fails_every_group():
+    from pyspark_postgres_loader_spark.operators.tiff import (
+        _TL_GROUPS,
+        _tl_payload,
+    )
+
+    for g in range(_TL_GROUPS):
+        doc_id = g
+        while doc_id % 11 != 3:
+            doc_id += _TL_GROUPS
+        with pytest.raises(Exception):
+            decode_tiff_grey(_tl_payload(doc_id))
+
+
+def test_lzw_tiled_query_matches_oracle(spark):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from oracle_harness import compare_query
+
+    compare_query(
+        spark, "/root/testdata/sf0.001", "multimodal_tiff_lzw_tiled_decode"
+    )
