@@ -148,7 +148,12 @@ def _field_types(schema: dict) -> list[tuple[str, str]]:
     if not isinstance(schema, dict) or schema.get("type") != "record":
         raise NotImplementedError("avro non-record top-level schema")
     out: list[tuple[str, str]] = []
-    for f in schema.get("fields", []):
+    fields = schema.get("fields", [])
+    if not isinstance(fields, list):
+        raise ValueError("avro record schema fields is not a list")
+    for f in fields:
+        if not isinstance(f, dict) or not isinstance(f.get("name"), str):
+            raise ValueError("avro field is not a named object")
         t = f.get("type")
         if not isinstance(t, str) or t not in _PRIMITIVES:
             raise NotImplementedError(f"avro field type {t!r}")

@@ -76,99 +76,44 @@ _LOADED = False
 # order and records correctness for a bounded prefix (exactly 50
 # rows/round — CORRECTNESS_r04/r05 confirmed the window is _PRIORITY[:50]).
 #
-# Round-11 rotation. Entering this round all 218 pre-existing queries
+# Round-12 rotation. Entering this round all 231 pre-existing queries
 # are driver-verified with every latest check green; staleness
-# histogram after r10: r10=50, r9=50, r8=50, r7=50, r6=18. This window
-# = the 13 round-11 registrations (ingest_zip_member_walk — EOCD/
-# central-directory ZIP walk with CD/LH cross-validation;
-# audio_ogg_page_walk — RFC 3533 pages under the non-reflected
-# CRC-32 with cross-page packets; ann_ivf_incremental_topk —
-# frozen-centroid delta insertion into a built IVF index;
-# quality_classifier_train and quality_classifier_filter — the
-# DCLM-style model-based quality filter trained by integer-GD
-# logistic regression under an unrolled-CTE oracle;
-# quality_classifier_eval — the holdout confusion-matrix stage,
-# trained on the 80% split by the same unrolled-CTE program;
-# ingest_zstd_compressed_decode — the full FSE+Huffman zstd block
-# decoder over CLI-produced frames, removing zstdwalk's documented
-# entropy-stage scope boundary; ingest_lz4_frame_decode — native
-# XXH32 + LZ4 frame/block decode over CLI-produced frames;
-# ingest_snappy_framed_decode — raw snappy + framing format with
-# masked CRC-32C, cross-validated against pyarrow's codec;
-# ingest_gzip_native_inflate — our own RFC 1951 inflate replacing
-# the one zlib delegation, zlib staying as the independent encoder;
-# ingest_bzip2_decode — the Wikipedia-dump codec: BWT/MTF/RLE/grouped
-# Huffman over an unaligned MSB bitstream, stdlib bz2 as the
-# independent encoder; ingest_parquet_native_walk — Thrift-compact
-# footer + page headers + RLE levels + PLAIN values with page CRCs,
-# pages inflating through OUR snappy/gzip decoders, pyarrow as the
-# independent writer; ingest_xz_lzma2_decode — the full LZMA range
-# decoder + match model, the LZMA2 chunk layer and the XZ container
-# with CRC32/CRC64/SHA-256 block checks, stdlib lzma as the
-# independent encoder) + the 18 r6-latest leftovers (exactly the
-# head VERDICT r10 prescribed: core TPC-H joins q7/q8/q10/q15/q18/
-# q20 and the hyperplane-LSH dedup among them, 5 rounds stale) + the
-# first 19 of the 50 r7-latest names = 50 exactly. The remaining 31
-# r7 names are the round-12 rotation head, followed by the 50
-# r8-checked, the 50 r9-checked, and the 50 r10-checked names last —
-# the list is the FULL registry in staleness order for drivers that
-# check more than 50 rows.
+# histogram after r11: r11=50, r10=50, r9=50, r8=50, r7=31. This
+# window = the 8 round-12 registrations (ingest_avro_container_walk —
+# the Avro object-container walk with six block codecs routed through
+# the repo's own native decoders; ingest_arrow_ipc_walk — the Arrow
+# IPC/Feather-V2 walk over a hand-written FlatBuffers vtable reader
+# with lz4/zstd body-buffer decompression through lz4frame.py/
+# zstdfse.py; corpus_bigram_lm_train and corpus_perplexity_filter —
+# the CCNet-style integer bigram-LM perplexity curation stage under a
+# fully replayed quantized-log2 oracle; multimodal_tiff_lzw_tiled_decode
+# — TIFF LZW with early change, horizontal predictor and the tiled
+# layout, exact pixel replay; ingest_tar_pax_walk — POSIX pax/GNU
+# long-name decode incl. the header-size-0 pax size override, stdlib
+# tarfile cross-validated; ingest_safetensors_walk — the HuggingFace
+# tensor-shard format with the zero-copy offset-tiling rule enforced;
+# dedup_corpus_paragraphs — CCNet corpus-wide paragraph dedup over
+# mhash64 fingerprints) + the full 31-name r7-latest remainder
+# (exactly the head VERDICT r11 prescribed: the r7-era TPC-H, SCD2/
+# sessionize, tokenizer-BPE, text-pipeline, video and filetail names,
+# 5 rounds stale) + the first 11 of the 50 r8-checked names = 50
+# exactly. After this round the staleness floor rises to r8 (39
+# remaining r8 names). The round-13 rotation head is those 39
+# r8-checked names (starting at anomaly_zscore_users) followed by the
+# first 11 of the r9-checked block; the rest of the list is the FULL
+# registry in staleness order for drivers that check more than 50
+# rows.
 _PRIORITY = [
-    # (a) round-11 registrations — never driver-checked (13)
-    "ingest_zip_member_walk",
-    "audio_ogg_page_walk",
-    "ann_ivf_incremental_topk",
-    "quality_classifier_train",
-    "quality_classifier_filter",
-    "quality_classifier_eval",
-    "ingest_zstd_compressed_decode",
-    "ingest_lz4_frame_decode",
-    "ingest_snappy_framed_decode",
-    "ingest_gzip_native_inflate",
-    "ingest_bzip2_decode",
-    "ingest_parquet_native_walk",
-    "ingest_xz_lzma2_decode",
-    # (b) r6-latest remainder (18) — stalest greens, 5 rounds old
-    "text_word_count_topk",
-    "text_heavy_hitters_approx",
-    "dedup_lsh_bucket_stats",
-    "embedding_norm_stats",
-    "dedup_hyperplane_lsh",
-    "q18_large_volume_customer",
-    "q10_returned_item_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q15_top_supplier",
-    "q20_heavy_widget_suppliers",
-    "layout_zorder_stats",
-    "multimodal_audio_features",
-    "multimodal_decode_quarantine",
-    "agg_percentiles_by_status",
-    "agg_stats_moments",
-    "window_range_frame_spend",
-    "join_full_outer_event_coverage",
-    # (c) r7-latest head (19) — window tail ends here (13+18+19=50)
-    "audio_adpcm_decode",
-    "multimodal_flac_decode",
-    "audio_spectral_bins",
-    "inference_embed_bucket_counts",
-    "ann_pq_adc_topk",
-    "ann_ivfpq_topk",
-    "multimodal_jpeg_decode",
-    "multimodal_codec_decode",
-    "multimodal_jpeg420_decode",
-    "multimodal_jpeg_restart_decode",
-    "multimodal_jpeg_progressive_decode",
-    "ann_nsw_beam_topk",
-    "setop_intersect_except_all",
-    "window_distribution_funcs",
-    "scalar_null_semantics",
-    "agg_string_concat",
-    "scalar_regexp_datetime",
-    "agg_bitwise_flags",
-    "scalar_explode_outer_arrays",
-    # --- window boundary (driver checks exactly 50) ---
-    # r7-latest remainder (31): the round-12 rotation head
+    # (a) round-12 registrations — never driver-checked (8)
+    "ingest_avro_container_walk",
+    "ingest_arrow_ipc_walk",
+    "corpus_bigram_lm_train",
+    "corpus_perplexity_filter",
+    "multimodal_tiff_lzw_tiled_decode",
+    "ingest_tar_pax_walk",
+    "ingest_safetensors_walk",
+    "dedup_corpus_paragraphs",
+    # (b) r7-latest remainder (31) — stalest greens, 5 rounds old
     "agg_rollup_grouping_id",
     "q6_revenue_forecast",
     "q13_customer_order_distribution",
@@ -200,7 +145,7 @@ _PRIORITY = [
     "video_frame_ahash_dedup",
     "filetail_batch_offsets",
     "stream_filetail_log_counts",
-    # r8-checked (50)
+    # (c) r8-checked head (11) — window tail ends here (8+31+11=50)
     "cogroup_user_activity_profile",
     "pysource_synthetic_events",
     "text_repetition_filter",
@@ -212,6 +157,8 @@ _PRIORITY = [
     "cdc_apply_changelog",
     "path_top_transitions",
     "ann_int8_rerank_topk",
+    # --- window boundary (driver checks exactly 50) ---
+    # r8-checked remainder (39): the round-13 rotation head
     "anomaly_zscore_users",
     "json_variant_nested",
     "pandas_udf_nfc_norm",
@@ -302,8 +249,7 @@ _PRIORITY = [
     "join_asof_latest_order",
     "join_range_price_band",
     "join_skew_salted_orders",
-    # r10-checked (50): round-10 registrations + r5 leftovers +
-    # r6 head, all driver-green in CORRECTNESS_r10
+    # r10-checked (50)
     "dedup_substring_overlap",
     "sink_async_upsert_final_state",
     "multimodal_jpeg_lossless_decode",
@@ -354,6 +300,57 @@ _PRIORITY = [
     "text_fingerprint",
     "text_rolling_hash",
     "pipeline_clean_corpus",
+    # r11-checked (50): round-11 registrations + r6 leftovers + r7 head
+    "ingest_zip_member_walk",
+    "audio_ogg_page_walk",
+    "ann_ivf_incremental_topk",
+    "quality_classifier_train",
+    "quality_classifier_filter",
+    "quality_classifier_eval",
+    "ingest_zstd_compressed_decode",
+    "ingest_lz4_frame_decode",
+    "ingest_snappy_framed_decode",
+    "ingest_gzip_native_inflate",
+    "ingest_bzip2_decode",
+    "ingest_parquet_native_walk",
+    "ingest_xz_lzma2_decode",
+    "text_word_count_topk",
+    "text_heavy_hitters_approx",
+    "dedup_lsh_bucket_stats",
+    "embedding_norm_stats",
+    "dedup_hyperplane_lsh",
+    "q18_large_volume_customer",
+    "q10_returned_item_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q20_heavy_widget_suppliers",
+    "layout_zorder_stats",
+    "multimodal_audio_features",
+    "multimodal_decode_quarantine",
+    "agg_percentiles_by_status",
+    "agg_stats_moments",
+    "window_range_frame_spend",
+    "join_full_outer_event_coverage",
+    "audio_adpcm_decode",
+    "multimodal_flac_decode",
+    "audio_spectral_bins",
+    "inference_embed_bucket_counts",
+    "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
+    "multimodal_jpeg_decode",
+    "multimodal_codec_decode",
+    "multimodal_jpeg420_decode",
+    "multimodal_jpeg_restart_decode",
+    "multimodal_jpeg_progressive_decode",
+    "ann_nsw_beam_topk",
+    "setop_intersect_except_all",
+    "window_distribution_funcs",
+    "scalar_null_semantics",
+    "agg_string_concat",
+    "scalar_regexp_datetime",
+    "agg_bitwise_flags",
+    "scalar_explode_outer_arrays",
 ]
 
 
@@ -391,12 +388,14 @@ def _ensure_loaded() -> None:
         multimodal,
         nsw,
         oggwalk,
+        paragraph_dedup,
         parquetwalk,
         perplexity,
         pq,
         preference,
         quality_model,
         relational,
+        safetensors,
         sampling,
         similarity,
         snappy,

@@ -196,3 +196,24 @@ def test_query_matches_oracle(spark):
     compare_query(
         spark, "/root/testdata/sf0.001", "ingest_avro_container_walk"
     )
+
+
+def test_schema_field_without_name_is_typed():
+    """Fuzz-found (r12): a bit-flipped schema JSON can leave a field
+    object missing 'name' — must be the typed ValueError, not a raw
+    KeyError."""
+    sync = bytes(range(16))
+    for schema in (
+        b'{"type":"record","name":"R","fields":[{"type":"long"}]}',
+        b'{"type":"record","name":"R","fields":"oops"}',
+        b'{"type":"record","name":"R","fields":[42]}',
+    ):
+        blob = (
+            b"Obj\x01" + encode_long(1)
+            + encode_long(11) + b"avro.schema"
+            + encode_long(len(schema)) + schema
+            + encode_long(0) + sync
+            + encode_long(1) + encode_long(1) + b"\x02" + sync
+        )
+        with pytest.raises(ValueError):
+            walk_avro(blob)

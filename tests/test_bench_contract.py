@@ -101,3 +101,57 @@ def test_compact_line_budget_holds_with_pass_totals():
     assert len(line) <= 1800
     parsed = json.loads(line)
     assert parsed["queries_elided"] + len(parsed["queries"]) == 200
+
+
+def test_fastpath_stable_set_rules():
+    """Stability = median-normalized flatness within ±10% over the
+    last 3 rounds AT THE SAME sf; short or off-sf history yields no
+    fast path."""
+    # q_flat: absolute values drift 2x but track each round's median
+    # exactly -> stable. q_jumpy: moves 30% against the median -> not.
+    hist = {
+        "r01": {"sf": 0.1, "queries": {"q_flat": 1.0, "q_jumpy": 1.0,
+                                       "q_med": 1.0}},
+        "r02": {"sf": 0.1, "queries": {"q_flat": 2.0, "q_jumpy": 2.6,
+                                       "q_med": 2.0}},
+        "r03": {"sf": 0.1, "queries": {"q_flat": 1.5, "q_jumpy": 1.5,
+                                       "q_med": 1.5}},
+    }
+    stable, latest = bench._stable_set(hist, 0.1)
+    assert "q_flat" in stable and "q_med" in stable
+    assert "q_jumpy" not in stable
+    assert latest["q_flat"] == 1.5
+    # off-sf: the same history must not qualify an sf0.001 run
+    assert bench._stable_set(hist, 0.001) == (set(), {})
+    # short history: two rounds are not enough
+    short = {k: hist[k] for k in ("r01", "r02")}
+    assert bench._stable_set(short, 0.1) == (set(), {})
+    # a query missing from one round is not in the common set
+    hist["r02"]["queries"].pop("q_med")
+    stable2, _ = bench._stable_set(hist, 0.1)
+    assert "q_med" not in stable2
+
+
+def test_fastpath_history_append_guards_sf(tmp_path, monkeypatch):
+    """Only canonical sf0.1 runs become history rounds — an ad-hoc
+    small-sf run must not shift the round labels or the criterion."""
+    import os
+
+    monkeypatch.setattr(bench.os.path, "dirname",
+                        lambda _p: str(tmp_path))
+    hist = {"r05": {"sf": 0.1, "queries": {"a": 1.0}}}
+    bench._append_history(hist, {"a": 9.9}, 0.001)
+    assert not os.path.exists(tmp_path / "BENCH_HISTORY.json")
+    bench._append_history(hist, {"a": 1.1}, 0.1)
+    got = json.load(open(tmp_path / "BENCH_HISTORY.json"))["rounds"]
+    assert got["r06"] == {"sf": 0.1, "queries": {"a": 1.1}}
+    assert got["r05"]["queries"] == {"a": 1.0}
+
+
+def test_fastpath_repo_history_is_loadable():
+    """The committed bootstrap history drives a non-trivial fast path
+    at the canonical sf."""
+    hist = bench._load_history()
+    stable, latest = bench._stable_set(hist, 0.1)
+    assert len(stable) >= 30
+    assert all(latest[n] > 0 for n in stable)

@@ -25,8 +25,11 @@ from pyspark_postgres_loader_spark.operators import (
     lz4frame,
     oggwalk,
     parquetwalk,
+    safetensors,
     snappy,
+    tarwalk,
     tfrecord,
+    tiff,
     warc,
     xzwalk,
     zipwalk,
@@ -71,13 +74,24 @@ _TARGETS = [
      lambda b: arrowipc.walk_arrow_ipc(b)),
     ("arrow-ipc-lz4", lambda: arrowipc._ar_payload(1),
      lambda b: arrowipc.walk_arrow_ipc(b)),
+    ("tar-pax", lambda: tarwalk._tp_payload(0),
+     lambda b: tarwalk.walk_tar_members(b)),
+    ("tiff-lzw-tiled", lambda: tiff._tl_payload(0),
+     lambda b: tiff.decode_tiff_grey(b)),
+    ("safetensors", lambda: safetensors._st_payload(0),
+     lambda b: safetensors.walk_safetensors(b)),
 ]
 
 
 @pytest.mark.parametrize("name,mk,fn", _TARGETS, ids=[t[0] for t in _TARGETS])
 def test_corrupted_input_errors_are_typed(name, mk, fn):
     blob = mk()
-    rng = random.Random(hash(name) & 0xFFFF)
+    # crc32, not hash(): str hash varies per process (PYTHONHASHSEED),
+    # which made an r12 avro escape vanish on re-run before it was
+    # root-caused — fuzz failures must reproduce
+    import zlib as _zlib
+
+    rng = random.Random(_zlib.crc32(name.encode()) & 0xFFFF)
     for trial in range(200):
         b = bytearray(blob)
         mode = trial % 4

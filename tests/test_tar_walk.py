@@ -54,12 +54,13 @@ def test_typed_quarantine():
     # corrupted checksum digit
     with pytest.raises(ValueError, match="CHECKSUM"):
         walk_tar_members(p[:148] + b"7" + p[149:])
-    # PAX header typeflag (checksum fixed up so routing fires, not CRC)
+    # GNU sparse typeflag (checksum fixed up so routing fires, not
+    # CRC) — pax/'L' graduated to decoded, sparse is the boundary now
     hdr = bytearray(p[:512])
-    hdr[156] = ord("x")
+    hdr[156] = ord("S")
     hdr[148:156] = b" " * 8
     hdr[148:156] = ("%06o" % sum(hdr)).encode() + b"\x00 "
-    with pytest.raises(NotImplementedError, match="PAX"):
+    with pytest.raises(NotImplementedError, match="typeflag"):
         walk_tar_members(bytes(hdr) + p[512:])
     # missing end-of-archive marker
     with pytest.raises(ValueError):
@@ -93,3 +94,73 @@ def test_query_matches_oracle(spark):
     from oracle_harness import compare_query
 
     compare_query(spark, "/root/testdata/sf0.001", "ingest_tar_member_walk")
+
+
+def test_pax_records_roundtrip_and_typed_errors():
+    from pyspark_postgres_loader_spark.operators.tarwalk import (
+        encode_pax_records,
+        parse_pax_records,
+    )
+
+    recs = {"path": "x" * 300, "size": "12345", "comment": "héllo"}
+    assert parse_pax_records(encode_pax_records(recs)) == recs
+    # the self-including-length fixed point: lengths 9/10/99/100 edges
+    for n in (1, 2, 84, 85, 86, 990, 991):
+        r = {"k": "v" * n}
+        assert parse_pax_records(encode_pax_records(r)) == r
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="length"):
+        parse_pax_records(b"999 path=x\n")
+    with _pt.raises(ValueError, match="newline"):
+        parse_pax_records(b"10 path=abc")
+    with _pt.raises(ValueError, match="'='"):
+        parse_pax_records(b"8 pathx\n")
+
+
+def test_pax_size_override_is_live():
+    """A header-size-0 member under a pax size record walks correctly;
+    dropping the pax header provably misaligns — the override is load-
+    bearing, not decorative."""
+    from pyspark_postgres_loader_spark.operators.tarwalk import (
+        _build_member_raw,
+        encode_pax_records,
+    )
+
+    content = bytes(range(200))
+    pax = _build_member_raw(
+        "./PaxHeaders/a", encode_pax_records({"size": "200"}), b"x"
+    )
+    member = _build_member_raw("a.bin", content, b"0", header_size=0)
+    tail = build_tar_member("b.txt", b"ok") + b"\x00" * 1024
+    got = walk_tar_members(pax + member + tail)
+    assert [(n, c) for n, c, _t in got] == [("a.bin", content),
+                                           ("b.txt", b"ok")]
+    with pytest.raises(Exception):
+        walk_tar_members(member + tail)  # no override -> misaligned
+
+
+def test_stdlib_pax_archive_walks():
+    """GNU/pax archives produced by the stdlib writer (an INDEPENDENT
+    implementation) decode with the overridden long names applied."""
+    import io
+    import tarfile
+
+    for fmt in (tarfile.PAX_FORMAT, tarfile.GNU_FORMAT):
+        buf = io.BytesIO()
+        long_name = "d/" + "n" * 150 + ".txt"
+        with tarfile.open(fileobj=buf, mode="w", format=fmt) as tf:
+            info = tarfile.TarInfo(long_name)
+            info.size = 11
+            tf.addfile(info, io.BytesIO(b"hello world"))
+        got = walk_tar_members(buf.getvalue())
+        assert got == [(long_name, b"hello world", "0")], fmt
+
+
+def test_pax_fixture_groups_and_oracle(spark):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from oracle_harness import compare_query
+
+    compare_query(spark, "/root/testdata/sf0.001", "ingest_tar_pax_walk")
