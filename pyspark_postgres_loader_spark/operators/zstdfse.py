@@ -599,10 +599,10 @@ def decode_compressed_block(
 
 
 def decompress_frame(
-    payload: bytes, stats: dict | None = None
+    payload: bytes, stats: dict | None = None, zdict=None
 ) -> tuple[bytes, int]:
     try:
-        return _decompress_frame(payload, stats)
+        return _decompress_frame(payload, stats, zdict)
     except IndexError as exc:
         # byte-corrupted input walking off a field: structural damage,
         # typed like every other truncation (fuzz-pinned in tests)
@@ -610,12 +610,16 @@ def decompress_frame(
 
 
 def _decompress_frame(
-    payload: bytes, stats: dict | None = None
+    payload: bytes, stats: dict | None = None, zdict=None
 ) -> tuple[bytes, int]:
-    """Decode ONE zstd frame (no dictionaries) → (content, bytes
-    consumed). Raises NotImplementedError for dictionary frames,
-    ValueError for structural damage, ValueError with 'CRC' for an
-    XXH64 mismatch."""
+    """Decode ONE zstd frame → (content, bytes consumed). ``zdict``
+    (operators/zstddict.ZstdDict) enables dictionary frames: the dict
+    content prefills the window, its entropy tables seed the repeat
+    modes and its offsets seed the rep history (RFC 8878 §5). A frame
+    referencing a dictionary that is absent or has a different id
+    raises NotImplementedError ('unsupported' — undecodable without
+    those bytes). ValueError for structural damage, ValueError with
+    'CRC' for an XXH64 mismatch."""
     if len(payload) < 5:
         raise ValueError("truncated zstd frame header")
     magic = struct.unpack("<I", payload[:4])[0]
@@ -631,10 +635,28 @@ def _decompress_frame(
     if not single:
         pos += 1  # window descriptor
     did_len = (0, 1, 2, 4)[did_field]
+    base = 0
+    rep = [1, 4, 8]
+    lit_carry: dict = {}
+    seq_carry = _SeqTables()
     if did_len:
         did = int.from_bytes(payload[pos : pos + did_len], "little")
         if did != 0:
-            raise NotImplementedError("zstd dictionary frames")
+            if zdict is None or zdict.dict_id != did:
+                raise NotImplementedError(
+                    f"zstd frame references an unavailable dictionary "
+                    f"(id {did})"
+                )
+            # RFC 8878 §5: dict content prefills the window, its
+            # entropy tables become the initial repeat tables, its
+            # offsets the initial rep history
+            out0 = bytearray(zdict.content)
+            base = len(out0)
+            rep = list(zdict.rep)
+            lit_carry = {"huf": zdict.huf}
+            seq_carry.ll = zdict.ll
+            seq_carry.of = zdict.of
+            seq_carry.ml = zdict.ml
         pos += did_len
     fcs_len = (0, 2, 4, 8)[(fhd >> 6) & 3]
     if single and fcs_len == 0:
@@ -647,10 +669,7 @@ def _decompress_frame(
         if fcs_len == 2:
             fcs += 256
         pos += fcs_len
-    out = bytearray()
-    rep = [1, 4, 8]
-    lit_carry: dict = {}
-    seq_carry = _SeqTables()
+    out = out0 if base else bytearray()
     while True:
         if pos + 3 > len(payload):
             raise ValueError("truncated block header")
@@ -684,16 +703,17 @@ def _decompress_frame(
             raise ValueError("reserved block type")
         if last:
             break
-    if fcs is not None and len(out) != fcs:
+    produced = bytes(out[base:])
+    if fcs is not None and len(produced) != fcs:
         raise ValueError("frame content size mismatch")
     if checksum:
         if pos + 4 > len(payload):
             raise ValueError("truncated content checksum")
         stored = struct.unpack("<I", payload[pos : pos + 4])[0]
         pos += 4
-        if xxh64(bytes(out)) & 0xFFFFFFFF != stored:
+        if xxh64(produced) & 0xFFFFFFFF != stored:
             raise ValueError("zstd content checksum mismatch (CRC)")
-    return bytes(out), pos
+    return produced, pos
 
 
 # ------------------------------------------------- driver-oracled query
@@ -772,7 +792,9 @@ def _zf_payload(doc_id: int) -> bytes:
         blob[-1] ^= 0x01  # stored XXH64 low byte
     if unsup:
         # declare a 1-byte dictionary ID (nonzero): honestly
-        # unsupported — we decode dictionary-less frames only
+        # unsupported HERE — no dictionary is supplied to this query,
+        # so the frame is undecodable (dictionary frames decode in
+        # ingest_zstd_dict_decode via operators/zstddict.py)
         fhd = blob[4]
         insert_at = 5 + (0 if (fhd >> 5) & 1 else 1)
         blob[4] = fhd | 0x01

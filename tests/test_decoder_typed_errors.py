@@ -33,6 +33,7 @@ from pyspark_postgres_loader_spark.operators import (
     warc,
     xzwalk,
     zipwalk,
+    zstddict,
     zstdfse,
     zstdwalk,
 )
@@ -80,6 +81,11 @@ _TARGETS = [
      lambda b: tiff.decode_tiff_grey(b)),
     ("safetensors", lambda: safetensors._st_payload(0),
      lambda b: safetensors.walk_safetensors(b)),
+    ("zstd-dict", lambda: zstddict._zd_payload(0),
+     lambda b: zstddict.decompress_frame(b, None, zstddict._zd_dict())),
+    ("zstd-dict-blob", lambda: base64.b64decode(
+        "".join(zstddict._ZD_DICT_B64)),
+     lambda b: zstddict.parse_zstd_dictionary(b)),
 ]
 
 
