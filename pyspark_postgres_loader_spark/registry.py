@@ -79,7 +79,7 @@ _LOADED = False
 # Round-12 rotation. Entering this round all 231 pre-existing queries
 # are driver-verified with every latest check green; staleness
 # histogram after r11: r11=50, r10=50, r9=50, r8=50, r7=31. This
-# window = the 9 round-12 registrations (ingest_avro_container_walk —
+# window = the 11 round-12 registrations (ingest_avro_container_walk —
 # the Avro object-container walk with six block codecs routed through
 # the repo's own native decoders; ingest_arrow_ipc_walk — the Arrow
 # IPC/Feather-V2 walk over a hand-written FlatBuffers vtable reader
@@ -95,18 +95,22 @@ _LOADED = False
 # dedup_corpus_paragraphs — CCNet corpus-wide paragraph dedup over
 # mhash64 fingerprints; ingest_zstd_dict_decode — RFC 8878 §5
 # dictionary frames through a CLI-trained dictionary, removing the
-# last zstd scope boundary) + the full 31-name r7-latest remainder
+# last zstd scope boundary; tokenizer_wordpiece_train_scores and
+# tokenizer_wordpiece_apply_tokens — the BERT tokenizer family:
+# integer-likelihood-scored merges + greedy longest-match serving
+# under an unrolled-cursor oracle) + the full 31-name r7-latest
+# remainder
 # (exactly the head VERDICT r11 prescribed: the r7-era TPC-H, SCD2/
 # sessionize, tokenizer-BPE, text-pipeline, video and filetail names,
-# 5 rounds stale) + the first 10 of the 50 r8-checked names = 50
-# exactly. After this round the staleness floor rises to r8 (40
-# remaining r8 names). The round-13 rotation head is those 40
-# r8-checked names (starting at ann_int8_rerank_topk) followed by the
-# first 10 of the r9-checked block; the rest of the list is the FULL
+# 5 rounds stale) + the first 8 of the 50 r8-checked names = 50
+# exactly. After this round the staleness floor rises to r8 (42
+# remaining r8 names). The round-13 rotation head is those 42
+# r8-checked names (starting at cdc_apply_changelog) followed by the
+# first 8 of the r9-checked block; the rest of the list is the FULL
 # registry in staleness order for drivers that check more than 50
 # rows.
 _PRIORITY = [
-    # (a) round-12 registrations — never driver-checked (9)
+    # (a) round-12 registrations — never driver-checked (11)
     "ingest_avro_container_walk",
     "ingest_arrow_ipc_walk",
     "corpus_bigram_lm_train",
@@ -116,6 +120,8 @@ _PRIORITY = [
     "ingest_safetensors_walk",
     "dedup_corpus_paragraphs",
     "ingest_zstd_dict_decode",
+    "tokenizer_wordpiece_train_scores",
+    "tokenizer_wordpiece_apply_tokens",
     # (b) r7-latest remainder (31) — stalest greens, 5 rounds old
     "agg_rollup_grouping_id",
     "q6_revenue_forecast",
@@ -148,7 +154,7 @@ _PRIORITY = [
     "video_frame_ahash_dedup",
     "filetail_batch_offsets",
     "stream_filetail_log_counts",
-    # (c) r8-checked head (10) — window tail ends here (9+31+10=50)
+    # (c) r8-checked head (8) — window tail ends here (11+31+8=50)
     "cogroup_user_activity_profile",
     "pysource_synthetic_events",
     "text_repetition_filter",
@@ -157,10 +163,10 @@ _PRIORITY = [
     "rollup_time_multigrain",
     "funnel_view_click_purchase",
     "cohort_weekly_retention",
+    # --- window boundary (driver checks exactly 50) ---
+    # r8-checked remainder (42): the round-13 rotation head
     "cdc_apply_changelog",
     "path_top_transitions",
-    # --- window boundary (driver checks exactly 50) ---
-    # r8-checked remainder (40): the round-13 rotation head
     "ann_int8_rerank_topk",
     "anomaly_zscore_users",
     "json_variant_nested",
@@ -414,6 +420,7 @@ def _ensure_loaded() -> None:
         udtf_ops,
         video,
         warc,
+        wordpiece,
         xzwalk,
         zipwalk,
         zstddict,
