@@ -119,6 +119,40 @@ SHOWCASE = [
         "sort of ~60-byte fact rows; same plan shape for "
         "zip/ogg/zstd/lz4/snappy/inflate/bzip2/parquet walks",
     ),
+    (
+        "ingest_avro_container_walk",
+        "round-12 container exemplar: the identical pruned-scan → "
+        "MapInPandas shape carries the Avro walk (six codec routes "
+        "through our native decoders), the Arrow IPC walk, the pax "
+        "tar walk, safetensors and the zstd-dictionary decode",
+    ),
+    (
+        "corpus_perplexity_filter",
+        "round-12 CCNet stage: zip_with bigrams (no n-gram shuffle), "
+        "vocabulary-sized LM count tables broadcast into a pure-map "
+        "scoring pass, ONE per-doc fold shuffle; score table "
+        "localCheckpointed once for threshold + output (0 FileScans "
+        "in the visible plan)",
+    ),
+    (
+        "dedup_corpus_paragraphs",
+        "round-12 paragraph dedup: in-row window fingerprints, one "
+        "corpus shuffle keyed by 8-byte mhash64 for counts (map-side "
+        "partials collapse repeats), same-key join back — "
+        "deliberately NO broadcast of the corpus-sized table",
+    ),
+    (
+        "tokenizer_wordpiece_apply_tokens",
+        "round-12 WordPiece serving: pruned scan → MapInPandas with "
+        "the kilobyte vocab in the closure; only (doc_id, counts) "
+        "leaves the executor",
+    ),
+    (
+        "delta_log_snapshot_stats",
+        "round-12 table-format layer: log synthesized and JSON-"
+        "roundtripped in-plan, snapshot fold is ONE window over a "
+        "log-sized frame — metadata work; data files never open",
+    ),
 ]
 
 _INTERESTING = re.compile(
