@@ -142,25 +142,88 @@ _PRIMITIVES = {"null", "boolean", "int", "long", "float", "double",
                "bytes", "string"}
 
 
-def _field_types(schema: dict) -> list[tuple[str, str]]:
-    """(name, primitive type) per field, schema order. Non-record or
-    non-primitive schemas are the honest typed boundary."""
+def _compile_type(t):
+    """Schema type → decode node. Supported: primitives, NESTED
+    records (r12 — Iceberg manifests need them), and the optional
+    union ["null", X] in either order; everything else is the honest
+    typed boundary."""
+    if isinstance(t, str):
+        if t not in _PRIMITIVES:
+            raise NotImplementedError(f"avro field type {t!r}")
+        return ("prim", t)
+    if isinstance(t, dict) and t.get("type") == "record":
+        return ("record", _record_fields(t))
+    if isinstance(t, dict) and isinstance(t.get("type"), str):
+        # {"type": "long", ...} wrapper form
+        return _compile_type(t["type"])
+    if isinstance(t, list):
+        if len(t) != 2 or "null" not in t:
+            raise NotImplementedError(f"avro union {t!r}")
+        null_idx = t.index("null")
+        other = t[1 - null_idx]
+        return ("opt", null_idx, _compile_type(other))
+    raise NotImplementedError(f"avro field type {t!r}")
+
+
+def _record_fields(schema: dict) -> list[tuple[str, tuple]]:
     if not isinstance(schema, dict) or schema.get("type") != "record":
         raise NotImplementedError("avro non-record top-level schema")
-    out: list[tuple[str, str]] = []
     fields = schema.get("fields", [])
     if not isinstance(fields, list):
         raise ValueError("avro record schema fields is not a list")
+    out: list[tuple[str, tuple]] = []
     for f in fields:
         if not isinstance(f, dict) or not isinstance(f.get("name"), str):
             raise ValueError("avro field is not a named object")
-        t = f.get("type")
-        if not isinstance(t, str) or t not in _PRIMITIVES:
-            raise NotImplementedError(f"avro field type {t!r}")
-        out.append((f["name"], t))
+        out.append((f["name"], _compile_type(f.get("type"))))
     if not out:
         raise ValueError("avro record schema has no fields")
     return out
+
+
+def _flat_names(fields: list[tuple[str, tuple]], prefix: str = "") -> list[str]:
+    """Dotted flattened field names in decode order."""
+    out: list[str] = []
+    for name, node in fields:
+        full = prefix + name
+        kind = node[0]
+        inner = node
+        if kind == "opt":
+            inner = node[2]
+            kind = inner[0]
+        if kind == "record":
+            out.extend(_flat_names(inner[1], full + "."))
+        else:
+            out.append(full)
+    return out
+
+
+def _flat_width(node: tuple) -> int:
+    if node[0] == "prim":
+        return 1
+    if node[0] == "opt":
+        return _flat_width(node[2])
+    return sum(_flat_width(n) for _, n in node[1])
+
+
+def _decode_node(node: tuple, data: bytes, pos: int) -> tuple[tuple, int]:
+    """Decode one node → (flattened value tuple, new position)."""
+    kind = node[0]
+    if kind == "prim":
+        v, pos = _read_value(node[1], data, pos)
+        return (v,), pos
+    if kind == "opt":
+        idx, pos = zigzag_long(data, pos)
+        if idx not in (0, 1):
+            raise ValueError("avro union branch index out of range")
+        if idx == node[1]:  # the null branch
+            return (None,) * _flat_width(node[2]), pos
+        return _decode_node(node[2], data, pos)
+    vals: list = []
+    for _, child in node[1]:
+        v, pos = _decode_node(child, data, pos)
+        vals.extend(v)
+    return tuple(vals), pos
 
 
 def _read_value(t: str, data: bytes, pos: int):
@@ -219,7 +282,8 @@ def walk_avro(data: bytes) -> dict:
     except json.JSONDecodeError as exc:
         raise ValueError(f"avro schema is not JSON ({exc})") from exc
     codec = meta.get("avro.codec", b"null").decode("utf-8")
-    fields = _field_types(schema)
+    fields = _record_fields(schema)
+    root = ("record", fields)
     if pos + 16 > len(data):
         raise ValueError("avro header sync truncated")
     sync = data[pos : pos + 16]
@@ -240,11 +304,8 @@ def walk_avro(data: bytes) -> dict:
         pos += 16
         rpos = 0
         for _ in range(count):
-            rec = []
-            for _, t in fields:
-                v, rpos = _read_value(t, raw, rpos)
-                rec.append(v)
-            records.append(tuple(rec))
+            rec, rpos = _decode_node(root, raw, rpos)
+            records.append(rec)
         if rpos != len(raw):
             raise ValueError("avro block has bytes beyond its records")
         n_blocks += 1
@@ -253,7 +314,7 @@ def walk_avro(data: bytes) -> dict:
     return {
         "codec": codec,
         "n_meta": len(meta),
-        "fields": [n for n, _ in fields],
+        "fields": _flat_names(fields),
         "n_blocks": n_blocks,
         "records": records,
     }

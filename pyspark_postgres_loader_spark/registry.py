@@ -79,7 +79,7 @@ _LOADED = False
 # Round-12 rotation. Entering this round all 231 pre-existing queries
 # are driver-verified with every latest check green; staleness
 # histogram after r11: r11=50, r10=50, r9=50, r8=50, r7=31. This
-# window = the 12 round-12 registrations (ingest_avro_container_walk —
+# window = the 13 round-12 registrations (ingest_avro_container_walk —
 # the Avro object-container walk with six block codecs routed through
 # the repo's own native decoders; ingest_arrow_ipc_walk — the Arrow
 # IPC/Feather-V2 walk over a hand-written FlatBuffers vtable reader
@@ -100,19 +100,21 @@ _LOADED = False
 # integer-likelihood-scored merges + greedy longest-match serving
 # under an unrolled-cursor oracle; delta_log_snapshot_stats — Delta
 # transaction-log replay with a to_json/from_json roundtrip and a
-# cumulative live-set window fold) + the full 31-name r7-latest
-# remainder
+# cumulative live-set window fold; iceberg_manifest_snapshot —
+# snapshot planning over Avro manifest trees through our own Avro
+# decoder, with nested-record + optional-union schema support) + the
+# full 31-name r7-latest remainder
 # (exactly the head VERDICT r11 prescribed: the r7-era TPC-H, SCD2/
 # sessionize, tokenizer-BPE, text-pipeline, video and filetail names,
-# 5 rounds stale) + the first 7 of the 50 r8-checked names = 50
-# exactly. After this round the staleness floor rises to r8 (43
-# remaining r8 names). The round-13 rotation head is those 43
-# r8-checked names (starting at cohort_weekly_retention) followed by
-# the first 7 of the r9-checked block; the rest of the list is the FULL
+# 5 rounds stale) + the first 6 of the 50 r8-checked names = 50
+# exactly. After this round the staleness floor rises to r8 (44
+# remaining r8 names). The round-13 rotation head is those 44
+# r8-checked names (starting at funnel_view_click_purchase) followed
+# by the first 6 of the r9-checked block; the rest of the list is the FULL
 # registry in staleness order for drivers that check more than 50
 # rows.
 _PRIORITY = [
-    # (a) round-12 registrations — never driver-checked (12)
+    # (a) round-12 registrations — never driver-checked (13)
     "ingest_avro_container_walk",
     "ingest_arrow_ipc_walk",
     "corpus_bigram_lm_train",
@@ -125,6 +127,7 @@ _PRIORITY = [
     "tokenizer_wordpiece_train_scores",
     "tokenizer_wordpiece_apply_tokens",
     "delta_log_snapshot_stats",
+    "iceberg_manifest_snapshot",
     # (b) r7-latest remainder (31) — stalest greens, 5 rounds old
     "agg_rollup_grouping_id",
     "q6_revenue_forecast",
@@ -157,16 +160,16 @@ _PRIORITY = [
     "video_frame_ahash_dedup",
     "filetail_batch_offsets",
     "stream_filetail_log_counts",
-    # (c) r8-checked head (7) — window tail ends here (12+31+7=50)
+    # (c) r8-checked head (6) — window tail ends here (13+31+6=50)
     "cogroup_user_activity_profile",
     "pysource_synthetic_events",
     "text_repetition_filter",
     "split_train_val_test",
     "search_bm25_topk",
     "rollup_time_multigrain",
-    "funnel_view_click_purchase",
     # --- window boundary (driver checks exactly 50) ---
-    # r8-checked remainder (43): the round-13 rotation head
+    # r8-checked remainder (44): the round-13 rotation head
+    "funnel_view_click_purchase",
     "cohort_weekly_retention",
     "cdc_apply_changelog",
     "path_top_transitions",
@@ -386,6 +389,7 @@ def _ensure_loaded() -> None:
         flac,
         graph,
         gzipwalk,
+        iceberg,
         inference,
         inflate,
         ivf_incremental,

@@ -21,6 +21,7 @@ from pyspark_postgres_loader_spark.operators import (
     avrowalk,
     bzip2,
     gzipwalk,
+    iceberg,
     inflate,
     lz4frame,
     oggwalk,
@@ -86,6 +87,12 @@ _TARGETS = [
     ("zstd-dict-blob", lambda: base64.b64decode(
         "".join(zstddict._ZD_DICT_B64)),
      lambda b: zstddict.parse_zstd_dictionary(b)),
+    ("iceberg-mlist", lambda: iceberg._ic_payloads(0)[0],
+     lambda b: iceberg.walk_iceberg_snapshot(
+         b, iceberg._ic_payloads(0)[1])),
+    ("iceberg-manifest",
+     lambda: next(iter(iceberg._ic_payloads(1)[1].values())),
+     lambda b: avrowalk.walk_avro(b)),
 ]
 
 
