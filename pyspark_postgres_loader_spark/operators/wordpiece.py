@@ -104,11 +104,14 @@ def train_wordpiece(
     syms = freqs.select(
         "w", "freq", _wp_char_split(F.col("w")).alias("syms")
     ).localCheckpoint()
+    # ONE alphabet-sized row reaches the driver (collect_set → first —
+    # the BPE artifact pattern): the alphabet IS part of the trained
+    # vocabulary being built, bounded by distinct symbols, never rows
     alphabet = sorted(
-        r.s
-        for r in syms.select(
-            F.explode("syms").alias("s")
-        ).distinct().collect()
+        syms.select(F.explode("syms").alias("s"))
+        .agg(F.collect_set("s").alias("a"))
+        .first()
+        .a
     )
     merges: list[tuple[str, str, str, int, int]] = []
     for it in range(num_merges):
