@@ -1,0 +1,690 @@
+"""Native ORC file walk — the other columnar warehouse format
+(Hive's default; Trino/Presto/Spark warehouses ship petabytes of it).
+Implements the public Apache ORC v1 specification natively, with no
+ORC or protobuf library in the decode path:
+
+- a protocol-buffers wire reader (varint / length-delimited fields)
+  for the PostScript, Footer, StripeInformation, Type, ColumnEncoding,
+  Stream and ColumnStatistics messages (orc_proto.proto is public);
+- the trailing PostScript handshake: last byte = postscript length,
+  ``ORC`` magic, footer/metadata lengths, compression kind;
+- ORC's chunked compression framing (3-byte little-endian header,
+  ``(length << 1) | isOriginal``) with every chunk routed through
+  this repo's OWN native decoders: ZLIB → operators/inflate.py raw
+  DEFLATE, SNAPPY → operators/snappy.py raw block, LZ4 →
+  operators/lz4frame.py raw block, ZSTD → operators/zstdfse.py's
+  FSE+Huffman frame decoder; LZO is the honest typed boundary;
+- the RLEv2 integer decoder for DIRECT_V2 long columns — all four
+  sub-encodings (SHORT_REPEAT, DIRECT, PATCHED_BASE with the
+  gap-255 patch-list continuation rule, DELTA incl. fixed-delta
+  runs), MSB-first bit unpacking, the 32-entry closed width table
+  (the patch-list entry width is the closest TABLE width ≥ gap+patch
+  width — not byte-aligned; pinned by test);
+- per-stripe stream-offset walking (index region vs data region),
+  stripe-footer ColumnEncoding checks, and TWO carried-twice
+  integrity cross-checks the format invites: Σ stripe row counts
+  must equal the footer's numberOfRows, and the footer's per-column
+  IntegerStatistics (min/max/sum, sint64 zigzag) must equal the
+  values actually decoded.
+
+Correctness evidence: pyarrow's ORC writer (the independent C++
+implementation) is the runtime WRITER across all five compression
+kinds; the five fixture columns are chosen to force each RLEv2
+sub-encoding (affine ramp → DELTA, sawtooth → DIRECT, plateau runs →
+SHORT_REPEAT/fixed-delta, rare 1e9 outliers → PATCHED_BASE, a signed
+sawtooth → zigzag); the DuckDB oracle replays the closed-form value
+lattice and never sees an ORC byte. Typed verdicts, each
+non-vacuous: tail truncation ('corrupt'), a footer numberOfRows
+patched away from the stripe row sum ('mismatch'), an LZO
+compression kind written into the postscript ('unsupported').
+
+Scale notes (100 TB): Arrow-batched ``mapInPandas``; the
+postscript-first walk is exactly how real readers plan stripe-level
+splits without scanning; decode is parallel across files, sequential
+only within one file's stripe chain; ~60 B of integer facts re-enter
+the JVM per file; the only shuffle is the harness ``orderBy``.
+
+Reference: Apache ORC specification v1 + orc_proto.proto (public);
+no repo counterpart (SURVEY.md §2l extension).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..tables import load_table
+from .inflate import inflate_raw
+from .lz4frame import lz4_decompress_block
+from .snappy import snappy_decompress_block
+from .zstdfse import decompress_frame
+
+# ------------------------------------------------ protobuf wire reader
+
+
+def _pb_varint(b: bytes, p: int) -> tuple[int, int]:
+    out = 0
+    shift = 0
+    while True:
+        if p >= len(b):
+            raise ValueError("orc protobuf varint truncated")
+        x = b[p]
+        p += 1
+        out |= (x & 0x7F) << shift
+        shift += 7
+        if not x & 0x80:
+            return out, p
+        if shift > 70:
+            raise ValueError("orc protobuf varint too long")
+
+
+def _pb_fields(b: bytes) -> list[tuple[int, int | bytes]]:
+    """Decode one protobuf message → [(field number, value)] where a
+    varint field yields int and a length-delimited field yields bytes.
+    Fixed32/64 are kept as raw bytes (unused by the ORC tail)."""
+    p = 0
+    out: list[tuple[int, int | bytes]] = []
+    while p < len(b):
+        tag, p = _pb_varint(b, p)
+        fld, wire = tag >> 3, tag & 7
+        if fld == 0:
+            raise ValueError("orc protobuf field number 0")
+        if wire == 0:
+            v, p = _pb_varint(b, p)
+            out.append((fld, v))
+        elif wire == 2:
+            n, p = _pb_varint(b, p)
+            if n < 0 or p + n > len(b):
+                raise ValueError("orc protobuf length field truncated")
+            out.append((fld, b[p : p + n]))
+            p += n
+        elif wire == 5:
+            if p + 4 > len(b):
+                raise ValueError("orc protobuf fixed32 truncated")
+            out.append((fld, b[p : p + 4]))
+            p += 4
+        elif wire == 1:
+            if p + 8 > len(b):
+                raise ValueError("orc protobuf fixed64 truncated")
+            out.append((fld, b[p : p + 8]))
+            p += 8
+        else:
+            raise ValueError(f"orc protobuf wire type {wire}")
+    return out
+
+
+def _pb_build(fields: list[tuple[int, int | bytes]]) -> bytes:
+    """Re-encode fields (inverse of ``_pb_fields`` for varint/bytes —
+    used by the fixture tamperer to patch one field in place)."""
+    out = bytearray()
+    for fld, v in fields:
+        if isinstance(v, int):
+            out += _pb_encode_varint(fld << 3)
+            out += _pb_encode_varint(v)
+        else:
+            out += _pb_encode_varint(fld << 3 | 2)
+            out += _pb_encode_varint(len(v))
+            out += v
+    return bytes(out)
+
+
+def _pb_encode_varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zz(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+# ------------------------------------------------ chunked compression
+
+_KIND_NAMES = {0: "none", 1: "zlib", 2: "snappy", 3: "lzo", 4: "lz4",
+               5: "zstd"}
+
+
+def _orc_chunks(b: bytes, kind: int) -> bytes:
+    """Undo ORC's chunked stream compression. Every compressed chunk
+    is routed through this repo's own native decoders; ``isOriginal``
+    chunks pass through."""
+    if kind == 0:
+        return bytes(b)
+    if kind not in (1, 2, 4, 5):
+        raise NotImplementedError(
+            f"orc compression kind {_KIND_NAMES.get(kind, kind)}"
+        )
+    out = bytearray()
+    p = 0
+    while p < len(b):
+        if p + 3 > len(b):
+            raise ValueError("orc chunk header truncated")
+        h = b[p] | b[p + 1] << 8 | b[p + 2] << 16
+        p += 3
+        n = h >> 1
+        if p + n > len(b):
+            raise ValueError("orc chunk body truncated")
+        chunk = bytes(b[p : p + n])
+        p += n
+        if h & 1:
+            out += chunk
+        elif kind == 1:
+            o, used = inflate_raw(chunk)
+            if used != len(chunk):
+                raise ValueError("orc zlib chunk has trailing garbage")
+            out += o
+        elif kind == 2:
+            out += snappy_decompress_block(chunk)
+        elif kind == 4:
+            out += lz4_decompress_block(chunk)
+        else:
+            o, used = decompress_frame(chunk)
+            if used != len(chunk):
+                raise ValueError("orc zstd chunk has trailing garbage")
+            out += o
+    return bytes(out)
+
+
+# ------------------------------------------------ RLEv2 decoder
+
+# the closed 32-entry width table (spec "Bit Width Encoding"):
+# codes 0..23 → 1..24 bits, then 26/28/30/32/40/48/56/64
+_WIDTH = {**{c: c + 1 for c in range(24)},
+          24: 26, 25: 28, 26: 30, 27: 32, 28: 40, 29: 48, 30: 56,
+          31: 64}
+_TABLE_WIDTHS = list(range(1, 25)) + [26, 28, 30, 32, 40, 48, 56, 64]
+
+
+def _closest_width(n: int) -> int:
+    """Closest width table entry ≥ n — the patch-list entry width rule
+    (NOT byte-aligned: a 7-bit gap + 23-bit patch packs at 30 bits)."""
+    for a in _TABLE_WIDTHS:
+        if n <= a:
+            return a
+    raise ValueError("orc rlev2 width exceeds 64 bits")
+
+
+class _BitReader:
+    """MSB-first bit unpacking over a byte range (ORC packs literal
+    runs big-endian within each byte)."""
+
+    __slots__ = ("b", "p", "bit")
+
+    def __init__(self, b: bytes, p: int):
+        self.b = b
+        self.p = p
+        self.bit = 0
+
+    def read(self, width: int) -> int:
+        out = 0
+        need = width
+        while need > 0:
+            if self.p >= len(self.b):
+                raise ValueError("orc rlev2 bitpacked run truncated")
+            avail = 8 - self.bit
+            take = avail if avail < need else need
+            out = (out << take) | (
+                (self.b[self.p] >> (avail - take)) & ((1 << take) - 1)
+            )
+            self.bit += take
+            if self.bit == 8:
+                self.bit = 0
+                self.p += 1
+            need -= take
+        return out
+
+    def align(self) -> int:
+        if self.bit:
+            self.bit = 0
+            self.p += 1
+        return self.p
+
+
+def rlev2_decode(b: bytes, signed: bool = True) -> list[int]:
+    """Decode one RLEv2 byte stream → values. All four sub-encodings;
+    SHORT_REPEAT/DIRECT literals and the DELTA base are zigzag when
+    ``signed``; PATCHED_BASE is sign-magnitude by construction and
+    never zigzags."""
+    vals: list[int] = []
+    p = 0
+    while p < len(b):
+        first = b[p]
+        enc = first >> 6
+        if enc == 0:  # SHORT_REPEAT
+            wbytes = ((first >> 3) & 7) + 1
+            count = (first & 7) + 3
+            if p + 1 + wbytes > len(b):
+                raise ValueError("orc short-repeat run truncated")
+            v = int.from_bytes(b[p + 1 : p + 1 + wbytes], "big")
+            if signed:
+                v = _zz(v)
+            vals.extend([v] * count)
+            p += 1 + wbytes
+        elif enc == 1:  # DIRECT
+            w = _WIDTH[(first >> 1) & 0x1F]
+            if p + 2 > len(b):
+                raise ValueError("orc direct run header truncated")
+            length = ((first & 1) << 8 | b[p + 1]) + 1
+            br = _BitReader(b, p + 2)
+            lits = [br.read(w) for _ in range(length)]
+            p = br.align()
+            if signed:
+                vals.extend(_zz(v) for v in lits)
+            else:
+                vals.extend(lits)
+        elif enc == 3:  # DELTA
+            wcode = (first >> 1) & 0x1F
+            w = 0 if wcode == 0 else _WIDTH[wcode]
+            if p + 2 > len(b):
+                raise ValueError("orc delta run header truncated")
+            length = ((first & 1) << 8 | b[p + 1]) + 1
+            p += 2
+            base, p = _pb_varint(b, p)
+            base = _zz(base) if signed else base
+            db_u, p = _pb_varint(b, p)
+            db = _zz(db_u)
+            run = [base]
+            if length > 1:
+                prev = base + db
+                run.append(prev)
+                if w > 0:
+                    br = _BitReader(b, p)
+                    for _ in range(length - 2):
+                        d = br.read(w)
+                        prev = prev - d if db < 0 else prev + d
+                        run.append(prev)
+                    p = br.align()
+                else:
+                    for _ in range(length - 2):
+                        prev += db
+                        run.append(prev)
+            vals.extend(run)
+        else:  # PATCHED_BASE
+            if p + 4 > len(b):
+                raise ValueError("orc patched-base header truncated")
+            w = _WIDTH[(first >> 1) & 0x1F]
+            length = ((first & 1) << 8 | b[p + 1]) + 1
+            third, fourth = b[p + 2], b[p + 3]
+            bw = ((third >> 5) & 7) + 1
+            pw = _WIDTH[third & 0x1F]
+            pgw = ((fourth >> 5) & 7) + 1
+            pll = fourth & 0x1F
+            p += 4
+            if p + bw > len(b):
+                raise ValueError("orc patched-base base value truncated")
+            base = int.from_bytes(b[p : p + bw], "big")
+            p += bw
+            sign_mask = 1 << (bw * 8 - 1)
+            if base & sign_mask:
+                base = -(base & (sign_mask - 1))
+            br = _BitReader(b, p)
+            lits = [br.read(w) for _ in range(length)]
+            p = br.align()
+            cw = _closest_width(pgw + pw)
+            br = _BitReader(b, p)
+            patches = [br.read(cw) for _ in range(pll)]
+            p = br.align()
+            idx = 0
+            pmask = (1 << pw) - 1
+            for ent in patches:
+                gap = ent >> pw
+                patch = ent & pmask
+                idx += gap
+                if gap == 255 and patch == 0:
+                    continue  # gap-continuation entry carries no patch
+                if idx >= length:
+                    raise ValueError("orc patch index beyond run length")
+                lits[idx] |= patch << w
+            vals.extend(base + v for v in lits)
+    return vals
+
+
+# ------------------------------------------------ file walk
+
+_TYPE_LONG = 4
+_TYPE_STRUCT = 12
+_ENC_DIRECT_V2 = 2
+_STREAM_PRESENT = 0
+_STREAM_DATA = 1
+_INDEX_STREAMS = (6, 7, 8)  # ROW_INDEX, BLOOM_FILTER, BLOOM_FILTER_UTF8
+
+
+def _grouped(fields: list[tuple[int, int | bytes]]) -> dict:
+    out: dict[int, list] = {}
+    for fld, v in fields:
+        out.setdefault(fld, []).append(v)
+    return out
+
+
+def walk_orc(data: bytes) -> dict:
+    """Walk one ORC file → per-column decoded long values plus
+    container facts. NotImplementedError for LZO/unknown compression,
+    non-long columns, non-DIRECT_V2 encodings or PRESENT streams
+    (nullable columns); ValueError with 'row count' for the
+    footer-vs-stripes mismatch, with 'statistics' when the footer's
+    IntegerStatistics disagree with the decoded values, plain
+    ValueError for structural damage."""
+    if len(data) < 5:
+        raise ValueError("orc file shorter than its postscript")
+    ps_len = data[-1]
+    if ps_len == 0 or 1 + ps_len > len(data):
+        raise ValueError("orc postscript length out of bounds")
+    ps = _grouped(_pb_fields(data[len(data) - 1 - ps_len : len(data) - 1]))
+    if ps.get(8000, [b""])[0] != b"ORC":
+        raise ValueError("bad orc postscript magic")
+    if 1 not in ps or not isinstance(ps[1][0], int):
+        raise ValueError("orc postscript lacks footerLength")
+    footer_len = ps[1][0]
+    kind = ps.get(2, [0])[0]
+    if not isinstance(kind, int):
+        raise ValueError("orc compression kind is not a varint")
+    end = len(data) - 1 - ps_len
+    if footer_len <= 0 or end - footer_len < 0:
+        raise ValueError("orc footer length out of bounds")
+    footer = _grouped(_pb_fields(_orc_chunks(data[end - footer_len : end],
+                                             kind)))
+    if 6 not in footer:
+        raise ValueError("orc footer lacks numberOfRows")
+    n_rows = footer[6][0]
+    types = [_grouped(_pb_fields(t)) for t in footer.get(4, [])]
+    if not types or types[0].get(1, [0])[0] != _TYPE_STRUCT:
+        raise ValueError("orc root type is not a struct")
+    for t in types[1:]:
+        tk = t.get(1, [0])[0]
+        if tk != _TYPE_LONG:
+            raise NotImplementedError(f"orc column type kind {tk}")
+    n_cols = len(types) - 1
+    columns: list[list[int]] = [[] for _ in range(n_cols)]
+    stripe_rows = 0
+    n_stripes = 0
+    for s in footer.get(3, []):
+        si = _grouped(_pb_fields(s))
+        try:
+            off = si[1][0]
+            ilen = si[2][0]
+            dlen = si[3][0]
+            sflen = si[4][0]
+            srows = si[5][0]
+        except (KeyError, IndexError) as exc:
+            raise ValueError("orc stripe information incomplete") from exc
+        if off + ilen + dlen + sflen > len(data):
+            raise ValueError("orc stripe extends beyond the file")
+        sfoot = _grouped(
+            _pb_fields(_orc_chunks(
+                data[off + ilen + dlen : off + ilen + dlen + sflen], kind
+            ))
+        )
+        encs = [_grouped(_pb_fields(e)) for e in sfoot.get(2, [])]
+        for c in range(1, n_cols + 1):
+            if c >= len(encs) or encs[c].get(1, [0])[0] != _ENC_DIRECT_V2:
+                raise NotImplementedError("orc non-DIRECT_V2 integer column")
+        dpos = off + ilen  # data region starts after the index region
+        for st_raw in sfoot.get(1, []):
+            st = _grouped(_pb_fields(st_raw))
+            skind = st.get(1, [0])[0]
+            col = st.get(2, [0])[0]
+            ln = st.get(3, [0])[0]
+            if skind in _INDEX_STREAMS:
+                continue  # lives in the index region; no data cursor move
+            if skind == _STREAM_PRESENT:
+                raise NotImplementedError("orc nullable column (PRESENT)")
+            if skind == _STREAM_DATA and 1 <= col <= n_cols:
+                if dpos + ln > off + ilen + dlen:
+                    raise ValueError("orc data stream beyond data region")
+                vals = rlev2_decode(
+                    _orc_chunks(data[dpos : dpos + ln], kind), signed=True
+                )
+                if len(vals) != srows:
+                    raise ValueError(
+                        "orc data stream row count disagrees with stripe"
+                    )
+                columns[col - 1].extend(vals)
+            dpos += ln
+        stripe_rows += srows
+        n_stripes += 1
+    if n_stripes == 0:
+        raise ValueError("orc file has no stripes")
+    if stripe_rows != n_rows:
+        raise ValueError("orc footer/stripe row count mismatch")
+    # second carried-twice check: footer IntegerStatistics vs decoded
+    stats = [_grouped(_pb_fields(st)) for st in footer.get(7, [])]
+    for c in range(n_cols):
+        if c + 1 >= len(stats):
+            break
+        cs = stats[c + 1]
+        if cs.get(1, [None])[0] not in (None, n_rows):
+            raise ValueError("orc column statistics value count mismatch")
+        ints = cs.get(2, [None])[0]
+        if ints is None or not columns[c]:
+            continue
+        ig = _grouped(_pb_fields(ints))
+        dec_min, dec_max = min(columns[c]), max(columns[c])
+        dec_sum = sum(columns[c])
+        for fld, dec in ((1, dec_min), (2, dec_max), (3, dec_sum)):
+            if fld in ig and _zz(ig[fld][0]) != dec:
+                raise ValueError("orc footer statistics mismatch")
+    return {
+        "compression": _KIND_NAMES.get(kind, str(kind)),
+        "n_rows": n_rows,
+        "n_stripes": n_stripes,
+        "n_cols": n_cols,
+        "columns": columns,
+    }
+
+
+# ------------------------------------------------ fixture writer
+
+_ORC_GROUPS = 10
+_ORC_CODECS = ("uncompressed", "zlib", "snappy", "lz4", "zstd")
+
+
+def _orc_n(g: int) -> int:
+    return 3000 + 173 * g
+
+
+def _orc_cols(g: int, n: int) -> dict[str, list[int]]:
+    """Five closed-form long columns, each shaped to force a distinct
+    RLEv2 sub-encoding out of the independent C++ writer."""
+    return {
+        "a": [1000 * g + 3 * i for i in range(n)],  # affine → DELTA
+        "b": [(i * i * 7 + 13 * i + 997 * g) % 65536
+              for i in range(n)],  # sawtooth → DIRECT
+        "c": [(i // 64) % 11 for i in range(n)],  # plateaus → SHORT_REPEAT
+        "d": [i % 97 + (1_000_000_000 if i % 101 == 7 else 0)
+              for i in range(n)],  # outliers → PATCHED_BASE
+        "e": [(i * 13 % 2001) - 1000 for i in range(n)],  # signed zigzag
+    }
+
+
+def build_orc(g: int, codec: str) -> bytes:
+    """pyarrow (the independent ORC C++ writer) writes the fixture;
+    small stripe/chunk sizes force the multi-stripe and multi-chunk
+    paths."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    n = _orc_n(g)
+    cols = _orc_cols(g, n)
+    t = pa.table({k: pa.array(v, pa.int64()) for k, v in cols.items()})
+    buf = io.BytesIO()
+    orc.write_table(
+        t, buf, compression=codec, stripe_size=4096,
+        compression_block_size=4096,
+    )
+    return buf.getvalue()
+
+
+def _retail(data: bytes, new_footer: bytes, kind: int,
+            ps_fields: list[tuple[int, int | bytes]],
+            footer_start: int) -> bytes:
+    """Rebuild the file tail around a patched footer: frame it as one
+    isOriginal chunk (legal inside any compressed file), then re-emit
+    the postscript with the new footerLength."""
+    if kind == 0:
+        framed = new_footer
+    else:
+        h = len(new_footer) << 1 | 1
+        framed = bytes((h & 0xFF, (h >> 8) & 0xFF, (h >> 16) & 0xFF))
+        framed += new_footer
+    ps = [(f, len(framed) if f == 1 else v) for f, v in ps_fields]
+    ps_raw = _pb_build(ps)
+    return data[:footer_start] + framed + ps_raw + bytes([len(ps_raw)])
+
+
+def _orc_payload(doc_id: int) -> bytes:
+    g = doc_id % _ORC_GROUPS
+    corrupt = doc_id % 11 == 3
+    mismatch = doc_id % 17 == 2 and not corrupt
+    unsup = doc_id % 13 == 5 and not (corrupt or mismatch)
+    # the unsupported class needs a real compression varint to patch,
+    # so it always builds zlib (kind 1 → rewritten to 3 = LZO)
+    codec = "zlib" if unsup else _ORC_CODECS[g % len(_ORC_CODECS)]
+    data = build_orc(g, codec)
+    if corrupt:
+        return data[:-8]  # kills postscript length byte + magic
+    if not (mismatch or unsup):
+        return data
+    ps_len = data[-1]
+    ps_fields = _pb_fields(data[len(data) - 1 - ps_len : len(data) - 1])
+    psd = _grouped(ps_fields)
+    kind = psd.get(2, [0])[0]
+    footer_len = psd[1][0]
+    footer_start = len(data) - 1 - ps_len - footer_len
+    if unsup:
+        ps = [(f, 3 if f == 2 else v) for f, v in ps_fields]
+        ps_raw = _pb_build(ps)
+        return data[:footer_start + footer_len] + ps_raw + bytes([len(ps_raw)])
+    # mismatch: patch footer numberOfRows (+1) — the stripes keep
+    # their true counts, so the carried-twice value disagrees
+    footer = _pb_fields(_orc_chunks(data[footer_start:footer_start
+                                         + footer_len], kind))
+    patched = _pb_build([(f, v + 1 if f == 6 else v) for f, v in footer])
+    return _retail(data, patched, kind, ps_fields, footer_start)
+
+
+# ------------------------------------------------ spark + oracle
+
+
+def _orc_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cache: dict[tuple, tuple] = {}
+
+    def facts(doc_id: int) -> tuple:
+        g = doc_id % _ORC_GROUPS
+        key = (g, doc_id % 11 == 3, doc_id % 17 == 2, doc_id % 13 == 5)
+        if key not in cache:
+            try:
+                f = walk_orc(_orc_payload(doc_id))
+                sums = [sum(c) for c in f["columns"]]
+                cache[key] = ("decoded", f["n_rows"], *sums)
+            except NotImplementedError:
+                cache[key] = ("unsupported", 0, 0, 0, 0, 0, 0)
+            except ValueError as exc:
+                status = ("mismatch"
+                          if "row count mismatch" in str(exc)
+                          else "corrupt")
+                cache[key] = (status, 0, 0, 0, 0, 0, 0)
+            except Exception:  # noqa: BLE001 — malformed bytes quarantine
+                cache[key] = ("corrupt", 0, 0, 0, 0, 0, 0)
+        return cache[key]
+
+    for pdf in it:
+        if pdf.empty:
+            continue
+        out = [(int(d),) + facts(int(d)) for d in pdf["doc_id"]]
+        yield pd.DataFrame(
+            out,
+            columns=["doc_id", "status", "n_rows", "a_sum", "b_sum",
+                     "c_sum", "d_sum", "e_sum"],
+        ).astype(
+            {"doc_id": "int64", "n_rows": "int64", "a_sum": "int64",
+             "b_sum": "int64", "c_sum": "int64", "d_sum": "int64",
+             "e_sum": "int64"}
+        )
+
+
+def _orc_oracle() -> str:
+    bad = ("d.doc_id % 11 = 3 OR d.doc_id % 17 = 2 "
+           "OR d.doc_id % 13 = 5")
+    return f"""
+    WITH grp AS (
+      SELECT DISTINCT doc_id % {_ORC_GROUPS} AS g FROM documents
+    ),
+    recs AS (
+      SELECT g, unnest(range(0, 3000 + 173 * g)) AS i FROM grp
+    ),
+    vals AS (
+      SELECT g,
+             1000 * g + 3 * i AS a,
+             (i * i * 7 + 13 * i + 997 * g) % 65536 AS b,
+             (i // 64) % 11 AS c,
+             i % 97 + CASE WHEN i % 101 = 7
+                           THEN 1000000000 ELSE 0 END AS dd,
+             (i * 13 % 2001) - 1000 AS e
+      FROM recs
+    ),
+    sums AS (
+      SELECT g,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(a) AS BIGINT) AS a_sum,
+             CAST(SUM(b) AS BIGINT) AS b_sum,
+             CAST(SUM(c) AS BIGINT) AS c_sum,
+             CAST(SUM(dd) AS BIGINT) AS d_sum,
+             CAST(SUM(e) AS BIGINT) AS e_sum
+      FROM vals GROUP BY g
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 11 = 3 THEN 'corrupt'
+                WHEN d.doc_id % 17 = 2 THEN 'mismatch'
+                WHEN d.doc_id % 13 = 5 THEN 'unsupported'
+                ELSE 'decoded' END AS status,
+           CASE WHEN {bad} THEN 0 ELSE s.n_rows END AS n_rows,
+           CASE WHEN {bad} THEN 0 ELSE s.a_sum END AS a_sum,
+           CASE WHEN {bad} THEN 0 ELSE s.b_sum END AS b_sum,
+           CASE WHEN {bad} THEN 0 ELSE s.c_sum END AS c_sum,
+           CASE WHEN {bad} THEN 0 ELSE s.d_sum END AS d_sum,
+           CASE WHEN {bad} THEN 0 ELSE s.e_sum END AS e_sum
+    FROM documents d
+    JOIN sums s ON d.doc_id % {_ORC_GROUPS} = s.g
+    ORDER BY d.doc_id
+    """
+
+
+@register("ingest_orc_walk", oracle=_orc_oracle())
+def ingest_orc_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC read with no ORC/protobuf library: native protobuf wire
+    decode of the PostScript/Footer/StripeFooter tail, chunked-stream
+    decompression through this repo's OWN zlib/snappy/lz4/zstd
+    decoders, and a full RLEv2 integer decoder (SHORT_REPEAT, DIRECT,
+    PATCHED_BASE incl. the gap-255 continuation, DELTA) for DIRECT_V2
+    long columns. pyarrow's ORC C++ writer is the independent runtime
+    WRITER across all five compression kinds; the five fixture columns
+    are shaped to force each RLEv2 sub-encoding; the DuckDB oracle
+    replays the closed-form value lattice and never sees an ORC byte.
+    Both carried-twice integrity values are cross-checked (stripe row
+    sums vs footer numberOfRows; footer IntegerStatistics vs decoded
+    min/max/sum). Typed verdicts, each non-vacuous: tail truncation
+    ('corrupt'), a patched footer numberOfRows ('mismatch'), an LZO
+    compression kind ('unsupported').
+
+    Scale notes (100 TB): the postscript-first walk is the format's
+    stripe-split planning path; Arrow-batched mapInPandas, parallel
+    across files, ~60 B of integer facts per file re-enter the JVM."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        _orc_batches,
+        schema=(
+            "doc_id long, status string, n_rows long, a_sum long, "
+            "b_sum long, c_sum long, d_sum long, e_sum long"
+        ),
+    ).orderBy("doc_id")

@@ -114,7 +114,8 @@ _LOADED = False
 # registry in staleness order for drivers that check more than 50
 # rows.
 _PRIORITY = [
-    # (a) round-12 registrations — never driver-checked (13)
+    # (a) round-12 registrations — never driver-checked (14)
+    "ingest_orc_walk",
     "ingest_avro_container_walk",
     "ingest_arrow_ipc_walk",
     "corpus_bigram_lm_train",
@@ -160,15 +161,15 @@ _PRIORITY = [
     "video_frame_ahash_dedup",
     "filetail_batch_offsets",
     "stream_filetail_log_counts",
-    # (c) r8-checked head (6) — window tail ends here (13+31+6=50)
+    # (c) r8-checked head (5) — window tail ends here (14+31+5=50)
     "cogroup_user_activity_profile",
     "pysource_synthetic_events",
     "text_repetition_filter",
     "split_train_val_test",
     "search_bm25_topk",
-    "rollup_time_multigrain",
     # --- window boundary (driver checks exactly 50) ---
-    # r8-checked remainder (44): the round-13 rotation head
+    # r8-checked remainder (45): the round-13 rotation head
+    "rollup_time_multigrain",
     "funnel_view_click_purchase",
     "cohort_weekly_retention",
     "cdc_apply_changelog",
@@ -405,6 +406,7 @@ def _ensure_loaded() -> None:
         multimodal,
         nsw,
         oggwalk,
+        orcwalk,
         paragraph_dedup,
         parquetwalk,
         perplexity,

@@ -25,6 +25,7 @@ from pyspark_postgres_loader_spark.operators import (
     inflate,
     lz4frame,
     oggwalk,
+    orcwalk,
     parquetwalk,
     safetensors,
     snappy,
@@ -87,6 +88,10 @@ _TARGETS = [
     ("zstd-dict-blob", lambda: base64.b64decode(
         "".join(zstddict._ZD_DICT_B64)),
      lambda b: zstddict.parse_zstd_dictionary(b)),
+    ("orc", lambda: orcwalk.build_orc(1, "zlib"),
+     lambda b: orcwalk.walk_orc(b)),
+    ("orc-zstd", lambda: orcwalk.build_orc(4, "zstd"),
+     lambda b: orcwalk.walk_orc(b)),
     ("iceberg-mlist", lambda: iceberg._ic_payloads(0)[0],
      lambda b: iceberg.walk_iceberg_snapshot(
          b, iceberg._ic_payloads(0)[1])),
