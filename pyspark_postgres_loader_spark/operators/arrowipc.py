@@ -231,6 +231,72 @@ _FMT = {("int", 1): "b", ("int", 2): "h", ("int", 4): "i",
         ("float", 8): "d"}
 
 
+def _decode_record_batch(
+    meta: bytes,
+    msg: _FbTable,
+    body: bytes,
+    fields: list[tuple[str, str, int]],
+    columns: list[list],
+) -> tuple[int, int]:
+    """Decode one RecordBatch message (shared by the file and stream
+    walks) → (row count, null count); appends values to ``columns``."""
+    rb = msg.table(2)
+    if rb is None:
+        raise ValueError("arrow message lacks a RecordBatch header")
+    rows = rb.int64(0)
+    if rows < 0:
+        raise ValueError("arrow RecordBatch negative length")
+    nodes = rb.vector(1, 16)
+    bufs = rb.vector(2, 16)
+    if nodes is None or bufs is None:
+        raise ValueError("arrow RecordBatch lacks nodes/buffers")
+    nst, nn = nodes
+    bst2, nbuf = bufs
+    if nn != len(fields) or nbuf != 2 * len(fields):
+        raise ValueError("arrow node/buffer counts do not match schema")
+    comp = rb.table(3)
+    codec = None
+    if comp is not None:
+        if comp.byte(1) != 0:
+            raise NotImplementedError("arrow non-BUFFER compression")
+        codec = comp.byte(0)
+    null_count = 0
+    for c, (name, kind, width) in enumerate(fields):
+        node_p = nst + 16 * c
+        f_rows = _i64(meta, node_p)
+        f_nulls = _i64(meta, node_p + 8)
+        if f_rows != rows:
+            raise ValueError("arrow field node row count mismatch")
+        vb_p = bst2 + 16 * (2 * c)
+        db_p = bst2 + 16 * (2 * c + 1)
+        validity = _decode_buffer(
+            body, _i64(meta, vb_p), _i64(meta, vb_p + 8), codec
+        )
+        values_raw = _decode_buffer(
+            body, _i64(meta, db_p), _i64(meta, db_p + 8), codec
+        )
+        if len(values_raw) < rows * width:
+            raise ValueError("arrow data buffer shorter than rows")
+        vals = list(
+            struct.unpack_from(
+                f"<{rows}{_FMT[(kind, width)]}", values_raw, 0
+            )
+        )
+        if f_nulls:
+            if len(validity) * 8 < rows:
+                raise ValueError("arrow validity bitmap too short")
+            seen_nulls = 0
+            for i in range(rows):
+                if not (validity[i >> 3] >> (i & 7)) & 1:
+                    vals[i] = None
+                    seen_nulls += 1
+            if seen_nulls != f_nulls:
+                raise ValueError("arrow null_count disagrees with bitmap")
+            null_count += f_nulls
+        columns[c].extend(vals)
+    return rows, null_count
+
+
 def walk_arrow_ipc(data: bytes) -> dict:
     """Walk one Arrow IPC file → per-column decoded values (None at
     null slots) plus container facts. NotImplementedError for
@@ -293,61 +359,10 @@ def walk_arrow_ipc(data: bytes) -> dict:
             raise ValueError(
                 "arrow footer/message bodyLength mismatch"
             )
-        rb = msg.table(2)
-        if rb is None:
-            raise ValueError("arrow message lacks a RecordBatch header")
-        rows = rb.int64(0)
-        if rows < 0:
-            raise ValueError("arrow RecordBatch negative length")
-        nodes = rb.vector(1, 16)
-        bufs = rb.vector(2, 16)
-        if nodes is None or bufs is None:
-            raise ValueError("arrow RecordBatch lacks nodes/buffers")
-        nst, nn = nodes
-        bst2, nbuf = bufs
-        if nn != len(fields) or nbuf != 2 * len(fields):
-            raise ValueError("arrow node/buffer counts do not match schema")
-        comp = rb.table(3)
-        codec = None
-        if comp is not None:
-            if comp.byte(1) != 0:
-                raise NotImplementedError("arrow non-BUFFER compression")
-            codec = comp.byte(0)
         body = data[off + 8 + metalen : off + 8 + metalen + blen]
-        for c, (name, kind, width) in enumerate(fields):
-            node_p = nst + 16 * c
-            f_rows = _i64(meta, node_p)
-            f_nulls = _i64(meta, node_p + 8)
-            if f_rows != rows:
-                raise ValueError("arrow field node row count mismatch")
-            vb_p = bst2 + 16 * (2 * c)
-            db_p = bst2 + 16 * (2 * c + 1)
-            validity = _decode_buffer(
-                body, _i64(meta, vb_p), _i64(meta, vb_p + 8), codec
-            )
-            values_raw = _decode_buffer(
-                body, _i64(meta, db_p), _i64(meta, db_p + 8), codec
-            )
-            if len(values_raw) < rows * width:
-                raise ValueError("arrow data buffer shorter than rows")
-            vals = list(
-                struct.unpack_from(
-                    f"<{rows}{_FMT[(kind, width)]}", values_raw, 0
-                )
-            )
-            if f_nulls:
-                if len(validity) * 8 < rows:
-                    raise ValueError("arrow validity bitmap too short")
-                seen_nulls = 0
-                for i in range(rows):
-                    if not (validity[i >> 3] >> (i & 7)) & 1:
-                        vals[i] = None
-                        seen_nulls += 1
-                if seen_nulls != f_nulls:
-                    raise ValueError("arrow null_count disagrees with bitmap")
-                null_count += f_nulls
-            columns[c].extend(vals)
+        rows, nulls = _decode_record_batch(meta, msg, body, fields, columns)
         n_rows += rows
+        null_count += nulls
     return {
         "fields": [n for n, _, _ in fields],
         "n_batches": nb,

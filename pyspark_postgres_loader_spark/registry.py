@@ -79,7 +79,12 @@ _LOADED = False
 # Round-12 rotation. Entering this round all 231 pre-existing queries
 # are driver-verified with every latest check green; staleness
 # histogram after r11: r11=50, r10=50, r9=50, r8=50, r7=31. This
-# window = the 13 round-12 registrations (ingest_avro_container_walk —
+# window = the 16 round-12 registrations (ingest_orc_walk — the
+# native ORC walk: protobuf tail, RLEv2, chunked codecs through our
+# own decoders; ingest_arrow_ipc_stream_walk — the footer-less Arrow
+# IPC wire format over the shared FlatBuffers RecordBatch decoder;
+# ingest_avro_schema_resolution — reader-vs-writer schema evolution:
+# name matching, defaults, promotions; ingest_avro_container_walk —
 # the Avro object-container walk with six block codecs routed through
 # the repo's own native decoders; ingest_arrow_ipc_walk — the Arrow
 # IPC/Feather-V2 walk over a hand-written FlatBuffers vtable reader
@@ -106,16 +111,18 @@ _LOADED = False
 # full 31-name r7-latest remainder
 # (exactly the head VERDICT r11 prescribed: the r7-era TPC-H, SCD2/
 # sessionize, tokenizer-BPE, text-pipeline, video and filetail names,
-# 5 rounds stale) + the first 6 of the 50 r8-checked names = 50
-# exactly. After this round the staleness floor rises to r8 (44
-# remaining r8 names). The round-13 rotation head is those 44
-# r8-checked names (starting at funnel_view_click_purchase) followed
-# by the first 6 of the r9-checked block; the rest of the list is the FULL
+# 5 rounds stale) + the first 3 of the 50 r8-checked names = 50
+# exactly. After this round the staleness floor rises to r8 (47
+# remaining r8 names). The round-13 rotation head is those 47
+# r8-checked names (starting at split_train_val_test) followed by
+# the first 3 of the r9-checked block; the rest of the list is the FULL
 # registry in staleness order for drivers that check more than 50
 # rows.
 _PRIORITY = [
-    # (a) round-12 registrations — never driver-checked (14)
+    # (a) round-12 registrations — never driver-checked (16)
     "ingest_orc_walk",
+    "ingest_arrow_ipc_stream_walk",
+    "ingest_avro_schema_resolution",
     "ingest_avro_container_walk",
     "ingest_arrow_ipc_walk",
     "corpus_bigram_lm_train",
@@ -161,14 +168,14 @@ _PRIORITY = [
     "video_frame_ahash_dedup",
     "filetail_batch_offsets",
     "stream_filetail_log_counts",
-    # (c) r8-checked head (5) — window tail ends here (14+31+5=50)
+    # (c) r8-checked head (3) — window tail ends here (16+31+3=50)
     "cogroup_user_activity_profile",
     "pysource_synthetic_events",
     "text_repetition_filter",
+    # --- window boundary (driver checks exactly 50) ---
+    # r8-checked remainder (47): the round-13 rotation head
     "split_train_val_test",
     "search_bm25_topk",
-    # --- window boundary (driver checks exactly 50) ---
-    # r8-checked remainder (45): the round-13 rotation head
     "rollup_time_multigrain",
     "funnel_view_click_purchase",
     "cohort_weekly_retention",
@@ -381,6 +388,8 @@ def _ensure_loaded() -> None:
         adpcm,
         analytics_extra,
         arrowipc,
+        arrowstream,
+        avroresolve,
         avrowalk,
         bzip2,
         clustering,

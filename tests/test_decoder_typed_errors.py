@@ -18,6 +18,8 @@ import pytest
 
 from pyspark_postgres_loader_spark.operators import (
     arrowipc,
+    arrowstream,
+    avroresolve,
     avrowalk,
     bzip2,
     gzipwalk,
@@ -90,6 +92,11 @@ _TARGETS = [
      lambda b: zstddict.parse_zstd_dictionary(b)),
     ("orc", lambda: orcwalk.build_orc(1, "zlib"),
      lambda b: orcwalk.walk_orc(b)),
+    ("arrow-stream", lambda: arrowstream._as_payload(0),
+     lambda b: arrowstream.walk_arrow_ipc_stream(b)),
+    ("avro-resolved", lambda: avroresolve._rs_case(0)[0],
+     lambda b: avroresolve.walk_avro_resolved(
+         b, avroresolve._RS_READER)),
     ("orc-zstd", lambda: orcwalk.build_orc(4, "zstd"),
      lambda b: orcwalk.walk_orc(b)),
     ("iceberg-mlist", lambda: iceberg._ic_payloads(0)[0],
