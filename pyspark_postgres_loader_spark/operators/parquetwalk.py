@@ -88,11 +88,17 @@ class _TReader:
         v = self._varint()
         return (v >> 1) ^ -(v & 1)
 
-    def _value(self, ftype: int):
-        if ftype == _T_TRUE:
-            return True
-        if ftype == _T_FALSE:
-            return False
+    def _value(self, ftype: int, container: bool = False):
+        if ftype in (_T_TRUE, _T_FALSE):
+            if not container:
+                # struct field: the bool IS the field-header type code
+                return ftype == _T_TRUE
+            # list/set/map element: one byte, 1 = true, 0/2 = false
+            b = self.d[self.pos]
+            self.pos += 1
+            if b not in (0, 1, 2):
+                raise ValueError("thrift bool element out of range")
+            return b == 1
         if ftype == _T_BYTE:
             b = self.d[self.pos]
             self.pos += 1
@@ -117,7 +123,7 @@ class _TReader:
             etype = hdr & 0x0F
             if size == 15:
                 size = self._varint()
-            return [self._value(etype) for _ in range(size)]
+            return [self._value(etype, container=True) for _ in range(size)]
         if ftype == _T_MAP:
             size = self._varint()
             if size == 0:
@@ -126,7 +132,9 @@ class _TReader:
             self.pos += 1
             kt, vt = kv >> 4, kv & 0x0F
             return {
-                self._value(kt): self._value(vt) for _ in range(size)
+                self._value(kt, container=True):
+                    self._value(vt, container=True)
+                for _ in range(size)
             }
         if ftype == _T_STRUCT:
             return self.read_struct()
@@ -159,17 +167,11 @@ _PAGE_DATA = 0
 _PAGE_DICT = 2
 
 
-def _read_rle_levels(raw: bytes, count: int, bit_width: int) -> tuple[list[int], int]:
-    """Parquet RLE/bit-packed-hybrid level run (4-byte length prefix,
-    then RLE runs ``(count<<1)|0`` with a fixed-width value and
-    bit-packed runs ``(groups<<1)|1`` of groups·8 values) → (levels,
-    bytes consumed including the prefix)."""
-    if len(raw) < 4:
-        raise ValueError("truncated level-run length")
-    total = struct.unpack_from("<I", raw, 0)[0]
-    body = raw[4 : 4 + total]
-    if len(body) != total:
-        raise ValueError("truncated level-run body")
+def _parse_level_runs(body: bytes, count: int, bit_width: int) -> list[int]:
+    """RLE/bit-packed-hybrid run body (no length prefix — v2 data
+    pages frame levels externally): RLE runs ``(count<<1)|0`` with a
+    fixed-width value and bit-packed runs ``(groups<<1)|1`` of
+    groups·8 values → levels."""
     pos = 0
     out: list[int] = []
     width_bytes = (bit_width + 7) // 8
@@ -200,7 +202,19 @@ def _read_rle_levels(raw: bytes, count: int, bit_width: int) -> tuple[list[int],
             val = int.from_bytes(body[pos : pos + width_bytes], "little")
             pos += width_bytes
             out.extend([val] * run)
-    return out[:count], 4 + total
+    return out[:count]
+
+
+def _read_rle_levels(raw: bytes, count: int, bit_width: int) -> tuple[list[int], int]:
+    """v1 data-page level run: 4-byte length prefix, then the hybrid
+    run body → (levels, bytes consumed including the prefix)."""
+    if len(raw) < 4:
+        raise ValueError("truncated level-run length")
+    total = struct.unpack_from("<I", raw, 0)[0]
+    body = raw[4 : 4 + total]
+    if len(body) != total:
+        raise ValueError("truncated level-run body")
+    return _parse_level_runs(body, count, bit_width), 4 + total
 
 
 def _decompress(codec: int, data: bytes, want: int) -> bytes:

@@ -107,19 +107,27 @@ _LOADED = False
 # transaction-log replay with a to_json/from_json roundtrip and a
 # cumulative live-set window fold; iceberg_manifest_snapshot —
 # snapshot planning over Avro manifest trees through our own Avro
-# decoder, with nested-record + optional-union schema support) + the
+# decoder, with nested-record + optional-union schema support;
+# ingest_parquet_v2_delta_walk — DataPageV2 + DELTA_BINARY_PACKED /
+# DELTA_BYTE_ARRAY through our own codecs, pyarrow-written;
+# ingest_cbor_walk — RFC 8949 decode pinned to the Appendix A
+# vectors, well-formedness vs validity typed separately;
+# ingest_parquet_page_index_walk — ColumnIndex/OffsetIndex decode
+# cross-validated both ways against the walked pages) + the
 # full 31-name r7-latest remainder
 # (exactly the head VERDICT r11 prescribed: the r7-era TPC-H, SCD2/
 # sessionize, tokenizer-BPE, text-pipeline, video and filetail names,
-# 5 rounds stale) + the first 3 of the 50 r8-checked names = 50
-# exactly. After this round the staleness floor rises to r8 (47
-# remaining r8 names). The round-13 rotation head is those 47
-# r8-checked names (starting at split_train_val_test) followed by
-# the first 3 of the r9-checked block; the rest of the list is the FULL
+# 5 rounds stale) = 50 exactly. After this round the staleness floor
+# rises to r8 (50 remaining r8 names). The round-13 rotation head is
+# those 50 r8-checked names (starting at cogroup_user_activity_profile,
+# then split_train_val_test); the rest of the list is the FULL
 # registry in staleness order for drivers that check more than 50
 # rows.
 _PRIORITY = [
-    # (a) round-12 registrations — never driver-checked (16)
+    # (a) round-12 registrations — never driver-checked (19)
+    "ingest_parquet_v2_delta_walk",
+    "ingest_cbor_walk",
+    "ingest_parquet_page_index_walk",
     "ingest_orc_walk",
     "ingest_arrow_ipc_stream_walk",
     "ingest_avro_schema_resolution",
@@ -168,12 +176,11 @@ _PRIORITY = [
     "video_frame_ahash_dedup",
     "filetail_batch_offsets",
     "stream_filetail_log_counts",
-    # (c) r8-checked head (3) — window tail ends here (16+31+3=50)
+    # --- window boundary (driver checks exactly 50; 19+31=50) ---
+    # r8-checked block (50): the round-13 rotation head
     "cogroup_user_activity_profile",
     "pysource_synthetic_events",
     "text_repetition_filter",
-    # --- window boundary (driver checks exactly 50) ---
-    # r8-checked remainder (47): the round-13 rotation head
     "split_train_val_test",
     "search_bm25_topk",
     "rollup_time_multigrain",
@@ -392,6 +399,7 @@ def _ensure_loaded() -> None:
         avroresolve,
         avrowalk,
         bzip2,
+        cborwalk,
         clustering,
         dedup,
         deltalog,
@@ -417,6 +425,8 @@ def _ensure_loaded() -> None:
         oggwalk,
         orcwalk,
         paragraph_dedup,
+        parquetindex,
+        parquetv2,
         parquetwalk,
         perplexity,
         pq,

@@ -22,12 +22,15 @@ from pyspark_postgres_loader_spark.operators import (
     avroresolve,
     avrowalk,
     bzip2,
+    cborwalk,
     gzipwalk,
     iceberg,
     inflate,
     lz4frame,
     oggwalk,
     orcwalk,
+    parquetindex,
+    parquetv2,
     parquetwalk,
     safetensors,
     snappy,
@@ -57,6 +60,12 @@ _TARGETS = [
      lambda b: xzwalk.decompress_xz(b)),
     ("parquet", lambda: parquetwalk._pq_bytes(0),
      lambda b: parquetwalk.walk_parquet(b)),
+    ("parquet-v2", lambda: parquetv2._v2_bytes(1),
+     lambda b: parquetv2.walk_parquet_v2(b)),
+    ("cbor", lambda: cborwalk._cb_payload(0),
+     lambda b: cborwalk.walk_cbor(b)),
+    ("parquet-page-index", lambda: parquetindex._pi_bytes(0),
+     lambda b: parquetindex.walk_parquet_page_index(b)),
     ("zip", lambda: zipwalk._zip_payload(0),
      lambda b: zipwalk.walk_zip_members(b)),
     ("ogg", lambda: oggwalk._ogg_payload(0),
