@@ -294,6 +294,11 @@ def walk_avro(data: bytes) -> dict:
         count, pos = zigzag_long(data, pos)
         if count <= 0:
             raise ValueError("avro block record count must be positive")
+        if count > 1 << 24:
+            # all-null-field records legally consume ZERO body bytes,
+            # so the size field cannot bound the count — cap it before
+            # it sizes the decode loop (the width-0 allocation lesson)
+            raise ValueError("implausible avro block record count")
         size, pos = zigzag_long(data, pos)
         if size < 0 or pos + size + 16 > len(data):
             raise ValueError("avro block truncated")

@@ -373,6 +373,17 @@ def walk_orc(data: bytes) -> dict:
     footer-vs-stripes mismatch, with 'statistics' when the footer's
     IntegerStatistics disagree with the decoded values, plain
     ValueError for structural damage."""
+    try:
+        return _walk_orc(data)
+    except (IndexError, TypeError) as exc:
+        # corruption can flip a protobuf WIRE TYPE, so a field the
+        # walk expects as a varint/submessage arrives as bytes/int —
+        # that is structural damage, typed like truncation
+        # (campaign-fuzz-pinned in tests)
+        raise ValueError(f"malformed orc structure ({exc})") from exc
+
+
+def _walk_orc(data: bytes) -> dict:
     if len(data) < 5:
         raise ValueError("orc file shorter than its postscript")
     ps_len = data[-1]

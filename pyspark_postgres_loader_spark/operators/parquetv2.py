@@ -76,19 +76,30 @@ def _zigzag(raw: bytes, pos: int) -> tuple[int, int]:
     return (v >> 1) ^ -(v & 1), pos
 
 
-def delta_binary_packed(raw: bytes, pos: int = 0) -> tuple[list[int], int]:
+def delta_binary_packed(
+    raw: bytes, pos: int = 0, max_total: int | None = None
+) -> tuple[list[int], int]:
     """DELTA_BINARY_PACKED run → (values, next position). Geometry:
     <block size> <miniblocks/block> <total count> <first value>; each
     block is <min delta> <bit-width byte per miniblock> <bit-packed
     deltas>. Miniblocks wholly past the total count are omitted by
     writers; padding inside a started miniblock is present and
     skipped. Bit packing is LSB-first little-endian (the same
-    convention as the RLE-hybrid bit-packed runs)."""
+    convention as the RLE-hybrid bit-packed runs).
+
+    ``max_total`` bounds the declared value count BEFORE anything is
+    materialized: width-0 miniblocks make values byte-free, so a
+    crafted huge <total count> would otherwise be an unbounded
+    allocation loop rather than a typed error (the bzip2 zero-run
+    lesson). Callers always know the expected count — the page header
+    or the outer byte-array run supplies it."""
     block, pos = _uleb(raw, pos)
     nmini, pos = _uleb(raw, pos)
     total, pos = _uleb(raw, pos)
     if nmini == 0 or block % nmini or (block // nmini) % 8:
         raise ValueError("bad delta-binary-packed geometry")
+    if max_total is not None and total > max_total:
+        raise ValueError("delta run declares more values than expected")
     vpm = block // nmini
     if total == 0:
         return [], pos
@@ -127,8 +138,8 @@ def delta_byte_array(raw: bytes, pos: int, count: int) -> tuple[list[bytes], int
     """DELTA_BYTE_ARRAY run → (byte strings, next position): prefix
     lengths then suffix lengths (both DELTA_BINARY_PACKED), then the
     concatenated suffix bytes; value i = previous[:prefix_i] + suffix_i."""
-    prefixes, pos = delta_binary_packed(raw, pos)
-    suffix_lens, pos = delta_binary_packed(raw, pos)
+    prefixes, pos = delta_binary_packed(raw, pos, max_total=count)
+    suffix_lens, pos = delta_binary_packed(raw, pos, max_total=count)
     if len(prefixes) != count or len(suffix_lens) != count:
         raise ValueError("delta-byte-array length runs disagree with count")
     out: list[bytes] = []
@@ -210,6 +221,12 @@ def _walk_v2(data: bytes) -> dict:
                 if dph is None:
                     raise ValueError("v2 data page without its header")
                 pvals = dph.get(1)
+                if pvals is None or pvals < 0 or pvals > 1 << 24:
+                    # the count is a raw varint and delta encoding can
+                    # legally pack values into fractions of a bit, so
+                    # byte-based truncation checks cannot bound it —
+                    # cap it before it sizes any allocation
+                    raise ValueError("implausible v2 page value count")
                 num_nulls = dph.get(2) or 0
                 enc = dph.get(4)
                 dl_len = dph.get(5) or 0
@@ -233,7 +250,7 @@ def _walk_v2(data: bytes) -> dict:
                     codec, body[rl_len + dl_len :], usize - rl_len - dl_len
                 )
                 if ptype == _PT_INT64 and enc == _ENC_DELTA_BINARY_PACKED:
-                    vals, _ = delta_binary_packed(raw)
+                    vals, _ = delta_binary_packed(raw, max_total=pvals)
                     if len(vals) != pvals:
                         raise ValueError("delta run disagrees with page count")
                     ints.extend(vals)

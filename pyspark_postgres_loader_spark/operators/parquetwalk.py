@@ -201,7 +201,12 @@ def _parse_level_runs(body: bytes, count: int, bit_width: int) -> list[int]:
             run = header >> 1
             val = int.from_bytes(body[pos : pos + width_bytes], "little")
             pos += width_bytes
-            out.extend([val] * run)
+            # clamp materialization to the values still needed: the
+            # run length is a raw varint, so a corrupt header could
+            # otherwise demand an arbitrarily large list BEFORE the
+            # while-loop bound is consulted (RLE consumes no
+            # per-value bytes — truncation checks can't save us)
+            out.extend([val] * min(run, count - len(out)))
     return out[:count]
 
 

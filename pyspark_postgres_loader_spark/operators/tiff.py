@@ -347,6 +347,16 @@ def decode_tiff_grey(payload: bytes):
     """Decode a baseline greyscale TIFF → (w, h, big_endian, strips,
     rows) with ``rows`` a list of per-row byte strings. Unsupported
     baseline-adjacent modes raise the typed quarantine."""
+    try:
+        return _decode_tiff_grey(payload)
+    except (IndexError, struct.error, TypeError) as exc:
+        # corrupt IFD entries (e.g. a zero-count tag) surface as
+        # container/shape errors deep in the decode — structural
+        # damage, typed like truncation (campaign-fuzz-pinned)
+        raise ValueError(f"malformed TIFF structure ({exc})") from exc
+
+
+def _decode_tiff_grey(payload: bytes):
     if len(payload) < 8:
         raise ValueError("truncated TIFF header")
     bo = payload[0:2]
@@ -368,8 +378,12 @@ def decode_tiff_grey(payload: bytes):
     for k in range(n):
         off = ifd_off + 2 + 12 * k
         tag, typ, cnt = struct.unpack(e + "HHI", payload[off : off + 8])
-        if typ not in (3, 4):
-            continue  # baseline greyscale needs only SHORT/LONG tags
+        if typ not in (3, 4) or cnt == 0:
+            # baseline greyscale needs only SHORT/LONG tags; a
+            # zero-count entry would store an EMPTY value list that
+            # every consumer indexes — treat it as absent so required
+            # tags fail through the typed 'missing tag' path
+            continue
         unit = _TYPE_SIZE[typ]
         fmt = {3: "H", 4: "I"}[typ]
         total = unit * cnt

@@ -217,3 +217,34 @@ def test_schema_field_without_name_is_typed():
         )
         with pytest.raises(ValueError):
             walk_avro(blob)
+
+
+def test_null_record_count_bomb_is_typed():
+    """A record whose only field is null-typed consumes ZERO body
+    bytes, so a crafted block count cannot be bounded by the block
+    size — the walk must cap it before sizing the decode loop."""
+    import json as _json
+    import time
+
+    import pytest as _pytest
+
+    from pyspark_postgres_loader_spark.operators.avrowalk import walk_avro
+
+    schema = _json.dumps(
+        {"type": "record", "name": "r",
+         "fields": [{"name": "x", "type": "null"}]}
+    ).encode()
+    sync = bytes(range(16))
+    blob = (
+        b"Obj\x01"
+        + _inline_varint(1)
+        + _inline_varint(len(b"avro.schema")) + b"avro.schema"
+        + _inline_varint(len(schema)) + schema
+        + _inline_varint(0)
+        + sync
+        + _inline_varint(1 << 40) + _inline_varint(0) + sync
+    )
+    t0 = time.time()
+    with _pytest.raises(ValueError, match="implausible"):
+        walk_avro(blob)
+    assert time.time() - t0 < 1.0

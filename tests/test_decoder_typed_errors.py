@@ -128,7 +128,7 @@ def test_corrupted_input_errors_are_typed(name, mk, fn):
     rng = random.Random(_zlib.crc32(name.encode()) & 0xFFFF)
     for trial in range(200):
         b = bytearray(blob)
-        mode = trial % 4
+        mode = trial % 5
         if mode == 0:  # single bit flip
             i = rng.randrange(len(b))
             b[i] ^= 1 << rng.randrange(8)
@@ -137,12 +137,19 @@ def test_corrupted_input_errors_are_typed(name, mk, fn):
             b[i] = rng.randrange(256)
         elif mode == 2:  # truncation
             b = b[: rng.randrange(len(b))]
-        else:  # random splice
+        elif mode == 3:  # random splice
             i = rng.randrange(len(b))
             b = (b[:i]
                  + bytes(rng.randrange(256)
                          for _ in range(rng.randrange(1, 9)))
                  + b[i:])
+        else:  # varint bomb: a long 0x80-continuation run makes any
+            # LEB128/zigzag length or count astronomically large —
+            # the mutator that exposed the r12 width-0/null-record
+            # allocation class and the ORC/TIFF wire-type escapes
+            i = rng.randrange(len(b))
+            b = (b[:i] + b"\xff" * rng.randrange(4, 12)
+                 + bytes([rng.randrange(0x80)]) + b[i:])
         try:
             fn(bytes(b))
         except (ValueError, NotImplementedError):

@@ -195,3 +195,27 @@ def test_query_matches_oracle(spark):
     from oracle_harness import compare_query
 
     compare_query(spark, "/root/testdata/sf0.001", "ingest_orc_walk")
+
+
+def test_tail_splice_errors_are_typed_at_fixed_offsets():
+    """Deterministic pin of the round-12 wrapper: a varint-bomb run
+    spliced into the ORC tail flips protobuf wire types, so fields
+    the walk expects as varints/submessages arrive as bytes/ints —
+    every such outcome must surface as ValueError /
+    NotImplementedError, never a raw TypeError (campaign-fuzz
+    finding, round 12)."""
+    import pytest as _pytest
+
+    from pyspark_postgres_loader_spark.operators.orcwalk import (
+        build_orc,
+        walk_orc,
+    )
+
+    blob = build_orc(1, "zlib")
+    for back in range(8, 120, 7):
+        b = blob[: len(blob) - back] + b"\xff" * 8 + b"\x01" + blob[len(blob) - back :]
+        try:
+            walk_orc(b)
+        except (ValueError, NotImplementedError):
+            pass
+        # any other exception type propagates and fails the test

@@ -195,3 +195,42 @@ def test_query_matches_oracle(spark):
     compare_query(
         spark, "/root/testdata/sf0.001", "ingest_parquet_v2_delta_walk"
     )
+
+
+def test_width_zero_count_bomb_is_typed_not_allocated():
+    """Width-0 miniblocks make values byte-free, so a crafted huge
+    <total count> must be rejected by the expected-count bound BEFORE
+    any materialization (the bzip2 zero-run lesson)."""
+    bomb = (
+        _uleb_enc(8) + _uleb_enc(1) + _uleb_enc(1 << 40) + _zz_enc(0)
+        + (_zz_enc(1) + bytes([0])) * 4
+    )
+    with pytest.raises(ValueError, match="more values than expected"):
+        delta_binary_packed(bomb, max_total=512)
+
+
+def test_rle_level_run_bomb_is_clamped():
+    """A level-run RLE header declaring a huge run consumes no
+    per-value bytes, so truncation checks can't bound it — the parser
+    must clamp materialization to the values still needed."""
+    import time
+
+    from pyspark_postgres_loader_spark.operators.parquetwalk import (
+        _parse_level_runs,
+    )
+
+    rle = _uleb_enc((1 << 40) << 1) + b"\x01"
+    t0 = time.time()
+    levels = _parse_level_runs(rle, 512, 1)
+    assert levels == [1] * 512
+    assert time.time() - t0 < 1.0
+
+
+def test_delta_run_longer_than_page_count_is_typed():
+    """The page header's num_values bounds the delta run's declared
+    total via max_total — a run claiming more is a typed error."""
+    with pytest.raises(ValueError, match="more values than expected"):
+        delta_binary_packed(
+            _uleb_enc(8) + _uleb_enc(1) + _uleb_enc(1 << 30) + _zz_enc(0),
+            max_total=1 << 24,
+        )

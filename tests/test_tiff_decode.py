@@ -258,3 +258,24 @@ def test_lzw_tiled_query_matches_oracle(spark):
     compare_query(
         spark, "/root/testdata/sf0.001", "multimodal_tiff_lzw_tiled_decode"
     )
+
+
+def test_zero_count_tag_is_missing_not_indexerror():
+    """An IFD entry with count=0 stores no values — consumers must
+    see the tag as ABSENT (typed 'missing required tag'), never index
+    an empty list (campaign-fuzz finding, round 12)."""
+    import struct
+
+    from pyspark_postgres_loader_spark.operators.tiff import (
+        decode_tiff_grey,
+    )
+
+    # II header + one-entry IFD: tag 256 (ImageWidth), SHORT, count 0
+    blob = (
+        b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)
+        + struct.pack("<H", 1)
+        + struct.pack("<HHI", 256, 3, 0) + b"\x00\x00\x00\x00"
+        + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError, match="missing required TIFF tag"):
+        decode_tiff_grey(blob)

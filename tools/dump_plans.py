@@ -123,8 +123,10 @@ SHOWCASE = [
         "ingest_avro_container_walk",
         "round-12 container exemplar: the identical pruned-scan → "
         "MapInPandas shape carries the Avro walk (six codec routes "
-        "through our native decoders), the Arrow IPC walk, the pax "
-        "tar walk, safetensors and the zstd-dictionary decode",
+        "through our native decoders), the Arrow IPC file+stream "
+        "walks, the ORC walk, the pax tar walk, safetensors, the "
+        "zstd-dictionary decode, the parquet v2 delta walk, the "
+        "CBOR walk and the page-index audit",
     ),
     (
         "corpus_perplexity_filter",
