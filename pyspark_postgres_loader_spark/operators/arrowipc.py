@@ -304,6 +304,16 @@ def walk_arrow_ipc(data: bytes) -> dict:
     codecs; ValueError with 'mismatch' when the footer Block and the
     Message disagree on bodyLength; plain ValueError for structural
     damage."""
+    try:
+        return _walk_arrow_ipc(data)
+    except (IndexError, struct.error, TypeError, AttributeError) as exc:
+        # corrupt FlatBuffers offsets/vtables can route reads past a
+        # declared bound or into the wrong shape — structural damage,
+        # typed like truncation (campaign-fuzz-pinned)
+        raise ValueError(f"malformed arrow structure ({exc})") from exc
+
+
+def _walk_arrow_ipc(data: bytes) -> dict:
     if len(data) < 8 + 4 + 6 + 6 or data[:6] != _MAGIC:
         raise ValueError("bad arrow front magic")
     if data[-6:] != _MAGIC:

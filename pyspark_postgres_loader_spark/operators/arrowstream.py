@@ -75,6 +75,15 @@ def walk_arrow_ipc_stream(data: bytes) -> dict:
     codecs; ValueError with 'mismatch' when a FieldNode row count
     disagrees with its RecordBatch header; plain ValueError for
     structural damage (truncation, missing Schema, bytes past EOS)."""
+    try:
+        return _walk_stream(data)
+    except (IndexError, struct.error, TypeError, AttributeError) as exc:
+        # corrupt FlatBuffers offsets/vtables: structural damage,
+        # typed like truncation (campaign-fuzz-pinned)
+        raise ValueError(f"malformed arrow stream ({exc})") from exc
+
+
+def _walk_stream(data: bytes) -> dict:
     fields: list[tuple[str, str, int]] | None = None
     columns: list[list] = []
     n_rows = 0

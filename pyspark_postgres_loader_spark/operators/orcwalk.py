@@ -375,7 +375,7 @@ def walk_orc(data: bytes) -> dict:
     ValueError for structural damage."""
     try:
         return _walk_orc(data)
-    except (IndexError, TypeError) as exc:
+    except (IndexError, TypeError, AttributeError) as exc:
         # corruption can flip a protobuf WIRE TYPE, so a field the
         # walk expects as a varint/submessage arrives as bytes/int —
         # that is structural damage, typed like truncation

@@ -53,7 +53,7 @@ def walk_parquet_page_index(data: bytes) -> dict:
     offsets. ValueError for structural damage."""
     try:
         return _walk_index(data)
-    except (IndexError, struct.error, TypeError) as exc:
+    except (IndexError, struct.error, TypeError, AttributeError) as exc:
         raise ValueError(f"malformed parquet structure ({exc})") from exc
 
 

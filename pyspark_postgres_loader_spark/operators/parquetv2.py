@@ -129,7 +129,10 @@ def delta_binary_packed(
                 if len(out) >= total:
                     break  # in-miniblock padding (bytes consumed above)
                 d = (bits >> (k * bw)) & mask if bw else 0
-                prev = prev + min_delta + d
+                # deltas are computed in WRAPPING int64 arithmetic
+                # (INT64_MIN → INT64_MAX encodes as delta −1 mod 2^64);
+                # reconstruct modulo 2^64 and re-sign
+                prev = (prev + min_delta + d + (1 << 63)) % (1 << 64) - (1 << 63)
                 out.append(prev)
     return out, pos
 
@@ -164,7 +167,7 @@ def walk_parquet_v2(data: bytes) -> dict:
     ValueError for structural damage."""
     try:
         return _walk_v2(data)
-    except (IndexError, struct.error, TypeError) as exc:
+    except (IndexError, struct.error, TypeError, AttributeError) as exc:
         raise ValueError(f"malformed parquet structure ({exc})") from exc
 
 

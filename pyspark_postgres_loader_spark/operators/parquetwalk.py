@@ -261,7 +261,7 @@ def walk_parquet(data: bytes) -> dict:
     structural damage."""
     try:
         return _walk_parquet(data)
-    except (IndexError, struct.error, TypeError) as exc:
+    except (IndexError, struct.error, TypeError, AttributeError) as exc:
         # byte-corrupted metadata decoding to the wrong thrift shape
         # (or walking off a field): structural damage, typed like
         # every other truncation (fuzz-pinned in tests)

@@ -349,7 +349,7 @@ def decode_tiff_grey(payload: bytes):
     baseline-adjacent modes raise the typed quarantine."""
     try:
         return _decode_tiff_grey(payload)
-    except (IndexError, struct.error, TypeError) as exc:
+    except (IndexError, struct.error, TypeError, AttributeError) as exc:
         # corrupt IFD entries (e.g. a zero-count tag) surface as
         # container/shape errors deep in the decode — structural
         # damage, typed like truncation (campaign-fuzz-pinned)
