@@ -84,11 +84,17 @@ def xxh32(data: bytes, seed: int = 0) -> int:
     return acc
 
 
-def lz4_decompress_block(data: bytes, max_out: int | None = None) -> bytes:
+def lz4_decompress_block(
+    data: bytes, max_out: int | None = None, prefix: bytes = b""
+) -> bytes:
     """One LZ4 block: token nibbles, 255-extensions, 2-byte offsets,
     minmatch 4, overlapping copies; the final sequence is
-    literals-only."""
+    literals-only. ``prefix`` is the linked-block window: in a frame
+    without the block-independence flag, matches may reach up to
+    64 KiB into PRIOR frame output (the spec's inter-block
+    dictionary) — pass the previous blocks' tail there."""
     out = bytearray()
+    plen = len(prefix)
     pos = 0
     n = len(data)
     while pos < n:
@@ -116,7 +122,7 @@ def lz4_decompress_block(data: bytes, max_out: int | None = None) -> bytes:
         pos += 2
         if offset == 0:
             raise ValueError("zero match offset")
-        if offset > len(out):
+        if offset > len(out) + plen:
             raise ValueError("match offset beyond output start")
         ml = (token & 0xF) + 4
         if (token & 0xF) == 15:
@@ -128,8 +134,15 @@ def lz4_decompress_block(data: bytes, max_out: int | None = None) -> bytes:
                 ml += b
                 if b != 255:
                     break
-        for _ in range(ml):
-            out.append(out[-offset])
+        if offset <= len(out):
+            for _ in range(ml):
+                out.append(out[-offset])
+        else:
+            # match starts inside the linked-block window and may
+            # cross into this block's own output
+            for _ in range(ml):
+                idx = len(out) - offset
+                out.append(prefix[plen + idx] if idx < 0 else out[idx])
         if max_out is not None and len(out) > max_out:
             raise ValueError("block exceeds declared maximum")
     return bytes(out)
@@ -170,6 +183,7 @@ def decompress_lz4_frame(payload: bytes) -> tuple[bytes, int]:
         raise NotImplementedError(f"lz4 frame version {version}")
     if flg & 0x02:
         raise ValueError("reserved FLG bit set")
+    block_indep = bool(flg & 0x20)
     block_checksum = bool(flg & 0x10)
     content_size_flag = bool(flg & 0x08)
     content_checksum = bool(flg & 0x04)
@@ -228,7 +242,11 @@ def decompress_lz4_frame(payload: bytes) -> tuple[bytes, int]:
         if uncompressed:
             out += blk
         else:
-            out += lz4_decompress_block(blk, bmax)
+            # linked blocks (FLG bit 5 clear — what lz4/pyarrow write
+            # by default) may match into the prior 64 KiB of frame
+            # output; independent blocks get an empty window
+            window = b"" if block_indep else bytes(out[-65536:])
+            out += lz4_decompress_block(blk, bmax, prefix=window)
     if content_size is not None and len(out) != content_size:
         raise ValueError("content size mismatch")
     if content_checksum:
