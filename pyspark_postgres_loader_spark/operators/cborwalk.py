@@ -286,8 +286,12 @@ def _cb_payload(doc_id: int) -> bytes:
     if doc_id % 11 == 5:
         return blob[: len(blob) - 7]  # truncation → corrupt
     if doc_id % 17 == 9:
-        # reserved additional info 28 spliced over the first item head
-        return blob[: len(_enc_head(4, 1))] + b"\x1c" + blob[len(_enc_head(4, 1)) + 1 :]
+        # reserved additional info 28 spliced over the FIRST ELEMENT
+        # head — i.e. after the FULL (2-byte, count≥79) array head —
+        # so the decoder's reserved-ai branch fires mid-item, not the
+        # trailing-bytes check
+        head_len = len(_enc_head(4, n + 20 + 10 + 1 + 2 + 3 + 3))
+        return blob[:head_len] + b"\x1c" + blob[head_len + 1 :]
     if doc_id % 13 == 8:
         # duplicate key in the nested map: rewrite key 1 → key 0
         # (the second top-level map key head is _enc_int(1) right

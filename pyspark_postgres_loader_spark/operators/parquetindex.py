@@ -121,6 +121,11 @@ def _walk_index(data: bytes) -> dict:
                 if dph is None or dph.get(2) != _ENC_PLAIN:
                     raise ValueError("page-index walk expects PLAIN pages")
                 pvals = dph.get(1)
+                if pvals is None or pvals < 0 or pvals > 1 << 24:
+                    # raw varint; a crafted count would size the RLE
+                    # level decode below unbounded — cap it before it
+                    # drives any allocation (same bound as parquetv2)
+                    raise ValueError("implausible page value count")
                 raw = _decompress(codec, body, usize)
                 off = 0
                 if max_def:

@@ -327,6 +327,11 @@ def _walk_parquet(data: bytes) -> dict:
                 if dph is None:
                     raise ValueError("data page without its header")
                 pvals = dph.get(1)
+                if pvals is None or pvals < 0 or pvals > 1 << 24:
+                    # raw varint; a crafted count would size the level
+                    # decode and the unpack below — cap it before it
+                    # drives any allocation (same bound as parquetv2)
+                    raise ValueError("implausible page value count")
                 enc = dph.get(2)
                 if enc != _ENC_PLAIN:
                     raise NotImplementedError(f"parquet encoding {enc}")

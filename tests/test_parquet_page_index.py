@@ -94,3 +94,33 @@ def test_query_matches_oracle(spark):
     compare_query(
         spark, "/root/testdata/sf0.001", "ingest_parquet_page_index_walk"
     )
+
+
+def test_implausible_value_count_under_index_is_typed_not_oom():
+    """ADVICE r12: the index walk fed the page header's num_values
+    varint unbounded into the RLE level decode — a crafted ~17-byte
+    header could allocate unbounded. It must raise the typed
+    ValueError instead (same cap as the v1/v2 walks)."""
+    import struct as _s
+
+    def _i32(delta, v):
+        out = [bytes([(delta << 4) | 5])]
+        z = v << 1 if v >= 0 else ((-v) << 1) - 1
+        while True:
+            b = z & 0x7F
+            z >>= 7
+            out.append(bytes([b | 0x80]) if z else bytes([b]))
+            if not z:
+                return b"".join(out)
+
+    dph = _i32(1, 1 << 40) + _i32(1, 0) + _i32(1, 3) + _i32(1, 3) + b"\x00"
+    hdr = (_i32(1, 0) + _i32(1, 0) + _i32(1, 0)
+           + bytes([(2 << 4) | 12]) + dph + b"\x00")
+    blob = bytearray(_pi_bytes(0))
+    flen = _s.unpack_from("<I", blob, len(blob) - 8)[0]
+    meta = _TReader(bytes(blob), len(blob) - 8 - flen).read_struct()
+    off = meta[4][0][1][0][3][9]  # data_page_offset of rg0/col0
+    blob[off : off + len(hdr)] = hdr
+    import pytest as _pt
+    with _pt.raises(ValueError, match="implausible"):
+        walk_parquet_page_index(bytes(blob))

@@ -16,6 +16,7 @@ from pyspark_postgres_loader_spark.operators.parquetwalk import (
     _pq_payload,
     _pq_values,
     _read_rle_levels,
+    _TReader,
     walk_parquet,
 )
 
@@ -123,3 +124,53 @@ def test_query_matches_oracle(spark):
     compare_query(
         spark, "/root/testdata/sf0.001", "ingest_parquet_native_walk"
     )
+
+
+# ---------------------------------------------------------------- caps
+
+def _compact_i32(fid_delta: int, v: int) -> bytes:
+    """Thrift-compact short-form i32 field: header + zigzag varint."""
+    out = [bytes([(fid_delta << 4) | 5])]
+    z = v << 1 if v >= 0 else ((-v) << 1) - 1
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        out.append(bytes([b | 0x80]) if z else bytes([b]))
+        if not z:
+            return b"".join(out)
+
+
+def crafted_page_header(num_values: int) -> bytes:
+    """A hand-encoded PageHeader{type=DATA, sizes=0} whose
+    DataPageHeader carries an attacker-controlled num_values and
+    PLAIN encodings everywhere."""
+    dph = (_compact_i32(1, num_values)   # 1: num_values
+           + _compact_i32(1, 0)          # 2: encoding = PLAIN
+           + _compact_i32(1, 3)          # 3: def level enc = RLE
+           + _compact_i32(1, 3)          # 4: rep level enc = RLE
+           + b"\x00")
+    return (_compact_i32(1, 0)           # 1: type = DATA_PAGE
+            + _compact_i32(1, 0)         # 2: uncompressed_size
+            + _compact_i32(1, 0)         # 3: compressed_size
+            + bytes([(2 << 4) | 12])     # 5: DataPageHeader (struct)
+            + dph + b"\x00")
+
+
+def _first_page_offset(blob: bytes) -> int:
+    import struct as _s
+
+    flen = _s.unpack_from("<I", blob, len(blob) - 8)[0]
+    meta = _TReader(blob, len(blob) - 8 - flen).read_struct()
+    return meta[4][0][1][0][3][9]  # row_groups[0].columns[0].meta.data_page_offset
+
+
+def test_implausible_value_count_is_typed_not_oom():
+    """ADVICE r12: a crafted page header carrying a huge num_values
+    varint must raise the typed ValueError BEFORE sizing any level
+    decode or unpack — not allocate its way to a MemoryError."""
+    blob = bytearray(_pq_bytes(0))
+    off = _first_page_offset(bytes(blob))
+    hdr = crafted_page_header(1 << 40)
+    blob[off : off + len(hdr)] = hdr  # in-place splice, footer intact
+    with pytest.raises(ValueError, match="implausible"):
+        walk_parquet(bytes(blob))
