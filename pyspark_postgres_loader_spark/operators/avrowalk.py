@@ -455,8 +455,16 @@ def _av_payload(doc_id: int) -> bytes:
 # ------------------------------------------------ spark + oracle
 
 
+# Worker-process-lifetime fact memo. The fixture facts depend only on
+# (group, fault-class), so the ≤ _AV_GROUPS×5 decode results are shared
+# across every partition iterator AND every query the reused Python
+# worker serves — a function-local dict re-decoded up to all key combos
+# once per partition (VERDICT r12: suite's slowest query at 7.8 s).
+_AV_FACT_MEMO: dict[tuple, tuple] = {}
+
+
 def _av_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    cache: dict[tuple, tuple] = {}
+    cache = _AV_FACT_MEMO
 
     def facts(doc_id: int) -> tuple:
         g = doc_id % _AV_GROUPS
