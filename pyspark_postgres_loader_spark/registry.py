@@ -408,6 +408,7 @@ def _ensure_loaded() -> None:
         graph,
         gzipwalk,
         iceberg,
+        icebergmor,
         inference,
         inflate,
         ivf_incremental,
