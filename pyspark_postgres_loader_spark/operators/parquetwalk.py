@@ -362,6 +362,97 @@ def _walk_parquet(data: bytes) -> dict:
     }
 
 
+def walk_parquet_table(data: bytes) -> dict:
+    """Multi-column extension of the single-column walk: k >= 1 flat
+    INT64 columns (REQUIRED or OPTIONAL; nulls decode to None),
+    PLAIN-encoded v1 data pages, codecs none/snappy/gzip — the
+    profile pyarrow emits with dictionary off and page version 1.0.
+    Returns {"columns": {name: [values]}, "num_rows", "n_row_groups"}.
+    Used by the Delta checkpoint-parquet fold (deltacheckpoint.py)."""
+    try:
+        return _walk_parquet_table(data)
+    except (IndexError, struct.error, TypeError, AttributeError) as exc:
+        raise ValueError(f"malformed parquet structure ({exc})") from exc
+
+
+def _walk_parquet_table(data: bytes) -> dict:
+    if len(data) < 12 or data[:4] != b"PAR1":
+        raise ValueError("missing parquet header magic")
+    if data[-4:] != b"PAR1":
+        raise ValueError("missing parquet footer magic")
+    flen = struct.unpack_from("<I", data, len(data) - 8)[0]
+    fstart = len(data) - 8 - flen
+    if fstart < 4:
+        raise ValueError("parquet footer length out of range")
+    meta = _TReader(data, fstart).read_struct()  # FileMetaData
+    num_rows = meta.get(3)
+    schema = meta.get(2) or []
+    row_groups = meta.get(4) or []
+    if len(schema) < 2 or (schema[0].get(5) or 0) != len(schema) - 1:
+        raise NotImplementedError("nested parquet schema in table walk")
+    names = [s.get(4).decode() for s in schema[1:]]
+    max_defs = [1 if s.get(3) == 1 else 0 for s in schema[1:]]
+    cols: dict[str, list] = {n: [] for n in names}
+    for rg in row_groups:
+        chunks = rg.get(1) or []
+        if len(chunks) != len(names):
+            raise ValueError("row group chunk count disagrees with schema")
+        for ci, chunk in enumerate(chunks):
+            cmeta = chunk.get(3)
+            if cmeta is None:
+                raise ValueError("column chunk without metadata")
+            if cmeta.get(1) != 2:  # Type.INT64
+                raise NotImplementedError(
+                    f"parquet physical type {cmeta.get(1)} in table walk")
+            if cmeta.get(11) is not None:
+                raise NotImplementedError("dictionary-encoded chunk")
+            codec = cmeta.get(4)
+            num_values = cmeta.get(5)
+            pos = cmeta.get(9)
+            out = cols[names[ci]]
+            seen = 0
+            while seen < num_values:
+                rd = _TReader(data, pos)
+                ph = rd.read_struct()  # PageHeader
+                pos = rd.pos
+                usize, csize = ph.get(2), ph.get(3)
+                body = data[pos : pos + csize]
+                if len(body) != csize:
+                    raise ValueError("truncated page body")
+                pos += csize
+                if ph.get(1) != _PAGE_DATA:
+                    raise NotImplementedError(
+                        f"parquet page type {ph.get(1)}")
+                dph = ph.get(5)
+                if dph is None:
+                    raise ValueError("data page without its header")
+                pvals = dph.get(1)
+                if pvals is None or pvals < 0 or pvals > 1 << 24:
+                    raise ValueError("implausible page value count")
+                if dph.get(2) != _ENC_PLAIN:
+                    raise NotImplementedError(
+                        f"parquet encoding {dph.get(2)}")
+                raw = _decompress(codec, body, usize)
+                off = 0
+                levels = [1] * pvals
+                if max_defs[ci]:
+                    levels, off = _read_rle_levels(raw, pvals, 1)
+                present = sum(levels)
+                if len(raw) - off != 8 * present:
+                    raise ValueError("page body size disagrees with count")
+                vals = iter(struct.unpack_from(f"<{present}q", raw, off))
+                out.extend(next(vals) if lv else None for lv in levels)
+                seen += pvals
+    for n in names:
+        if num_rows is not None and len(cols[n]) != num_rows:
+            raise ValueError("decoded values disagree with num_rows")
+    return {
+        "columns": cols,
+        "num_rows": num_rows,
+        "n_row_groups": len(row_groups),
+    }
+
+
 # ------------------------------------------------- driver-oracled query
 
 _PQ_GROUPS = 10

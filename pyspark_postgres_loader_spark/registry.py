@@ -402,6 +402,7 @@ def _ensure_loaded() -> None:
         cborwalk,
         clustering,
         dedup,
+        deltacheckpoint,
         deltalog,
         expectations,
         flac,
