@@ -398,6 +398,7 @@ def _ensure_loaded() -> None:
         arrowstream,
         avroresolve,
         avrowalk,
+        binaryfile,
         bzip2,
         cborwalk,
         clustering,

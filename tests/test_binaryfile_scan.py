@@ -1,0 +1,80 @@
+"""binaryFile-source ingest: real files on disk, glob pruning, the
+typed-verdict lattice through walk_parquet, plan shape, and the
+oracle compare."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark_postgres_loader_spark.operators.binaryfile import (
+    _BF_VARIANTS,
+    _bf_blob,
+    binaryfile_fixture_dir,
+)
+from pyspark_postgres_loader_spark.operators.parquetwalk import (
+    _PQ_GROUPS,
+    _pq_values,
+    walk_parquet,
+)
+from pyspark_postgres_loader_spark.registry import all_queries
+
+
+def test_fixture_dir_is_real_and_idempotent():
+    d1 = binaryfile_fixture_dir()
+    d2 = binaryfile_fixture_dir()
+    assert d1 == d2
+    names = sorted(os.listdir(d1))
+    parquets = [n for n in names if n.endswith(".parquet")]
+    assert len(parquets) == _PQ_GROUPS * len(_BF_VARIANTS)
+    assert "ignored.txt" in names
+    # bytes on disk are exactly the builder's bytes
+    with open(os.path.join(d1, "g3_clean.parquet"), "rb") as f:
+        assert f.read() == _bf_blob(3, "clean")
+
+
+def test_variant_verdicts_match_walk():
+    vals = _pq_values(4)
+    f = walk_parquet(_bf_blob(4, "clean"))
+    assert sum(f["values"]) == sum(vals)
+    for variant, err in (("trunc", ValueError),
+                        ("brotli", NotImplementedError)):
+        try:
+            walk_parquet(_bf_blob(4, variant))
+            raise AssertionError(f"{variant} decoded")
+        except err:
+            pass
+    try:
+        walk_parquet(_bf_blob(4, "crcflip"))
+        raise AssertionError("crcflip decoded")
+    except ValueError as exc:
+        assert "CRC" in str(exc)
+
+
+def test_scan_reads_files_not_synthesized_payloads(spark):
+    """The query's rows come from the binaryFile source: the plan
+    scans the scratch dir, the glob excludes the non-parquet file,
+    and every fixture file yields exactly one row."""
+    q = all_queries()["ingest_binaryfile_scan"]
+    df = q(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "binaryFile" in plan or "BinaryFile" in plan
+    rows = df.collect()
+    assert len(rows) == _PQ_GROUPS * len(_BF_VARIANTS)
+    assert not any(r["file_name"] == "ignored.txt" for r in rows)
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r["status"], 0)
+        by_status[r["status"]] += 1
+    assert by_status == {
+        "decoded": _PQ_GROUPS, "corrupt": _PQ_GROUPS,
+        "unsupported": _PQ_GROUPS, "crc_error": _PQ_GROUPS,
+    }
+
+
+def test_query_matches_oracle(spark):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from oracle_harness import compare_query
+
+    compare_query(spark, "/root/testdata/sf0.001", "ingest_binaryfile_scan")
