@@ -399,6 +399,7 @@ def _ensure_loaded() -> None:
         avroresolve,
         avrowalk,
         binaryfile,
+        bloomfilter,
         bzip2,
         cborwalk,
         clustering,
