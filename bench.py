@@ -232,7 +232,70 @@ _ISOLATED_TOP_N = 10
 # always re-time these isolated even when not in the top-10: queries
 # whose code changed recently, so a suite-context inflation can be
 # attributed (environment vs plan regression) from the artifact alone
-_ISOLATED_ALWAYS = ("stream_upsert_incremental",)
+# (stream_* names need not appear here — the whole family is timed in
+# its own JVM by _stream_family_pass)
+_ISOLATED_ALWAYS = ()
+
+# The streaming family runs in its OWN fresh JVM (VERDICT r12 task 2):
+# three consecutive rounds of in-suite drift on untouched stream_*
+# code (r12: stream_stream_outer_attrib 1.46x, interval_join 1.40x vs
+# r11) with flat isolated re-timings pointed at suite crowding — 250
+# queries + 16 streaming state stores sharing one JVM. Timing the
+# family min-of-3 in a fresh subprocess removes that crowding from
+# the recorded numbers and makes them reproducible.
+_STREAM_PREFIX = "stream_"
+
+
+def _stream_family_pass(
+    names: list[str], history: dict[str, dict], sf: float
+) -> tuple[dict[str, float], dict]:
+    """Time the stream_* queries in one fresh subprocess (shared
+    warmup, min-of-3 each — the _isolated_child protocol). Returns
+    (timings to record, BENCH_DETAIL attribution block with the
+    fresh/last-recorded ratio per query)."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--isolated",
+         ",".join(names)],
+        capture_output=True,
+        text=True,
+        timeout=1200,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    iso = json.loads(proc.stdout.strip().rsplit("\n", 1)[-1])
+    timings = {n: float(iso[n]) for n in names if n in iso}
+    # attribution vs the LAST recorded round at this sf: >1 means the
+    # old in-suite number was inflated by suite context (the drift
+    # this pass removes); ~1 means the in-suite run was already clean
+    rounds = sorted(r for r in history if history[r].get("sf") == sf)
+    last = history[rounds[-1]]["queries"] if rounds else {}
+    ratios = {
+        n: round(last[n] / timings[n], 2)
+        for n in timings
+        if n in last and timings[n] > 0
+    }
+    rs = sorted(ratios.values())
+    return timings, {
+        "method": (
+            "own fresh JVM (subprocess), shared warmup, min-of-3 per "
+            "query — recorded timings for the stream family come from "
+            "here, not the main suite loop"
+        ),
+        "why": (
+            "3 consecutive rounds of in-suite drift on untouched "
+            "stream_* code with flat isolated re-timings (suite "
+            "crowding); VERDICT r12 task 2"
+        ),
+        "queries": {n: round(t, 3) for n, t in timings.items()},
+        "last_recorded_vs_fresh_ratio": ratios,
+        "ratio_definition": (
+            "last_recorded_insuite / fresh_jvm (>1 = the recorded "
+            "history carried suite-context inflation)"
+        ),
+        "ratio_median": rs[len(rs) // 2] if rs else None,
+    }
 
 
 def _warmup(spark, sf_dir: str) -> None:
@@ -288,7 +351,12 @@ def _isolated_pass(timings: dict[str, float]) -> dict:
     import subprocess
     import sys
 
-    names = sorted(timings, key=lambda n: -timings[n])[:_ISOLATED_TOP_N]
+    # stream_* timings already come from a fresh JVM; re-isolating
+    # them would double work for a ratio that is 1.0 by construction
+    names = sorted(
+        (n for n in timings if not n.startswith(_STREAM_PREFIX)),
+        key=lambda n: -timings[n],
+    )[:_ISOLATED_TOP_N]
     names += [n for n in _ISOLATED_ALWAYS if n not in names and n in timings]
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--isolated", ",".join(names)],
@@ -370,6 +438,10 @@ def main() -> None:
     # round comparability for the long-lived names), then every other
     # registered query so no query is in the "untimed" class.
     bench_names = list(HEADLINE) + sorted(n for n in queries if n not in HEADLINE)
+    # the stream family is timed in its own fresh JVM (see
+    # _stream_family_pass); the main loop neither warms nor times it
+    stream_names = [n for n in bench_names if n.startswith(_STREAM_PREFIX)]
+    bench_names = [n for n in bench_names if not n.startswith(_STREAM_PREFIX)]
     timings: dict[str, float] = {}
     # Per-query error isolation: one broken query must not cost the
     # round's bench record (the failure mode that lost r3+r4 was line
@@ -439,6 +511,33 @@ def main() -> None:
         round(sum(t for n, t in cur.items() if n in ok), 3)
         for cur in pass_elapsed
     ]
+
+    # stream family: own fresh JVM; inline 3-pass fallback keeps the
+    # round's record if the subprocess dies
+    try:
+        stream_times, stream_detail = _stream_family_pass(
+            stream_names, history, sf
+        )
+        missing = [n for n in stream_names if n not in stream_times]
+    except Exception as exc:  # noqa: BLE001
+        stream_times, missing = {}, list(stream_names)
+        stream_detail = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+    for name in missing:
+        for _ in range(3):
+            start = time.perf_counter()
+            try:
+                queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                break
+            elapsed = round(time.perf_counter() - start, 3)
+            stream_times[name] = min(
+                stream_times.get(name, elapsed), elapsed
+            )
+    timings.update(stream_times)
+
     _append_history(history, timings, sf)
 
     try:
@@ -500,6 +599,7 @@ def main() -> None:
         "skew_mitigation": skew,
         "hll_envelope": hll,
         "isolated_top10": isolated,
+        "stream_family": stream_detail,
         "sf": sf,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
