@@ -21,10 +21,13 @@ from pyspark_postgres_loader_spark.operators import (
     arrowstream,
     avroresolve,
     avrowalk,
+    bloomfilter,
     bzip2,
     cborwalk,
+    deltacheckpoint,
     gzipwalk,
     iceberg,
+    icebergmor,
     inflate,
     lz4frame,
     oggwalk,
@@ -114,6 +117,18 @@ _TARGETS = [
     ("iceberg-manifest",
      lambda: next(iter(iceberg._ic_payloads(1)[1].values())),
      lambda b: avrowalk.walk_avro(b)),
+    # round-13 additions
+    ("iceberg-mor-mlist", lambda: icebergmor._im_payloads(0)[0],
+     lambda b: icebergmor.walk_iceberg_mor(
+         b, icebergmor._im_payloads(0)[1])),
+    ("iceberg-mor-delete-file",
+     lambda: icebergmor._im_payloads(0)[1]["meta/del0_0.avro"],
+     lambda b: avrowalk.walk_avro(b)),
+    ("parquet-table-walk",
+     lambda: deltacheckpoint.checkpoint_parquet_bytes(7),
+     lambda b: parquetwalk.walk_parquet_table(b)),
+    ("bloom-sbbf", lambda: bloomfilter._bloom_blob(0, "ok"),
+     lambda b: bloomfilter.sbbf_deserialize(b)),
 ]
 
 
