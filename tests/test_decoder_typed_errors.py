@@ -35,6 +35,7 @@ from pyspark_postgres_loader_spark.operators import (
     parquetindex,
     parquetv2,
     parquetwalk,
+    roaring,
     safetensors,
     snappy,
     tarwalk,
@@ -129,6 +130,10 @@ _TARGETS = [
      lambda b: parquetwalk.walk_parquet_table(b)),
     ("bloom-sbbf", lambda: bloomfilter._bloom_blob(0, "ok"),
      lambda b: bloomfilter.sbbf_deserialize(b)),
+    ("roaring-run", lambda: roaring._rg_blob(0, "ok"),
+     lambda b: roaring.walk_roaring(b)),
+    ("roaring-norun", lambda: roaring._rg_blob(1, "ok"),
+     lambda b: roaring.walk_roaring(b)),
 ]
 
 
