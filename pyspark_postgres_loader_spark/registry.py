@@ -79,7 +79,7 @@ _LOADED = False
 # Round-13 rotation. Entering this round all 250 pre-existing queries
 # are driver-verified with every latest check green; staleness
 # histogram after r12 is a perfect 5x50 partition {r8..r12}. This
-# window = the 5 round-13 registrations (iceberg_mor_deletes — the
+# window = the 6 round-13 registrations (iceberg_mor_deletes — the
 # Iceberg v2 merge-on-read fold: position + equality delete files
 # with sequence gating through our own Avro decoder;
 # delta_checkpoint_snapshot — checkpoint-parquet + JSON-tail replay
@@ -91,30 +91,36 @@ _LOADED = False
 # cross-validated against Spark's JVM implementation, oracled on the
 # no-false-negative guarantee; delta_deletion_vectors — Delta-style
 # deletion vectors over a portable RoaringBitmap codec, ours both
-# directions with popcount/offset redundancies verified) + the
-# first 45 of the 50 r8-checked
+# directions with popcount/offset redundancies verified;
+# ingest_parquet_dictionary_walk — the format's DEFAULT write path:
+# PLAIN dictionary pages, RLE_DICTIONARY index decode, and the
+# mid-chunk dictionary-size fallback to PLAIN) + the
+# first 44 of the 50 r8-checked
 # names (exactly the head VERDICT r12 prescribed, starting
 # cogroup_user_activity_profile then split_train_val_test — the
 # r8-era cogroup/sampling/stream/join/agg/window names, 5 rounds
 # stale) = 50 exactly. After this round the staleness floor rises to
-# r8-remainder(5)+r9: the round-14 rotation head is the 5 leftover
-# r8 names (topk_orders_by_price, setop_active_nations,
+# r8-remainder(6)+r9: the round-14 rotation head is the 6 leftover
+# r8 names (window_rank_supplier_revenue, topk_orders_by_price,
+# setop_active_nations,
 # setop_customer_only_nations, setop_union_all_keys,
-# scalar_string_date_funcs) followed by the 45 stalest r9 names; the rest of the list is the FULL registry in
+# scalar_string_date_funcs) followed by the 44 stalest r9 names; the rest of the list is the FULL registry in
 # staleness order for drivers that check more than 50 rows.
 _PRIORITY = [
-    # (a) round-13 registrations — never driver-checked (5): the
+    # (a) round-13 registrations — never driver-checked (6): the
     # Iceberg v2 merge-on-read delete fold, the Delta checkpoint-
     # parquet replay over our own multi-column parquet walk, the
     # binaryFile-source real-file ingest leg, the parquet
-    # split-block bloom filter probe audit, and the Delta-style
-    # deletion vectors over a full portable RoaringBitmap codec
+    # split-block bloom filter probe audit, the Delta-style deletion
+    # vectors over a full portable RoaringBitmap codec, and the
+    # parquet DICTIONARY-encoding walk (RLE_DICTIONARY + fallback)
     "iceberg_mor_deletes",
     "delta_checkpoint_snapshot",
     "ingest_binaryfile_scan",
     "ingest_parquet_bloom_probe",
     "delta_deletion_vectors",
-    # (b) the r8-checked head (45 of 50) — stalest greens, 5 rounds
+    "ingest_parquet_dictionary_walk",
+    # (b) the r8-checked head (44 of 50) — stalest greens, 5 rounds
     # old: the r8-era cogroup/sampling/stream/join/agg/window names
     "cogroup_user_activity_profile",
     "pysource_synthetic_events",
@@ -160,9 +166,9 @@ _PRIORITY = [
     "window_top3_orders_per_customer",
     "window_running_customer_spend",
     "window_lag_event_delta",
+    # --- window boundary (driver checks exactly 50; 6+44=50) ---
+    # r8 remainder (6): the round-14 rotation head starts here
     "window_rank_supplier_revenue",
-    # --- window boundary (driver checks exactly 50; 5+45=50) ---
-    # r8 remainder (5): the round-14 rotation head starts here
     "topk_orders_by_price",
     "setop_active_nations",
     "setop_customer_only_nations",
@@ -420,6 +426,7 @@ def _ensure_loaded() -> None:
         oggwalk,
         orcwalk,
         paragraph_dedup,
+        parquetdict,
         parquetindex,
         parquetv2,
         parquetwalk,

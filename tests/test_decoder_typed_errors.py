@@ -32,6 +32,7 @@ from pyspark_postgres_loader_spark.operators import (
     lz4frame,
     oggwalk,
     orcwalk,
+    parquetdict,
     parquetindex,
     parquetv2,
     parquetwalk,
@@ -130,6 +131,10 @@ _TARGETS = [
      lambda b: parquetwalk.walk_parquet_table(b)),
     ("bloom-sbbf", lambda: bloomfilter._bloom_blob(0, "ok"),
      lambda b: bloomfilter.sbbf_deserialize(b)),
+    ("parquet-dict", lambda: parquetdict._pd_bytes(0, False),
+     lambda b: parquetdict.walk_parquet_dictionary(b)),
+    ("parquet-dict-fallback", lambda: parquetdict._pd_bytes(1, True),
+     lambda b: parquetdict.walk_parquet_dictionary(b)),
     ("roaring-run", lambda: roaring._rg_blob(0, "ok"),
      lambda b: roaring.walk_roaring(b)),
     ("roaring-norun", lambda: roaring._rg_blob(1, "ok"),
