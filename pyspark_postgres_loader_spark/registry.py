@@ -79,7 +79,7 @@ _LOADED = False
 # Round-13 rotation. Entering this round all 250 pre-existing queries
 # are driver-verified with every latest check green; staleness
 # histogram after r12 is a perfect 5x50 partition {r8..r12}. This
-# window = the 6 round-13 registrations (iceberg_mor_deletes — the
+# window = the 7 round-13 registrations (iceberg_mor_deletes — the
 # Iceberg v2 merge-on-read fold: position + equality delete files
 # with sequence gating through our own Avro decoder;
 # delta_checkpoint_snapshot — checkpoint-parquet + JSON-tail replay
@@ -94,33 +94,40 @@ _LOADED = False
 # directions with popcount/offset redundancies verified;
 # ingest_parquet_dictionary_walk — the format's DEFAULT write path:
 # PLAIN dictionary pages, RLE_DICTIONARY index decode, and the
-# mid-chunk dictionary-size fallback to PLAIN) + the
-# first 44 of the 50 r8-checked
+# mid-chunk dictionary-size fallback to PLAIN;
+# ingest_avro_single_object — the schema-registry wire format:
+# Parsing Canonical Form + CRC-64-AVRO fingerprints + the
+# fingerprint-store message walk) + the
+# first 43 of the 50 r8-checked
 # names (exactly the head VERDICT r12 prescribed, starting
 # cogroup_user_activity_profile then split_train_val_test — the
 # r8-era cogroup/sampling/stream/join/agg/window names, 5 rounds
 # stale) = 50 exactly. After this round the staleness floor rises to
-# r8-remainder(6)+r9: the round-14 rotation head is the 6 leftover
-# r8 names (window_rank_supplier_revenue, topk_orders_by_price,
+# r8-remainder(7)+r9: the round-14 rotation head is the 7 leftover
+# r8 names (window_lag_event_delta, window_rank_supplier_revenue,
+# topk_orders_by_price,
 # setop_active_nations,
 # setop_customer_only_nations, setop_union_all_keys,
-# scalar_string_date_funcs) followed by the 44 stalest r9 names; the rest of the list is the FULL registry in
+# scalar_string_date_funcs) followed by the 43 stalest r9 names; the rest of the list is the FULL registry in
 # staleness order for drivers that check more than 50 rows.
 _PRIORITY = [
-    # (a) round-13 registrations — never driver-checked (6): the
+    # (a) round-13 registrations — never driver-checked (7): the
     # Iceberg v2 merge-on-read delete fold, the Delta checkpoint-
     # parquet replay over our own multi-column parquet walk, the
     # binaryFile-source real-file ingest leg, the parquet
     # split-block bloom filter probe audit, the Delta-style deletion
     # vectors over a full portable RoaringBitmap codec, and the
-    # parquet DICTIONARY-encoding walk (RLE_DICTIONARY + fallback)
+    # parquet DICTIONARY-encoding walk (RLE_DICTIONARY + fallback),
+    # and Avro single-object messages (CRC-64-AVRO fingerprints over
+    # the Parsing Canonical Form)
     "iceberg_mor_deletes",
     "delta_checkpoint_snapshot",
     "ingest_binaryfile_scan",
     "ingest_parquet_bloom_probe",
     "delta_deletion_vectors",
     "ingest_parquet_dictionary_walk",
-    # (b) the r8-checked head (44 of 50) — stalest greens, 5 rounds
+    "ingest_avro_single_object",
+    # (b) the r8-checked head (43 of 50) — stalest greens, 5 rounds
     # old: the r8-era cogroup/sampling/stream/join/agg/window names
     "cogroup_user_activity_profile",
     "pysource_synthetic_events",
@@ -165,9 +172,9 @@ _PRIORITY = [
     "agg_pivot_status",
     "window_top3_orders_per_customer",
     "window_running_customer_spend",
+    # --- window boundary (driver checks exactly 50; 7+43=50) ---
+    # r8 remainder (7): the round-14 rotation head starts here
     "window_lag_event_delta",
-    # --- window boundary (driver checks exactly 50; 6+44=50) ---
-    # r8 remainder (6): the round-14 rotation head starts here
     "window_rank_supplier_revenue",
     "topk_orders_by_price",
     "setop_active_nations",
@@ -394,6 +401,7 @@ def _ensure_loaded() -> None:
         arrowipc,
         arrowstream,
         avroresolve,
+        avrosingle,
         avrowalk,
         binaryfile,
         bloomfilter,

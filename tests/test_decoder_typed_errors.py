@@ -20,6 +20,7 @@ from pyspark_postgres_loader_spark.operators import (
     arrowipc,
     arrowstream,
     avroresolve,
+    avrosingle,
     avrowalk,
     bloomfilter,
     bzip2,
@@ -131,6 +132,8 @@ _TARGETS = [
      lambda b: parquetwalk.walk_parquet_table(b)),
     ("bloom-sbbf", lambda: bloomfilter._bloom_blob(0, "ok"),
      lambda b: bloomfilter.sbbf_deserialize(b)),
+    ("avro-single-object", lambda: avrosingle._so_payload(0),
+     lambda b: avrosingle.walk_single_objects(b, avrosingle._SO_STORE)),
     ("parquet-dict", lambda: parquetdict._pd_bytes(0, False),
      lambda b: parquetdict.walk_parquet_dictionary(b)),
     ("parquet-dict-fallback", lambda: parquetdict._pd_bytes(1, True),
