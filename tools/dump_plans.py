@@ -155,6 +155,20 @@ SHOWCASE = [
         "roundtripped in-plan, snapshot fold is ONE window over a "
         "log-sized frame — metadata work; data files never open",
     ),
+    (
+        "delta_checkpoint_snapshot",
+        "round-13 checkpoint replay: checkpoint decoded via our own "
+        "table walk lifts as a tiny local relation, tail actions fold "
+        "in ONE window; remove-stat resolution joins checkpoint ∪ "
+        "tail adds — all log-sized, zero data-file scans",
+    ),
+    (
+        "ingest_binaryfile_scan",
+        "round-13 real-file ingest: partition-parallel binaryFile "
+        "scan (listing parallelized by the source, pathGlobFilter "
+        "pruning at listing time) -> MapInPandas decode — only "
+        "(name, content) crosses to Python, ~50 B of facts return",
+    ),
 ]
 
 _INTERESTING = re.compile(
