@@ -1,0 +1,165 @@
+"""Delta time-travel snapshot DIFF — the operation behind
+``DESCRIBE HISTORY`` + ``RESTORE`` + incremental consumers: given two
+versions of the table, which data files were added, which removed,
+and what did that do to row counts. Computed Spark-first from the
+SAME synthesized NDJSON action log deltalog.py replays (to_json →
+from_json round trip), by materializing both versions' LIVE FILE
+SETS with the protocol's fold (adds up to v, anti-joined by path
+against removes up to v) and set-diffing them with anti-joins.
+
+Three version pairs per run, covering BOTH diff regimes
+non-vacuously:
+
+- (N//3, 2N//3) — OVERLAPPING live sets: the diff is the two
+  flanks around the surviving middle;
+- (2, N-1)    — DISJOINT live sets (every v1-era file is gone by
+  v2): added = all of live(v2), removed = all of live(v1);
+- (N//2, N//2+1) — the single-commit diff (2 adds, 1 remove).
+
+Under the lattice live(v) = {v-1 .. 2v+2} (v >= 2), so the oracle
+replays everything closed-form: overlap = max(0, 2*v1 - v2 + 4)
+files, counts and row sums as arithmetic series — the Spark side
+DERIVES the sets from the log, the oracle never touches JSON, and
+agreement proves the fold.
+
+Scale notes (100 TB): a snapshot diff is log-metadata work — two
+live-set folds (log-sized anti-joins) and a set difference; data
+files never open. This is exactly what an incremental consumer
+(CDF-less) or a RESTORE preflight computes before touching data.
+
+Reference: the public Delta protocol (version checkpoints/time
+travel); lattice shared with operators/deltalog.py; no repo
+counterpart (SURVEY.md §2l extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load_table
+from .deltalog import (
+    _ACTION_SCHEMA,
+    _n_versions,
+    _ROWS_A,
+    _ROWS_B,
+    delta_log_lines,
+)
+
+
+def _pairs(nv: int) -> list[tuple[int, int]]:
+    return [(nv // 3, 2 * nv // 3), (2, nv - 1),
+            (nv // 2, nv // 2 + 1)]
+
+
+def delta_snapshot_diff(spark: SparkSession, nv: int) -> DataFrame:
+    acts = delta_log_lines(spark, nv).select(
+        "version", F.from_json("line", _ACTION_SCHEMA).alias("a")
+    )
+    adds = acts.filter("a.add IS NOT NULL").select(
+        "version",
+        F.col("a.add.path").alias("path"),
+        F.col("a.add.numRecords").alias("rows"),
+    )
+    removes = acts.filter("a.remove IS NOT NULL").select(
+        "version", F.col("a.remove.path").alias("path")
+    )
+
+    def live(v: int) -> DataFrame:
+        return (adds.filter(F.col("version") <= v)
+                .select("path", "rows")
+                .join(removes.filter(F.col("version") <= v)
+                      .select("path"),
+                      "path", "left_anti"))
+
+    out = None
+    for v1, v2 in _pairs(nv):
+        l1, l2 = live(v1), live(v2)
+        added = l2.join(l1.select("path"), "path", "left_anti").agg(
+            F.count("*").cast("long").alias("n_added"),
+            F.coalesce(F.sum("rows"), F.lit(0)).cast("long")
+            .alias("added_rows"),
+        )
+        removed = l1.join(l2.select("path"), "path", "left_anti").agg(
+            F.count("*").cast("long").alias("n_removed"),
+            F.coalesce(F.sum("rows"), F.lit(0)).cast("long")
+            .alias("removed_rows"),
+        )
+        row = (added.crossJoin(F.broadcast(removed))
+               .select(
+                   F.lit(v1).cast("long").alias("v_from"),
+                   F.lit(v2).cast("long").alias("v_to"),
+                   "n_added", "n_removed", "added_rows",
+                   "removed_rows",
+                   (F.col("added_rows") - F.col("removed_rows"))
+                   .cast("long").alias("net_rows_delta"),
+               ))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("v_from", "v_to")
+
+
+def _dd_oracle() -> str:
+    # live(v) = {v-1 .. 2v+2}; overlap(v1,v2) = max(0, 2*v1 - v2 + 4)
+    # files; range sums as arithmetic series
+    return f"""
+    WITH n AS (
+      SELECT CAST(10 + COUNT(*) // 25 AS BIGINT) AS nv FROM documents
+    ),
+    pairs AS (
+      SELECT nv // 3 AS v1, 2 * nv // 3 AS v2 FROM n
+      UNION ALL SELECT 2, nv - 1 FROM n
+      UNION ALL SELECT nv // 2, nv // 2 + 1 FROM n
+    ),
+    geom AS (
+      SELECT v1, v2,
+             GREATEST(0, 2 * v1 - v2 + 4) AS ovl,
+             -- added fid range: [GREATEST(2*v1+3, v2-1), 2*v2+2]
+             GREATEST(2 * v1 + 3, v2 - 1) AS add_lo,
+             2 * v2 + 2 AS add_hi,
+             -- removed fid range: [v1-1, LEAST(v2-2, 2*v1+2)]
+             v1 - 1 AS rm_lo,
+             LEAST(v2 - 2, 2 * v1 + 2) AS rm_hi
+      FROM pairs
+    )
+    SELECT CAST(v1 AS BIGINT) AS v_from,
+           CAST(v2 AS BIGINT) AS v_to,
+           CAST(add_hi - add_lo + 1 AS BIGINT) AS n_added,
+           CAST(rm_hi - rm_lo + 1 AS BIGINT) AS n_removed,
+           CAST({_ROWS_A} * (add_hi - add_lo + 1)
+                + {_ROWS_B} * ((add_hi * (add_hi + 1)
+                                - (add_lo - 1) * add_lo) // 2)
+             AS BIGINT) AS added_rows,
+           CAST({_ROWS_A} * (rm_hi - rm_lo + 1)
+                + {_ROWS_B} * ((rm_hi * (rm_hi + 1)
+                                - (rm_lo - 1) * rm_lo) // 2)
+             AS BIGINT) AS removed_rows,
+           CAST(({_ROWS_A} * (add_hi - add_lo + 1)
+                 + {_ROWS_B} * ((add_hi * (add_hi + 1)
+                                 - (add_lo - 1) * add_lo) // 2))
+                - ({_ROWS_A} * (rm_hi - rm_lo + 1)
+                   + {_ROWS_B} * ((rm_hi * (rm_hi + 1)
+                                   - (rm_lo - 1) * rm_lo) // 2))
+             AS BIGINT) AS net_rows_delta
+    FROM geom
+    ORDER BY v_from, v_to
+    """
+
+
+@register("delta_time_travel_diff", oracle=_dd_oracle())
+def delta_time_travel_diff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-travel snapshot diff over the Delta action log: both
+    versions' live file sets materialized by the protocol fold
+    (adds anti-joined against removes by path) and set-diffed with
+    anti-joins, for three pairs covering overlapping, disjoint, and
+    single-commit regimes. The oracle replays the lattice
+    closed-form — the Spark side derives everything from the parsed
+    JSON log, so agreement proves the fold.
+
+    Scale notes (100 TB): log-metadata work end to end; the diffs
+    an incremental consumer or RESTORE preflight needs, without
+    opening a data file."""
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    return delta_snapshot_diff(spark, _n_versions(n_docs))
