@@ -365,14 +365,48 @@ def _grouped(fields: list[tuple[int, int | bytes]]) -> dict:
     return out
 
 
+def _byte_rle_decode(data: bytes) -> bytes:
+    """ORC Byte-RLE: header < 128 → run of header+3 copies of the
+    next byte; header >= 128 → literal run of 256-header bytes."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        h = data[pos]
+        pos += 1
+        if h < 128:
+            if pos >= len(data):
+                raise ValueError("truncated byte-rle run")
+            out += bytes([data[pos]]) * (h + 3)
+            pos += 1
+        else:
+            n = 256 - h
+            if pos + n > len(data):
+                raise ValueError("truncated byte-rle literal")
+            out += data[pos : pos + n]
+            pos += n
+    return bytes(out)
+
+
+def _present_bits(data: bytes, n: int) -> list[bool]:
+    """PRESENT stream: byte-RLE bytes, 8 bits each MSB-first; the
+    first ``n`` bits are the per-row non-null flags."""
+    raw = _byte_rle_decode(data)
+    if len(raw) * 8 < n:
+        raise ValueError("present stream shorter than the stripe")
+    return [bool(raw[i >> 3] >> (7 - (i & 7)) & 1) for i in range(n)]
+
+
 def walk_orc(data: bytes) -> dict:
     """Walk one ORC file → per-column decoded long values plus
-    container facts. NotImplementedError for LZO/unknown compression,
-    non-long columns, non-DIRECT_V2 encodings or PRESENT streams
-    (nullable columns); ValueError with 'row count' for the
-    footer-vs-stripes mismatch, with 'statistics' when the footer's
-    IntegerStatistics disagree with the decoded values, plain
-    ValueError for structural damage."""
+    container facts. NULLABLE columns supported (r13): PRESENT
+    streams decode through ORC Byte-RLE + MSB-first bits, DATA holds
+    only present values and is woven back (all-null columns legally
+    carry PRESENT with no DATA). NotImplementedError for LZO/unknown
+    compression, non-long columns or non-DIRECT_V2 encodings;
+    ValueError with 'row count' for the footer-vs-stripes mismatch,
+    with 'statistics' when the footer's IntegerStatistics disagree
+    with the decoded non-null values, plain ValueError for
+    structural damage."""
     try:
         return _walk_orc(data)
     except (IndexError, TypeError, AttributeError) as exc:
@@ -439,6 +473,8 @@ def _walk_orc(data: bytes) -> dict:
             if c >= len(encs) or encs[c].get(1, [0])[0] != _ENC_DIRECT_V2:
                 raise NotImplementedError("orc non-DIRECT_V2 integer column")
         dpos = off + ilen  # data region starts after the index region
+        present: dict[int, list[bool]] = {}
+        saw_data: set[int] = set()
         for st_raw in sfoot.get(1, []):
             st = _grouped(_pb_fields(st_raw))
             skind = st.get(1, [0])[0]
@@ -446,20 +482,44 @@ def _walk_orc(data: bytes) -> dict:
             ln = st.get(3, [0])[0]
             if skind in _INDEX_STREAMS:
                 continue  # lives in the index region; no data cursor move
-            if skind == _STREAM_PRESENT:
-                raise NotImplementedError("orc nullable column (PRESENT)")
-            if skind == _STREAM_DATA and 1 <= col <= n_cols:
+            if skind == _STREAM_PRESENT and 1 <= col <= n_cols:
+                if dpos + ln > off + ilen + dlen:
+                    raise ValueError("orc present stream beyond data region")
+                present[col] = _present_bits(
+                    _orc_chunks(data[dpos : dpos + ln], kind), srows
+                )
+            elif skind == _STREAM_DATA and 1 <= col <= n_cols:
                 if dpos + ln > off + ilen + dlen:
                     raise ValueError("orc data stream beyond data region")
                 vals = rlev2_decode(
                     _orc_chunks(data[dpos : dpos + ln], kind), signed=True
                 )
-                if len(vals) != srows:
-                    raise ValueError(
-                        "orc data stream row count disagrees with stripe"
+                saw_data.add(col)
+                bits = present.get(col)
+                if bits is None:
+                    if len(vals) != srows:
+                        raise ValueError(
+                            "orc data stream row count disagrees with stripe"
+                        )
+                    columns[col - 1].extend(vals)
+                else:
+                    # nullable: DATA holds only the present values,
+                    # woven back through the PRESENT bitmap
+                    if len(vals) != sum(bits):
+                        raise ValueError(
+                            "orc present/data count mismatch"
+                        )
+                    it = iter(vals)
+                    columns[col - 1].extend(
+                        next(it) if b else None for b in bits
                     )
-                columns[col - 1].extend(vals)
             dpos += ln
+        for col, bits in present.items():
+            if col not in saw_data:
+                # an all-null column legally has PRESENT but no DATA
+                if any(bits):
+                    raise ValueError("orc present stream without data")
+                columns[col - 1].extend([None] * srows)
         stripe_rows += srows
         n_stripes += 1
     if n_stripes == 0:
@@ -472,14 +532,15 @@ def _walk_orc(data: bytes) -> dict:
         if c + 1 >= len(stats):
             break
         cs = stats[c + 1]
-        if cs.get(1, [None])[0] not in (None, n_rows):
+        non_null = [v for v in columns[c] if v is not None]
+        if cs.get(1, [None])[0] not in (None, len(non_null)):
             raise ValueError("orc column statistics value count mismatch")
         ints = cs.get(2, [None])[0]
-        if ints is None or not columns[c]:
+        if ints is None or not non_null:
             continue
         ig = _grouped(_pb_fields(ints))
-        dec_min, dec_max = min(columns[c]), max(columns[c])
-        dec_sum = sum(columns[c])
+        dec_min, dec_max = min(non_null), max(non_null)
+        dec_sum = sum(non_null)
         for fld, dec in ((1, dec_min), (2, dec_max), (3, dec_sum)):
             if fld in ig and _zz(ig[fld][0]) != dec:
                 raise ValueError("orc footer statistics mismatch")
@@ -697,5 +758,167 @@ def ingest_orc_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=(
             "doc_id long, status string, n_rows long, a_sum long, "
             "b_sum long, c_sum long, d_sum long, e_sum long"
+        ),
+    ).orderBy("doc_id")
+
+
+# ------------------------------------- nullable (PRESENT) fixture
+
+_ON_GROUPS = 10
+
+
+def _on_n(g: int) -> int:
+    return 2500 + 140 * g
+
+
+def _on_cols(g: int, n: int) -> dict[str, list]:
+    """Two nullable closed-form columns (distinct null strides) and
+    one ALL-NULL column — the PRESENT-with-no-DATA edge."""
+    return {
+        "v": [None if i % 5 == 3 else (7 * i + 3 * g) % 10000
+              for i in range(n)],
+        "u": [None if i % 7 == 2
+              else ((i * i * 3 + 11 * i + 31 * g) % 20000) - 10000
+              for i in range(n)],
+        "w": [None] * n,
+    }
+
+
+def build_orc_nullable(g: int, codec: str) -> bytes:
+    import io
+
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    cols = _on_cols(g, _on_n(g))
+    t = pa.table({k: pa.array(v, pa.int64()) for k, v in cols.items()})
+    buf = io.BytesIO()
+    orc.write_table(
+        t, buf, compression=codec, stripe_size=4096,
+        compression_block_size=4096,
+    )
+    return buf.getvalue()
+
+
+def _on_payload(doc_id: int) -> bytes:
+    g = doc_id % _ON_GROUPS
+    blob = build_orc_nullable(g, _ORC_CODECS[g % len(_ORC_CODECS)])
+    if doc_id % 11 == 3:
+        blob = blob[:-7]  # cut inside postscript/footer
+    return blob
+
+
+_ON_FACT_MEMO: dict[tuple, tuple] = {}
+
+
+def _on_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cache = _ON_FACT_MEMO
+
+    def facts(doc_id: int) -> tuple:
+        g = doc_id % _ON_GROUPS
+        key = (g, doc_id % 11 == 3)
+        if key not in cache:
+            try:
+                f = walk_orc(_on_payload(doc_id))
+                v, u, w = f["columns"]
+                cache[key] = (
+                    "decoded", f["n_rows"],
+                    sum(1 for x in v if x is not None),
+                    sum(x for x in v if x is not None),
+                    sum(1 for x in u if x is not None),
+                    sum(x for x in u if x is not None),
+                    sum(1 for x in w if x is not None),
+                )
+            except NotImplementedError:
+                cache[key] = ("unsupported", 0, 0, 0, 0, 0, 0)
+            except ValueError:
+                cache[key] = ("corrupt", 0, 0, 0, 0, 0, 0)
+            except Exception:  # noqa: BLE001 — malformed bytes quarantine
+                cache[key] = ("corrupt", 0, 0, 0, 0, 0, 0)
+        return cache[key]
+
+    for pdf in it:
+        if pdf.empty:
+            continue
+        out = [(int(d),) + facts(int(d)) for d in pdf["doc_id"]]
+        yield pd.DataFrame(
+            out,
+            columns=["doc_id", "status", "n_rows", "v_nonnull",
+                     "v_sum", "u_nonnull", "u_sum", "w_nonnull"],
+        ).astype({
+            "doc_id": "int64", "n_rows": "int64", "v_nonnull": "int64",
+            "v_sum": "int64", "u_nonnull": "int64", "u_sum": "int64",
+            "w_nonnull": "int64",
+        })
+
+
+def _on_oracle() -> str:
+    return f"""
+    WITH grp AS (
+      SELECT DISTINCT doc_id % {_ON_GROUPS} AS g FROM documents
+    ),
+    vals AS (
+      SELECT r.g, i,
+             (i % 5 != 3) AS v_ok,
+             (7 * i + 3 * r.g) % 10000 AS v,
+             (i % 7 != 2) AS u_ok,
+             ((i * i * 3 + 11 * i + 31 * r.g) % 20000) - 10000 AS u
+      FROM (SELECT g, 2500 + 140 * g AS n FROM grp) r,
+           LATERAL (SELECT unnest(range(0, r.n)) AS i)
+    ),
+    sums AS (
+      SELECT g,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN v_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS v_nonnull,
+             CAST(SUM(CASE WHEN v_ok THEN v ELSE 0 END) AS BIGINT)
+               AS v_sum,
+             CAST(SUM(CASE WHEN u_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS u_nonnull,
+             CAST(SUM(CASE WHEN u_ok THEN u ELSE 0 END) AS BIGINT)
+               AS u_sum
+      FROM vals GROUP BY g
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 11 = 3 THEN 'corrupt'
+                ELSE 'decoded' END AS status,
+           CASE WHEN d.doc_id % 11 = 3 THEN 0 ELSE s.n_rows END
+             AS n_rows,
+           CASE WHEN d.doc_id % 11 = 3 THEN 0 ELSE s.v_nonnull END
+             AS v_nonnull,
+           CASE WHEN d.doc_id % 11 = 3 THEN 0 ELSE s.v_sum END
+             AS v_sum,
+           CASE WHEN d.doc_id % 11 = 3 THEN 0 ELSE s.u_nonnull END
+             AS u_nonnull,
+           CASE WHEN d.doc_id % 11 = 3 THEN 0 ELSE s.u_sum END
+             AS u_sum,
+           CAST(0 AS BIGINT) AS w_nonnull
+    FROM documents d
+    JOIN sums s ON d.doc_id % {_ON_GROUPS} = s.g
+    ORDER BY d.doc_id
+    """
+
+
+@register("ingest_orc_nullable_walk", oracle=_on_oracle())
+def ingest_orc_nullable_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC NULLABLE columns through the native walk (r13): PRESENT
+    streams decoded via ORC Byte-RLE + MSB-first bit weave, DATA
+    holding only present values, and an ALL-NULL column exercising
+    the PRESENT-with-no-DATA edge — across all five codecs through
+    the repo's own decompressors, multi-stripe forced at 4 KiB. The
+    footer IntegerStatistics cross-check now runs against NON-NULL
+    values (numberOfValues is the non-null count per spec). Oracle
+    replays both null strides and value sums closed-form.
+
+    Scale notes (100 TB): nullable columns are the norm in real
+    warehouses; the PRESENT bitmap is what keeps a null-heavy
+    column's storage near zero, and a reader without it cannot open
+    most production ORC files. Per-file map-side decode, memoized."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        _on_batches,
+        schema=(
+            "doc_id long, status string, n_rows long, v_nonnull long, "
+            "v_sum long, u_nonnull long, u_sum long, w_nonnull long"
         ),
     ).orderBy("doc_id")

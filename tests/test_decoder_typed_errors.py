@@ -114,6 +114,8 @@ _TARGETS = [
          b, avroresolve._RS_READER)),
     ("orc-zstd", lambda: orcwalk.build_orc(4, "zstd"),
      lambda b: orcwalk.walk_orc(b)),
+    ("orc-nullable", lambda: orcwalk.build_orc_nullable(0, "uncompressed"),
+     lambda b: orcwalk.walk_orc(b)),
     ("iceberg-mlist", lambda: iceberg._ic_payloads(0)[0],
      lambda b: iceberg.walk_iceberg_snapshot(
          b, iceberg._ic_payloads(0)[1])),

@@ -167,15 +167,17 @@ def test_string_column_is_typed_unsupported():
         walk_orc(buf.getvalue())
 
 
-def test_nullable_column_is_typed_unsupported():
+def test_nullable_column_decodes():
+    """Was the typed 'unsupported' boundary until r13 — PRESENT
+    streams now decode (ingest_orc_nullable_walk is the full
+    fixture; this pins the minimal case)."""
     import pyarrow as pa
     import pyarrow.orc as orc
 
     t = pa.table({"v": pa.array([1, None, 3], pa.int64())})
     buf = io.BytesIO()
     orc.write_table(t, buf)
-    with pytest.raises(NotImplementedError, match="PRESENT"):
-        walk_orc(buf.getvalue())
+    assert walk_orc(buf.getvalue())["columns"][0] == [1, None, 3]
 
 
 def test_lzo_kind_is_typed_unsupported():
