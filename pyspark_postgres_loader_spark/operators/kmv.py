@@ -184,9 +184,14 @@ def sketch_kmv_distinct_ops(
     e = (F.col("user_id").cast("long") * 100000
          + F.datediff(F.to_date("ts"), F.lit("1970-01-01")))
     h = (e * _MULT + _ADD) % F.lit(_MOD)
+    # hashed feeds SEVEN consumers (both sketch branches, three
+    # exact sides, totals); materialize it once so the plan reads a
+    # checkpointed RDD instead of re-scanning events per branch
+    # (graph.py/dedup_semantic_cluster pattern; the FileScan budget
+    # gate pinned the re-scan)
     hashed = (ev.select(F.col("event_type").alias("scope"),
                         h.alias("h"))
-              .distinct())
+              .distinct().localCheckpoint(eager=True))
     w = Window.partitionBy("scope").orderBy("h")
     sk = (hashed.withColumn("rn", F.row_number().over(w))
           .filter(F.col("rn") <= _K).drop("rn"))
