@@ -50,6 +50,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table
@@ -571,12 +572,33 @@ def ingest_avro_container_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes (100 TB): Arrow-batched mapInPandas, parallel across
     files, sequential only within one container (its inherent block
-    chain); ~50 B of integer facts re-enter the JVM per file."""
+    chain); ~50 B of integer facts re-enter the JVM per file. The
+    repartition BY FIXTURE COMBO below is load-bearing: the sf0.1
+    documents scan is a single input split, which serialized all
+    ~30 (group, fault) container decodes — six codecs incl. the
+    pure-Python bzip2/xz paths, ~8 s — into ONE worker (BENCH r13
+    attribution); co-partitioning docs by their combo key spreads
+    the decodes across the executor pool AND keeps the per-worker
+    memo dense (each worker sees few distinct combos)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    return d.mapInPandas(
+    combo = F.concat_ws(
+        ":",
+        (F.col("doc_id") % 8),
+        (F.col("doc_id") % 11 == 3).cast("int"),
+        (F.col("doc_id") % 17 == 2).cast("int"),
+        (F.col("doc_id") % 13 == 5).cast("int"),
+        (F.col("doc_id") % 19 == 7).cast("int"),
+    )
+    out = d.repartition(32, combo).mapInPandas(
         _av_batches,
         schema=(
             "doc_id long, status string, n_blocks int, n_records long, "
             "id_sum long, val_sum long, name_len_sum long"
         ),
-    ).orderBy("doc_id")
+    )
+    # presentation sort WITHOUT a global orderBy: rangepartitioning
+    # SAMPLES its child, which re-executes the whole decode subtree
+    # (measured 3.1 s vs 1.4 s per pass at sf0.1); a single-partition
+    # exchange + in-partition sort materializes the 60 kB fact rows
+    # once and sorts them in one task
+    return out.repartition(1).sortWithinPartitions("doc_id")
