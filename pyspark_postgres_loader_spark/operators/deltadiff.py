@@ -57,14 +57,17 @@ def delta_snapshot_diff(spark: SparkSession, nv: int) -> DataFrame:
     acts = delta_log_lines(spark, nv).select(
         "version", F.from_json("line", _ACTION_SCHEMA).alias("a")
     )
+    # adds/removes feed two live-set folds per pair x three pairs;
+    # materialize the parsed log once (log-sized) so the JSON
+    # synth+parse subtree is not re-executed per consumer
     adds = acts.filter("a.add IS NOT NULL").select(
         "version",
         F.col("a.add.path").alias("path"),
         F.col("a.add.numRecords").alias("rows"),
-    )
+    ).localCheckpoint(eager=True)
     removes = acts.filter("a.remove IS NOT NULL").select(
         "version", F.col("a.remove.path").alias("path")
-    )
+    ).localCheckpoint(eager=True)
 
     def live(v: int) -> DataFrame:
         return (adds.filter(F.col("version") <= v)
@@ -73,30 +76,43 @@ def delta_snapshot_diff(spark: SparkSession, nv: int) -> DataFrame:
                       .select("path"),
                       "path", "left_anti"))
 
-    out = None
-    for v1, v2 in _pairs(nv):
-        l1, l2 = live(v1), live(v2)
-        added = l2.join(l1.select("path"), "path", "left_anti").agg(
-            F.count("*").cast("long").alias("n_added"),
-            F.coalesce(F.sum("rows"), F.lit(0)).cast("long")
-            .alias("added_rows"),
-        )
-        removed = l1.join(l2.select("path"), "path", "left_anti").agg(
-            F.count("*").cast("long").alias("n_removed"),
-            F.coalesce(F.sum("rows"), F.lit(0)).cast("long")
-            .alias("removed_rows"),
-        )
-        row = (added.crossJoin(F.broadcast(removed))
-               .select(
-                   F.lit(v1).cast("long").alias("v_from"),
-                   F.lit(v2).cast("long").alias("v_to"),
-                   "n_added", "n_removed", "added_rows",
-                   "removed_rows",
-                   (F.col("added_rows") - F.col("removed_rows"))
-                   .cast("long").alias("net_rows_delta"),
-               ))
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("v_from", "v_to")
+    # ONE plan for all pairs: tag each pair's from/to live set, fold
+    # per (pair, path), classify added/removed, aggregate — a single
+    # shuffle on (pair, path) instead of 12 sequential driver jobs
+    tagged = None
+    for pid, (v1, v2) in enumerate(_pairs(nv)):
+        for side, v in (("f", v1), ("t", v2)):
+            t = live(v).select(
+                F.lit(pid).alias("pid"),
+                F.lit(v1).cast("long").alias("v_from"),
+                F.lit(v2).cast("long").alias("v_to"),
+                F.lit(side).alias("side"), "path", "rows",
+            )
+            tagged = t if tagged is None else tagged.unionByName(t)
+    per_path = tagged.groupBy("pid", "v_from", "v_to", "path").agg(
+        F.max(F.when(F.col("side") == "f", 1).otherwise(0))
+        .alias("in_from"),
+        F.max(F.when(F.col("side") == "t", 1).otherwise(0))
+        .alias("in_to"),
+        F.max("rows").alias("rows"),
+    )
+    return (per_path.groupBy("pid", "v_from", "v_to").agg(
+        F.sum(F.when((F.col("in_to") == 1) & (F.col("in_from") == 0),
+                     1).otherwise(0)).cast("long").alias("n_added"),
+        F.sum(F.when((F.col("in_from") == 1) & (F.col("in_to") == 0),
+                     1).otherwise(0)).cast("long").alias("n_removed"),
+        F.sum(F.when((F.col("in_to") == 1) & (F.col("in_from") == 0),
+                     F.col("rows")).otherwise(0)).cast("long")
+        .alias("added_rows"),
+        F.sum(F.when((F.col("in_from") == 1) & (F.col("in_to") == 0),
+                     F.col("rows")).otherwise(0)).cast("long")
+        .alias("removed_rows"),
+    ).select(
+        "v_from", "v_to", "n_added", "n_removed", "added_rows",
+        "removed_rows",
+        (F.col("added_rows") - F.col("removed_rows")).cast("long")
+        .alias("net_rows_delta"),
+    ).orderBy("v_from", "v_to"))
 
 
 def _dd_oracle() -> str:
