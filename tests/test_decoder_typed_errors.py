@@ -29,6 +29,7 @@ from pyspark_postgres_loader_spark.operators import (
     gzipwalk,
     iceberg,
     icebergmor,
+    icebergprune,
     inflate,
     lz4frame,
     oggwalk,
@@ -123,6 +124,9 @@ _TARGETS = [
      lambda: next(iter(iceberg._ic_payloads(1)[1].values())),
      lambda b: avrowalk.walk_avro(b)),
     # round-13 additions
+    ("iceberg-prune-mlist", lambda: icebergprune._ip_payloads(0)[0],
+     lambda b: icebergprune.walk_iceberg_pruning(
+         b, icebergprune._ip_payloads(0)[1], 10, 14)),
     ("iceberg-mor-mlist", lambda: icebergmor._im_payloads(0)[0],
      lambda b: icebergmor.walk_iceberg_mor(
          b, icebergmor._im_payloads(0)[1])),
