@@ -194,3 +194,179 @@ def ingest_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pages int, n_values long, value_sum long, wsum long"
         ),
     ).orderBy("file_name")
+
+
+# -------------------------------------- mixed-format dispatch leg
+
+_DISPATCH_GROUPS = 6
+
+
+def _bd_fixture_dir() -> str:
+    """The data-lake junk drawer: one directory holding parquet,
+    Avro, ORC, and unidentifiable files side by side (idempotent per
+    process)."""
+    from .avrowalk import _av_record, build_avro_container
+    from .orcwalk import build_orc
+
+    d = claim_scratch_dir("spark_graft", "binmixed")
+    marker = os.path.join(d, ".complete")
+    if not os.path.exists(marker):
+        for g in range(_DISPATCH_GROUPS):
+            with open(os.path.join(d, f"m{g}_pq.bin"), "wb") as f:
+                f.write(_pq_bytes(g))
+            sync = bytes((g * 3 + i) % 256 for i in range(16))
+            recs = [_av_record(g, i) for i in range(400 + 50 * g)]
+            with open(os.path.join(d, f"m{g}_av.bin"), "wb") as f:
+                f.write(build_avro_container(recs, "deflate", sync))
+            with open(os.path.join(d, f"m{g}_orc.bin"), "wb") as f:
+                f.write(build_orc(g, ("zlib", "snappy", "zstd")[g % 3]))
+            with open(os.path.join(d, f"m{g}_junk.bin"), "wb") as f:
+                f.write(bytes((g * 31 + i * 7) % 256
+                              for i in range(512)))
+        with open(marker, "wb") as f:
+            f.write(b"ok")
+    return d
+
+
+def sniff_format(content: bytes) -> str:
+    """Magic-byte dispatch: the first bytes identify the container
+    (ORC also ends with a postscript, but the leading magic is the
+    cheap, spec-guaranteed signal)."""
+    if content[:4] == b"PAR1" and content[-4:] == b"PAR1":
+        return "parquet"
+    if content[:4] == b"Obj\x01":
+        return "avro"
+    if content[:3] == b"ORC":
+        return "orc"
+    return "unknown"
+
+
+_BD_FACT_MEMO: dict[tuple, tuple] = {}
+
+
+def _bd_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .avrowalk import walk_avro
+    from .orcwalk import walk_orc
+
+    cache = _BD_FACT_MEMO
+
+    def facts(name: str, content: bytes) -> tuple:
+        key = (name, len(content))
+        if key not in cache:
+            fmt = sniff_format(content)
+            try:
+                if fmt == "parquet":
+                    f = walk_parquet(content)
+                    cache[key] = (fmt, "decoded", len(f["values"]),
+                                  sum(f["values"]))
+                elif fmt == "avro":
+                    f = walk_avro(content)
+                    cache[key] = (fmt, "decoded", len(f["records"]),
+                                  sum(r[0] for r in f["records"]))
+                elif fmt == "orc":
+                    f = walk_orc(content)
+                    cache[key] = (fmt, "decoded", f["n_rows"],
+                                  sum(f["columns"][0]))
+                else:
+                    cache[key] = (fmt, "unrecognized", 0, 0)
+            except NotImplementedError:
+                cache[key] = (fmt, "unsupported", 0, 0)
+            except ValueError:
+                cache[key] = (fmt, "corrupt", 0, 0)
+            except Exception:  # noqa: BLE001 — malformed quarantine
+                cache[key] = (fmt, "corrupt", 0, 0)
+        return cache[key]
+
+    for pdf in it:
+        if pdf.empty:
+            continue
+        out = [(n,) + facts(n, bytes(c))
+               for n, c in zip(pdf["file_name"], pdf["content"])]
+        yield pd.DataFrame(
+            out,
+            columns=["file_name", "format", "status", "n_records",
+                     "fact_sum"],
+        ).astype({"n_records": "int64", "fact_sum": "int64"})
+
+
+def _bd_oracle() -> str:
+    # parquet: the _pq_values lattice; avro: id = (i*17+29g) % 10000
+    # over 400+50g records; orc: column 'a' = 1000g + 3i over
+    # 3000+173g rows
+    return f"""
+    WITH grp AS (
+      SELECT unnest(range(0, {_DISPATCH_GROUPS})) AS g
+    ),
+    pq AS (
+      SELECT r.g,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM((i*i*7 + i*13 + 997*r.g) % 100000) AS BIGINT)
+               AS s
+      FROM (SELECT g, 2500 + 128 * g AS n FROM grp) r,
+           LATERAL (SELECT unnest(range(0, r.n)) AS i)
+      GROUP BY r.g
+    ),
+    av AS (
+      SELECT r.g,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM((i*17 + 29*r.g) % 10000) AS BIGINT) AS s
+      FROM (SELECT g, 400 + 50 * g AS n FROM grp) r,
+           LATERAL (SELECT unnest(range(0, r.n)) AS i)
+      GROUP BY r.g
+    ),
+    orc_ AS (
+      SELECT r.g,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(1000 * r.g + 3 * i) AS BIGINT) AS s
+      FROM (SELECT g, 3000 + 173 * g AS n FROM grp) r,
+           LATERAL (SELECT unnest(range(0, r.n)) AS i)
+      GROUP BY r.g
+    )
+    SELECT * FROM (
+      SELECT 'm' || g || '_pq.bin' AS file_name, 'parquet' AS format,
+             'decoded' AS status, n AS n_records, s AS fact_sum
+      FROM pq
+      UNION ALL
+      SELECT 'm' || g || '_av.bin', 'avro', 'decoded', n, s FROM av
+      UNION ALL
+      SELECT 'm' || g || '_orc.bin', 'orc', 'decoded', n, s FROM orc_
+      UNION ALL
+      SELECT 'm' || g || '_junk.bin', 'unknown', 'unrecognized',
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM grp
+    )
+    ORDER BY file_name
+    """
+
+
+@register("ingest_binaryfile_dispatch", oracle=_bd_oracle())
+def ingest_binaryfile_dispatch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mixed-format ingest over real files: one binaryFile scan of a
+    directory holding parquet, Avro (deflate), ORC (three codecs)
+    and unidentifiable files, each routed by MAGIC-BYTE sniffing to
+    the matching native walk and folded into one normalized fact
+    row — the 'junk drawer' shape every real data lake has. Oracle
+    replays all three formats' closed-form lattices per file.
+
+    Scale notes (100 TB): format dispatch is a prefix read; the
+    per-format decode cost is the same as the dedicated legs; one
+    listing-parallel scan covers a heterogeneous bucket instead of
+    one pipeline per format."""
+    d = _bd_fixture_dir()
+    files = (
+        spark.read.format("binaryFile")
+        .load(d)
+        .filter(~F.col("path").endswith(".complete"))
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            "content",
+        )
+    )
+    return files.mapInPandas(
+        _bd_batches,
+        schema=(
+            "file_name string, format string, status string, "
+            "n_records long, fact_sum long"
+        ),
+    ).orderBy("file_name")

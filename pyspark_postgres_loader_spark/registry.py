@@ -79,7 +79,7 @@ _LOADED = False
 # Round-13 rotation. Entering this round all 250 pre-existing queries
 # are driver-verified with every latest check green; staleness
 # histogram after r12 is a perfect 5x50 partition {r8..r12}. This
-# window = the 12 round-13 registrations (iceberg_mor_deletes — the
+# window = the 13 round-13 registrations (iceberg_mor_deletes — the
 # Iceberg v2 merge-on-read fold: position + equality delete files
 # with sequence gating through our own Avro decoder;
 # delta_checkpoint_snapshot — checkpoint-parquet + JSON-tail replay
@@ -108,14 +108,17 @@ _LOADED = False
 # Byte-RLE + MSB-first bit weave, the all-null edge, removing the
 # nullable 'unsupported' boundary; iceberg_partition_pruning —
 # manifest pruning on field summaries, ground-truth-audited with a
-# typed stale-summary verdict) + the
-# first 38 of the 50 r8-checked
+# typed stale-summary verdict; ingest_binaryfile_dispatch — one
+# binaryFile scan over a mixed parquet/Avro/ORC/junk directory,
+# magic-sniffed to the matching native walk) + the
+# first 37 of the 50 r8-checked
 # names (exactly the head VERDICT r12 prescribed, starting
 # cogroup_user_activity_profile then split_train_val_test — the
 # r8-era cogroup/sampling/stream/join/agg/window names, 5 rounds
 # stale) = 50 exactly. After this round the staleness floor rises to
-# r8-remainder(12)+r9: the round-14 rotation head is the 12 leftover
-# r8 names (agg_cube_flag_status, agg_grouping_sets,
+# r8-remainder(13)+r9: the round-14 rotation head is the 13 leftover
+# r8 names (agg_rollup_flag_status, agg_cube_flag_status,
+# agg_grouping_sets,
 # agg_pivot_status,
 # window_top3_orders_per_customer,
 # window_running_customer_spend, window_lag_event_delta,
@@ -123,10 +126,10 @@ _LOADED = False
 # topk_orders_by_price,
 # setop_active_nations,
 # setop_customer_only_nations, setop_union_all_keys,
-# scalar_string_date_funcs) followed by the 38 stalest r9 names; the rest of the list is the FULL registry in
+# scalar_string_date_funcs) followed by the 37 stalest r9 names; the rest of the list is the FULL registry in
 # staleness order for drivers that check more than 50 rows.
 _PRIORITY = [
-    # (a) round-13 registrations — never driver-checked (12): the
+    # (a) round-13 registrations — never driver-checked (13): the
     # Iceberg v2 merge-on-read delete fold, the Delta checkpoint-
     # parquet replay over our own multi-column parquet walk, the
     # binaryFile-source real-file ingest leg, the parquet
@@ -137,8 +140,9 @@ _PRIORITY = [
     # the Parsing Canonical Form), KMV distinct sketches with
     # union/intersection set operations, DSIR hashed-LM
     # importance-resampling data selection, the Delta time-travel
-    # snapshot diff, nullable-ORC PRESENT-stream decode, and the
-    # Iceberg partition-pruning audit over manifest field summaries
+    # snapshot diff, nullable-ORC PRESENT-stream decode, the
+    # Iceberg partition-pruning audit over manifest field summaries,
+    # and mixed-format binaryFile dispatch by magic-byte sniffing
     "iceberg_mor_deletes",
     "delta_checkpoint_snapshot",
     "ingest_binaryfile_scan",
@@ -151,7 +155,8 @@ _PRIORITY = [
     "delta_time_travel_diff",
     "ingest_orc_nullable_walk",
     "iceberg_partition_pruning",
-    # (b) the r8-checked head (38 of 50) — stalest greens, 5 rounds
+    "ingest_binaryfile_dispatch",
+    # (b) the r8-checked head (37 of 50) — stalest greens, 5 rounds
     # old: the r8-era cogroup/sampling/stream/join/agg/window names
     "cogroup_user_activity_profile",
     "pysource_synthetic_events",
@@ -190,9 +195,9 @@ _PRIORITY = [
     "join_semi_big_orders",
     "join_anti_idle_customers",
     "agg_global_stats",
+    # --- window boundary (driver checks exactly 50; 13+37=50) ---
+    # r8 remainder (13): the round-14 rotation head starts here
     "agg_rollup_flag_status",
-    # --- window boundary (driver checks exactly 50; 12+38=50) ---
-    # r8 remainder (12): the round-14 rotation head starts here
     "agg_cube_flag_status",
     "agg_grouping_sets",
     "agg_pivot_status",

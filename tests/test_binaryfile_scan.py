@@ -78,3 +78,48 @@ def test_query_matches_oracle(spark):
     from oracle_harness import compare_query
 
     compare_query(spark, "/root/testdata/sf0.001", "ingest_binaryfile_scan")
+
+
+# ------------------------------------ mixed-format dispatch tests
+
+def test_sniffer_identifies_all_formats():
+    from pyspark_postgres_loader_spark.operators.avrowalk import (
+        _av_record, build_avro_container,
+    )
+    from pyspark_postgres_loader_spark.operators.binaryfile import (
+        sniff_format,
+    )
+    from pyspark_postgres_loader_spark.operators.orcwalk import build_orc
+
+    assert sniff_format(_bf_blob(0, "clean")) == "parquet"
+    sync = bytes(range(16))
+    av = build_avro_container([_av_record(0, i) for i in range(10)],
+                              "null", sync)
+    assert sniff_format(av) == "avro"
+    assert sniff_format(build_orc(0, "zlib")) == "orc"
+    assert sniff_format(b"\x00\x01garbage") == "unknown"
+
+
+def test_dispatch_rows_cover_every_format(spark):
+    q = all_queries()["ingest_binaryfile_dispatch"]
+    rows = q(spark, "/root/testdata/sf0.001").collect()
+    by_fmt = {}
+    for r in rows:
+        by_fmt.setdefault((r["format"], r["status"]), 0)
+        by_fmt[(r["format"], r["status"])] += 1
+    assert by_fmt == {
+        ("parquet", "decoded"): 6, ("avro", "decoded"): 6,
+        ("orc", "decoded"): 6, ("unknown", "unrecognized"): 6,
+    }
+    assert all(r["n_records"] > 0 for r in rows
+               if r["status"] == "decoded")
+
+
+def test_dispatch_matches_oracle(spark):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from oracle_harness import compare_query
+
+    compare_query(spark, "/root/testdata/sf0.001",
+                  "ingest_binaryfile_dispatch")
