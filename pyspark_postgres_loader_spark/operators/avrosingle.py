@@ -122,7 +122,12 @@ def _c14n(s, enclosing_ns: str | None) -> str:
     if not isinstance(s, dict):
         raise ValueError("unrecognized schema node")
     t = s.get("type")
-    if t in _PRIMS and set(s) <= {"type", "logicalType", "doc"}:
+    # PCF transformation order (Avro spec): [STRIP] drops every
+    # attribute outside {name,type,fields,symbols,items,values,size}
+    # FIRST, then [PRIMITIVES] collapses any object where only "type"
+    # remains — so {"type":"bytes","precision":4,"logicalType":…}
+    # canonicalizes to '"bytes"', whatever extra attributes it carried
+    if t in _PRIMS and not (set(s) & (set(_FIELD_ORDER) - {"type"})):
         return f'"{t}"'  # primitive-object collapse
     out = []
     ns = s.get("namespace")

@@ -41,7 +41,13 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..scratch import claim_scratch_dir
-from .parquetwalk import _PQ_GROUPS, _PQ_ROWGROUP, _pq_bytes, walk_parquet
+from .parquetwalk import (
+    _PQ_GROUPS,
+    _PQ_ROWGROUP,
+    _pq_bytes,
+    first_page_body_span,
+    walk_parquet,
+)
 
 _BF_VARIANTS = ("clean", "trunc", "brotli", "crcflip")
 
@@ -53,7 +59,11 @@ def _bf_blob(g: int, variant: str) -> bytes:
     if variant == "trunc":
         del blob[-6:]          # cut inside footer length + magic
     elif variant == "crcflip":
-        blob[150] ^= 0x01      # page body byte under an intact CRC
+        # flip mid-body of the FIRST page, located by the same thrift
+        # walk the reader performs — guaranteed under an intact stored
+        # CRC whatever layout pyarrow emits
+        s, e = first_page_body_span(bytes(blob))
+        blob[s + (e - s) // 2] ^= 0x01
     return bytes(blob)
 
 

@@ -84,7 +84,8 @@ def _dsir_oracle() -> str:
     WITH toks AS (
       SELECT doc_id, lang, t
       FROM (SELECT doc_id, lang,
-                   unnest(string_split(lower(text), ' ')) AS t
+                   unnest(regexp_split_to_array(lower(text), '\\s+'))
+                     AS t
             FROM documents)
       WHERE LENGTH(t) > 0
     ),

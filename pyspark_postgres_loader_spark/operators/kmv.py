@@ -13,7 +13,12 @@ accuracy envelope vs true cardinality is still asserted in pytest):
   across event types, unlike raw user sets);
 - hash: the multiplicative mix ``h = (e * 2654435761 + 12345) mod
   2^32`` (Knuth) — closed-form, so DuckDB replays it bit-exactly
-  (collisions, if any, affect both engines identically);
+  (collisions, if any, affect both engines identically). The mix is
+  evaluated overflow-FREE on both engines via a 16-bit limb split of
+  ``e mod 2^32`` (every intermediate stays < 2^49), so Spark's silent
+  int64 wrap and DuckDB's overflow error can never diverge, at any
+  scale factor (ceiling: ``user_id * 100000`` itself must fit int64,
+  i.e. user_id < ~9.2e13);
 - per-type sketch: the K=64 smallest DISTINCT hashes (one window
   over the hash-distinct frame); estimator: exact count when the
   sketch is not full, else ``floor((K-1)·2^32 / kth_hash)`` — both
@@ -61,6 +66,28 @@ _ADD = 12345
 _NUM = (_K - 1) * _MOD  # estimator numerator, exact in double
 
 
+def _mix32(e):
+    """``(e * _MULT + _ADD) mod 2^32`` without int64 overflow: split
+    ``e mod 2^32`` into 16-bit limbs so every intermediate is < 2^49.
+    Identical algebra to the direct form for e < 2^32 (every fixture),
+    and well-defined — on BOTH engines — beyond it."""
+    em = e % F.lit(_MOD)
+    hi = F.shiftright(em, 16)
+    lo = em.bitwiseAND(F.lit(65535))
+    return ((hi * _MULT) % F.lit(_MOD) * 65536
+            + lo * _MULT + _ADD) % F.lit(_MOD)
+
+
+def _mix32_sql(e_expr: str) -> str:
+    """The same limb-split mix as DuckDB SQL over expression
+    ``e_expr`` (DuckDB raises on int64 overflow, so the split is what
+    makes the hash evaluable there at all beyond e ~ 3.4e9)."""
+    return (f"(((((({e_expr}) % {_MOD}) >> 16) * {_MULT}) % {_MOD})"
+            f" * 65536"
+            f" + ((({e_expr}) % {_MOD}) & 65535) * {_MULT}"
+            f" + {_ADD}) % {_MOD}")
+
+
 def _est(n_sketch, kth):
     """KMV estimator: exact when not full, else the IEEE-identical
     floor((K-1)·2^32 / kth) both engines compute."""
@@ -75,9 +102,8 @@ def _kmv_oracle() -> str:
     return f"""
     WITH hashed AS (
       SELECT DISTINCT event_type AS scope,
-             ((user_id * 100000
-               + DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)))
-              * {_MULT} + {_ADD}) % {_MOD} AS h
+             {_mix32_sql("user_id * 100000 + DATE_DIFF('day', "
+                         "DATE '1970-01-01', CAST(ts AS DATE))")} AS h
       FROM events
     ),
     sk AS (
@@ -183,7 +209,7 @@ def sketch_kmv_distinct_ops(
     ev = load_table(spark, sf_dir, "events")
     e = (F.col("user_id").cast("long") * 100000
          + F.datediff(F.to_date("ts"), F.lit("1970-01-01")))
-    h = (e * _MULT + _ADD) % F.lit(_MOD)
+    h = _mix32(e)
     # hashed feeds SEVEN consumers (both sketch branches, three
     # exact sides, totals); materialize it once so the plan reads a
     # checkpointed RDD instead of re-scanning events per branch

@@ -64,6 +64,7 @@ from .parquetwalk import (
     _parse_level_runs,
     _read_rle_levels,
     _TReader,
+    first_page_body_span,
 )
 
 _PD_GROUPS = 10
@@ -292,11 +293,13 @@ def _pdq_payload(doc_id: int) -> bytes:
     if corrupt:
         del blob[-6:]
     elif crc_err:
-        # dictionary_page_offset of the first chunk is 4; with codec
-        # 'none' the dict page body starts right after its thrift
-        # header — flip a byte ~40 in, safely inside the PLAIN int64
-        # dictionary values, under the intact stored CRC
-        blob[60] ^= 0x01
+        # flip mid-body of the FIRST page (the dictionary page —
+        # lowest chunk offset), located by the same thrift walk the
+        # reader performs, so the byte is inside the PLAIN dictionary
+        # values under the intact stored CRC whatever layout pyarrow
+        # emits
+        s, e = first_page_body_span(bytes(blob))
+        blob[s + (e - s) // 2] ^= 0x01
     return bytes(blob)
 
 

@@ -453,6 +453,33 @@ def _walk_parquet_table(data: bytes) -> dict:
     }
 
 
+def first_page_body_span(data: bytes) -> tuple[int, int]:
+    """(start, end) byte span of the FIRST page's body in ``data`` —
+    the page at the first column chunk's lowest page offset (the
+    dictionary page when one exists, else the first data page),
+    located by walking the footer + thrift PageHeader exactly as the
+    reader does. Fault injectors (binaryfile.py, parquetdict.py) use
+    this to flip a byte PROVABLY inside a CRC-covered page body; a
+    hardcoded offset could silently drift into a thrift header if a
+    pyarrow upgrade shifts the layout (advisory, round 13)."""
+    if len(data) < 12 or data[-4:] != b"PAR1":
+        raise ValueError("missing parquet footer magic")
+    flen = struct.unpack_from("<I", data, len(data) - 8)[0]
+    meta = _TReader(data, len(data) - 8 - flen).read_struct()
+    row_groups = meta.get(4) or []
+    if not row_groups:
+        raise ValueError("no row groups")
+    chunks = row_groups[0].get(1) or []
+    cmeta = chunks[0].get(3)
+    offs = [o for o in (cmeta.get(11), cmeta.get(9)) if o is not None]
+    rd = _TReader(data, min(offs))
+    ph = rd.read_struct()  # PageHeader
+    csize = ph.get(3)
+    if csize is None or rd.pos + csize > len(data):
+        raise ValueError("first page body out of range")
+    return rd.pos, rd.pos + csize
+
+
 # ------------------------------------------------- driver-oracled query
 
 _PQ_GROUPS = 10

@@ -49,6 +49,32 @@ def test_canonical_form_normalizes_equivalent_schemas():
     assert "doc" not in c.replace('"Doc"', "") and "aliases" not in c
 
 
+def test_primitive_collapse_strips_extra_attributes_first():
+    """Spec transformation order: [STRIP] removes every attribute
+    outside {name,type,fields,symbols,items,values,size} BEFORE
+    [PRIMITIVES] collapses, so a primitive object carrying extras
+    (precision, logicalType, custom props) still collapses to its
+    simple form (round-13 advisory)."""
+    assert canonical_form(
+        {"type": "bytes", "precision": 4, "scale": 2}) == '"bytes"'
+    assert canonical_form(
+        {"type": "long", "logicalType": "timestamp-millis",
+         "custom-prop": True}) == '"long"'
+    assert canonical_form(
+        {"type": "int", "doc": "d"}) == '"int"'
+    # a decimal-annotated field inside a record fingerprints the same
+    # as the bare primitive
+    with_extras = {
+        "type": "record", "name": "R",
+        "fields": [{"name": "a",
+                    "type": {"type": "bytes", "precision": 9,
+                             "scale": 2, "logicalType": "decimal"}}],
+    }
+    bare = {"type": "record", "name": "R",
+            "fields": [{"name": "a", "type": "bytes"}]}
+    assert schema_fingerprint(with_extras) == schema_fingerprint(bare)
+
+
 def test_crc64_avro_is_table_driven_and_stable():
     """Golden values pinned from this implementation of the spec's
     pseudocode (bit-reversed CRC, EMPTY=0xC15D213AA4D7A795); the

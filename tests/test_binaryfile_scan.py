@@ -13,7 +13,9 @@ from pyspark_postgres_loader_spark.operators.binaryfile import (
 )
 from pyspark_postgres_loader_spark.operators.parquetwalk import (
     _PQ_GROUPS,
+    _pq_bytes,
     _pq_values,
+    first_page_body_span,
     walk_parquet,
 )
 from pyspark_postgres_loader_spark.registry import all_queries
@@ -48,6 +50,25 @@ def test_variant_verdicts_match_walk():
         raise AssertionError("crcflip decoded")
     except ValueError as exc:
         assert "CRC" in str(exc)
+
+
+def test_crcflip_byte_is_inside_first_page_body():
+    """The fault injector locates the first page body by walking the
+    thrift PageHeader (not a hardcoded offset): the flipped byte must
+    differ from the clean blob at exactly one position, and that
+    position must lie inside the located body span — so a pyarrow
+    layout change can never silently move the flip into a header and
+    turn 'crc_error' into 'corrupt' (round-13 advisory)."""
+    for g in range(_PQ_GROUPS):
+        clean = _pq_bytes(g)
+        flipped = _bf_blob(g, "crcflip")
+        assert len(clean) == len(flipped)
+        diffs = [i for i, (a, b) in enumerate(zip(clean, flipped))
+                 if a != b]
+        s, e = first_page_body_span(clean)
+        assert len(diffs) == 1
+        assert s <= diffs[0] < e
+        assert s >= 4 and e <= len(clean) - 8
 
 
 def test_scan_reads_files_not_synthesized_payloads(spark):

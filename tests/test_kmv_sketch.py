@@ -30,6 +30,31 @@ def test_estimator_envelope(spark):
                 scope, dict(r.asDict()))
 
 
+def test_mix32_is_overflow_free_and_engine_identical(spark):
+    """The limb-split hash must (a) equal the mathematical
+    ``(e * 2654435761 + 12345) mod 2^32`` computed with Python
+    big-ints, (b) agree between Spark and DuckDB, and (c) survive
+    e values far past the int64-overflow point of the naive form
+    (e ~ 3.4e9, i.e. user_id ~ 34,700 — the round-13 advisory)."""
+    import duckdb
+
+    from pyspark_postgres_loader_spark.operators.kmv import (
+        _ADD, _MOD, _MULT, _mix32, _mix32_sql)
+    from pyspark.sql import functions as F
+
+    es = [0, 1, 65535, 65536, 150_000_000, 3_400_000_000,
+          4_294_967_295, 4_294_967_296, 9_000_000_000_000_000_000]
+    expect = [(e * _MULT + _ADD) % _MOD for e in es]
+    got_spark = [
+        r["h"] for r in spark.createDataFrame(
+            [(e,) for e in es], "e long")
+        .select(_mix32(F.col("e")).alias("h")).collect()]
+    assert got_spark == expect
+    got_duck = [duckdb.sql(
+        f"SELECT {_mix32_sql(str(e))} AS h").fetchone()[0] for e in es]
+    assert got_duck == expect
+
+
 def test_union_dominates_parts(spark):
     """Union exact cardinality >= each part's; the union sketch's
     kth hash <= each part's (more mass below theta)."""

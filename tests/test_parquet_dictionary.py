@@ -64,6 +64,26 @@ def test_dict_page_crc_is_verified():
         walk_parquet_dictionary(_pdq_payload(doc_id))
 
 
+def test_crcflip_byte_is_inside_first_page_body():
+    """The flip is located by the thrift walk (first_page_body_span),
+    not a hardcoded offset: exactly one byte differs from the clean
+    blob and it lies inside the first (dictionary) page body span
+    (round-13 advisory)."""
+    from pyspark_postgres_loader_spark.operators.parquetwalk import (
+        first_page_body_span,
+    )
+    doc_id = 19
+    g = doc_id % _PD_GROUPS
+    clean = _pd_bytes(g, False, codec="none")
+    flipped = _pdq_payload(doc_id)
+    assert len(clean) == len(flipped)
+    diffs = [i for i, (a, b) in enumerate(zip(clean, flipped))
+             if a != b]
+    s, e = first_page_body_span(clean)
+    assert len(diffs) == 1
+    assert s <= diffs[0] < e
+
+
 def test_typed_verdicts():
     with pytest.raises(ValueError):
         walk_parquet_dictionary(_pdq_payload(3))     # truncation
