@@ -521,12 +521,12 @@ def _pq_payload(doc_id: int) -> bytes:
     unsup = doc_id % 13 == 5 and not (corrupt or crc_err)
     blob = bytearray(_pq_bytes(g, codec="brotli" if unsup else None))
     if crc_err:
-        # flip a byte INSIDE the first data page body (pages start
-        # right after the 4-byte header magic; the page header is
-        # thrift, the body follows — flipping late in the first 200
-        # bytes lands in page data for every group) so the stored
-        # page CRC must catch it
-        blob[150] ^= 0x01
+        # flip a byte mid-body of the FIRST data page, located by the
+        # same thrift walk the reader performs (first_page_body_span)
+        # so the stored page CRC must catch it whatever layout pyarrow
+        # emits (round-13 advisory applied here too)
+        s, e = first_page_body_span(bytes(blob))
+        blob[s + (e - s) // 2] ^= 0x01
     if corrupt:
         del blob[-6:]  # cut inside footer length + magic
     return bytes(blob)

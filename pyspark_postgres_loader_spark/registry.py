@@ -469,6 +469,7 @@ def _ensure_loaded() -> None:
         paragraph_dedup,
         parquetdict,
         parquetindex,
+        parquetnested,
         parquetv2,
         parquetwalk,
         perplexity,

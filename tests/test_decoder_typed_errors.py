@@ -37,6 +37,7 @@ from pyspark_postgres_loader_spark.operators import (
     parquetdict,
     parquetindex,
     parquetv2,
+    parquetnested,
     parquetwalk,
     roaring,
     safetensors,
@@ -73,6 +74,8 @@ _TARGETS = [
      lambda b: cborwalk.walk_cbor(b)),
     ("parquet-page-index", lambda: parquetindex._pi_bytes(0),
      lambda b: parquetindex.walk_parquet_page_index(b)),
+    ("parquet-nested", lambda: parquetnested._pn_bytes(0),
+     lambda b: parquetnested.walk_parquet_nested(b)),
     ("zip", lambda: zipwalk._zip_payload(0),
      lambda b: zipwalk.walk_zip_members(b)),
     ("ogg", lambda: oggwalk._ogg_payload(0),

@@ -1,0 +1,127 @@
+"""Parquet nested LIST walk: exact value + order recovery for
+list<float32>, NULL/empty-list and NULL-element edges, record
+re-assembly across row groups, typed verdicts (including the spliced
+repetition-level run), schema-shape gating, and the oracle compare."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from pyspark_postgres_loader_spark.operators.parquetnested import (
+    _PN_GROUPS,
+    _PN_ROWGROUP,
+    _emb_page_body_start,
+    _pn_bytes,
+    _pn_lists,
+    _pn_payload,
+    _pn_rows,
+    _pn_struct_bytes,
+    walk_parquet_nested,
+)
+
+
+def _expect_f32(lists):
+    """The fixture's python lists with float32 rounding applied —
+    values are chosen exactly representable, so this is identity."""
+    return lists
+
+
+def test_values_order_and_edges_decode_exactly():
+    for g in (0, 3, 7):
+        f = walk_parquet_nested(_pn_bytes(g))
+        emb = f["columns"]["emb.list.element"]
+        exp = _expect_f32(_pn_lists(g))
+        assert f["num_rows"] == _pn_rows(g)
+        assert f["columns"]["doc_id"] == list(range(_pn_rows(g)))
+        assert len(emb) == len(exp)
+        n_null = n_empty = n_nullel = 0
+        for a, b in zip(emb, exp):
+            assert a == b  # None / [] / element Nones / exact floats
+            if a is None:
+                n_null += 1
+            elif a == []:
+                n_empty += 1
+            else:
+                n_nullel += sum(1 for x in a if x is None)
+        # non-vacuous: every edge class present in every group
+        assert n_null > 0 and n_empty > 0 and n_nullel > 0
+        assert f["n_row_groups"] == -(-_pn_rows(g) // _PN_ROWGROUP)
+        assert f["n_pages"] == 2 * f["n_row_groups"]
+
+
+def test_records_reassemble_across_row_groups():
+    """A row group boundary lands mid-column (256-row groups over
+    400+ rows); list contents on both sides of the boundary must
+    survive — the rep=0 record-start rule, not luck."""
+    g = 1
+    f = walk_parquet_nested(_pn_bytes(g))
+    emb = f["columns"]["emb.list.element"]
+    exp = _pn_lists(g)
+    for i in (_PN_ROWGROUP - 1, _PN_ROWGROUP, _PN_ROWGROUP + 1):
+        assert emb[i] == exp[i]
+
+
+def test_typed_verdicts():
+    with pytest.raises(ValueError):
+        walk_parquet_nested(_pn_payload(3))       # footer cut
+    with pytest.raises(ValueError, match="level"):
+        walk_parquet_nested(_pn_payload(2))       # spliced rep run
+    with pytest.raises(NotImplementedError, match="non-LIST"):
+        walk_parquet_nested(_pn_payload(5))       # struct column
+    with pytest.raises(NotImplementedError):
+        walk_parquet_nested(_pn_struct_bytes(0))
+
+
+def test_spliced_level_prefix_lands_on_the_rep_run():
+    """The bad_levels splice targets the emb chunk's first page body
+    (where the v1 rep-level 4-byte length prefix lives), located by
+    the thrift walk — pin that the clean blob differs from the
+    spliced one at exactly those 4 bytes."""
+    clean = _pn_bytes(2 % _PN_GROUPS, codec="none", checksum=False)
+    spliced = _pn_payload(2)
+    assert len(clean) == len(spliced)
+    s = _emb_page_body_start(clean)
+    diffs = [i for i, (a, b) in enumerate(zip(clean, spliced)) if a != b]
+    assert diffs and all(s <= i < s + 4 for i in diffs)
+    assert struct.unpack_from("<I", spliced, s)[0] == 0xFFFFFFF0
+
+
+def test_malformed_level_runs_are_typed():
+    """Every way a level run can lie — length prefix past the body,
+    zero-length prefix with values owed, bit-packed run cut short —
+    must come back ValueError, never a crash or a wrong decode."""
+    base = bytearray(_pn_bytes(0, codec="none", checksum=False))
+    s = _emb_page_body_start(bytes(base))
+    for prefix in (0, 1, 2, 0x7FFFFFFF):
+        b = bytearray(base)
+        struct.pack_into("<I", b, s, prefix)
+        with pytest.raises(ValueError):
+            walk_parquet_nested(bytes(b))
+
+
+def test_level_values_above_schema_max_are_typed():
+    """A definition level larger than max_def is structural damage
+    (decoder would otherwise mis-assemble silently)."""
+    base = bytearray(_pn_bytes(0, codec="none", checksum=False))
+    s = _emb_page_body_start(bytes(base))
+    # rep run: length prefix then hybrid body; overwrite the body's
+    # first run with an RLE run of value 3 (> max_rep 1): header
+    # varint (count<<1)|0, then 1-byte value 3
+    total = struct.unpack_from("<I", base, s)[0]
+    assert total >= 2
+    base[s + 4] = 2 << 1  # RLE run, count 2
+    base[s + 5] = 3       # level 3 > max_rep
+    with pytest.raises(ValueError, match="level"):
+        walk_parquet_nested(bytes(base))
+
+
+def test_query_matches_oracle(spark):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from oracle_harness import compare_query
+
+    compare_query(spark, "/root/testdata/sf0.001",
+                  "ingest_parquet_nested_walk")
