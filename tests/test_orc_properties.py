@@ -72,3 +72,37 @@ def test_orc_roundtrip_multi_column(a, seed):
     f = walk_orc(_write_orc({"a": a, "b": b}, "zlib"))
     assert f["columns"][0] == a
     assert f["columns"][1] == b
+
+
+def _write_orc_strings(vals: list, threshold: float) -> bytes:
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    t = pa.table({"s": pa.array(vals, pa.string())})
+    buf = io.BytesIO()
+    orc.write_table(
+        t, buf, compression="zlib", stripe_size=4096,
+        compression_block_size=4096,
+        dictionary_key_size_threshold=threshold,
+    )
+    return buf.getvalue()
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.text(max_size=24),  # arbitrary unicode incl. empties
+        ),
+        min_size=1, max_size=300,
+    ),
+    threshold=st.sampled_from([0.0, 0.9, 1.0]),
+)
+@settings(max_examples=40, deadline=None)
+def test_orc_roundtrip_arbitrary_strings(vals, threshold):
+    """pyarrow picks DIRECT_V2 or DICTIONARY_V2 freely (the threshold
+    sweep forces both decisions); nullable, empty, and multibyte
+    strings must all survive the walk exactly."""
+    f = walk_orc(_write_orc_strings(vals, threshold))
+    assert f["n_rows"] == len(vals)
+    assert f["columns"][0] == vals

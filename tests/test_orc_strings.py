@@ -1,0 +1,168 @@
+"""ORC string columns: exact value + order recovery under BOTH V2
+encodings (DIRECT_V2 length streams, DICTIONARY_V2 dictionary +
+index), nullable strings under PRESENT, multibyte UTF-8, the
+StringStatistics carried-twice check, typed verdicts, and the
+oracle compare."""
+
+from __future__ import annotations
+
+import io
+
+import pytest
+
+from pyspark_postgres_loader_spark.operators.orcwalk import (
+    _ENC_DICT_V2,
+    _ENC_DIRECT_V2,
+    _ORC_CODECS,
+    _os_cols,
+    _os_n,
+    _os_payload,
+    build_orc_strings,
+    walk_orc,
+)
+
+
+def test_both_encodings_decode_exactly_across_codecs():
+    for g in (0, 1, 4, 9):  # covers uncompressed/zlib/zstd codecs
+        cols = _os_cols(g, _os_n(g))
+        f = walk_orc(build_orc_strings(
+            g, _ORC_CODECS[g % len(_ORC_CODECS)]))
+        assert f["columns"][0] == cols["key"]
+        assert f["columns"][1] == cols["s_dict"]
+        assert f["columns"][2] == cols["s_uniq"]
+        assert f["columns"][3] == cols["s_null"]
+        # the fixture must force BOTH encodings, or the test is vacuous
+        assert f["encodings"] == [[_ENC_DIRECT_V2], [_ENC_DICT_V2],
+                                  [_ENC_DIRECT_V2], [_ENC_DICT_V2]]
+
+
+def test_multibyte_utf8_lengths_are_bytes_not_chars():
+    """ORC LENGTH streams count BYTES; a decoder that split on
+    characters would misalign every subsequent value."""
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    vals = ["über", "naïve", "日本語テキスト", "a", "", "émoji🎉"] * 40
+    t = pa.table({"s": pa.array(vals, pa.string())})
+    buf = io.BytesIO()
+    orc.write_table(t, buf, compression="zlib")
+    assert walk_orc(buf.getvalue())["columns"][0] == vals
+
+
+def test_empty_strings_and_all_null_string_column():
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    t = pa.table({
+        "e": pa.array(["", "", "x", ""], pa.string()),
+        "n": pa.array([None, None, None, None], pa.string()),
+    })
+    buf = io.BytesIO()
+    orc.write_table(t, buf)
+    f = walk_orc(buf.getvalue())
+    assert f["columns"][0] == ["", "", "x", ""]
+    assert f["columns"][1] == [None] * 4
+
+
+def test_string_statistics_are_cross_checked():
+    """Patch the footer StringStatistics sum for the DIRECT_V2 string
+    column: the decoded total length disagrees and the walk must say
+    so (carried-twice, like the integer stats)."""
+    from pyspark_postgres_loader_spark.operators.orcwalk import (
+        _grouped,
+        _orc_chunks,
+        _pb_build,
+        _pb_fields,
+        _retail,
+    )
+
+    data = build_orc_strings(0, "zlib")
+    ps_len = data[-1]
+    ps_fields = _pb_fields(data[len(data) - 1 - ps_len : len(data) - 1])
+    psd = _grouped(ps_fields)
+    kind = psd[2][0]
+    flen = psd[1][0]
+    fstart = len(data) - 1 - ps_len - flen
+    footer = _pb_fields(_orc_chunks(data[fstart : fstart + flen], kind))
+    # ColumnStatistics is footer field 7; entry index 3 is s_uniq
+    # (root, key, s_dict, s_uniq, s_null); StringStatistics is its
+    # field 4 and sum-of-lengths its sint64 field 3
+    seen = 0
+    patched = []
+    for f, v in footer:
+        if f == 7:
+            if seen == 3:
+                cs = _pb_fields(v)
+                cs2 = []
+                for f2, v2 in cs:
+                    if f2 == 4:
+                        ss = _pb_fields(v2)
+                        v2 = _pb_build(
+                            [(f3, v3 + 2 if f3 == 3 else v3)
+                             for f3, v3 in ss])
+                    cs2.append((f2, v2))
+                v = _pb_build(cs2)
+            seen += 1
+        patched.append((f, v))
+    blob = _retail(data, _pb_build(patched), kind, ps_fields, fstart)
+    with pytest.raises(ValueError, match="statistics mismatch"):
+        walk_orc(blob)
+
+
+def test_dictionary_size_consistency_is_checked():
+    """Shrink the first stripe's ColumnEncoding.dictionarySize for
+    s_dict by one (in place — uncompressed stripe footer, same
+    varint width): the LENGTH run still carries 13 entries, so the
+    walk must refuse the disagreement instead of silently indexing a
+    reshaped dictionary."""
+    from pyspark_postgres_loader_spark.operators.orcwalk import (
+        _grouped,
+        _pb_build,
+        _pb_fields,
+    )
+
+    data = bytearray(build_orc_strings(0, "uncompressed"))
+    ps_len = data[-1]
+    end = len(data) - 1 - ps_len
+    ps = _grouped(_pb_fields(bytes(data[end : len(data) - 1])))
+    assert ps.get(2, [0])[0] == 0  # uncompressed → footers in plain pb
+    flen = ps[1][0]
+    footer = _grouped(_pb_fields(bytes(data[end - flen : end])))
+    si = _grouped(_pb_fields(footer[3][0]))  # first stripe
+    sf_start = si[1][0] + si[2][0] + si[3][0]
+    sflen = si[4][0]
+    sfields = _pb_fields(bytes(data[sf_start : sf_start + sflen]))
+    seen = 0
+    out = []
+    for f, v in sfields:
+        if f == 2:  # ColumnEncoding; index 2 is s_dict
+            if seen == 2:
+                ce = _pb_fields(v)
+                v = _pb_build(
+                    [(ff, vv - 1 if ff == 2 else vv) for ff, vv in ce])
+            seen += 1
+        out.append((f, v))
+    new = _pb_build(out)
+    assert len(new) == sflen  # 13 → 12 keeps the varint width
+    data[sf_start : sf_start + sflen] = new
+    with pytest.raises(ValueError, match="dictionary size"):
+        walk_orc(bytes(data))
+
+
+def test_typed_verdicts():
+    with pytest.raises(ValueError):
+        walk_orc(_os_payload(3))                   # postscript cut
+    with pytest.raises(ValueError, match="row count mismatch"):
+        walk_orc(_os_payload(2))                   # footer rows +1
+    with pytest.raises(NotImplementedError, match="type kind 14"):
+        walk_orc(_os_payload(5))                   # DECIMAL column
+
+
+def test_query_matches_oracle(spark):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from oracle_harness import compare_query
+
+    compare_query(spark, "/root/testdata/sf0.001",
+                  "ingest_orc_string_walk")

@@ -156,15 +156,24 @@ def test_footer_statistics_cross_check_fires():
         walk_orc(blob)
 
 
-def test_string_column_is_typed_unsupported():
+def test_string_column_decodes_and_exotic_kinds_stay_typed():
+    """Strings were the typed 'unsupported' boundary until r14 —
+    both V2 encodings now decode (test_orc_strings.py is the full
+    fixture; this pins the minimal case) and the boundary is only
+    the genuinely exotic kinds (timestamp here)."""
     import pyarrow as pa
     import pyarrow.orc as orc
 
     t = pa.table({"s": pa.array(["x", "y", "z"])})
     buf = io.BytesIO()
     orc.write_table(t, buf)
+    assert walk_orc(buf.getvalue())["columns"][0] == ["x", "y", "z"]
+
+    t2 = pa.table({"ts": pa.array([0, 1], pa.timestamp("ms"))})
+    buf2 = io.BytesIO()
+    orc.write_table(t2, buf2)
     with pytest.raises(NotImplementedError, match="type kind"):
-        walk_orc(buf.getvalue())
+        walk_orc(buf2.getvalue())
 
 
 def test_nullable_column_decodes():
