@@ -439,6 +439,7 @@ def _ensure_loaded() -> None:
         clustering,
         dedup,
         dsir,
+        deltacdf,
         deltacheckpoint,
         deltadiff,
         deltalog,
