@@ -448,6 +448,7 @@ def _ensure_loaded() -> None:
         graph,
         gzipwalk,
         iceberg,
+        icebergcommit,
         icebergmor,
         icebergprune,
         inference,
