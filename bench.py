@@ -555,6 +555,20 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         isolated = {"error": f"{type(exc).__name__}: {exc}"[:200]}
 
+    # sink family: per-phase attribution (VERDICT r13 task 6 — two
+    # rounds of drift on untouched sink code; the artifact now shows
+    # fixture/sink-I/O/readback splits, the exact statement count the
+    # bisection stress generates, and the Spark-free floor, so any
+    # future suite-number movement is attributable at a glance)
+    try:
+        from pyspark_postgres_loader_spark.sinks.roundtrip import (
+            sink_phase_breakdown,
+        )
+
+        sink_detail = sink_phase_breakdown(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        sink_detail = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+
     total = round(sum(timings.values()), 3)
     # "contract"-tagged queries compute an exact reference ALONGSIDE a
     # sketch/approx result purely to assert the error envelope — their
@@ -600,6 +614,7 @@ def main() -> None:
         "hll_envelope": hll,
         "isolated_top10": isolated,
         "stream_family": stream_detail,
+        "sink_family": sink_detail,
         "sf": sf,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
