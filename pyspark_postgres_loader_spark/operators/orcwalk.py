@@ -54,6 +54,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table
@@ -1104,8 +1105,13 @@ def _os_payload(doc_id: int) -> bytes:
 _OS_ZERO = (0,) * 13
 
 
+# worker-process-scope decode memo (avrowalk r12/r13 lesson: a
+# function-local cache rebuilds per partition iterator AND per pass)
+_OS_FACT_MEMO: dict[tuple, tuple] = {}
+
+
 def _os_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    cache: dict[tuple, tuple] = {}
+    cache = _OS_FACT_MEMO
 
     def facts(doc_id: int) -> tuple:
         g = doc_id % _OS_GROUPS
@@ -1260,7 +1266,18 @@ def ingest_orc_string_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: none in /root/reference (SURVEY.md §2l extension);
     public ORC v1 spec (stream kinds, DICTIONARY_V2/DIRECT_V2)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    return d.mapInPandas(
+    # spread the distinct (group, variant) decodes across the worker
+    # pool (the sf0.1 documents scan is ONE input split — avrowalk
+    # r13 lesson), and sort without a global orderBy (range
+    # partitioning samples its child, re-executing the decode)
+    combo = F.concat_ws(
+        ":",
+        (F.col("doc_id") % _OS_GROUPS),
+        (F.col("doc_id") % 11 == 3).cast("int"),
+        (F.col("doc_id") % 17 == 2).cast("int"),
+        (F.col("doc_id") % 13 == 5).cast("int"),
+    )
+    out = d.repartition(32, combo).mapInPandas(
         _os_batches,
         schema=(
             "doc_id long, status string, n_rows long, dict_cols long, "
@@ -1269,4 +1286,5 @@ def ingest_orc_string_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_defects long, snull_nonnull long, "
             "snull_tagsum long, snull_wsum long"
         ),
-    ).orderBy("doc_id")
+    )
+    return out.repartition(1).sortWithinPartitions("doc_id")

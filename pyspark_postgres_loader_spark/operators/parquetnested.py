@@ -56,6 +56,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table
@@ -381,9 +382,15 @@ def _pn_payload(doc_id: int) -> bytes:
 
 _PN_ZERO = (0,) * 9
 
+# worker-process-scope decode memo (avrowalk r12/r13 lesson: a
+# function-local cache rebuilds per partition iterator AND per pass;
+# the payload decode is deterministic per (group, variant) so the
+# memo is safe for the worker's lifetime)
+_PN_FACT_MEMO: dict[tuple, tuple] = {}
+
 
 def _pn_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    cache: dict[tuple, tuple] = {}
+    cache = _PN_FACT_MEMO
 
     def facts(doc_id: int) -> tuple:
         g = doc_id % _PN_GROUPS
@@ -533,7 +540,18 @@ def ingest_parquet_nested_walk(
     refuse it), struct column ('unsupported'). See module docstring
     for the Dremel assembly rules and scale notes."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    return d.mapInPandas(
+    # spread the distinct (group, variant) decodes across the worker
+    # pool (the sf0.1 documents scan is ONE input split — avrowalk
+    # r13 lesson), and sort without a global orderBy (range
+    # partitioning samples its child, re-executing the decode)
+    combo = F.concat_ws(
+        ":",
+        (F.col("doc_id") % _PN_GROUPS),
+        (F.col("doc_id") % 11 == 3).cast("int"),
+        (F.col("doc_id") % 17 == 2).cast("int"),
+        (F.col("doc_id") % 13 == 5).cast("int"),
+    )
+    out = d.repartition(32, combo).mapInPandas(
         _pn_batches,
         schema=(
             "doc_id long, status string, n_rows long, "
@@ -541,4 +559,5 @@ def ingest_parquet_nested_walk(
             "n_empty_lists long, n_null_elems long, n_values long, "
             "sum_scaled long, wsum_scaled long"
         ),
-    ).orderBy("doc_id")
+    )
+    return out.repartition(1).sortWithinPartitions("doc_id")
