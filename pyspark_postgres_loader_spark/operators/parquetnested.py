@@ -18,10 +18,14 @@ from (rep, def) pairs:
   element): ``def 0`` → NULL list, ``def 1`` → empty list, ``def 2``
   → present list with a NULL element, ``def 3`` → a value.
 
-Accepted shapes: flat INT64 columns (REQUIRED/OPTIONAL) and the
-spec's 3-level LIST of FLOAT/DOUBLE/INT64 (``optional group
-(LIST) → repeated group → element``). Anything else — struct/map
-groups, deeper repetition — is a typed ``NotImplementedError``
+Accepted shapes: flat INT32/INT64 columns (REQUIRED/OPTIONAL) and
+the spec's 3-level LIST of INT32/INT64/FLOAT/DOUBLE (``optional
+group (LIST) → repeated group → element``), PLAIN or
+dictionary-encoded (PLAIN dictionary page + RLE_DICTIONARY index
+runs — pyarrow's DEFAULT write path, which is how the REAL
+driver-written embeddings.parquet arrives; see
+``ingest_embeddings_real_walk``). Anything else — struct/map groups,
+deeper repetition — is a typed ``NotImplementedError``
 ('unsupported'), the same honest boundary every other walk keeps.
 
 Typed verdicts exercised by the query lattice: a cut inside the
@@ -64,11 +68,13 @@ from .parquetwalk import (
     _PAGE_DATA,
     _TReader,
     _decompress,
+    _parse_level_runs,
     _read_rle_levels,
 )
 
 _CONV_LIST = 3
-_PTYPE_FMT = {2: ("q", 8), 4: ("f", 4), 5: ("d", 8)}  # INT64/FLOAT/DOUBLE
+# INT32 / INT64 / FLOAT / DOUBLE
+_PTYPE_FMT = {1: ("i", 4), 2: ("q", 8), 4: ("f", 4), 5: ("d", 8)}
 
 
 def _schema_leaves(schema: list[dict]) -> list[dict]:
@@ -175,8 +181,6 @@ def _walk_parquet_nested(data: bytes) -> dict:
             cmeta = chunk.get(3)
             if cmeta is None:
                 raise ValueError("column chunk without metadata")
-            if cmeta.get(11) is not None:
-                raise NotImplementedError("dictionary-encoded chunk")
             path = tuple(p.decode() for p in (cmeta.get(3) or []))
             if path != leaf["path"]:
                 raise ValueError("chunk path disagrees with schema order")
@@ -186,6 +190,37 @@ def _walk_parquet_nested(data: bytes) -> dict:
             out = cols[".".join(leaf["path"])]
             fmt, width = _PTYPE_FMT[leaf["ptype"]]
             md, mr = leaf["max_def"], leaf["max_rep"]
+            # dictionary chunk: the PLAIN dictionary page sits at the
+            # chunk's lowest offset; data pages then carry
+            # RLE_DICTIONARY index runs (the pyarrow DEFAULT — the
+            # real embeddings fixture is written this way)
+            dictionary = None
+            if cmeta.get(11) is not None:
+                rd = _TReader(data, cmeta.get(11))
+                ph = rd.read_struct()  # PageHeader
+                if ph.get(1) != 2:  # DICTIONARY page
+                    raise ValueError("dictionary offset without dict page")
+                usize, csize, crc = ph.get(2), ph.get(3), ph.get(4)
+                body = data[rd.pos : rd.pos + csize]
+                if len(body) != csize:
+                    raise ValueError("truncated dictionary page body")
+                if crc is not None and (
+                        zlib.crc32(body) & 0xFFFFFFFF != crc & 0xFFFFFFFF):
+                    raise ValueError("parquet page CRC mismatch (CRC)")
+                dph = ph.get(7)  # DictionaryPageHeader
+                if dph is None:
+                    raise ValueError("dictionary page without its header")
+                dnum = dph.get(1)
+                if dnum is None or dnum < 0 or dnum > 1 << 24:
+                    raise ValueError("implausible dictionary value count")
+                if dph.get(2) not in (0, 2):  # PLAIN / PLAIN_DICTIONARY
+                    raise NotImplementedError(
+                        f"dictionary page encoding {dph.get(2)}")
+                draw = _decompress(codec, body, usize)
+                if len(draw) != width * dnum:
+                    raise ValueError(
+                        "dictionary size disagrees with value count")
+                dictionary = struct.unpack_from(f"<{dnum}{fmt}", draw)
             cur: list | None = None  # record accumulator across pages
             seen = 0
             while seen < num_values:
@@ -209,9 +244,9 @@ def _walk_parquet_nested(data: bytes) -> dict:
                 pvals = dph.get(1)
                 if pvals is None or pvals < 0 or pvals > 1 << 24:
                     raise ValueError("implausible page value count")
-                if dph.get(2) != 0:  # Encoding.PLAIN
-                    raise NotImplementedError(
-                        f"parquet encoding {dph.get(2)}")
+                enc = dph.get(2)
+                if enc not in (0, 2, 8):  # PLAIN / both dictionary encs
+                    raise NotImplementedError(f"parquet encoding {enc}")
                 raw = _decompress(codec, body, usize)
                 off = 0
                 if mr:
@@ -227,10 +262,26 @@ def _walk_parquet_nested(data: bytes) -> dict:
                 else:
                     defs = [0] * pvals
                 present = sum(1 for d in defs if d == md)
-                if len(raw) - off != width * present:
-                    raise ValueError("page body size disagrees with count")
-                vals = iter(struct.unpack_from(
-                    f"<{present}{fmt}", raw, off))
+                if enc == 0:  # PLAIN values
+                    if len(raw) - off != width * present:
+                        raise ValueError(
+                            "page body size disagrees with count")
+                    vals = iter(struct.unpack_from(
+                        f"<{present}{fmt}", raw, off))
+                else:  # RLE_DICTIONARY: bit-width byte + index run
+                    if dictionary is None:
+                        raise ValueError(
+                            "dictionary-encoded page without dict page")
+                    if off >= len(raw):
+                        raise ValueError("truncated dictionary index run")
+                    bw = raw[off]
+                    if bw > 32:
+                        raise ValueError("dictionary index width too wide")
+                    idxs = (_parse_level_runs(raw[off + 1 :], present, bw)
+                            if bw else [0] * present)
+                    if any(i >= len(dictionary) for i in idxs):
+                        raise ValueError("dictionary index out of range")
+                    vals = iter(dictionary[i] for i in idxs)
                 if reps is None:  # flat column
                     out.extend(
                         next(vals) if d == md else None for d in defs)
@@ -561,3 +612,82 @@ def ingest_parquet_nested_walk(
         ),
     )
     return out.repartition(1).sortWithinPartitions("doc_id")
+
+
+# --------------------------------- the REAL embeddings file (r14)
+
+
+def _emb_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import math
+
+    cols = ["vec_id", "dim", "label", "csum"]
+    for pdf in it:
+        if pdf.empty:
+            continue
+        for content in pdf["content"]:
+            f = walk_parquet_nested(bytes(content))
+            vid = f["columns"]["vec_id"]
+            lab = f["columns"]["label"]
+            emb = f["columns"]["embedding.list.element"]
+            rows = []
+            for v, lb, e in zip(vid, lab, emb):
+                if e is None:
+                    rows.append((int(v), -1, int(lb), 0))
+                    continue
+                csum = sum(
+                    math.floor(float(x) * 1048576.0)
+                    for x in e if x is not None
+                )
+                rows.append((int(v), len(e), int(lb), csum))
+            yield pd.DataFrame(rows, columns=cols).astype(
+                {"vec_id": "int64", "dim": "int32", "label": "int32",
+                 "csum": "int64"})
+
+
+_EMB_ORACLE = """
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS dim,
+       CAST(label AS INT) AS label,
+       CAST(COALESCE(list_sum(list_transform(embedding,
+            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))),
+            0) AS BIGINT) AS csum
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+@register("ingest_embeddings_real_walk", oracle=_EMB_ORACLE)
+def ingest_embeddings_real_walk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The REAL driver-written ``embeddings.parquet`` decoded with no
+    parquet library — the closure the synthetic lattices can't give:
+    a third party (the round driver) wrote this file with its own
+    writer settings, and the native walk must take it as found. The
+    file exercises the full default profile at once: the 3-level
+    LIST of FLOAT (Dremel rep/def levels), PLAIN dictionary pages +
+    RLE_DICTIONARY index runs on ALL chunks (pyarrow's default write
+    path), INT32 and INT64 flat columns, snappy through the repo's
+    own decompressor. The oracle is DuckDB's OWN independent parquet
+    reader over the same file (the pre-registered ``embeddings``
+    view) — per-vector dims, labels, and an exact quantized
+    element checksum (``floor(x * 2^20)``: float32→double is exact,
+    the power-of-two scale is exact, floor is engine-identical), so
+    a single wrong byte anywhere in the decode chain flips the hash.
+
+    Scale notes (100 TB): this is the production read shape —
+    binaryFile parallelizes listing, each file decodes map-side, and
+    per-vector facts (not 25 MB of floats) cross back to the JVM.
+    The same walk underlies vectorized readers: levels drive
+    null/offset buffers, dictionary indices resolve against a
+    per-chunk dictionary."""
+    import os as _os
+
+    d = (spark.read.format("binaryFile")
+         .load(_os.path.join(sf_dir, "embeddings.parquet"))
+         .select("content"))
+    out = d.mapInPandas(
+        _emb_batches,
+        schema="vec_id long, dim int, label int, csum long",
+    )
+    return out.repartition(1).sortWithinPartitions("vec_id")

