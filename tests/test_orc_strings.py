@@ -154,8 +154,8 @@ def test_typed_verdicts():
         walk_orc(_os_payload(3))                   # postscript cut
     with pytest.raises(ValueError, match="row count mismatch"):
         walk_orc(_os_payload(2))                   # footer rows +1
-    with pytest.raises(NotImplementedError, match="type kind 14"):
-        walk_orc(_os_payload(5))                   # DECIMAL column
+    with pytest.raises(NotImplementedError, match="type kind 8"):
+        walk_orc(_os_payload(5))                   # BINARY column
 
 
 def test_query_matches_oracle(spark):
@@ -166,3 +166,81 @@ def test_query_matches_oracle(spark):
 
     compare_query(spark, "/root/testdata/sf0.001",
                   "ingest_orc_string_walk")
+
+
+def test_temporal_decimal_decode_exactly():
+    """TIMESTAMP/DATE/DECIMAL round-trip vs pyarrow: all four
+    trailing-zero nano classes, negative days, nullable dates,
+    negative unscaled decimals."""
+    from pyspark_postgres_loader_spark.operators.orcwalk import (
+        _ot_cols,
+        _ot_n,
+        build_orc_temporal,
+    )
+
+    for g in (0, 4, 9):
+        cols = _ot_cols(g, _ot_n(g))
+        f = walk_orc(build_orc_temporal(
+            g, _ORC_CODECS[g % len(_ORC_CODECS)]))
+        assert f["columns"][0] == cols["ts"]
+        assert f["columns"][1] == cols["d"]
+        assert f["columns"][2] == cols["dec"]
+
+
+def test_temporal_typed_verdicts():
+    from pyspark_postgres_loader_spark.operators.orcwalk import (
+        _ot_payload,
+    )
+
+    with pytest.raises(ValueError):
+        walk_orc(_ot_payload(3))
+    with pytest.raises(ValueError, match="row count mismatch"):
+        walk_orc(_ot_payload(2))
+    with pytest.raises(NotImplementedError, match="type kind 8"):
+        walk_orc(_ot_payload(5))
+
+
+def test_decimal_scale_is_carried_twice():
+    """The per-value SECONDARY scale run must agree with the type's
+    declared scale — patch the DECLARED scale (Type field 6) from 2
+    to 3 through the footer-rebuild machinery and the walk must
+    refuse the disagreement."""
+    from pyspark_postgres_loader_spark.operators.orcwalk import (
+        _grouped,
+        _orc_chunks,
+        _pb_build,
+        _pb_fields,
+        _retail,
+        build_orc_temporal,
+    )
+
+    data = build_orc_temporal(0, "uncompressed")
+    ps_len = data[-1]
+    ps_fields = _pb_fields(data[len(data) - 1 - ps_len : len(data) - 1])
+    psd = _grouped(ps_fields)
+    kind = psd.get(2, [0])[0]
+    flen = psd[1][0]
+    fstart = len(data) - 1 - ps_len - flen
+    footer = _pb_fields(_orc_chunks(data[fstart : fstart + flen], kind))
+    out, seen = [], 0
+    for f, v in footer:
+        if f == 4:
+            seen += 1
+            if seen == 4:  # root, ts, d, dec
+                tf = _pb_fields(v)
+                v = _pb_build(
+                    [(ff, 3 if ff == 6 else vv) for ff, vv in tf])
+        out.append((f, v))
+    blob = _retail(data, _pb_build(out), kind, ps_fields, fstart)
+    with pytest.raises(ValueError, match="scale disagrees"):
+        walk_orc(blob)
+
+
+def test_temporal_query_matches_oracle(spark):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from oracle_harness import compare_query
+
+    compare_query(spark, "/root/testdata/sf0.001",
+                  "ingest_orc_temporal_walk")
