@@ -784,3 +784,71 @@ def ingest_documents_real_walk(
                 "last_c int, n_e long"),
     )
     return out.repartition(1).sortWithinPartitions("doc_id")
+
+
+def _ev_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = ["event_id", "user_id", "ts_us", "event_type", "value",
+            "props_chars"]
+    for pdf in it:
+        if pdf.empty:
+            continue
+        for content in pdf["content"]:
+            f = walk_parquet_nested(bytes(content))
+            c = f["columns"]
+            rows = [
+                (int(e), int(u), int(t), et.decode("utf-8"), float(v),
+                 len(pr.decode("utf-8")))
+                for e, u, t, et, v, pr in zip(
+                    c["event_id"], c["user_id"], c["ts"],
+                    c["event_type"], c["value"], c["props"])
+            ]
+            yield pd.DataFrame(rows, columns=cols).astype(
+                {"event_id": "int64", "user_id": "int64",
+                 "ts_us": "int64", "value": "float64",
+                 "props_chars": "int64"})
+
+
+_EV_ORACLE = """
+SELECT event_id, user_id,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       event_type,
+       CAST(value AS DOUBLE) AS value,
+       CAST(LENGTH(props) AS BIGINT) AS props_chars
+FROM events
+ORDER BY event_id
+"""
+
+
+@register("ingest_events_real_walk", oracle=_EV_ORACLE)
+def ingest_events_real_walk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The REAL driver-written ``events.parquet`` decoded with no
+    parquet library — the third real-file closure, and the pointed
+    one: its ``ts`` column is an annotated TIMESTAMP (logicalType
+    field on the INT64 schema element — MICROS in the current
+    driver-written files), the column family whose unit quirks force
+    legacy flags on Spark's own reader. The native walk reads the
+    physical INT64 directly — no flag, no reader quirk — alongside
+    DOUBLE values compared bit-for-bit and
+    BYTE_ARRAY event_type/props strings, all per-event against
+    DuckDB's independent parquet reader over the same file (the
+    pre-registered ``events`` view, ``epoch_ns(ts)`` on the oracle
+    side).
+
+    Scale notes (100 TB): events IS the 100 TB table in this schema;
+    per-file map-side decode with per-event facts returning is the
+    scan shape, and the nanos-as-int64 path is exactly how
+    vectorized readers treat the physical column before applying
+    logical-type interpretation."""
+    import os as _os
+
+    d = (spark.read.format("binaryFile")
+         .load(_os.path.join(sf_dir, "events.parquet"))
+         .select("content"))
+    out = d.mapInPandas(
+        _ev_batches,
+        schema=("event_id long, user_id long, ts_us long, "
+                "event_type string, value double, props_chars long"),
+    )
+    return out.repartition(1).sortWithinPartitions("event_id")

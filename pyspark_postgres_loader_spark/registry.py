@@ -79,7 +79,7 @@ _LOADED = False
 # Round-14 rotation. Entering this round all 263 pre-existing queries
 # are driver-verified with every latest check green; staleness
 # histogram after r13 is {r8:13, r9:50, r10:50, r11:50, r12:50,
-# r13:50}. This window = the 7 round-14 registrations
+# r13:50}. This window = the 8 round-14 registrations
 # (ingest_parquet_nested_walk — the Dremel repetition/definition-
 # level decode of the standard 3-level LIST, the list<float>
 # embeddings shape every training corpus stores, with typed
@@ -89,6 +89,8 @@ _LOADED = False
 # parquet reader over the same file); ingest_documents_real_walk —
 # the BYTE_ARRAY closure: the real documents.parquet incl. the
 # genuine mid-chunk dictionary→PLAIN fallback at sf0.1;
+# ingest_events_real_walk — the real events.parquet with its
+# annotated-TIMESTAMP int64 column, per-event vs DuckDB;
 # ingest_orc_temporal_walk — TIMESTAMP/DATE/DECIMAL decode
 # (2015-epoch seconds + trailing-zero nanos, zigzag-varint
 # unscaled decimals with scale carried twice); ingest_orc_string_walk — ORC's default string
@@ -103,10 +105,11 @@ _LOADED = False
 # through our own Avro encoder and the re-plan is equality-oracled
 # against base-fold + input) + the 13 leftover r8 names (exactly the
 # head VERDICT r13 prescribed: agg_rollup_flag_status first) + the
-# 30 stalest r9 names (head sink_upsert_final_state, list order) =
+# 29 stalest r9 names (head sink_upsert_final_state, list order) =
 # 50 exactly. After this round the r8 era is fully refreshed and the
-# staleness floor rises to r9(20): the round-15 rotation head is the
-# 20 leftover r9 names (stream_upsert_incremental,
+# staleness floor rises to r9(21): the round-15 rotation head is the
+# 21 leftover r9 names (profile_orders_columns,
+# stream_upsert_incremental,
 # stream_dedup_exactly_once,
 # train_global_shuffle, embedding_gram_matrix,
 # hierarchy_recursive_cte,
@@ -132,6 +135,7 @@ _PRIORITY = [
     "ingest_parquet_nested_walk",
     "ingest_embeddings_real_walk",
     "ingest_documents_real_walk",
+    "ingest_events_real_walk",
     "ingest_orc_string_walk",
     "ingest_orc_temporal_walk",
     "delta_change_data_feed",
@@ -152,7 +156,7 @@ _PRIORITY = [
     "setop_customer_only_nations",
     "setop_union_all_keys",
     "scalar_string_date_funcs",
-    # (c) the r9-checked head (30 of 50) — next-stalest
+    # (c) the r9-checked head (29 of 50) — next-stalest
     "sink_upsert_final_state",
     "multimodal_jpeg_prog420_decode",
     "video_frame_banded_neardup",
@@ -182,9 +186,9 @@ _PRIORITY = [
     "skyline_orders_price_date",
     "concurrency_gauge_hourly",
     "anomaly_mad_robust",
+    # --- window boundary (driver checks exactly 50; 8+13+29=50) ---
+    # r9 remainder (21): the round-15 rotation head starts here
     "profile_orders_columns",
-    # --- window boundary (driver checks exactly 50; 7+13+30=50) ---
-    # r9 remainder (20): the round-15 rotation head starts here
     "stream_upsert_incremental",
     "stream_dedup_exactly_once",
     "train_global_shuffle",

@@ -245,3 +245,29 @@ def test_documents_query_matches_oracle(spark):
 
     compare_query(spark, "/root/testdata/sf0.001",
                   "ingest_documents_real_walk")
+
+
+def test_real_events_file_decodes_including_timestamp_int64():
+    """events.parquet carries an annotated-TIMESTAMP INT64 (micros)
+    plus DOUBLE and BYTE_ARRAY columns; the walk reads the physical
+    int64 with no logical-type machinery and must match pyarrow."""
+    import pyarrow.parquet as pq
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    f = walk_parquet_nested(open(path, "rb").read())
+    ref = pq.read_table(path)
+    assert f["columns"]["event_id"] == ref.column("event_id").to_pylist()
+    assert f["columns"]["ts"] == [t.value for t in ref.column("ts")]
+    assert f["columns"]["value"] == ref.column("value").to_pylist()
+    assert [b.decode() for b in f["columns"]["event_type"]] == (
+        ref.column("event_type").to_pylist())
+
+
+def test_events_query_matches_oracle(spark):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from oracle_harness import compare_query
+
+    compare_query(spark, "/root/testdata/sf0.001",
+                  "ingest_events_real_walk")

@@ -169,6 +169,20 @@ SHOWCASE = [
         "pruning at listing time) -> MapInPandas decode — only "
         "(name, content) crosses to Python, ~50 B of facts return",
     ),
+    (
+        "delta_change_data_feed",
+        "round-14 CDF: the parsed log localCheckpointed ONCE feeds "
+        "the add/remove/cdc folds; change-content and file-level "
+        "nets come from independent subtrees joined per version — "
+        "all log-sized aggregates, zero data-file scans",
+    ),
+    (
+        "ingest_embeddings_real_walk",
+        "round-14 real-file closure: binaryFile scan of the actual "
+        "driver-written embeddings.parquet -> MapInPandas native "
+        "decode (Dremel levels + dictionary pages) — per-vector "
+        "facts return, never the 25 MB of floats",
+    ),
 ]
 
 _INTERESTING = re.compile(
