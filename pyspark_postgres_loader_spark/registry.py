@@ -79,7 +79,7 @@ _LOADED = False
 # Round-14 rotation. Entering this round all 263 pre-existing queries
 # are driver-verified with every latest check green; staleness
 # histogram after r13 is {r8:13, r9:50, r10:50, r11:50, r12:50,
-# r13:50}. This window = the 8 round-14 registrations
+# r13:50}. This window = the 9 round-14 registrations
 # (ingest_parquet_nested_walk — the Dremel repetition/definition-
 # level decode of the standard 3-level LIST, the list<float>
 # embeddings shape every training corpus stores, with typed
@@ -100,15 +100,17 @@ _LOADED = False
 # Delta protocol: cdc actions + per-commit
 # insert/update_pre/update_post/delete folds with the cdc-total and
 # file-diff-net consistency verdicts both in-plan;
+# delta_stats_skipping — file pruning by add-action stats, the
+# double-encoded stats JSON and the old-writer no-stats class;
 # iceberg_commit_roundtrip — the write-then-read closure:
 # append_snapshot encodes a manifest + re-encoded manifest list
 # through our own Avro encoder and the re-plan is equality-oracled
 # against base-fold + input) + the 13 leftover r8 names (exactly the
 # head VERDICT r13 prescribed: agg_rollup_flag_status first) + the
-# 29 stalest r9 names (head sink_upsert_final_state, list order) =
+# 28 stalest r9 names (head sink_upsert_final_state, list order) =
 # 50 exactly. After this round the r8 era is fully refreshed and the
-# staleness floor rises to r9(21): the round-15 rotation head is the
-# 21 leftover r9 names (profile_orders_columns,
+# staleness floor rises to r9(22): the round-15 rotation head is the
+# 22 leftover r9 names (anomaly_mad_robust, profile_orders_columns,
 # stream_upsert_incremental,
 # stream_dedup_exactly_once,
 # train_global_shuffle, embedding_gram_matrix,
@@ -139,6 +141,7 @@ _PRIORITY = [
     "ingest_orc_string_walk",
     "ingest_orc_temporal_walk",
     "delta_change_data_feed",
+    "delta_stats_skipping",
     "iceberg_commit_roundtrip",
     # (b) the r8-checked remainder (13) — stalest greens, six rounds
     # old: agg rollup/cube/grouping-sets/pivot, the r8 window/setop/
@@ -156,7 +159,7 @@ _PRIORITY = [
     "setop_customer_only_nations",
     "setop_union_all_keys",
     "scalar_string_date_funcs",
-    # (c) the r9-checked head (29 of 50) — next-stalest
+    # (c) the r9-checked head (28 of 50) — next-stalest
     "sink_upsert_final_state",
     "multimodal_jpeg_prog420_decode",
     "video_frame_banded_neardup",
@@ -185,9 +188,9 @@ _PRIORITY = [
     "quality_char_diversity",
     "skyline_orders_price_date",
     "concurrency_gauge_hourly",
+    # --- window boundary (driver checks exactly 50; 9+13+28=50) ---
+    # r9 remainder (22): the round-15 rotation head starts here
     "anomaly_mad_robust",
-    # --- window boundary (driver checks exactly 50; 8+13+29=50) ---
-    # r9 remainder (21): the round-15 rotation head starts here
     "profile_orders_columns",
     "stream_upsert_incremental",
     "stream_dedup_exactly_once",
@@ -440,6 +443,7 @@ def _ensure_loaded() -> None:
         dsir,
         deltacdf,
         deltacheckpoint,
+        deltaskip,
         deltadiff,
         deltalog,
         expectations,
