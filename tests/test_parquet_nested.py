@@ -271,3 +271,40 @@ def test_events_query_matches_oracle(spark):
 
     compare_query(spark, "/root/testdata/sf0.001",
                   "ingest_events_real_walk")
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_LISTS = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(
+            st.one_of(st.none(),
+                      st.integers(-(2**62), 2**62)),
+            max_size=20,
+        ),
+    ),
+    min_size=1, max_size=120,
+)
+
+
+@given(lists=_LISTS,
+       use_dict=st.booleans(),
+       codec=st.sampled_from(["none", "snappy", "gzip"]))
+@settings(max_examples=40, deadline=None)
+def test_nested_roundtrip_arbitrary_int64_lists(lists, use_dict, codec):
+    """pyarrow round-trips arbitrary list<int64> shapes — null lists,
+    empty lists, null elements, full int64 range — under both PLAIN
+    and dictionary write paths and all three codecs; the walk must
+    recover rows exactly and in order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({"l": pa.array(lists, type=pa.list_(pa.int64()))})
+    buf = pa.BufferOutputStream()
+    pq.write_table(t, buf, use_dictionary=use_dict, compression=codec,
+                   data_page_version="1.0", write_statistics=False,
+                   row_group_size=32)
+    f = walk_parquet_nested(buf.getvalue().to_pybytes())
+    assert f["columns"]["l.list.element"] == lists
