@@ -671,12 +671,27 @@ def sink_phase_breakdown(
     floor = round(time.perf_counter() - t0, 3)
     os.remove(dbfile)
     n_stmt = counts["execute"] + counts["executemany"]
+    # ambient-load baseline: DuckDB's per-execute cost itself swells
+    # with JVM/CPU pressure (measured 1.4 ms quiet vs ~3.4 ms at the
+    # tail of a full suite run), so record a same-moment baseline of
+    # trivial executes — statements x baseline ≈ the expected sink
+    # phase UNDER THE SAME LOAD, making the artifact self-attributing
+    bcon = duckdb.connect()
+    try:
+        t0 = time.perf_counter()
+        for _ in range(300):
+            bcon.execute("SELECT 1")
+        baseline_ms = round(
+            (time.perf_counter() - t0) * 1000.0 / 300.0, 3)
+    finally:
+        bcon.close()
     return {
         "phases_min_sec": phases,
         "trials": trials,
         "driver_side_floor_sec": floor,
         "statements": counts,
         "ms_per_statement": round(1000.0 * floor / max(n_stmt, 1), 3),
+        "ambient_ms_per_trivial_execute": baseline_ms,
         "rows": consumed[0][0] if consumed else 0,
         "method": (
             "phases: min over trials around the query's own code "
@@ -684,8 +699,11 @@ def sink_phase_breakdown(
             "driver-side with a counting DBAPI proxy — the mod-7 "
             "poison stride makes bisection emit ~80 statements per "
             "256-row batch BY DESIGN (the stress the query exists "
-            "to hash), so sink_io_sec ~ statements x DuckDB's "
-            "per-execute cost; suite timing above sink_io_sec + "
-            "fixture + readback is crowding, not the sink"
+            "to hash). The INVARIANT is the statement count; wall = "
+            "statements x DuckDB's per-execute cost, which itself "
+            "scales with ambient load (compare ms_per_statement "
+            "against ambient_ms_per_trivial_execute measured the "
+            "same moment) — so a moved suite number with an "
+            "unchanged statement count is environment, not the sink"
         ),
     }
