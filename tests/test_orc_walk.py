@@ -159,8 +159,9 @@ def test_footer_statistics_cross_check_fires():
 def test_string_column_decodes_and_exotic_kinds_stay_typed():
     """Strings were the typed 'unsupported' boundary until r14 —
     both V2 encodings now decode (test_orc_strings.py is the full
-    fixture; this pins the minimal case) and the boundary is only
-    the genuinely exotic kinds (timestamp here)."""
+    fixture; this pins the minimal case), timestamp/date/decimal
+    decode too (test_orc_strings.py temporal tests), and the
+    boundary is only the genuinely exotic kinds (BINARY here)."""
     import pyarrow as pa
     import pyarrow.orc as orc
 
@@ -169,10 +170,10 @@ def test_string_column_decodes_and_exotic_kinds_stay_typed():
     orc.write_table(t, buf)
     assert walk_orc(buf.getvalue())["columns"][0] == ["x", "y", "z"]
 
-    t2 = pa.table({"ts": pa.array([0, 1], pa.timestamp("ms"))})
+    t2 = pa.table({"b": pa.array([b"\x00", b"\x01"], pa.binary())})
     buf2 = io.BytesIO()
     orc.write_table(t2, buf2)
-    with pytest.raises(NotImplementedError, match="type kind"):
+    with pytest.raises(NotImplementedError, match="type kind 8"):
         walk_orc(buf2.getvalue())
 
 
