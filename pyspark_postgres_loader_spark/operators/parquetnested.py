@@ -24,7 +24,10 @@ group (LIST) → repeated group → element``), PLAIN or
 dictionary-encoded (PLAIN dictionary page + RLE_DICTIONARY index
 runs — pyarrow's DEFAULT write path, which is how the REAL
 driver-written embeddings.parquet arrives; see
-``ingest_embeddings_real_walk``). Anything else — struct/map groups,
+``ingest_embeddings_real_walk``), under BOTH data page versions:
+v1 (levels 4-byte-framed inside the compressed body) and v2 (levels
+unframed and uncompressed before the value block, byte lengths from
+the header — the lattice's odd groups write v2). Anything else — struct/map groups,
 deeper repetition — is a typed ``NotImplementedError``
 ('unsupported'), the same honest boundary every other walk keeps.
 
@@ -258,32 +261,74 @@ def _walk_parquet_nested(data: bytes) -> dict:
                 if crc is not None and (
                         zlib.crc32(body) & 0xFFFFFFFF != crc & 0xFFFFFFFF):
                     raise ValueError("parquet page CRC mismatch (CRC)")
-                if ph.get(1) != _PAGE_DATA:
+                page_kind = ph.get(1)
+                if page_kind == _PAGE_DATA:  # v1: levels framed with
+                    # 4-byte prefixes INSIDE the compressed body
+                    dph = ph.get(5)
+                    if dph is None:
+                        raise ValueError("data page without its header")
+                    pvals = dph.get(1)
+                    if pvals is None or pvals < 0 or pvals > 1 << 24:
+                        raise ValueError("implausible page value count")
+                    enc = dph.get(2)
+                    raw = _decompress(codec, body, usize)
+                    off = 0
+                    if mr:
+                        reps, used = _read_rle_levels(
+                            raw, pvals, mr.bit_length())
+                        off += used
+                    else:
+                        reps = None
+                    if md:
+                        defs, used = _read_rle_levels(
+                            raw[off:], pvals, md.bit_length())
+                        off += used
+                    else:
+                        defs = [0] * pvals
+                elif page_kind == 3:  # v2: levels UNCOMPRESSED and
+                    # unframed before the (optionally compressed)
+                    # values; byte lengths come from the header
+                    dph = ph.get(8)
+                    if dph is None:
+                        raise ValueError("v2 data page without its header")
+                    pvals = dph.get(1)
+                    if pvals is None or pvals < 0 or pvals > 1 << 24:
+                        raise ValueError("implausible page value count")
+                    enc = dph.get(4)
+                    dlen = dph.get(5) or 0
+                    rlen = dph.get(6) or 0
+                    if rlen < 0 or dlen < 0 or rlen + dlen > len(body):
+                        raise ValueError(
+                            "v2 level lengths exceed the page body")
+                    levels = body[: rlen + dlen]
+                    want = usize - rlen - dlen
+                    if want < 0:
+                        raise ValueError(
+                            "v2 level lengths exceed uncompressed size")
+                    if dph.get(7) is False:  # is_compressed (default T)
+                        raw = bytes(body[rlen + dlen :])
+                        if len(raw) != want:
+                            raise ValueError(
+                                "v2 uncompressed values size mismatch")
+                    else:
+                        raw = _decompress(
+                            codec, body[rlen + dlen :], want)
+                    off = 0
+                    if mr:
+                        reps = _parse_level_runs(
+                            levels[:rlen], pvals, mr.bit_length())
+                    else:
+                        reps = None
+                    if md:
+                        defs = _parse_level_runs(
+                            levels[rlen:], pvals, md.bit_length())
+                    else:
+                        defs = [0] * pvals
+                else:
                     raise NotImplementedError(
-                        f"parquet page type {ph.get(1)}")
-                dph = ph.get(5)
-                if dph is None:
-                    raise ValueError("data page without its header")
-                pvals = dph.get(1)
-                if pvals is None or pvals < 0 or pvals > 1 << 24:
-                    raise ValueError("implausible page value count")
-                enc = dph.get(2)
+                        f"parquet page type {page_kind}")
                 if enc not in (0, 2, 8):  # PLAIN / both dictionary encs
                     raise NotImplementedError(f"parquet encoding {enc}")
-                raw = _decompress(codec, body, usize)
-                off = 0
-                if mr:
-                    reps, used = _read_rle_levels(
-                        raw, pvals, mr.bit_length())
-                    off += used
-                else:
-                    reps = None
-                if md:
-                    defs, used = _read_rle_levels(
-                        raw[off:], pvals, md.bit_length())
-                    off += used
-                else:
-                    defs = [0] * pvals
                 present = sum(1 for d in defs if d == md)
                 if enc == 0:  # PLAIN values
                     vals = iter(_plain_decode(ptype, raw, off, present))
@@ -374,7 +419,11 @@ def _pn_codec(g: int) -> str:
 
 
 def _pn_bytes(g: int, *, codec: str | None = None,
-              checksum: bool = True) -> bytes:
+              checksum: bool = True,
+              page_version: str | None = None) -> bytes:
+    """Odd groups write DATA PAGE V2 (levels unframed + uncompressed
+    outside the value block), even groups v1 — both page versions are
+    live in the registered query's lattice."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -388,7 +437,7 @@ def _pn_bytes(g: int, *, codec: str | None = None,
         t, buf,
         use_dictionary=False,
         compression=codec or _pn_codec(g),
-        data_page_version="1.0",
+        data_page_version=page_version or ("2.0" if g % 2 else "1.0"),
         write_statistics=False,
         write_page_checksum=checksum,
         row_group_size=_PN_ROWGROUP,
@@ -437,8 +486,10 @@ def _pn_payload(doc_id: int) -> bytes:
     if badlev:
         # checksums OFF and codec none so the LEVEL machinery itself
         # (not the CRC) must refuse the splice: the rep-level run's
-        # 4-byte length prefix claims bytes past the page body
-        blob = bytearray(_pn_bytes(g, codec="none", checksum=False))
+        # 4-byte length prefix claims bytes past the page body (v1
+        # framing explicitly — the splice targets the v1 prefix)
+        blob = bytearray(_pn_bytes(g, codec="none", checksum=False,
+                                   page_version="1.0"))
         s = _emb_page_body_start(bytes(blob))
         struct.pack_into("<I", blob, s, 0xFFFFFFF0)
         return bytes(blob)

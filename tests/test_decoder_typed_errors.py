@@ -76,6 +76,8 @@ _TARGETS = [
      lambda b: parquetindex.walk_parquet_page_index(b)),
     ("parquet-nested", lambda: parquetnested._pn_bytes(0),
      lambda b: parquetnested.walk_parquet_nested(b)),
+    ("parquet-nested-v2", lambda: parquetnested._pn_bytes(1),
+     lambda b: parquetnested.walk_parquet_nested(b)),
     ("zip", lambda: zipwalk._zip_payload(0),
      lambda b: zipwalk.walk_zip_members(b)),
     ("ogg", lambda: oggwalk._ogg_payload(0),

