@@ -79,7 +79,7 @@ _LOADED = False
 # Round-14 rotation. Entering this round all 263 pre-existing queries
 # are driver-verified with every latest check green; staleness
 # histogram after r13 is {r8:13, r9:50, r10:50, r11:50, r12:50,
-# r13:50}. This window = the 9 round-14 registrations
+# r13:50}. This window = the 10 round-14 registrations
 # (ingest_parquet_nested_walk — the Dremel repetition/definition-
 # level decode of the standard 3-level LIST, the list<float>
 # embeddings shape every training corpus stores, with typed
@@ -93,7 +93,9 @@ _LOADED = False
 # annotated-TIMESTAMP int64 column, per-event vs DuckDB;
 # ingest_orc_temporal_walk — TIMESTAMP/DATE/DECIMAL decode
 # (2015-epoch seconds + trailing-zero nanos, zigzag-varint
-# unscaled decimals with scale carried twice); ingest_orc_string_walk — ORC's default string
+# unscaled decimals with scale carried twice);
+# ingest_orc_list_walk — list<float> via the type tree, LENGTH
+# runs + child PRESENT weave + raw-IEEE float DATA; ingest_orc_string_walk — ORC's default string
 # encodings, DIRECT_V2 length streams AND DICTIONARY_V2
 # dictionary/index decode, StringStatistics cross-checked, nullable
 # under PRESENT; delta_change_data_feed — the row-level half of the
@@ -107,10 +109,11 @@ _LOADED = False
 # through our own Avro encoder and the re-plan is equality-oracled
 # against base-fold + input) + the 13 leftover r8 names (exactly the
 # head VERDICT r13 prescribed: agg_rollup_flag_status first) + the
-# 28 stalest r9 names (head sink_upsert_final_state, list order) =
+# 27 stalest r9 names (head sink_upsert_final_state, list order) =
 # 50 exactly. After this round the r8 era is fully refreshed and the
-# staleness floor rises to r9(22): the round-15 rotation head is the
-# 22 leftover r9 names (anomaly_mad_robust, profile_orders_columns,
+# staleness floor rises to r9(23): the round-15 rotation head is the
+# 23 leftover r9 names (concurrency_gauge_hourly, anomaly_mad_robust,
+# profile_orders_columns,
 # stream_upsert_incremental,
 # stream_dedup_exactly_once,
 # train_global_shuffle, embedding_gram_matrix,
@@ -140,6 +143,7 @@ _PRIORITY = [
     "ingest_events_real_walk",
     "ingest_orc_string_walk",
     "ingest_orc_temporal_walk",
+    "ingest_orc_list_walk",
     "delta_change_data_feed",
     "delta_stats_skipping",
     "iceberg_commit_roundtrip",
@@ -159,7 +163,7 @@ _PRIORITY = [
     "setop_customer_only_nations",
     "setop_union_all_keys",
     "scalar_string_date_funcs",
-    # (c) the r9-checked head (28 of 50) — next-stalest
+    # (c) the r9-checked head (27 of 50) — next-stalest
     "sink_upsert_final_state",
     "multimodal_jpeg_prog420_decode",
     "video_frame_banded_neardup",
@@ -187,9 +191,9 @@ _PRIORITY = [
     "text_tfidf_top_terms",
     "quality_char_diversity",
     "skyline_orders_price_date",
+    # --- window boundary (driver checks exactly 50; 10+13+27=50) ---
+    # r9 remainder (23): the round-15 rotation head starts here
     "concurrency_gauge_hourly",
-    # --- window boundary (driver checks exactly 50; 9+13+28=50) ---
-    # r9 remainder (22): the round-15 rotation head starts here
     "anomaly_mad_robust",
     "profile_orders_columns",
     "stream_upsert_incremental",

@@ -126,6 +126,8 @@ _TARGETS = [
      lambda b: orcwalk.walk_orc(b)),
     ("orc-temporal", lambda: orcwalk.build_orc_temporal(0, "uncompressed"),
      lambda b: orcwalk.walk_orc(b)),
+    ("orc-list", lambda: orcwalk.build_orc_list(0, "uncompressed"),
+     lambda b: orcwalk.walk_orc(b)),
     ("iceberg-mlist", lambda: iceberg._ic_payloads(0)[0],
      lambda b: iceberg.walk_iceberg_snapshot(
          b, iceberg._ic_payloads(0)[1])),

@@ -244,3 +244,76 @@ def test_temporal_query_matches_oracle(spark):
 
     compare_query(spark, "/root/testdata/sf0.001",
                   "ingest_orc_temporal_walk")
+
+
+def test_list_columns_decode_exactly():
+    """list<float32> (the embeddings shape): NULL lists, empty lists,
+    NULL elements, exact float values, across codecs."""
+    from pyspark_postgres_loader_spark.operators.orcwalk import (
+        _ol_lists,
+        _ol_n,
+        build_orc_list,
+    )
+
+    for g in (0, 3, 9):
+        f = walk_orc(build_orc_list(
+            g, _ORC_CODECS[g % len(_ORC_CODECS)]))
+        assert f["columns"][0] == list(range(_ol_n(g)))
+        assert f["columns"][1] == _ol_lists(g)
+
+
+def test_list_typed_verdicts():
+    from pyspark_postgres_loader_spark.operators.orcwalk import (
+        _ol_payload,
+    )
+
+    with pytest.raises(ValueError):
+        walk_orc(_ol_payload(3))
+    with pytest.raises(ValueError, match="row count mismatch"):
+        walk_orc(_ol_payload(2))
+    with pytest.raises(NotImplementedError, match="list element kind 8"):
+        walk_orc(_ol_payload(5))
+
+
+def test_list_of_long_and_deep_nesting_boundary():
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    t = pa.table({"l": pa.array([[1, None, 3], [], None],
+                                pa.list_(pa.int64()))})
+    buf = io.BytesIO()
+    orc.write_table(t, buf, compression="zstd")
+    assert walk_orc(buf.getvalue())["columns"][0] == [
+        [1, None, 3], [], None]
+    # list<list<...>> stays a typed boundary
+    t2 = pa.table({"ll": pa.array([[[1]], [[2, 3]]],
+                                  pa.list_(pa.list_(pa.int64())))})
+    buf2 = io.BytesIO()
+    orc.write_table(t2, buf2)
+    with pytest.raises(NotImplementedError, match="list element kind"):
+        walk_orc(buf2.getvalue())
+
+
+def test_flat_float_double_columns_decode():
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    fv = [0.25, None, -1.5, 3.75]
+    dv = [1e-3, 2.5, None, -0.125]
+    t = pa.table({"f": pa.array(fv, pa.float32()),
+                  "d": pa.array(dv, pa.float64())})
+    buf = io.BytesIO()
+    orc.write_table(t, buf, compression="snappy")
+    f = walk_orc(buf.getvalue())
+    assert f["columns"][0] == fv
+    assert f["columns"][1] == dv
+
+
+def test_list_query_matches_oracle(spark):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from oracle_harness import compare_query
+
+    compare_query(spark, "/root/testdata/sf0.001",
+                  "ingest_orc_list_walk")
