@@ -1,0 +1,306 @@
+"""PostgreSQL COPY BINARY wire format — encoded AND decoded by the
+engine. The reference repo is a Postgres loader whose hot path is the
+multi-row INSERT (sinks/upsert.py reproduces it); the bulk-load fast
+path every production PG pipeline eventually reaches for is ``COPY
+... FROM STDIN (FORMAT BINARY)``, whose on-the-wire layout is public
+and fixed:
+
+- header: ``PGCOPY\\n\\xff\\r\\n\\0`` (11 bytes), int32 flags (bit 16
+  = OIDs; 0 here), int32 header-extension length (0);
+- per tuple: int16 field count, then per field int32 byte length
+  (−1 = NULL) + the type's binary representation, all BIG-endian
+  (int8 → 8-byte BE two's complement, float8 → BE IEEE-754, text →
+  UTF-8 bytes);
+- trailer: int16 −1.
+
+``encode_copy_binary`` and ``walk_copy_binary`` implement both
+directions with structural verification on the read side (magic,
+flags bits, field-count consistency, length bounds, exact trailer —
+the format carries NO checksum, so structure is all a reader can
+verify, and the walk refuses every structural lie with a typed
+error).
+
+The registered query derives a deterministic changelog from orders
+(the sink fixture idiom), packs it into 512-row COPY blobs per
+bucket INSIDE one ``applyInPandas`` stage (encode → per-bucket fault
+injection → decode → facts, so blob bytes never cross a shuffle),
+and folds per-bucket facts the DuckDB oracle replays relationally:
+tuple/NULL counts, key and rank sums, ``floor(amount)`` sums (floor
+of identical doubles — engine-exact), and status byte lengths.
+Typed verdicts per bucket: a +1-patched field count
+('field_mismatch'), a cut inside the trailer ('truncated'), an
+overwritten magic ('bad_magic').
+
+Scale notes (100 TB): COPY BINARY is the shape of a real bulk load —
+one framed stream per writer, no per-row round trips; the encode is
+map-side per bucket (the ``partition_cols`` layout the sink already
+uses), and at cluster scale each writer streams its partition's
+frame straight into its own COPY session.
+
+Reference: psycopg2_database_helper.py's loader family (the INSERT
+path it implements; COPY BINARY is its documented fast-path
+alternative); PostgreSQL documentation, COPY BINARY format (public).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..tables import load_table
+
+_MAGIC = b"PGCOPY\n\xff\r\n\x00"
+_BUCKET = 512
+_ROWS_CAP = 8_000
+
+
+def encode_copy_binary(rows: list[tuple]) -> bytes:
+    """Encode (k int8, rnk int8, amount float8|None, status text)
+    tuples as one COPY BINARY frame."""
+    out = bytearray(_MAGIC)
+    out += struct.pack(">iI", 0, 0)  # flags, header extension length
+    for k, rnk, amount, status in rows:
+        out += struct.pack(">h", 4)
+        out += struct.pack(">iq", 8, k)
+        out += struct.pack(">iq", 8, rnk)
+        if amount is None:
+            out += struct.pack(">i", -1)
+        else:
+            out += struct.pack(">id", 8, amount)
+        sb = status.encode("utf-8")
+        out += struct.pack(">i", len(sb)) + sb
+    out += struct.pack(">h", -1)
+    return bytes(out)
+
+
+def walk_copy_binary(data: bytes) -> list[tuple]:
+    """Decode one COPY BINARY frame → tuples, refusing structural
+    damage with typed errors (the format has no checksum; structure
+    is the entire verifiable surface)."""
+    if data[: len(_MAGIC)] != _MAGIC:
+        raise ValueError("bad copy magic")
+    pos = len(_MAGIC)
+    if pos + 8 > len(data):
+        raise ValueError("truncated copy header")
+    flags, extlen = struct.unpack_from(">iI", data, pos)
+    pos += 8
+    if flags & ~(1 << 16):
+        raise ValueError("copy header flags out of range")
+    if flags & (1 << 16):
+        raise NotImplementedError("copy frames with OIDs")
+    if extlen > len(data) - pos:
+        raise ValueError("truncated copy header extension")
+    pos += extlen
+    out: list[tuple] = []
+    while True:
+        if pos + 2 > len(data):
+            raise ValueError("truncated copy tuple header")
+        (nf,) = struct.unpack_from(">h", data, pos)
+        pos += 2
+        if nf == -1:
+            break
+        if nf != 4:
+            raise ValueError(f"copy field count mismatch ({nf})")
+        vals: list = []
+        for fi in range(4):
+            if pos + 4 > len(data):
+                raise ValueError("truncated copy field length")
+            (ln,) = struct.unpack_from(">i", data, pos)
+            pos += 4
+            if ln == -1:
+                vals.append(None)
+                continue
+            if ln < 0 or pos + ln > len(data):
+                raise ValueError("copy field length out of range")
+            raw = data[pos : pos + ln]
+            pos += ln
+            if fi in (0, 1):
+                if ln != 8:
+                    raise ValueError("copy int8 field width mismatch")
+                vals.append(struct.unpack(">q", raw)[0])
+            elif fi == 2:
+                if ln != 8:
+                    raise ValueError("copy float8 field width mismatch")
+                vals.append(struct.unpack(">d", raw)[0])
+            else:
+                vals.append(raw.decode("utf-8"))
+        if vals[0] is None or vals[1] is None or vals[3] is None:
+            raise ValueError("copy NULL in a NOT NULL field")
+        out.append(tuple(vals))
+    if pos != len(data):
+        raise ValueError("copy frame has trailing bytes")
+    return out
+
+
+def _pg_fault(blob: bytes, bucket: int) -> bytes:
+    if bucket % 7 == 3:
+        b = bytearray(blob)
+        # +1 the FIRST tuple's field count (int16 BE at magic+8+ext)
+        off = len(_MAGIC) + 8
+        struct.pack_into(">h", b, off,
+                         struct.unpack_from(">h", b, off)[0] + 1)
+        return bytes(b)
+    if bucket % 11 == 5:
+        return blob[:-10]  # cut inside the last tuple/trailer
+    if bucket % 13 == 6:
+        return b"PGCOPX" + blob[6:]
+    return blob
+
+
+def _pg_status(bucket: int) -> str:
+    if bucket % 7 == 3:
+        return "field_mismatch"
+    if bucket % 11 == 5:
+        return "truncated"
+    if bucket % 13 == 6:
+        return "bad_magic"
+    return "decoded"
+
+
+def _pg_apply(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One bucket: encode → deterministic fault → decode → facts."""
+    bucket = int(pdf["bucket"].iloc[0])
+    pdf = pdf.sort_values("rnk")
+    rows = [
+        (int(k), int(r), None if pd.isna(a) else float(a), str(s))
+        for k, r, a, s in zip(pdf["k"], pdf["rnk"], pdf["amount"],
+                              pdf["status"])
+    ]
+    blob = _pg_fault(encode_copy_binary(rows), bucket)
+    try:
+        dec = walk_copy_binary(blob)
+        facts = (
+            "decoded", len(dec),
+            sum(1 for t in dec if t[2] is None),
+            sum(t[0] for t in dec),
+            sum(t[1] for t in dec),
+            sum(math.floor(t[2]) for t in dec if t[2] is not None),
+            sum(len(t[3].encode()) for t in dec),
+        )
+    except NotImplementedError:
+        facts = ("unsupported", 0, 0, 0, 0, 0, 0)
+    except ValueError as exc:
+        msg = str(exc)
+        # a cut frame surfaces as whichever structure check the cut
+        # lands on — tuple header, field length, or a length running
+        # past the end — all truncation symptoms
+        status = ("bad_magic" if "magic" in msg
+                  else "field_mismatch" if "field count" in msg
+                  else "truncated" if ("truncated" in msg
+                                       or "out of range" in msg)
+                  else "corrupt")
+        facts = (status, 0, 0, 0, 0, 0, 0)
+    return pd.DataFrame(
+        [(bucket,) + facts],
+        columns=["bucket", "status", "n_tuples", "n_null_amounts",
+                 "k_sum", "rnk_sum", "floor_amount_sum",
+                 "status_len_sum"],
+    ).astype({"bucket": "int64", "n_tuples": "int64",
+              "n_null_amounts": "int64", "k_sum": "int64",
+              "rnk_sum": "int64", "floor_amount_sum": "int64",
+              "status_len_sum": "int64"})
+
+
+def _pg_oracle() -> str:
+    return f"""
+    WITH ordered AS (
+      SELECT rnk, o_totalprice, o_orderstatus FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rnk,
+               o_totalprice, o_orderstatus
+        FROM orders
+      ) WHERE rnk <= {_ROWS_CAP}
+    ),
+    rows_ AS (
+      SELECT (rnk - 1) // {_BUCKET} AS bucket,
+             rnk % 50 AS k, rnk,
+             (rnk % 9 = 4) AS amount_null,
+             o_totalprice AS amount,
+             o_orderstatus AS status
+      FROM ordered
+    ),
+    agg AS (
+      SELECT bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_tuples,
+             CAST(SUM(CASE WHEN amount_null THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_null_amounts,
+             CAST(SUM(k) AS BIGINT) AS k_sum,
+             CAST(SUM(rnk) AS BIGINT) AS rnk_sum,
+             CAST(SUM(CASE WHEN amount_null THEN 0
+                      ELSE FLOOR(amount) END) AS BIGINT)
+               AS floor_amount_sum,
+             CAST(SUM(LENGTH(status)) AS BIGINT) AS status_len_sum
+      FROM rows_ GROUP BY bucket
+    )
+    SELECT bucket,
+           CASE WHEN bucket % 7 = 3 THEN 'field_mismatch'
+                WHEN bucket % 11 = 5 THEN 'truncated'
+                WHEN bucket % 13 = 6 THEN 'bad_magic'
+                ELSE 'decoded' END AS status,
+           CASE WHEN bucket % 7 = 3 OR bucket % 11 = 5
+                     OR bucket % 13 = 6 THEN 0
+                ELSE n_tuples END AS n_tuples,
+           CASE WHEN bucket % 7 = 3 OR bucket % 11 = 5
+                     OR bucket % 13 = 6 THEN 0
+                ELSE n_null_amounts END AS n_null_amounts,
+           CASE WHEN bucket % 7 = 3 OR bucket % 11 = 5
+                     OR bucket % 13 = 6 THEN 0
+                ELSE k_sum END AS k_sum,
+           CASE WHEN bucket % 7 = 3 OR bucket % 11 = 5
+                     OR bucket % 13 = 6 THEN 0
+                ELSE rnk_sum END AS rnk_sum,
+           CASE WHEN bucket % 7 = 3 OR bucket % 11 = 5
+                     OR bucket % 13 = 6 THEN 0
+                ELSE floor_amount_sum END AS floor_amount_sum,
+           CASE WHEN bucket % 7 = 3 OR bucket % 11 = 5
+                     OR bucket % 13 = 6 THEN 0
+                ELSE status_len_sum END AS status_len_sum
+    FROM agg
+    ORDER BY bucket
+    """
+
+
+@register("sink_copy_binary_roundtrip", oracle=_pg_oracle())
+def sink_copy_binary_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PostgreSQL COPY BINARY frames encoded and decoded by the
+    engine, per 512-row bucket inside one applyInPandas stage
+    (encode → per-bucket structural fault → decode → facts; blob
+    bytes never cross a shuffle). Typed verdicts: field-count +1
+    ('field_mismatch'), trailer cut ('truncated'), magic overwrite
+    ('bad_magic'). Facts replayed relationally by the oracle — the
+    roundtrip proves both wire directions. See module docstring."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    rows = (
+        orders.select(
+            F.row_number().over(w).alias("rnk"),
+            "o_totalprice", "o_orderstatus",
+        )
+        .filter(F.col("rnk") <= _ROWS_CAP)
+        .select(
+            ((F.col("rnk") - 1) / _BUCKET).cast("long").alias("bucket"),
+            (F.col("rnk") % 50).cast("long").alias("k"),
+            F.col("rnk").cast("long"),
+            F.when(F.col("rnk") % 9 != 4, F.col("o_totalprice"))
+            .cast("double").alias("amount"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+    return (
+        rows.groupBy("bucket")
+        .applyInPandas(
+            _pg_apply,
+            schema=("bucket long, status string, n_tuples long, "
+                    "n_null_amounts long, k_sum long, rnk_sum long, "
+                    "floor_amount_sum long, status_len_sum long"),
+        )
+        .orderBy("bucket")
+    )

@@ -79,7 +79,7 @@ _LOADED = False
 # Round-14 rotation. Entering this round all 263 pre-existing queries
 # are driver-verified with every latest check green; staleness
 # histogram after r13 is {r8:13, r9:50, r10:50, r11:50, r12:50,
-# r13:50}. This window = the 10 round-14 registrations
+# r13:50}. This window = the 11 round-14 registrations
 # (ingest_parquet_nested_walk — the Dremel repetition/definition-
 # level decode of the standard 3-level LIST, the list<float>
 # embeddings shape every training corpus stores, with typed
@@ -109,10 +109,11 @@ _LOADED = False
 # through our own Avro encoder and the re-plan is equality-oracled
 # against base-fold + input) + the 13 leftover r8 names (exactly the
 # head VERDICT r13 prescribed: agg_rollup_flag_status first) + the
-# 27 stalest r9 names (head sink_upsert_final_state, list order) =
+# 26 stalest r9 names (head sink_upsert_final_state, list order) =
 # 50 exactly. After this round the r8 era is fully refreshed and the
-# staleness floor rises to r9(23): the round-15 rotation head is the
-# 23 leftover r9 names (concurrency_gauge_hourly, anomaly_mad_robust,
+# staleness floor rises to r9(24): the round-15 rotation head is the
+# 24 leftover r9 names (skyline_orders_price_date,
+# concurrency_gauge_hourly, anomaly_mad_robust,
 # profile_orders_columns,
 # stream_upsert_incremental,
 # stream_dedup_exactly_once,
@@ -136,7 +137,10 @@ _PRIORITY = [
     # Delta Change Data Feed (cdc actions + per-commit change-type
     # fold with dual consistency verdicts), and the Iceberg
     # write-then-read commit closure (append_snapshot through our own
-    # Avro encoder, re-planned and equality-oracled)
+    # Avro encoder, re-planned and equality-oracled;
+# sink_copy_binary_roundtrip — the PostgreSQL COPY BINARY wire
+# format encoded AND decoded per bucket with typed structural
+# verdicts)
     "ingest_parquet_nested_walk",
     "ingest_embeddings_real_walk",
     "ingest_documents_real_walk",
@@ -147,6 +151,7 @@ _PRIORITY = [
     "delta_change_data_feed",
     "delta_stats_skipping",
     "iceberg_commit_roundtrip",
+    "sink_copy_binary_roundtrip",
     # (b) the r8-checked remainder (13) — stalest greens, six rounds
     # old: agg rollup/cube/grouping-sets/pivot, the r8 window/setop/
     # topk/scalar names
@@ -163,7 +168,7 @@ _PRIORITY = [
     "setop_customer_only_nations",
     "setop_union_all_keys",
     "scalar_string_date_funcs",
-    # (c) the r9-checked head (27 of 50) — next-stalest
+    # (c) the r9-checked head (26 of 50) — next-stalest
     "sink_upsert_final_state",
     "multimodal_jpeg_prog420_decode",
     "video_frame_banded_neardup",
@@ -190,9 +195,9 @@ _PRIORITY = [
     "sample_cluster_diversity",
     "text_tfidf_top_terms",
     "quality_char_diversity",
+    # --- window boundary (driver checks exactly 50; 11+13+26=50) ---
+    # r9 remainder (24): the round-15 rotation head starts here
     "skyline_orders_price_date",
-    # --- window boundary (driver checks exactly 50; 10+13+27=50) ---
-    # r9 remainder (23): the round-15 rotation head starts here
     "concurrency_gauge_hourly",
     "anomaly_mad_robust",
     "profile_orders_columns",
@@ -478,6 +483,7 @@ def _ensure_loaded() -> None:
         paragraph_dedup,
         parquetdict,
         parquetindex,
+        pgcopy,
         parquetnested,
         parquetv2,
         parquetwalk,

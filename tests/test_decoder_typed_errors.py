@@ -36,6 +36,7 @@ from pyspark_postgres_loader_spark.operators import (
     orcwalk,
     parquetdict,
     parquetindex,
+    pgcopy,
     parquetv2,
     parquetnested,
     parquetwalk,
@@ -128,6 +129,11 @@ _TARGETS = [
      lambda b: orcwalk.walk_orc(b)),
     ("orc-list", lambda: orcwalk.build_orc_list(0, "uncompressed"),
      lambda b: orcwalk.walk_orc(b)),
+    ("pg-copy-binary",
+     lambda: pgcopy.encode_copy_binary(
+         [(i, i * 3, None if i % 4 == 1 else i / 8, f"s{i}")
+          for i in range(200)]),
+     lambda b: pgcopy.walk_copy_binary(b)),
     ("iceberg-mlist", lambda: iceberg._ic_payloads(0)[0],
      lambda b: iceberg.walk_iceberg_snapshot(
          b, iceberg._ic_payloads(0)[1])),
