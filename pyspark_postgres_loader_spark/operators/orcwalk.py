@@ -798,6 +798,16 @@ def _walk_orc(data: bytes) -> dict:
         raise ValueError("orc file has no stripes")
     if stripe_rows != n_rows:
         raise ValueError("orc footer/stripe row count mismatch")
+    # a column whose stripe carried neither PRESENT nor DATA is
+    # silently skipped above; this closes that hole — every column
+    # must have decoded exactly numberOfRows values (the same
+    # decoded-vs-declared closure parquetnested applies)
+    for ti, col in enumerate(columns):
+        if len(col) != n_rows:
+            raise ValueError(
+                f"orc column {ti} decoded {len(col)} rows, footer "
+                f"declares {n_rows}"
+            )
     # second carried-twice check: footer IntegerStatistics vs decoded
     stats = [_grouped(_pb_fields(st)) for st in footer.get(7, [])]
     for ti, (tag, cid, child, tk) in enumerate(top):

@@ -716,7 +716,7 @@ def _emb_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 _EMB_ORACLE = """
 SELECT vec_id,
-       CAST(len(embedding) AS INT) AS dim,
+       CAST(COALESCE(len(embedding), -1) AS INT) AS dim,
        CAST(label AS INT) AS label,
        CAST(COALESCE(list_sum(list_transform(embedding,
             x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))),

@@ -42,7 +42,9 @@ from pyspark.sql import DataFrame, SparkSession
 from ..registry import register
 from ..tables import load_table
 from .inflate import inflate_raw
+from .lz4frame import lz4_decompress_block
 from .snappy import snappy_decompress_block
+from .zstdfse import decompress_frame
 
 # ------------------------------------------------ thrift compact
 
@@ -162,6 +164,8 @@ class _TReader:
 _CODEC_UNCOMPRESSED = 0
 _CODEC_SNAPPY = 1
 _CODEC_GZIP = 2
+_CODEC_ZSTD = 6
+_CODEC_LZ4_RAW = 7
 _ENC_PLAIN = 0
 _PAGE_DATA = 0
 _PAGE_DICT = 2
@@ -246,6 +250,18 @@ def _decompress(codec: int, data: bytes, want: int) -> bytes:
         crc_stored, isize = struct.unpack_from("<II", data, p + used)
         if zlib.crc32(out) & 0xFFFFFFFF != crc_stored:
             raise ValueError("gzip page CRC mismatch (CRC)")
+    elif codec == _CODEC_ZSTD:
+        # parquet ZSTD codec = one full zstd frame per page (the
+        # modern default of most parquet writers); decoded by OUR
+        # RFC 8878 decoder (operators/zstdfse.py), incl. its XXH64
+        # content-checksum verification when the writer emits one
+        out, used = decompress_frame(data)
+        if used != len(data):
+            raise ValueError("trailing bytes after zstd page frame")
+    elif codec == _CODEC_LZ4_RAW:
+        # parquet LZ4_RAW codec = one raw LZ4 block, NO frame header
+        # (the framed legacy LZ4/Hadoop codec id 5 stays unsupported)
+        out = lz4_decompress_block(data, max_out=want)
     else:
         raise NotImplementedError(f"parquet codec {codec}")
     if len(out) != want:
@@ -493,7 +509,10 @@ def _pq_values(g: int) -> list[int]:
 
 
 def _pq_codec(g: int) -> str:
-    return ("snappy", "none", "gzip")[g % 3]
+    # round 15: zstd + lz4 joined the rotation once their native
+    # decoders were wired into _decompress; the facts the oracle
+    # replays are codec-independent, so the lattice is unchanged
+    return ("snappy", "none", "gzip", "zstd", "lz4")[g % 5]
 
 
 def _pq_bytes(g: int, codec: str | None = None) -> bytes:

@@ -46,7 +46,6 @@ from __future__ import annotations
 
 import math
 import struct
-from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession

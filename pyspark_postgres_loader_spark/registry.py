@@ -481,6 +481,7 @@ def _ensure_loaded() -> None:
         oggwalk,
         orcwalk,
         paragraph_dedup,
+        parquetcodec,
         parquetdict,
         parquetindex,
         pgcopy,

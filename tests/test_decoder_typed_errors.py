@@ -39,6 +39,7 @@ from pyspark_postgres_loader_spark.operators import (
     pgcopy,
     parquetv2,
     parquetnested,
+    parquetcodec,
     parquetwalk,
     roaring,
     safetensors,
@@ -68,6 +69,10 @@ _TARGETS = [
     ("xz", lambda: _lzma.compress(b"corpus text " * 300),
      lambda b: xzwalk.decompress_xz(b)),
     ("parquet", lambda: parquetwalk._pq_bytes(0),
+     lambda b: parquetwalk.walk_parquet(b)),
+    ("parquet-zstd", lambda: parquetcodec._pz_bytes(2),
+     lambda b: parquetwalk.walk_parquet(b)),
+    ("parquet-lz4", lambda: parquetcodec._pl_bytes(2),
      lambda b: parquetwalk.walk_parquet(b)),
     ("parquet-v2", lambda: parquetv2._v2_bytes(1),
      lambda b: parquetv2.walk_parquet_v2(b)),
