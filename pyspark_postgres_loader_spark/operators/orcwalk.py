@@ -358,6 +358,7 @@ _TYPE_DOUBLE = 6
 _TYPE_STRING = 7
 _TYPE_TIMESTAMP = 9
 _TYPE_LIST = 10
+_TYPE_MAP = 11
 _TYPE_STRUCT = 12
 _TYPE_DECIMAL = 14
 _TYPE_DATE = 15
@@ -474,6 +475,88 @@ def _present_bits(data: bytes, n: int) -> list[bool]:
     return [bool(raw[i >> 3] >> (7 - (i & 7)) & 1) for i in range(n)]
 
 
+def _string_values(streams: dict, encs: list, c: int, draw: bytes,
+                   kind: int, n_present: int) -> list[str]:
+    """String column body decode, shared by top-level primitives and
+    compound children: DIRECT_V2 (LENGTH run + concatenated UTF-8)
+    or DICTIONARY_V2 (dictionary blob + entry lengths + index run in
+    DATA), with every carried-twice length cross-checked."""
+    ek = encs[c].get(1, [0])[0] if c < len(encs) else -1
+    if ek == _ENC_DIRECT_V2:
+        lraw = streams.get((c, _STREAM_LENGTH))
+        if lraw is None:
+            raise ValueError("orc string column misses LENGTH")
+        lengths = rlev2_decode(_orc_chunks(lraw, kind), signed=False)
+        blob = _orc_chunks(draw, kind)
+        if len(lengths) != n_present:
+            raise ValueError("orc present/data count mismatch")
+        if any(ln0 < 0 for ln0 in lengths) or \
+                sum(lengths) != len(blob):
+            raise ValueError(
+                "orc string lengths disagree with data bytes")
+        vals, p = [], 0
+        for ln0 in lengths:
+            vals.append(blob[p : p + ln0].decode("utf-8"))
+            p += ln0
+        return vals
+    if ek != _ENC_DICT_V2:
+        raise NotImplementedError("orc non-V2 string column")
+    lraw = streams.get((c, _STREAM_LENGTH))
+    if lraw is None:
+        raise ValueError("orc dictionary misses LENGTH")
+    dsize = encs[c].get(2, [0])[0] or 0
+    dlens = rlev2_decode(_orc_chunks(lraw, kind), signed=False)
+    if len(dlens) != dsize:
+        raise ValueError("orc dictionary size disagrees with encoding")
+    dblob = _orc_chunks(streams.get((c, _STREAM_DICT_DATA), b""), kind)
+    if any(ln0 < 0 for ln0 in dlens) or sum(dlens) != len(dblob):
+        raise ValueError(
+            "orc dictionary lengths disagree with data bytes")
+    entries, p = [], 0
+    for ln0 in dlens:
+        entries.append(dblob[p : p + ln0].decode("utf-8"))
+        p += ln0
+    idxs = rlev2_decode(_orc_chunks(draw, kind), signed=False)
+    if len(idxs) != n_present:
+        raise ValueError("orc present/data count mismatch")
+    if any(i < 0 or i >= dsize for i in idxs):
+        raise ValueError("orc dictionary index out of range")
+    return [entries[i] for i in idxs]
+
+
+def _compound_child_values(streams: dict, encs: list, c: int, tk: int,
+                           kind: int, n_slots: int) -> list:
+    """Decode the primitive CHILD column ``c`` of a compound type
+    (struct field, map key/value). ORC records child values only for
+    parent-present entries, so the child's own PRESENT stream (when
+    written) is relative to those ``n_slots`` entries; nulls weave
+    back in. Returns exactly ``n_slots`` values (None where the
+    child bit is 0)."""
+    praw = streams.get((c, _STREAM_PRESENT))
+    cbits = (_present_bits(_orc_chunks(praw, kind), n_slots)
+             if praw is not None else None)
+    n_pres = sum(cbits) if cbits is not None else n_slots
+    draw = streams.get((c, _STREAM_DATA))
+    if draw is None:
+        if n_pres:
+            raise ValueError("orc present stream without data")
+        vals: list = []
+    elif tk == _TYPE_LONG:
+        vals = rlev2_decode(_orc_chunks(draw, kind), signed=True)
+    elif tk in (_TYPE_FLOAT, _TYPE_DOUBLE):
+        vals = _ieee_values(_orc_chunks(draw, kind), tk, n_pres)
+    elif tk == _TYPE_STRING:
+        vals = _string_values(streams, encs, c, draw, kind, n_pres)
+    else:
+        raise NotImplementedError(f"orc compound child kind {tk}")
+    if len(vals) != n_pres:
+        raise ValueError("orc present/data count mismatch")
+    if cbits is None:
+        return list(vals)
+    it = iter(vals)
+    return [next(it) if b else None for b in cbits]
+
+
 def walk_orc(data: bytes) -> dict:
     """Walk one ORC file → per-column decoded long values plus
     container facts. NULLABLE columns supported (r13): PRESENT
@@ -543,9 +626,35 @@ def _walk_orc(data: bytes) -> dict:
                 raise NotImplementedError(
                     f"orc list element kind {ck}")
             top.append(("list", cid, kids[0], ck))
+        elif tk == _TYPE_STRUCT:
+            kids = _subtype_ids(types[cid])
+            if not kids or any(not 1 <= k < len(types) for k in kids):
+                raise ValueError("orc struct type without its children")
+            cks = tuple(types[k].get(1, [0])[0] for k in kids)
+            for ck in cks:
+                if ck not in (_TYPE_LONG, _TYPE_FLOAT, _TYPE_DOUBLE,
+                              _TYPE_STRING):
+                    raise NotImplementedError(
+                        f"orc struct field kind {ck}")
+            top.append(("struct", cid, tuple(kids), cks))
+        elif tk == _TYPE_MAP:
+            kids = _subtype_ids(types[cid])
+            if len(kids) != 2 or any(
+                    not 1 <= k < len(types) for k in kids):
+                raise ValueError("orc map type without key/value")
+            kk = types[kids[0]].get(1, [0])[0]
+            vk = types[kids[1]].get(1, [0])[0]
+            if kk not in (_TYPE_LONG, _TYPE_STRING):
+                raise NotImplementedError(f"orc map key kind {kk}")
+            if vk not in (_TYPE_LONG, _TYPE_FLOAT, _TYPE_DOUBLE,
+                          _TYPE_STRING):
+                raise NotImplementedError(f"orc map value kind {vk}")
+            top.append(("map", cid, tuple(kids), (kk, vk)))
         elif tk in _PRIM_KINDS:
             top.append(("prim", cid, None, tk))
         else:
+            # UNION (13) and the remaining exotic kinds stay an honest
+            # typed boundary
             raise NotImplementedError(f"orc column type kind {tk}")
     n_cols = len(top)
     columns: list[list] = [[] for _ in range(n_cols)]
@@ -593,6 +702,28 @@ def _walk_orc(data: bytes) -> dict:
                         "orc non-DIRECT_V2 list column")
                 col_enc[cid] = ek
                 _enc_gate(child, tk)
+                enc_seen[ti].add(ek)
+            elif tag == "struct":
+                # a struct column itself carries only PRESENT; its
+                # encoding is plain DIRECT
+                ek = encs[cid].get(1, [0])[0] if cid < len(encs) else -1
+                if ek != 0:
+                    raise NotImplementedError(
+                        "orc non-DIRECT struct column")
+                col_enc[cid] = ek
+                for k, ck in zip(child, tk):
+                    _enc_gate(k, ck)
+                enc_seen[ti].add(ek)
+            elif tag == "map":
+                # a map column carries PRESENT + LENGTH; the LENGTH
+                # run is RLEv2, so the encoding must be DIRECT_V2
+                ek = encs[cid].get(1, [0])[0] if cid < len(encs) else -1
+                if ek != _ENC_DIRECT_V2:
+                    raise NotImplementedError(
+                        "orc non-DIRECT_V2 map column")
+                col_enc[cid] = ek
+                for k, ck in zip(child, tk):
+                    _enc_gate(k, ck)
                 enc_seen[ti].add(ek)
             else:
                 enc_seen[ti].add(_enc_gate(cid, tk))
@@ -678,6 +809,63 @@ def _walk_orc(data: bytes) -> dict:
                     raise ValueError(
                         "orc list lengths disagree with elements")
                 continue
+            if tag == "struct":
+                # STRUCT: PRESENT on the struct column only; each
+                # field column records one value per struct-present
+                # row (with its own PRESENT weave for field nulls)
+                n_present_rows = sum(bits) if bits is not None else srows
+                kid_vals = [
+                    _compound_child_values(streams, encs, k, ck, kind,
+                                           n_present_rows)
+                    for k, ck in zip(child, tk)
+                ]
+                packed = list(zip(*kid_vals)) if kid_vals else []
+                if len(packed) != n_present_rows:
+                    raise ValueError(
+                        "orc struct field row count mismatch")
+                it0 = iter(packed)
+                out0 = columns[ti]
+                for b in (bits if bits is not None else [True] * srows):
+                    out0.append(tuple(next(it0)) if b else None)
+                continue
+            if tag == "map":
+                # MAP: PRESENT + LENGTH on the map column (entry
+                # counts for present rows); keys and values are child
+                # columns covering the concatenated entries, exactly
+                # the LIST element weave done twice
+                n_maps = sum(bits) if bits is not None else srows
+                lraw = streams.get((c, _STREAM_LENGTH))
+                if lraw is None:
+                    if bits is not None and not any(bits):
+                        columns[ti].extend([None] * srows)
+                        continue
+                    raise ValueError("orc map column misses LENGTH")
+                lengths = rlev2_decode(_orc_chunks(lraw, kind),
+                                       signed=False)
+                if len(lengths) != n_maps:
+                    raise ValueError("orc present/data count mismatch")
+                if any(ln0 < 0 for ln0 in lengths):
+                    raise ValueError("orc negative map length")
+                total = sum(lengths)
+                keys = _compound_child_values(
+                    streams, encs, child[0], tk[0], kind, total)
+                mvals = _compound_child_values(
+                    streams, encs, child[1], tk[1], kind, total)
+                out0 = columns[ti]
+                li = iter(lengths)
+                pos0 = 0
+                for b in (bits if bits is not None else [True] * srows):
+                    if not b:
+                        out0.append(None)
+                        continue
+                    ln0 = next(li)
+                    out0.append(list(zip(keys[pos0 : pos0 + ln0],
+                                         mvals[pos0 : pos0 + ln0])))
+                    pos0 += ln0
+                if pos0 != total:
+                    raise ValueError(
+                        "orc map lengths disagree with entries")
+                continue
             draw = streams.get((c, _STREAM_DATA))
             if draw is None:
                 if bits is not None:
@@ -730,53 +918,11 @@ def _walk_orc(data: bytes) -> dict:
                 if any(s != decl_scale for s in scales):
                     raise ValueError(
                         "orc decimal scale disagrees with the type")
-            elif col_enc[c] == _ENC_DIRECT_V2:
-                # string DIRECT_V2: LENGTH run + concatenated bytes
-                lraw = streams.get((c, _STREAM_LENGTH))
-                if lraw is None:
-                    raise ValueError("orc string column misses LENGTH")
-                lengths = rlev2_decode(_orc_chunks(lraw, kind),
-                                       signed=False)
-                blob = _orc_chunks(draw, kind)
-                if len(lengths) != n_present:
-                    raise ValueError("orc present/data count mismatch")
-                if any(ln0 < 0 for ln0 in lengths) or \
-                        sum(lengths) != len(blob):
-                    raise ValueError(
-                        "orc string lengths disagree with data bytes")
-                vals, p = [], 0
-                for ln0 in lengths:
-                    vals.append(blob[p : p + ln0].decode("utf-8"))
-                    p += ln0
             else:
-                # string DICTIONARY_V2: dictionary blob + entry
-                # lengths + index run (DATA)
-                lraw = streams.get((c, _STREAM_LENGTH))
-                if lraw is None:
-                    raise ValueError("orc dictionary misses LENGTH")
-                dsize = encs[c].get(2, [0])[0] or 0
-                dlens = rlev2_decode(_orc_chunks(lraw, kind),
-                                     signed=False)
-                if len(dlens) != dsize:
-                    raise ValueError(
-                        "orc dictionary size disagrees with encoding")
-                dblob = _orc_chunks(
-                    streams.get((c, _STREAM_DICT_DATA), b""), kind)
-                if any(ln0 < 0 for ln0 in dlens) or \
-                        sum(dlens) != len(dblob):
-                    raise ValueError(
-                        "orc dictionary lengths disagree with data bytes")
-                entries, p = [], 0
-                for ln0 in dlens:
-                    entries.append(dblob[p : p + ln0].decode("utf-8"))
-                    p += ln0
-                idxs = rlev2_decode(_orc_chunks(draw, kind),
-                                    signed=False)
-                if len(idxs) != n_present:
-                    raise ValueError("orc present/data count mismatch")
-                if any(i < 0 or i >= dsize for i in idxs):
-                    raise ValueError("orc dictionary index out of range")
-                vals = [entries[i] for i in idxs]
+                # string DIRECT_V2 / DICTIONARY_V2 — shared with the
+                # compound-child decode
+                vals = _string_values(streams, encs, c, draw, kind,
+                                      n_present)
             if bits is None:
                 if len(vals) != srows:
                     raise ValueError(
@@ -811,7 +957,7 @@ def _walk_orc(data: bytes) -> dict:
     # second carried-twice check: footer IntegerStatistics vs decoded
     stats = [_grouped(_pb_fields(st)) for st in footer.get(7, [])]
     for ti, (tag, cid, child, tk) in enumerate(top):
-        if tag == "list" or cid >= len(stats):
+        if tag != "prim" or cid >= len(stats):
             continue
         cs = stats[cid]
         non_null = [v for v in columns[ti] if v is not None]
@@ -2009,5 +2155,510 @@ def ingest_orc_list_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_null_lists long, n_empty_lists long, "
                 "n_null_elems long, n_values long, sum_scaled long, "
                 "wsum_scaled long, order_defects long"),
+    )
+    return out.repartition(1).sortWithinPartitions("doc_id")
+
+
+# ----------------------------------- MAP compound type (round 15)
+
+_OM_GROUPS = 10
+
+
+def _om_n(g: int) -> int:
+    return 2300 + 115 * g
+
+
+def _om_maps(g: int) -> list[list | None]:
+    """Closed-form map<string,long> column: NULL maps, empty maps,
+    NULL values, per-row-distinct keys 'k0'..'k8' (a tiny repeated
+    alphabet, so the writer's dictionary path engages for keys)."""
+    out: list[list | None] = []
+    for i in range(_om_n(g)):
+        if (i * 7 + g) % 13 == 4:
+            out.append(None)
+        elif (i * 11 + g) % 17 == 5:
+            out.append([])
+        else:
+            row = []
+            for j in range(1 + (i + g) % 5):
+                k = f"k{(i + g + j) % 9}"
+                if (i + 5 * j + g) % 19 == 6:
+                    row.append((k, None))
+                else:
+                    row.append((k, ((29 * i + 17 * j + 997 * g)
+                                    % 10007) - 5000))
+            out.append(row)
+    return out
+
+
+def build_orc_map(g: int, codec: str) -> bytes:
+    import io
+
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    t = pa.table({
+        "key": pa.array(range(_om_n(g)), pa.int64()),
+        "m": pa.array(_om_maps(g), pa.map_(pa.string(), pa.int64())),
+    })
+    buf = io.BytesIO()
+    orc.write_table(
+        t, buf, compression=codec, stripe_size=4096,
+        compression_block_size=4096,
+    )
+    return buf.getvalue()
+
+
+def _om_payload(doc_id: int) -> bytes:
+    g = doc_id % _OM_GROUPS
+    corrupt = doc_id % 11 == 3
+    mismatch = doc_id % 17 == 2 and not corrupt
+    unsup = doc_id % 13 == 5 and not (corrupt or mismatch)
+    data = build_orc_map(g, _ORC_CODECS[g % len(_ORC_CODECS)])
+    if corrupt:
+        return data[:-8]
+    if not (mismatch or unsup):
+        return data
+    ps_len = data[-1]
+    ps_fields = _pb_fields(data[len(data) - 1 - ps_len : len(data) - 1])
+    psd = _grouped(ps_fields)
+    kind = psd.get(2, [0])[0]
+    footer_len = psd[1][0]
+    footer_start = len(data) - 1 - ps_len - footer_len
+    footer = _pb_fields(_orc_chunks(
+        data[footer_start : footer_start + footer_len], kind))
+    if mismatch:
+        patched = _pb_build(
+            [(f, v + 1 if f == 6 else v) for f, v in footer])
+    else:
+        # retype the map VALUE child (5th Type message: root, key,
+        # map, map-key, map-value) to BINARY (8) — maps of
+        # unsupported leaves stay a typed boundary
+        out, seen = [], 0
+        for f, v in footer:
+            if f == 4:
+                seen += 1
+                if seen == 5:
+                    tf = _pb_fields(v)
+                    v = _pb_build(
+                        [(ff, 8 if ff == 1 else vv) for ff, vv in tf])
+            out.append((f, v))
+        patched = _pb_build(out)
+    return _retail(data, patched, kind, ps_fields, footer_start)
+
+
+_OM_ZERO = (0,) * 8
+
+_OM_FACT_MEMO: dict[tuple, tuple] = {}
+
+
+def _om_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cache = _OM_FACT_MEMO
+
+    def facts(doc_id: int) -> tuple:
+        g = doc_id % _OM_GROUPS
+        key = (g, doc_id % 11 == 3, doc_id % 17 == 2, doc_id % 13 == 5)
+        if key not in cache:
+            try:
+                f = walk_orc(_om_payload(doc_id))
+                kcol, maps = f["columns"]
+                if any(v != i for i, v in enumerate(kcol)):
+                    raise ValueError("orc map fixture key disorder")
+                n_null = n_empty = n_nullv = n_vals = 0
+                key_wsum = val_sum = val_wsum = 0
+                for i, row in enumerate(maps):
+                    if row is None:
+                        n_null += 1
+                        continue
+                    if row == []:
+                        n_empty += 1
+                        continue
+                    for j, (mk, mv) in enumerate(row):
+                        kd = int(mk[1:])
+                        key_wsum += (i + 1) * (j + 1) * kd
+                        if mv is None:
+                            n_nullv += 1
+                        else:
+                            n_vals += 1
+                            val_sum += mv
+                            val_wsum += (i + 1) * (j + 1) * mv
+                cache[key] = (
+                    "decoded", f["n_rows"], n_null, n_empty, n_nullv,
+                    n_vals, key_wsum, val_sum, val_wsum,
+                )
+            except NotImplementedError:
+                cache[key] = ("unsupported",) + _OM_ZERO
+            except ValueError as exc:
+                status = ("mismatch"
+                          if "row count mismatch" in str(exc)
+                          else "corrupt")
+                cache[key] = (status,) + _OM_ZERO
+            except Exception:  # noqa: BLE001 — malformed bytes quarantine
+                cache[key] = ("corrupt",) + _OM_ZERO
+        return cache[key]
+
+    cols = ["doc_id", "status", "n_rows", "n_null_maps",
+            "n_empty_maps", "n_null_vals", "n_values", "key_wsum",
+            "val_sum", "val_wsum"]
+    for pdf in it:
+        if pdf.empty:
+            continue
+        out = [(int(x),) + facts(int(x)) for x in pdf["doc_id"]]
+        yield pd.DataFrame(out, columns=cols).astype(
+            {c: "int64" for c in cols if c != "status"})
+
+
+def _om_oracle() -> str:
+    bad = ("d.doc_id % 11 = 3 OR d.doc_id % 17 = 2 "
+           "OR d.doc_id % 13 = 5")
+    return f"""
+    WITH grp AS (
+      SELECT DISTINCT doc_id % {_OM_GROUPS} AS g FROM documents
+    ),
+    rr AS (
+      SELECT g, i,
+             ((i * 7 + g) % 13 = 4) AS null_map,
+             ((i * 7 + g) % 13 <> 4
+              AND (i * 11 + g) % 17 = 5) AS empty_map,
+             1 + (i + g) % 5 AS len
+      FROM (SELECT g, unnest(range(0, 2300 + 115 * g)) AS i FROM grp)
+    ),
+    el AS (
+      SELECT rr.g, rr.i, j,
+             (rr.i + rr.g + j) % 9 AS kd,
+             ((rr.i + 5 * j + rr.g) % 19 = 6) AS null_val,
+             ((29 * rr.i + 17 * j + 997 * rr.g) % 10007) - 5000 AS v
+      FROM rr, LATERAL (SELECT unnest(range(0, rr.len)) AS j)
+      WHERE NOT rr.null_map AND NOT rr.empty_map
+    ),
+    esums AS (
+      SELECT g,
+             CAST(SUM(CASE WHEN null_val THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_vals,
+             CAST(SUM(CASE WHEN null_val THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_values,
+             CAST(SUM((i + 1) * (j + 1) * kd) AS BIGINT) AS key_wsum,
+             CAST(SUM(CASE WHEN null_val THEN 0 ELSE v END) AS BIGINT)
+               AS val_sum,
+             CAST(SUM(CASE WHEN null_val THEN 0
+                      ELSE (i + 1) * (j + 1) * v END) AS BIGINT)
+               AS val_wsum
+      FROM el GROUP BY g
+    ),
+    rsums AS (
+      SELECT g,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN null_map THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_maps,
+             CAST(SUM(CASE WHEN empty_map THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_empty_maps
+      FROM rr GROUP BY g
+    ),
+    sums AS (
+      SELECT r.g, r.n_rows, r.n_null_maps, r.n_empty_maps,
+             e.n_null_vals, e.n_values, e.key_wsum, e.val_sum,
+             e.val_wsum
+      FROM rsums r JOIN esums e ON r.g = e.g
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 11 = 3 THEN 'corrupt'
+                WHEN d.doc_id % 17 = 2 THEN 'mismatch'
+                WHEN d.doc_id % 13 = 5 THEN 'unsupported'
+                ELSE 'decoded' END AS status,
+           CASE WHEN {bad} THEN 0 ELSE s.n_rows END AS n_rows,
+           CASE WHEN {bad} THEN 0 ELSE s.n_null_maps END
+             AS n_null_maps,
+           CASE WHEN {bad} THEN 0 ELSE s.n_empty_maps END
+             AS n_empty_maps,
+           CASE WHEN {bad} THEN 0 ELSE s.n_null_vals END
+             AS n_null_vals,
+           CASE WHEN {bad} THEN 0 ELSE s.n_values END AS n_values,
+           CASE WHEN {bad} THEN 0 ELSE s.key_wsum END AS key_wsum,
+           CASE WHEN {bad} THEN 0 ELSE s.val_sum END AS val_sum,
+           CASE WHEN {bad} THEN 0 ELSE s.val_wsum END AS val_wsum
+    FROM documents d
+    JOIN sums s ON d.doc_id % {_OM_GROUPS} = s.g
+    ORDER BY d.doc_id
+    """
+
+
+@register("ingest_orc_map_walk", oracle=_om_oracle())
+def ingest_orc_map_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC MAP columns decoded natively — in ORC's type tree a map is
+    LIST-of-(key,value): the map column carries PRESENT + an RLEv2
+    LENGTH run (entry counts for present rows; zero = empty map), and
+    the key/value CHILDREN are ordinary columns over the concatenated
+    entries — keys through the string machinery (the tiny 'k0'..'k8'
+    alphabet engages DICTIONARY_V2), values with their own PRESENT
+    weave for per-entry nulls. pyarrow's ORC C++ writer is the
+    independent runtime writer across all five compression kinds; the
+    DuckDB oracle replays the closed-form map lattice and never sees
+    an ORC byte; position-weighted key/value sums pin row AND entry
+    order. Typed verdicts: postscript cut ('corrupt'), footer rows+1
+    ('mismatch'), the map VALUE child retyped to BINARY
+    ('unsupported').
+
+    Scale notes (100 TB): identical stream shape to the LIST walk —
+    LENGTH runs are a prefix sum, entries contiguous; map-side
+    per-file decode, memoized facts, integers only back to the JVM."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    combo = F.concat_ws(
+        ":",
+        (F.col("doc_id") % _OM_GROUPS),
+        (F.col("doc_id") % 11 == 3).cast("int"),
+        (F.col("doc_id") % 17 == 2).cast("int"),
+        (F.col("doc_id") % 13 == 5).cast("int"),
+    )
+    out = d.repartition(32, combo).mapInPandas(
+        _om_batches,
+        schema=("doc_id long, status string, n_rows long, "
+                "n_null_maps long, n_empty_maps long, "
+                "n_null_vals long, n_values long, key_wsum long, "
+                "val_sum long, val_wsum long"),
+    )
+    return out.repartition(1).sortWithinPartitions("doc_id")
+
+
+# -------------------------------- STRUCT compound type (round 15)
+
+_OT_GROUPS = 10
+
+
+def _ot_n(g: int) -> int:
+    return 2400 + 130 * g
+
+
+def _ot_structs(g: int) -> list[dict | None]:
+    """Closed-form struct{a: long?, b: double, s: string?} column:
+    NULL structs, NULL fields, a float64-exact double (s/64) and a
+    small string alphabet."""
+    out: list[dict | None] = []
+    for i in range(_ot_n(g)):
+        if (i * 7 + g) % 13 == 4:
+            out.append(None)
+            continue
+        a = (None if (i * 3 + g) % 11 == 7
+             else ((13 * i + 7 * g) % 20011) - 10000)
+        b = (((i * 29 + 31 * g) % 8192) - 4096) / 64.0
+        s = (None if (i + g) % 23 == 9
+             else f"s{(i * 5 + g) % 97}")
+        out.append({"a": a, "b": b, "s": s})
+    return out
+
+
+def build_orc_struct(g: int, codec: str) -> bytes:
+    import io
+
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    t = pa.table({
+        "key": pa.array(range(_ot_n(g)), pa.int64()),
+        "st": pa.array(_ot_structs(g), pa.struct(
+            [("a", pa.int64()), ("b", pa.float64()),
+             ("s", pa.string())])),
+    })
+    buf = io.BytesIO()
+    orc.write_table(
+        t, buf, compression=codec, stripe_size=4096,
+        compression_block_size=4096,
+    )
+    return buf.getvalue()
+
+
+def _ot_payload(doc_id: int) -> bytes:
+    g = doc_id % _OT_GROUPS
+    corrupt = doc_id % 11 == 3
+    mismatch = doc_id % 17 == 2 and not corrupt
+    unsup = doc_id % 13 == 5 and not (corrupt or mismatch)
+    data = build_orc_struct(g, _ORC_CODECS[g % len(_ORC_CODECS)])
+    if corrupt:
+        return data[:-8]
+    if not (mismatch or unsup):
+        return data
+    ps_len = data[-1]
+    ps_fields = _pb_fields(data[len(data) - 1 - ps_len : len(data) - 1])
+    psd = _grouped(ps_fields)
+    kind = psd.get(2, [0])[0]
+    footer_len = psd[1][0]
+    footer_start = len(data) - 1 - ps_len - footer_len
+    footer = _pb_fields(_orc_chunks(
+        data[footer_start : footer_start + footer_len], kind))
+    if mismatch:
+        patched = _pb_build(
+            [(f, v + 1 if f == 6 else v) for f, v in footer])
+    else:
+        # retype struct field 'b' (5th Type message: root, key,
+        # struct, a, b, s) to BINARY (8) — structs with unsupported
+        # field kinds stay a typed boundary
+        out, seen = [], 0
+        for f, v in footer:
+            if f == 4:
+                seen += 1
+                if seen == 5:
+                    tf = _pb_fields(v)
+                    v = _pb_build(
+                        [(ff, 8 if ff == 1 else vv) for ff, vv in tf])
+            out.append((f, v))
+        patched = _pb_build(out)
+    return _retail(data, patched, kind, ps_fields, footer_start)
+
+
+_OT_ZERO = (0,) * 8
+
+_OT_FACT_MEMO: dict[tuple, tuple] = {}
+
+
+def _ot_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cache = _OT_FACT_MEMO
+
+    def facts(doc_id: int) -> tuple:
+        g = doc_id % _OT_GROUPS
+        key = (g, doc_id % 11 == 3, doc_id % 17 == 2, doc_id % 13 == 5)
+        if key not in cache:
+            try:
+                f = walk_orc(_ot_payload(doc_id))
+                kcol, sts = f["columns"]
+                if any(v != i for i, v in enumerate(kcol)):
+                    raise ValueError("orc struct fixture key disorder")
+                n_null_st = n_null_a = n_null_s = 0
+                a_sum = b_sum = s_wsum = wsum = 0
+                for i, st in enumerate(sts):
+                    if st is None:
+                        n_null_st += 1
+                        continue
+                    a, b, s = st
+                    bs = int(round(b * 64))
+                    b_sum += bs
+                    if a is None:
+                        n_null_a += 1
+                    else:
+                        a_sum += a
+                    if s is None:
+                        n_null_s += 1
+                    else:
+                        s_wsum += (i + 1) * int(s[1:])
+                    wsum += (i + 1) * (bs + (0 if a is None else a))
+                cache[key] = (
+                    "decoded", f["n_rows"], n_null_st, n_null_a,
+                    a_sum, b_sum, n_null_s, s_wsum, wsum,
+                )
+            except NotImplementedError:
+                cache[key] = ("unsupported",) + _OT_ZERO
+            except ValueError as exc:
+                status = ("mismatch"
+                          if "row count mismatch" in str(exc)
+                          else "corrupt")
+                cache[key] = (status,) + _OT_ZERO
+            except Exception:  # noqa: BLE001 — malformed bytes quarantine
+                cache[key] = ("corrupt",) + _OT_ZERO
+        return cache[key]
+
+    cols = ["doc_id", "status", "n_rows", "n_null_structs",
+            "n_null_a", "a_sum", "b_scaled_sum", "n_null_s",
+            "s_suffix_wsum", "wsum"]
+    for pdf in it:
+        if pdf.empty:
+            continue
+        out = [(int(x),) + facts(int(x)) for x in pdf["doc_id"]]
+        yield pd.DataFrame(out, columns=cols).astype(
+            {c: "int64" for c in cols if c != "status"})
+
+
+def _ot_oracle() -> str:
+    bad = ("d.doc_id % 11 = 3 OR d.doc_id % 17 = 2 "
+           "OR d.doc_id % 13 = 5")
+    return f"""
+    WITH grp AS (
+      SELECT DISTINCT doc_id % {_OT_GROUPS} AS g FROM documents
+    ),
+    rr AS (
+      SELECT g, i,
+             ((i * 7 + g) % 13 = 4) AS null_st,
+             ((i * 3 + g) % 11 = 7) AS null_a,
+             ((13 * i + 7 * g) % 20011) - 10000 AS a,
+             ((i * 29 + 31 * g) % 8192) - 4096 AS bs,
+             ((i + g) % 23 = 9) AS null_s,
+             (i * 5 + g) % 97 AS sd
+      FROM (SELECT g, unnest(range(0, 2400 + 130 * g)) AS i FROM grp)
+    ),
+    sums AS (
+      SELECT g,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN null_st THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_structs,
+             CAST(SUM(CASE WHEN NOT null_st AND null_a
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_null_a,
+             CAST(SUM(CASE WHEN NOT null_st AND NOT null_a
+                      THEN a ELSE 0 END) AS BIGINT) AS a_sum,
+             CAST(SUM(CASE WHEN NOT null_st THEN bs ELSE 0 END)
+               AS BIGINT) AS b_scaled_sum,
+             CAST(SUM(CASE WHEN NOT null_st AND null_s
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_null_s,
+             CAST(SUM(CASE WHEN NOT null_st AND NOT null_s
+                      THEN (i + 1) * sd ELSE 0 END) AS BIGINT)
+               AS s_suffix_wsum,
+             CAST(SUM(CASE WHEN NOT null_st
+                      THEN (i + 1) * (bs + CASE WHEN null_a
+                           THEN 0 ELSE a END)
+                      ELSE 0 END) AS BIGINT) AS wsum
+      FROM rr GROUP BY g
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 11 = 3 THEN 'corrupt'
+                WHEN d.doc_id % 17 = 2 THEN 'mismatch'
+                WHEN d.doc_id % 13 = 5 THEN 'unsupported'
+                ELSE 'decoded' END AS status,
+           CASE WHEN {bad} THEN 0 ELSE s.n_rows END AS n_rows,
+           CASE WHEN {bad} THEN 0 ELSE s.n_null_structs END
+             AS n_null_structs,
+           CASE WHEN {bad} THEN 0 ELSE s.n_null_a END AS n_null_a,
+           CASE WHEN {bad} THEN 0 ELSE s.a_sum END AS a_sum,
+           CASE WHEN {bad} THEN 0 ELSE s.b_scaled_sum END
+             AS b_scaled_sum,
+           CASE WHEN {bad} THEN 0 ELSE s.n_null_s END AS n_null_s,
+           CASE WHEN {bad} THEN 0 ELSE s.s_suffix_wsum END
+             AS s_suffix_wsum,
+           CASE WHEN {bad} THEN 0 ELSE s.wsum END AS wsum
+    FROM documents d
+    JOIN sums s ON d.doc_id % {_OT_GROUPS} = s.g
+    ORDER BY d.doc_id
+    """
+
+
+@register("ingest_orc_struct_walk", oracle=_ot_oracle())
+def ingest_orc_struct_walk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORC STRUCT columns decoded natively: the struct column itself
+    carries only a PRESENT weave (null structs), and each FIELD is an
+    ordinary child column recording one value per struct-present row
+    — long with its own null weave, raw-IEEE double, and string
+    through the shared DIRECT_V2/DICTIONARY_V2 machinery. pyarrow's
+    ORC C++ writer is the independent runtime writer across all five
+    compression kinds; the DuckDB oracle replays the closed-form
+    field lattice; row-weighted field sums pin both the PRESENT weave
+    and field alignment (a misweave shifts every downstream row).
+    Typed verdicts: postscript cut ('corrupt'), footer rows+1
+    ('mismatch'), one field retyped to BINARY ('unsupported').
+
+    Scale notes (100 TB): struct fields are plain columns — the walk
+    keeps ORC's columnar independence (each field prunable on its
+    own); map-side per-file decode, memoized facts, integers only
+    back to the JVM."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    combo = F.concat_ws(
+        ":",
+        (F.col("doc_id") % _OT_GROUPS),
+        (F.col("doc_id") % 11 == 3).cast("int"),
+        (F.col("doc_id") % 17 == 2).cast("int"),
+        (F.col("doc_id") % 13 == 5).cast("int"),
+    )
+    out = d.repartition(32, combo).mapInPandas(
+        _ot_batches,
+        schema=("doc_id long, status string, n_rows long, "
+                "n_null_structs long, n_null_a long, a_sum long, "
+                "b_scaled_sum long, n_null_s long, "
+                "s_suffix_wsum long, wsum long"),
     )
     return out.repartition(1).sortWithinPartitions("doc_id")

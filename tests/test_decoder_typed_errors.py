@@ -72,6 +72,10 @@ _TARGETS = [
      lambda b: parquetwalk.walk_parquet(b)),
     ("parquet-zstd", lambda: parquetcodec._pz_bytes(2),
      lambda b: parquetwalk.walk_parquet(b)),
+    ("orc-map", lambda: orcwalk.build_orc_map(1, "zlib"),
+     lambda b: orcwalk.walk_orc(b)),
+    ("orc-struct", lambda: orcwalk.build_orc_struct(1, "zlib"),
+     lambda b: orcwalk.walk_orc(b)),
     ("parquet-lz4", lambda: parquetcodec._pl_bytes(2),
      lambda b: parquetwalk.walk_parquet(b)),
     ("parquet-v2", lambda: parquetv2._v2_bytes(1),
