@@ -2421,19 +2421,19 @@ def ingest_orc_map_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------- STRUCT compound type (round 15)
 
-_OT_GROUPS = 10
+_OST_GROUPS = 10
 
 
-def _ot_n(g: int) -> int:
+def _ost_n(g: int) -> int:
     return 2400 + 130 * g
 
 
-def _ot_structs(g: int) -> list[dict | None]:
+def _ost_structs(g: int) -> list[dict | None]:
     """Closed-form struct{a: long?, b: double, s: string?} column:
     NULL structs, NULL fields, a float64-exact double (s/64) and a
     small string alphabet."""
     out: list[dict | None] = []
-    for i in range(_ot_n(g)):
+    for i in range(_ost_n(g)):
         if (i * 7 + g) % 13 == 4:
             out.append(None)
             continue
@@ -2453,8 +2453,8 @@ def build_orc_struct(g: int, codec: str) -> bytes:
     import pyarrow.orc as orc
 
     t = pa.table({
-        "key": pa.array(range(_ot_n(g)), pa.int64()),
-        "st": pa.array(_ot_structs(g), pa.struct(
+        "key": pa.array(range(_ost_n(g)), pa.int64()),
+        "st": pa.array(_ost_structs(g), pa.struct(
             [("a", pa.int64()), ("b", pa.float64()),
              ("s", pa.string())])),
     })
@@ -2466,8 +2466,8 @@ def build_orc_struct(g: int, codec: str) -> bytes:
     return buf.getvalue()
 
 
-def _ot_payload(doc_id: int) -> bytes:
-    g = doc_id % _OT_GROUPS
+def _ost_payload(doc_id: int) -> bytes:
+    g = doc_id % _OST_GROUPS
     corrupt = doc_id % 11 == 3
     mismatch = doc_id % 17 == 2 and not corrupt
     unsup = doc_id % 13 == 5 and not (corrupt or mismatch)
@@ -2504,20 +2504,20 @@ def _ot_payload(doc_id: int) -> bytes:
     return _retail(data, patched, kind, ps_fields, footer_start)
 
 
-_OT_ZERO = (0,) * 8
+_OST_ZERO = (0,) * 8
 
-_OT_FACT_MEMO: dict[tuple, tuple] = {}
+_OST_FACT_MEMO: dict[tuple, tuple] = {}
 
 
-def _ot_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    cache = _OT_FACT_MEMO
+def _ost_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cache = _OST_FACT_MEMO
 
     def facts(doc_id: int) -> tuple:
-        g = doc_id % _OT_GROUPS
+        g = doc_id % _OST_GROUPS
         key = (g, doc_id % 11 == 3, doc_id % 17 == 2, doc_id % 13 == 5)
         if key not in cache:
             try:
-                f = walk_orc(_ot_payload(doc_id))
+                f = walk_orc(_ost_payload(doc_id))
                 kcol, sts = f["columns"]
                 if any(v != i for i, v in enumerate(kcol)):
                     raise ValueError("orc struct fixture key disorder")
@@ -2544,14 +2544,14 @@ def _ot_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     a_sum, b_sum, n_null_s, s_wsum, wsum,
                 )
             except NotImplementedError:
-                cache[key] = ("unsupported",) + _OT_ZERO
+                cache[key] = ("unsupported",) + _OST_ZERO
             except ValueError as exc:
                 status = ("mismatch"
                           if "row count mismatch" in str(exc)
                           else "corrupt")
-                cache[key] = (status,) + _OT_ZERO
+                cache[key] = (status,) + _OST_ZERO
             except Exception:  # noqa: BLE001 — malformed bytes quarantine
-                cache[key] = ("corrupt",) + _OT_ZERO
+                cache[key] = ("corrupt",) + _OST_ZERO
         return cache[key]
 
     cols = ["doc_id", "status", "n_rows", "n_null_structs",
@@ -2565,12 +2565,12 @@ def _ot_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             {c: "int64" for c in cols if c != "status"})
 
 
-def _ot_oracle() -> str:
+def _ost_oracle() -> str:
     bad = ("d.doc_id % 11 = 3 OR d.doc_id % 17 = 2 "
            "OR d.doc_id % 13 = 5")
     return f"""
     WITH grp AS (
-      SELECT DISTINCT doc_id % {_OT_GROUPS} AS g FROM documents
+      SELECT DISTINCT doc_id % {_OST_GROUPS} AS g FROM documents
     ),
     rr AS (
       SELECT g, i,
@@ -2621,12 +2621,12 @@ def _ot_oracle() -> str:
              AS s_suffix_wsum,
            CASE WHEN {bad} THEN 0 ELSE s.wsum END AS wsum
     FROM documents d
-    JOIN sums s ON d.doc_id % {_OT_GROUPS} = s.g
+    JOIN sums s ON d.doc_id % {_OST_GROUPS} = s.g
     ORDER BY d.doc_id
     """
 
 
-@register("ingest_orc_struct_walk", oracle=_ot_oracle())
+@register("ingest_orc_struct_walk", oracle=_ost_oracle())
 def ingest_orc_struct_walk(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2649,13 +2649,13 @@ def ingest_orc_struct_walk(
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     combo = F.concat_ws(
         ":",
-        (F.col("doc_id") % _OT_GROUPS),
+        (F.col("doc_id") % _OST_GROUPS),
         (F.col("doc_id") % 11 == 3).cast("int"),
         (F.col("doc_id") % 17 == 2).cast("int"),
         (F.col("doc_id") % 13 == 5).cast("int"),
     )
     out = d.repartition(32, combo).mapInPandas(
-        _ot_batches,
+        _ost_batches,
         schema=("doc_id long, status string, n_rows long, "
                 "n_null_structs long, n_null_a long, a_sum long, "
                 "b_scaled_sum long, n_null_s long, "

@@ -13,9 +13,9 @@ from pyspark_postgres_loader_spark.operators.orcwalk import (
     _om_maps,
     _om_n,
     _om_payload,
-    _ot_n,
-    _ot_payload,
-    _ot_structs,
+    _ost_n,
+    _ost_payload,
+    _ost_structs,
     build_orc_map,
     build_orc_struct,
     walk_orc,
@@ -36,7 +36,7 @@ def test_struct_walk_matches_fixture_every_group():
         f = walk_orc(build_orc_struct(g, codec))
         exp = [
             None if st is None else (st["a"], st["b"], st["s"])
-            for st in _ot_structs(g)
+            for st in _ost_structs(g)
         ]
         assert f["columns"][1] == exp
 
@@ -52,11 +52,11 @@ def test_map_typed_classes():
 
 def test_struct_typed_classes():
     with pytest.raises(ValueError):
-        walk_orc(_ot_payload(3))
+        walk_orc(_ost_payload(3))
     with pytest.raises(ValueError, match="row count mismatch"):
-        walk_orc(_ot_payload(2))
+        walk_orc(_ost_payload(2))
     with pytest.raises(NotImplementedError, match="struct field kind"):
-        walk_orc(_ot_payload(18))
+        walk_orc(_ost_payload(18))
 
 
 def test_union_stays_typed_boundary():
