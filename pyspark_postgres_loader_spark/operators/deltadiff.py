@@ -54,47 +54,58 @@ def _pairs(nv: int) -> list[tuple[int, int]]:
 
 
 def delta_snapshot_diff(spark: SparkSession, nv: int) -> DataFrame:
+    # parse the synthesized log ONCE (log-sized) — the JSON
+    # synth+parse subtree must not re-execute per consumer
     acts = delta_log_lines(spark, nv).select(
         "version", F.from_json("line", _ACTION_SCHEMA).alias("a")
-    )
-    # adds/removes feed two live-set folds per pair x three pairs;
-    # materialize the parsed log once (log-sized) so the JSON
-    # synth+parse subtree is not re-executed per consumer
+    ).localCheckpoint(eager=True)
     adds = acts.filter("a.add IS NOT NULL").select(
         "version",
         F.col("a.add.path").alias("path"),
         F.col("a.add.numRecords").alias("rows"),
-    ).localCheckpoint(eager=True)
+    )
     removes = acts.filter("a.remove IS NOT NULL").select(
         "version", F.col("a.remove.path").alias("path")
-    ).localCheckpoint(eager=True)
+    )
 
-    def live(v: int) -> DataFrame:
-        return (adds.filter(F.col("version") <= v)
-                .select("path", "rows")
-                .join(removes.filter(F.col("version") <= v)
-                      .select("path"),
-                      "path", "left_anti"))
+    # live(v) = added at some version <= v AND not removed at any
+    # version <= v — so per path only the FIRST add version and FIRST
+    # remove version matter. One bounds aggregation replaces the six
+    # anti-join live-set folds (2 sides x 3 pairs) the previous plan
+    # ran (r14 watch item: the snapshot fold re-derived per consumer);
+    # the three version pairs then explode from a literal array, so
+    # the whole diff is ONE shuffle on path + a map-side classify.
+    bounds = (
+        adds.groupBy("path")
+        .agg(F.min("version").alias("ma"), F.max("rows").alias("rows"))
+        .join(removes.groupBy("path").agg(F.min("version").alias("mr")),
+              "path", "left")
+    )
+    pairs_arr = F.array(*[
+        F.struct(
+            F.lit(pid).alias("pid"),
+            F.lit(v1).cast("long").alias("v_from"),
+            F.lit(v2).cast("long").alias("v_to"),
+        )
+        for pid, (v1, v2) in enumerate(_pairs(nv))
+    ])
 
-    # ONE plan for all pairs: tag each pair's from/to live set, fold
-    # per (pair, path), classify added/removed, aggregate — a single
-    # shuffle on (pair, path) instead of 12 sequential driver jobs
-    tagged = None
-    for pid, (v1, v2) in enumerate(_pairs(nv)):
-        for side, v in (("f", v1), ("t", v2)):
-            t = live(v).select(
-                F.lit(pid).alias("pid"),
-                F.lit(v1).cast("long").alias("v_from"),
-                F.lit(v2).cast("long").alias("v_to"),
-                F.lit(side).alias("side"), "path", "rows",
-            )
-            tagged = t if tagged is None else tagged.unionByName(t)
-    per_path = tagged.groupBy("pid", "v_from", "v_to", "path").agg(
-        F.max(F.when(F.col("side") == "f", 1).otherwise(0))
-        .alias("in_from"),
-        F.max(F.when(F.col("side") == "t", 1).otherwise(0))
-        .alias("in_to"),
-        F.max("rows").alias("rows"),
+    def _live_at(v_col):
+        return (F.col("ma") <= v_col) & (
+            F.col("mr").isNull() | (F.col("mr") > v_col)
+        )
+
+    per_path = (
+        bounds.select("path", "rows", "ma", "mr",
+                      F.explode(pairs_arr).alias("p"))
+        .select(
+            F.col("p.pid").alias("pid"),
+            F.col("p.v_from").alias("v_from"),
+            F.col("p.v_to").alias("v_to"),
+            "rows",
+            _live_at(F.col("p.v_from")).cast("int").alias("in_from"),
+            _live_at(F.col("p.v_to")).cast("int").alias("in_to"),
+        )
     )
     return (per_path.groupBy("pid", "v_from", "v_to").agg(
         F.sum(F.when((F.col("in_to") == 1) & (F.col("in_from") == 0),
