@@ -459,11 +459,12 @@ def sink_async_upsert_final_state(spark: SparkSession, sf_dir: str) -> DataFrame
     are plain per-row counts and the final state is simply the last
     constraint-satisfying occurrence per key.
 
-    Scale note: the event loop adds no throughput at one in-flight
-    statement per writer (the adapter docstring's argument) — this
-    personality exists for driver compatibility, not speed; the 100 TB
-    path remains the staging merge. Single sorted partition = the
-    harness determinism choice, as in the sibling queries."""
+    Scale note: ``pipeline=True`` gives this personality the
+    reference asyncpg executor's one-in-flight-batch overlap — batch
+    N's per-row round trips execute on the writer's worker while
+    batch N+1 accumulates from the Spark iterator (round 15); the
+    100 TB path remains the staging merge. Single sorted partition =
+    the harness determinism choice, as in the sibling queries."""
     tag = hashlib.md5((sf_dir + ":async").encode()).hexdigest()[:8]
     scratch = claim_scratch_dir("sink_roundtrip", tag)
     dbfile = os.path.join(scratch, "async_target.duckdb")
@@ -496,6 +497,9 @@ def sink_async_upsert_final_state(spark: SparkSession, sf_dir: str) -> DataFrame
         batch_size=_BATCH,
         parallelism=1,
         dialect=dialect,
+        # the reference asyncpg executor's in-flight overlap: batch
+        # N's round trips ride the worker while batch N+1 accumulates
+        pipeline=True,
     )
 
     con = duckdb.connect(dbfile)

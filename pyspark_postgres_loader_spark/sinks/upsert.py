@@ -176,6 +176,7 @@ def _batch_and_upsert(
     use_savepoint: bool = True,
     sql_for: Callable[[int], str] | None = None,
     key_indices: list[int] | None = None,
+    pipeline: bool = False,
 ) -> Iterator[tuple[int, int, int, list[str], bool]]:
     """Per-partition consumer (≈ psycopg2_database_helper.py:123-187):
     lazy connect on first row, batch, transact, quarantine, early-abort
@@ -222,11 +223,11 @@ def _batch_and_upsert(
                 _cache[k] = _raw(k)
             return _cache[k]
 
-    def flush() -> bool:
+    def flush(pending_batch: list[tuple]) -> bool:
         nonlocal conn, cursor, loaded, rejected, truncated
-        if not batch:
+        if not pending_batch:
             return False
-        to_send, superseded = batch, 0
+        to_send, superseded = pending_batch, 0
         keyed = sql_for is not None and key_indices
 
         def key_of(row: tuple) -> tuple:
@@ -234,11 +235,11 @@ def _batch_and_upsert(
 
         if keyed:
             last: dict[tuple, int] = {}
-            for i, row in enumerate(batch):
+            for i, row in enumerate(pending_batch):
                 last[key_of(row)] = i
-            if len(last) < len(batch):
-                to_send = [batch[i] for i in sorted(last.values())]
-                superseded = len(batch) - len(to_send)
+            if len(last) < len(pending_batch):
+                to_send = [pending_batch[i] for i in sorted(last.values())]
+                superseded = len(pending_batch) - len(to_send)
         rejected_rows: list[tuple] = []
         l, r, d = execute_batch_with_quarantine(
             cursor,
@@ -263,7 +264,7 @@ def _batch_and_upsert(
             kept = set(last.values())
             replay = [
                 row
-                for i, row in enumerate(batch)
+                for i, row in enumerate(pending_batch)
                 if i not in kept and key_of(row) in bad_keys
             ]
             superseded -= len(replay)
@@ -283,9 +284,31 @@ def _batch_and_upsert(
         loaded += l + superseded
         rejected += r
         conn.commit()
-        whole_batch_bad = l == 0 and r > 0
-        batch.clear()
-        return whole_batch_bad
+        return l == 0 and r > 0
+
+    # ``pipeline=True`` (round 15, the reference asyncpg executor's
+    # in-flight overlap): the previous batch's DB round trips execute
+    # on a single worker thread while THIS thread keeps accumulating
+    # the next batch from the Spark iterator. One in-flight batch per
+    # connection — all DB calls stay strictly ordered on the worker
+    # (savepoints, bisection, commits identical to the serial path),
+    # so quarantine semantics are preserved; the only delta is that
+    # the full-batch-rejected early-abort is observed at the NEXT
+    # flush boundary, so ``rows_seen`` of an aborted partition counts
+    # one extra accumulated batch.
+    pool = pending = None
+    if pipeline:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+
+    def drain() -> bool:
+        nonlocal pending
+        if pending is None:
+            return False
+        bad = pending.result()
+        pending = None
+        return bad
 
     try:
         for row in rows:
@@ -295,13 +318,34 @@ def _batch_and_upsert(
             seen += 1
             batch.append(tuple(row))
             if len(batch) >= batch_size:
-                if flush():  # early abort: entire batch rejected
+                if pipeline:
+                    if drain():  # previous in-flight batch was all-bad
+                        aborted = True
+                        messages.append(
+                            "partition aborted: full batch rejected")
+                        break
+                    pending = pool.submit(flush, batch)
+                    batch = []
+                elif flush(batch):  # early abort: entire batch rejected
                     aborted = True
                     messages.append("partition aborted: full batch rejected")
                     break
+                else:
+                    batch = []
         if not aborted:
-            flush()
+            if pipeline and drain():
+                aborted = True
+                messages.append("partition aborted: full batch rejected")
+            else:
+                flush(batch)
+                batch = []
     finally:
+        if pipeline:
+            try:
+                drain()
+            except Exception:  # noqa: BLE001 — close must still run
+                pass
+            pool.shutdown(wait=True)
         if cursor is not None:
             cursor.close()
         if conn is not None:
@@ -351,12 +395,19 @@ def upsert_dataframe(
     partition_cols: list[str] | None = None,
     dialect: Dialect = POSTGRES,
     cols_not_for_update: list[str] | None = None,
+    pipeline: bool = False,
 ) -> LoadStats:
     """Upsert a DataFrame into a DBAPI target with error quarantine.
 
     ≈ ``upsert_spark_df_to_postgres`` (psycopg2_database_helper.py:
     287-357). ``connection_factory`` must be picklable (top-level
     function / functools.partial) — it runs on executors.
+
+    ``pipeline=True`` overlaps each batch's DB round trips with the
+    accumulation of the next batch (one in-flight batch per writer,
+    the reference asyncpg executor's shape); quarantine and final
+    state are identical, and the all-bad early-abort is observed one
+    flush boundary later (see _batch_and_upsert).
     """
     import functools
 
@@ -394,6 +445,7 @@ def upsert_dataframe(
             use_savepoint=use_sp,
             sql_for=sql_for,
             key_indices=key_indices,
+            pipeline=pipeline,
         )
     ).collect()
 
