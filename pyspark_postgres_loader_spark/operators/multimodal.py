@@ -639,7 +639,11 @@ def _decode_jpeg(payload: bytes):
             from .jpeg_progressive import decode_progressive
 
             return decode_progressive(payload)
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC9:  # SOF9 — sequential arithmetic (round 15)
+            from .jpeg_arith import decode_arith_jpeg
+
+            return decode_arith_jpeg(payload)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline JPEG (SOF%d)" % (marker - 0xC0))
         elif marker == 0xDA:  # SOS — entropy data follows

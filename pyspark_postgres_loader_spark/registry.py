@@ -470,6 +470,7 @@ def _ensure_loaded() -> None:
         joins_advanced,
         jpeg12,
         kmv,
+        jpeg_arith,
         jpeg_lossless,
         jpeg_progressive,
         json_ops,

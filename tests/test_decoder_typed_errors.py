@@ -31,6 +31,7 @@ from pyspark_postgres_loader_spark.operators import (
     icebergmor,
     icebergprune,
     inflate,
+    jpeg_arith,
     lz4frame,
     oggwalk,
     orcwalk,
@@ -74,6 +75,8 @@ _TARGETS = [
      lambda b: parquetwalk.walk_parquet(b)),
     ("orc-map", lambda: orcwalk.build_orc_map(1, "zlib"),
      lambda b: orcwalk.walk_orc(b)),
+    ("jpeg-arith", lambda: jpeg_arith._ja_payload(1),
+     lambda b: jpeg_arith.decode_arith_jpeg(b)),
     ("orc-struct", lambda: orcwalk.build_orc_struct(1, "zlib"),
      lambda b: orcwalk.walk_orc(b)),
     ("parquet-lz4", lambda: parquetcodec._pl_bytes(2),
