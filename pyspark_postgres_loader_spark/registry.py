@@ -76,127 +76,50 @@ _LOADED = False
 # order and records correctness for a bounded prefix (exactly 50
 # rows/round — CORRECTNESS_r04/r05 confirmed the window is _PRIORITY[:50]).
 #
-# Round-14 rotation. Entering this round all 263 pre-existing queries
+# Round-15 rotation. Entering this round all 274 pre-existing queries
 # are driver-verified with every latest check green; staleness
-# histogram after r13 is {r8:13, r9:50, r10:50, r11:50, r12:50,
-# r13:50}. This window = the 11 round-14 registrations
-# (ingest_parquet_nested_walk — the Dremel repetition/definition-
-# level decode of the standard 3-level LIST, the list<float>
-# embeddings shape every training corpus stores, with typed
-# bad-levels verdicts; ingest_embeddings_real_walk — the REAL
-# driver-written embeddings.parquet decoded natively (dictionary
-# pages + RLE_DICTIONARY + INT32, oracled against DuckDB's own
-# parquet reader over the same file); ingest_documents_real_walk —
-# the BYTE_ARRAY closure: the real documents.parquet incl. the
-# genuine mid-chunk dictionary→PLAIN fallback at sf0.1;
-# ingest_events_real_walk — the real events.parquet with its
-# annotated-TIMESTAMP int64 column, per-event vs DuckDB;
-# ingest_orc_temporal_walk — TIMESTAMP/DATE/DECIMAL decode
-# (2015-epoch seconds + trailing-zero nanos, zigzag-varint
-# unscaled decimals with scale carried twice);
-# ingest_orc_list_walk — list<float> via the type tree, LENGTH
-# runs + child PRESENT weave + raw-IEEE float DATA; ingest_orc_string_walk — ORC's default string
-# encodings, DIRECT_V2 length streams AND DICTIONARY_V2
-# dictionary/index decode, StringStatistics cross-checked, nullable
-# under PRESENT; delta_change_data_feed — the row-level half of the
-# Delta protocol: cdc actions + per-commit
-# insert/update_pre/update_post/delete folds with the cdc-total and
-# file-diff-net consistency verdicts both in-plan;
-# delta_stats_skipping — file pruning by add-action stats, the
-# double-encoded stats JSON and the old-writer no-stats class;
-# iceberg_commit_roundtrip — the write-then-read closure:
-# append_snapshot encodes a manifest + re-encoded manifest list
-# through our own Avro encoder and the re-plan is equality-oracled
-# against base-fold + input) + the 13 leftover r8 names (exactly the
-# head VERDICT r13 prescribed: agg_rollup_flag_status first) + the
-# 26 stalest r9 names (head sink_upsert_final_state, list order) =
-# 50 exactly. After this round the r8 era is fully refreshed and the
-# staleness floor rises to r9(24): the round-15 rotation head is the
-# 24 leftover r9 names (skyline_orders_price_date,
-# concurrency_gauge_hourly, anomaly_mad_robust,
-# profile_orders_columns,
-# stream_upsert_incremental,
-# stream_dedup_exactly_once,
-# train_global_shuffle, embedding_gram_matrix,
-# hierarchy_recursive_cte,
-# scalar_try_ansi_safe, stream_late_data_drop,
-# repair_impute_group_median, trend_value_slope_per_user,
-# ingest_schema_evolution_merge, dedup_prefix_containment,
-# q1_pricing_summary, q3_shipping_priority, q5_local_supplier_volume,
-# q4_order_priority_exists, q17_small_quantity_revenue,
-# cast_align_orders, join_asof_latest_order, join_range_price_band,
-# join_skew_salted_orders) followed by the stalest r10 names; the
-# rest of the list is the FULL registry in staleness order for
-# drivers that check more than 50 rows.
+# histogram after r14 is {r9:24, r10:50, r11:50, r12:50, r13:50,
+# r14:50}. This window = the 5 round-15 registrations
+# (ingest_parquet_zstd_pages / ingest_parquet_lz4_pages — the modern
+# parquet codecs decoded through this repo's own RFC 8878 zstd and
+# raw-LZ4-block decoders via the ONE shared page-decompression
+# switch, levels rotated, typed CRC/structural/dispatch verdicts;
+# ingest_orc_map_walk — ORC MAP as PRESENT + LENGTH with key/value
+# children woven over concatenated entries, keys through the shared
+# DIRECT_V2/DICTIONARY_V2 string machinery; ingest_orc_struct_walk —
+# STRUCT fields as ordinary child columns over struct-present rows
+# with their own null weave; multimodal_jpeg_arith_decode — T.81
+# Annex D QM arithmetic JPEG routed through the shared image
+# dispatcher, verified by Huffman-pixel equivalence) + the 24
+# leftover r9 names (exactly the head VERDICT r14 prescribed:
+# skyline_orders_price_date first) + the 21 stalest r10 names (head
+# dedup_substring_overlap, list order) = 50 exactly. After this
+# round the r9 era is fully refreshed and the staleness floor rises
+# to r10(29): the round-16 rotation head is the 29 leftover r10
+# names in list order (arrow_grouped_value_stats,
+# graph_triangle_count_suppliers, rollup_hll_mergeable, ann_ivf_topk,
+# sim_cosine_pairs, multimodal_payload_stats,
+# dedup_exact_fingerprint, dedup_distinct_user_event,
+# dedup_latest_event_per_user_type, ann_bruteforce_topk,
+# sim_label_envelope, dedup_embedding_cosine,
+# json_props_by_event_type, json_from_json_struct, json_map_explode,
+# multimodal_decode_meta, multimodal_frame_sample,
+# multimodal_resize, multimodal_feature_extract,
+# agg_approx_sketches, scalar_higher_order_array,
+# sample_uniform_docs, sample_stratified_by_lang, text_token_stats,
+# text_quality_score, text_lang_id, text_fingerprint,
+# text_rolling_hash, pipeline_clean_corpus) followed by the stalest
+# r11 names; the rest of the list is the FULL registry in staleness
+# order for drivers that check more than 50 rows.
 _PRIORITY = [
-    # (a) round-14 registrations — never driver-checked (4): the
-    # parquet nested LIST walk (Dremel repetition/definition levels,
-    # the list<float> embeddings shape, typed bad-levels verdicts),
-    # ORC string columns (DIRECT_V2 length streams + DICTIONARY_V2
-    # dictionary/index decode with StringStatistics cross-checks),
-    # Delta Change Data Feed (cdc actions + per-commit change-type
-    # fold with dual consistency verdicts), and the Iceberg
-    # write-then-read commit closure (append_snapshot through our own
-    # Avro encoder, re-planned and equality-oracled;
-# sink_copy_binary_roundtrip — the PostgreSQL COPY BINARY wire
-# format encoded AND decoded per bucket with typed structural
-# verdicts)
-    "ingest_parquet_nested_walk",
-    "ingest_embeddings_real_walk",
-    "ingest_documents_real_walk",
-    "ingest_events_real_walk",
-    "ingest_orc_string_walk",
-    "ingest_orc_temporal_walk",
-    "ingest_orc_list_walk",
-    "delta_change_data_feed",
-    "delta_stats_skipping",
-    "iceberg_commit_roundtrip",
-    "sink_copy_binary_roundtrip",
-    # (b) the r8-checked remainder (13) — stalest greens, six rounds
-    # old: agg rollup/cube/grouping-sets/pivot, the r8 window/setop/
-    # topk/scalar names
-    "agg_rollup_flag_status",
-    "agg_cube_flag_status",
-    "agg_grouping_sets",
-    "agg_pivot_status",
-    "window_top3_orders_per_customer",
-    "window_running_customer_spend",
-    "window_lag_event_delta",
-    "window_rank_supplier_revenue",
-    "topk_orders_by_price",
-    "setop_active_nations",
-    "setop_customer_only_nations",
-    "setop_union_all_keys",
-    "scalar_string_date_funcs",
-    # (c) the r9-checked head (26 of 50) — next-stalest
-    "sink_upsert_final_state",
-    "multimodal_jpeg_prog420_decode",
-    "video_frame_banded_neardup",
-    "ann_hnsw_layered_topk",
-    "audio_mp3_frame_walk",
-    "sink_staging_merge_final_state",
-    "multimodal_jpeg12_decode",
-    "audio_aac_adts_walk",
-    "dedup_semantic_cluster",
-    "scalar_case_math",
-    "agg_unpivot_metrics",
-    "stream_session_dynamic_gap",
-    "stream_session_windows",
-    "multimodal_byte_histogram_arrow",
-    "timeseries_ohlc_hourly",
-    "text_boilerplate_share",
-    "quality_expectations_report",
-    "multimodal_ahash_near_dup",
-    "graph_pagerank_custsupp",
-    "ann_recall_report",
-    "dedup_cluster_keep_best",
-    "stream_ohlc_hourly",
-    "cluster_kmeans_embeddings",
-    "sample_cluster_diversity",
-    "text_tfidf_top_terms",
-    "quality_char_diversity",
-    # --- window boundary (driver checks exactly 50; 11+13+26=50) ---
-    # r9 remainder (24): the round-15 rotation head starts here
+    # (a) round-15 registrations — never driver-checked (5)
+    "ingest_parquet_zstd_pages",
+    "ingest_parquet_lz4_pages",
+    "ingest_orc_map_walk",
+    "ingest_orc_struct_walk",
+    "multimodal_jpeg_arith_decode",
+    # (b) the r9-checked remainder (24) — stalest greens, six rounds
+    # old: skyline/stream/train/tpch names in list order
     "skyline_orders_price_date",
     "concurrency_gauge_hourly",
     "anomaly_mad_robust",
@@ -221,7 +144,7 @@ _PRIORITY = [
     "join_asof_latest_order",
     "join_range_price_band",
     "join_skew_salted_orders",
-    # r10-checked (50)
+    # (c) the r10-checked head (21 of 50) — next-stalest
     "dedup_substring_overlap",
     "sink_async_upsert_final_state",
     "multimodal_jpeg_lossless_decode",
@@ -243,6 +166,8 @@ _PRIORITY = [
     "basket_part_pair_lift",
     "agg_histogram_equidepth",
     "attribution_linear_touch",
+    # --- window boundary (driver checks exactly 50; 5+24+21=50) ---
+    # r10 remainder (29): the round-16 rotation head starts here
     "arrow_grouped_value_stats",
     "graph_triangle_count_suppliers",
     "rollup_hll_mergeable",
@@ -374,7 +299,7 @@ _PRIORITY = [
     "video_frame_ahash_dedup",
     "filetail_batch_offsets",
     "stream_filetail_log_counts",
-    # r13-checked (50): the r13 registrations + the r8 head
+    # r13-checked (50)
     "iceberg_mor_deletes",
     "delta_checkpoint_snapshot",
     "ingest_binaryfile_scan",
@@ -425,6 +350,58 @@ _PRIORITY = [
     "join_semi_big_orders",
     "join_anti_idle_customers",
     "agg_global_stats",
+    # r14-checked (50): the r14 registrations + the r8 head + the
+    # 26 r9 names r14 refreshed — the freshest greens, checked last
+    "ingest_parquet_nested_walk",
+    "ingest_embeddings_real_walk",
+    "ingest_documents_real_walk",
+    "ingest_events_real_walk",
+    "ingest_orc_string_walk",
+    "ingest_orc_temporal_walk",
+    "ingest_orc_list_walk",
+    "delta_change_data_feed",
+    "delta_stats_skipping",
+    "iceberg_commit_roundtrip",
+    "sink_copy_binary_roundtrip",
+    "agg_rollup_flag_status",
+    "agg_cube_flag_status",
+    "agg_grouping_sets",
+    "agg_pivot_status",
+    "window_top3_orders_per_customer",
+    "window_running_customer_spend",
+    "window_lag_event_delta",
+    "window_rank_supplier_revenue",
+    "topk_orders_by_price",
+    "setop_active_nations",
+    "setop_customer_only_nations",
+    "setop_union_all_keys",
+    "scalar_string_date_funcs",
+    "sink_upsert_final_state",
+    "multimodal_jpeg_prog420_decode",
+    "video_frame_banded_neardup",
+    "ann_hnsw_layered_topk",
+    "audio_mp3_frame_walk",
+    "sink_staging_merge_final_state",
+    "multimodal_jpeg12_decode",
+    "audio_aac_adts_walk",
+    "dedup_semantic_cluster",
+    "scalar_case_math",
+    "agg_unpivot_metrics",
+    "stream_session_dynamic_gap",
+    "stream_session_windows",
+    "multimodal_byte_histogram_arrow",
+    "timeseries_ohlc_hourly",
+    "text_boilerplate_share",
+    "quality_expectations_report",
+    "multimodal_ahash_near_dup",
+    "graph_pagerank_custsupp",
+    "ann_recall_report",
+    "dedup_cluster_keep_best",
+    "stream_ohlc_hourly",
+    "cluster_kmeans_embeddings",
+    "sample_cluster_diversity",
+    "text_tfidf_top_terms",
+    "quality_char_diversity",
 ]
 
 
