@@ -21,7 +21,7 @@ only re-entering the JVM.
 
 Correctness evidence: pyarrow — an independent implementation — is
 the runtime WRITER (data_page_version='2.0', dictionary off, delta
-column encodings, page checksums on, none/snappy/gzip codecs by
+column encodings, page checksums on, none/snappy/gzip/zstd/lz4 codecs by
 group routed through the repo's OWN decompressors); the walk
 re-derives both columns and the DuckDB oracle replays the value
 lattice without seeing a parquet byte. Typed verdicts: footer cut
@@ -300,7 +300,10 @@ def _v2_words(g: int) -> list[int]:
 
 
 def _v2_codec(g: int) -> str:
-    return ("none", "snappy", "gzip")[g % 3]
+    # round 15: zstd + lz4 joined once their native decoders were
+    # wired into the shared _decompress; v2's uncompressed-level
+    # prefix handling is exercised under all five codecs
+    return ("none", "snappy", "gzip", "zstd", "lz4")[g % 5]
 
 
 def _v2_bytes(g: int, unsupported: bool = False) -> bytes:
