@@ -360,6 +360,7 @@ _TYPE_TIMESTAMP = 9
 _TYPE_LIST = 10
 _TYPE_MAP = 11
 _TYPE_STRUCT = 12
+_TYPE_UNION = 13
 _TYPE_DECIMAL = 14
 _TYPE_DATE = 15
 _ENC_DIRECT_V2 = 2
@@ -650,11 +651,22 @@ def _walk_orc(data: bytes) -> dict:
                           _TYPE_STRING):
                 raise NotImplementedError(f"orc map value kind {vk}")
             top.append(("map", cid, tuple(kids), (kk, vk)))
+        elif tk == _TYPE_UNION:
+            kids = _subtype_ids(types[cid])
+            if not kids or len(kids) > 127 or any(
+                    not 1 <= k < len(types) for k in kids):
+                raise ValueError("orc union type without its variants")
+            cks = tuple(types[k].get(1, [0])[0] for k in kids)
+            for ck in cks:
+                if ck not in (_TYPE_LONG, _TYPE_FLOAT, _TYPE_DOUBLE,
+                              _TYPE_STRING):
+                    raise NotImplementedError(
+                        f"orc union variant kind {ck}")
+            top.append(("union", cid, tuple(kids), cks))
         elif tk in _PRIM_KINDS:
             top.append(("prim", cid, None, tk))
         else:
-            # UNION (13) and the remaining exotic kinds stay an honest
-            # typed boundary
+            # the remaining exotic kinds stay an honest typed boundary
             raise NotImplementedError(f"orc column type kind {tk}")
     n_cols = len(top)
     columns: list[list] = [[] for _ in range(n_cols)]
@@ -721,6 +733,17 @@ def _walk_orc(data: bytes) -> dict:
                 if ek != _ENC_DIRECT_V2:
                     raise NotImplementedError(
                         "orc non-DIRECT_V2 map column")
+                col_enc[cid] = ek
+                for k, ck in zip(child, tk):
+                    _enc_gate(k, ck)
+                enc_seen[ti].add(ek)
+            elif tag == "union":
+                # a union column carries PRESENT + a byte-RLE TAG
+                # stream in DATA; its encoding is plain DIRECT
+                ek = encs[cid].get(1, [0])[0] if cid < len(encs) else -1
+                if ek != 0:
+                    raise NotImplementedError(
+                        "orc non-DIRECT union column")
                 col_enc[cid] = ek
                 for k, ck in zip(child, tk):
                     _enc_gate(k, ck)
@@ -865,6 +888,41 @@ def _walk_orc(data: bytes) -> dict:
                 if pos0 != total:
                     raise ValueError(
                         "orc map lengths disagree with entries")
+                continue
+            if tag == "union":
+                # UNION: byte-RLE tag per present row in DATA; each
+                # variant child records values for its tag's rows (in
+                # row order), with its own PRESENT weave
+                n_present_rows = sum(bits) if bits is not None else srows
+                draw = streams.get((c, _STREAM_DATA))
+                if draw is None:
+                    if n_present_rows:
+                        raise ValueError("orc union column misses DATA")
+                    utags: list[int] = []
+                else:
+                    raw_tags = _byte_rle_decode(_orc_chunks(draw, kind))
+                    if len(raw_tags) < n_present_rows:
+                        raise ValueError(
+                            "orc union tag stream shorter than rows")
+                    utags = list(raw_tags[:n_present_rows])
+                nvar = len(child)
+                if any(t0 >= nvar for t0 in utags):
+                    raise ValueError("orc union tag out of range")
+                counts = [0] * nvar
+                for t0 in utags:
+                    counts[t0] += 1
+                kid_iters = [
+                    iter(_compound_child_values(
+                        streams, encs, k, ck, kind, counts[vi]))
+                    for vi, (k, ck) in enumerate(zip(child, tk))
+                ]
+                woven = [
+                    (t0, next(kid_iters[t0])) for t0 in utags
+                ]
+                it0 = iter(woven)
+                out0 = columns[ti]
+                for b in (bits if bits is not None else [True] * srows):
+                    out0.append(next(it0) if b else None)
                 continue
             draw = streams.get((c, _STREAM_DATA))
             if draw is None:
@@ -2660,5 +2718,251 @@ def ingest_orc_struct_walk(
                 "n_null_structs long, n_null_a long, a_sum long, "
                 "b_scaled_sum long, n_null_s long, "
                 "s_suffix_wsum long, wsum long"),
+    )
+    return out.repartition(1).sortWithinPartitions("doc_id")
+
+
+# ----------------------------------- UNION compound type (round 15)
+
+_OU_GROUPS = 10
+
+
+def _ou_n(g: int) -> int:
+    return 2200 + 120 * g
+
+
+def _ou_rows(g: int) -> list[tuple[int, object]]:
+    """Closed-form tagged union rows: variant 0 is a nullable long,
+    variant 1 a nullable small-alphabet string; the tag mix is
+    unbalanced (2:1) so both dense-offset paths carry real load."""
+    out: list[tuple[int, object]] = []
+    for i in range(_ou_n(g)):
+        if (i * 5 + g) % 3 == 1:
+            v = (None if (i + 2 * g) % 13 == 5
+                 else f"u{(i * 3 + g) % 53}")
+            out.append((1, v))
+        else:
+            v = (None if (i + g) % 11 == 7
+                 else ((17 * i + 3 * g) % 9973) - 4986)
+            out.append((0, v))
+    return out
+
+
+def build_orc_union(g: int, codec: str) -> bytes:
+    import io
+
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    tags, offs, c0, c1 = [], [], [], []
+    for tg, v in _ou_rows(g):
+        tags.append(tg)
+        if tg == 0:
+            offs.append(len(c0))
+            c0.append(v)
+        else:
+            offs.append(len(c1))
+            c1.append(v)
+    arr = pa.UnionArray.from_dense(
+        pa.array(tags, pa.int8()), pa.array(offs, pa.int32()),
+        [pa.array(c0, pa.int64()), pa.array(c1, pa.string())])
+    t = pa.table({
+        "key": pa.array(range(_ou_n(g)), pa.int64()),
+        "u": arr,
+    })
+    buf = io.BytesIO()
+    orc.write_table(
+        t, buf, compression=codec, stripe_size=4096,
+        compression_block_size=4096,
+    )
+    return buf.getvalue()
+
+
+def _ou_payload(doc_id: int) -> bytes:
+    g = doc_id % _OU_GROUPS
+    corrupt = doc_id % 11 == 3
+    mismatch = doc_id % 17 == 2 and not corrupt
+    unsup = doc_id % 13 == 5 and not (corrupt or mismatch)
+    data = build_orc_union(g, _ORC_CODECS[g % len(_ORC_CODECS)])
+    if corrupt:
+        return data[:-8]
+    if not (mismatch or unsup):
+        return data
+    ps_len = data[-1]
+    ps_fields = _pb_fields(data[len(data) - 1 - ps_len : len(data) - 1])
+    psd = _grouped(ps_fields)
+    kind = psd.get(2, [0])[0]
+    footer_len = psd[1][0]
+    footer_start = len(data) - 1 - ps_len - footer_len
+    footer = _pb_fields(_orc_chunks(
+        data[footer_start : footer_start + footer_len], kind))
+    if mismatch:
+        patched = _pb_build(
+            [(f, v + 1 if f == 6 else v) for f, v in footer])
+    else:
+        # retype the union's LONG variant (4th Type message: root,
+        # key, union, long-variant, string-variant) to BINARY (8) —
+        # unions with unsupported variant kinds stay a typed boundary
+        out, seen = [], 0
+        for f, v in footer:
+            if f == 4:
+                seen += 1
+                if seen == 4:
+                    tf = _pb_fields(v)
+                    v = _pb_build(
+                        [(ff, 8 if ff == 1 else vv) for ff, vv in tf])
+            out.append((f, v))
+        patched = _pb_build(out)
+    return _retail(data, patched, kind, ps_fields, footer_start)
+
+
+_OU_ZERO = (0,) * 8
+
+_OU_FACT_MEMO: dict[tuple, tuple] = {}
+
+
+def _ou_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cache = _OU_FACT_MEMO
+
+    def facts(doc_id: int) -> tuple:
+        g = doc_id % _OU_GROUPS
+        key = (g, doc_id % 11 == 3, doc_id % 17 == 2, doc_id % 13 == 5)
+        if key not in cache:
+            try:
+                f = walk_orc(_ou_payload(doc_id))
+                kcol, us = f["columns"]
+                if any(v != i for i, v in enumerate(kcol)):
+                    raise ValueError("orc union fixture key disorder")
+                n_v0 = n_v0_null = n_v1 = n_v1_null = 0
+                v0_sum = v0_wsum = s_wsum = 0
+                for i, (tg, v) in enumerate(us):
+                    if tg == 0:
+                        n_v0 += 1
+                        if v is None:
+                            n_v0_null += 1
+                        else:
+                            v0_sum += v
+                            v0_wsum += (i + 1) * v
+                    else:
+                        n_v1 += 1
+                        if v is None:
+                            n_v1_null += 1
+                        else:
+                            s_wsum += (i + 1) * int(v[1:])
+                cache[key] = (
+                    "decoded", f["n_rows"], n_v0, n_v0_null, v0_sum,
+                    v0_wsum, n_v1, n_v1_null, s_wsum,
+                )
+            except NotImplementedError:
+                cache[key] = ("unsupported",) + _OU_ZERO
+            except ValueError as exc:
+                status = ("mismatch"
+                          if "row count mismatch" in str(exc)
+                          else "corrupt")
+                cache[key] = (status,) + _OU_ZERO
+            except Exception:  # noqa: BLE001 — malformed bytes quarantine
+                cache[key] = ("corrupt",) + _OU_ZERO
+        return cache[key]
+
+    cols = ["doc_id", "status", "n_rows", "n_v0", "n_v0_null",
+            "v0_sum", "v0_wsum", "n_v1", "n_v1_null", "s_wsum"]
+    for pdf in it:
+        if pdf.empty:
+            continue
+        out = [(int(x),) + facts(int(x)) for x in pdf["doc_id"]]
+        yield pd.DataFrame(out, columns=cols).astype(
+            {c: "int64" for c in cols if c != "status"})
+
+
+def _ou_oracle() -> str:
+    bad = ("d.doc_id % 11 = 3 OR d.doc_id % 17 = 2 "
+           "OR d.doc_id % 13 = 5")
+    return f"""
+    WITH grp AS (
+      SELECT DISTINCT doc_id % {_OU_GROUPS} AS g FROM documents
+    ),
+    rr AS (
+      SELECT g, i,
+             ((i * 5 + g) % 3 = 1) AS is_s,
+             ((i + g) % 11 = 7) AS v0_null,
+             ((17 * i + 3 * g) % 9973) - 4986 AS v0,
+             ((i + 2 * g) % 13 = 5) AS v1_null,
+             (i * 3 + g) % 53 AS sd
+      FROM (SELECT g, unnest(range(0, 2200 + 120 * g)) AS i FROM grp)
+    ),
+    sums AS (
+      SELECT g,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN NOT is_s THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_v0,
+             CAST(SUM(CASE WHEN NOT is_s AND v0_null
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_v0_null,
+             CAST(SUM(CASE WHEN NOT is_s AND NOT v0_null
+                      THEN v0 ELSE 0 END) AS BIGINT) AS v0_sum,
+             CAST(SUM(CASE WHEN NOT is_s AND NOT v0_null
+                      THEN (i + 1) * v0 ELSE 0 END) AS BIGINT)
+               AS v0_wsum,
+             CAST(SUM(CASE WHEN is_s THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_v1,
+             CAST(SUM(CASE WHEN is_s AND v1_null
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_v1_null,
+             CAST(SUM(CASE WHEN is_s AND NOT v1_null
+                      THEN (i + 1) * sd ELSE 0 END) AS BIGINT)
+               AS s_wsum
+      FROM rr GROUP BY g
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 11 = 3 THEN 'corrupt'
+                WHEN d.doc_id % 17 = 2 THEN 'mismatch'
+                WHEN d.doc_id % 13 = 5 THEN 'unsupported'
+                ELSE 'decoded' END AS status,
+           CASE WHEN {bad} THEN 0 ELSE s.n_rows END AS n_rows,
+           CASE WHEN {bad} THEN 0 ELSE s.n_v0 END AS n_v0,
+           CASE WHEN {bad} THEN 0 ELSE s.n_v0_null END AS n_v0_null,
+           CASE WHEN {bad} THEN 0 ELSE s.v0_sum END AS v0_sum,
+           CASE WHEN {bad} THEN 0 ELSE s.v0_wsum END AS v0_wsum,
+           CASE WHEN {bad} THEN 0 ELSE s.n_v1 END AS n_v1,
+           CASE WHEN {bad} THEN 0 ELSE s.n_v1_null END AS n_v1_null,
+           CASE WHEN {bad} THEN 0 ELSE s.s_wsum END AS s_wsum
+    FROM documents d
+    JOIN sums s ON d.doc_id % {_OU_GROUPS} = s.g
+    ORDER BY d.doc_id
+    """
+
+
+@register("ingest_orc_union_walk", oracle=_ou_oracle())
+def ingest_orc_union_walk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORC UNION columns decoded natively — the LAST compound kind:
+    the union column carries PRESENT plus a byte-RLE TAG stream in
+    DATA, and each variant is an ordinary child column recording its
+    tagged rows in row order (long with null weave; string through
+    the shared DIRECT_V2/DICTIONARY_V2 machinery). pyarrow's ORC C++
+    writer emits dense unions as the independent runtime writer
+    across all five compression kinds; the DuckDB oracle replays the
+    closed-form tagged lattice; row-weighted per-variant sums pin
+    the tag weave (a one-row shift scrambles every downstream
+    value). Typed verdicts: postscript cut ('corrupt'), footer
+    rows+1 ('mismatch'), the long variant retyped to BINARY
+    ('unsupported').
+
+    Scale notes (100 TB): the tag stream is a byte run — variant
+    demux is map-side and each variant column stays independently
+    prunable; per-file decode, memoized facts, integers only back
+    to the JVM."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    combo = F.concat_ws(
+        ":",
+        (F.col("doc_id") % _OU_GROUPS),
+        (F.col("doc_id") % 11 == 3).cast("int"),
+        (F.col("doc_id") % 17 == 2).cast("int"),
+        (F.col("doc_id") % 13 == 5).cast("int"),
+    )
+    out = d.repartition(32, combo).mapInPandas(
+        _ou_batches,
+        schema=("doc_id long, status string, n_rows long, n_v0 long, "
+                "n_v0_null long, v0_sum long, v0_wsum long, "
+                "n_v1 long, n_v1_null long, s_wsum long"),
     )
     return out.repartition(1).sortWithinPartitions("doc_id")

@@ -79,6 +79,8 @@ _TARGETS = [
      lambda b: jpeg_arith.decode_arith_jpeg(b)),
     ("orc-struct", lambda: orcwalk.build_orc_struct(1, "zlib"),
      lambda b: orcwalk.walk_orc(b)),
+    ("orc-union", lambda: orcwalk.build_orc_union(1, "zlib"),
+     lambda b: orcwalk.walk_orc(b)),
     ("parquet-lz4", lambda: parquetcodec._pl_bytes(2),
      lambda b: parquetwalk.walk_parquet(b)),
     ("parquet-v2", lambda: parquetv2._v2_bytes(1),

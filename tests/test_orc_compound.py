@@ -59,24 +59,42 @@ def test_struct_typed_classes():
         walk_orc(_ost_payload(18))
 
 
-def test_union_stays_typed_boundary():
-    import pyarrow as pa
-    import pyarrow.orc as orc
-
-    arr = pa.UnionArray.from_dense(
-        pa.array([0, 1, 0, 0], pa.int8()),
-        pa.array([0, 0, 1, 2], pa.int32()),
-        [pa.array([1, 2, 3], pa.int64()),
-         pa.array(["x"], pa.string())],
+def test_union_walk_matches_fixture_every_group():
+    from pyspark_postgres_loader_spark.operators.orcwalk import (
+        _ou_n,
+        _ou_rows,
+        build_orc_union,
     )
-    t = pa.table({"u": arr})
-    buf = io.BytesIO()
-    try:
-        orc.write_table(t, buf)
-    except Exception:
-        pytest.skip("pyarrow cannot write ORC unions")
-    with pytest.raises(NotImplementedError):
-        walk_orc(buf.getvalue())
+
+    for g in range(4):
+        codec = ("uncompressed", "zlib", "snappy", "zstd")[g]
+        f = walk_orc(build_orc_union(g, codec))
+        assert f["columns"][0] == list(range(_ou_n(g)))
+        assert f["columns"][1] == _ou_rows(g)
+
+
+def test_union_typed_classes():
+    from pyspark_postgres_loader_spark.operators.orcwalk import (
+        _ou_payload,
+    )
+
+    with pytest.raises(ValueError):
+        walk_orc(_ou_payload(3))
+    with pytest.raises(ValueError, match="row count mismatch"):
+        walk_orc(_ou_payload(2))
+    with pytest.raises(NotImplementedError, match="union variant kind"):
+        walk_orc(_ou_payload(18))
+
+
+def test_union_multi_stripe_tag_weave_restarts():
+    from pyspark_postgres_loader_spark.operators.orcwalk import (
+        _ou_rows,
+        build_orc_union,
+    )
+
+    f = walk_orc(build_orc_union(0, "uncompressed"))
+    assert f["n_stripes"] > 1
+    assert f["columns"][1] == _ou_rows(0)
 
 
 def test_multi_stripe_compound_weave():
