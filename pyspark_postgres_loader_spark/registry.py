@@ -79,12 +79,14 @@ _LOADED = False
 # Round-15 rotation. Entering this round all 274 pre-existing queries
 # are driver-verified with every latest check green; staleness
 # histogram after r14 is {r9:24, r10:50, r11:50, r12:50, r13:50,
-# r14:50}. This window = the 6 round-15 registrations
+# r14:50}. This window = the 7 round-15 registrations
 # (ingest_parquet_zstd_pages / ingest_parquet_lz4_pages — the modern
 # parquet codecs decoded through this repo's own RFC 8878 zstd and
 # raw-LZ4-block decoders via the ONE shared page-decompression
 # switch, levels rotated, typed CRC/structural/dispatch verdicts;
-# ingest_orc_map_walk — ORC MAP as PRESENT + LENGTH with key/value
+# ingest_parquet_bss_walk — BYTE_STREAM_SPLIT floats (the embedding
+# encoding) with the v2 def-level weave and an INT64-BSS typed
+# boundary; ingest_orc_map_walk — ORC MAP as PRESENT + LENGTH with key/value
 # children woven over concatenated entries, keys through the shared
 # DIRECT_V2/DICTIONARY_V2 string machinery; ingest_orc_struct_walk —
 # STRUCT fields as ordinary child columns over struct-present rows
@@ -94,11 +96,12 @@ _LOADED = False
 # Annex D QM arithmetic JPEG routed through the shared image
 # dispatcher, verified by Huffman-pixel equivalence) + the 24
 # leftover r9 names (exactly the head VERDICT r14 prescribed:
-# skyline_orders_price_date first) + the 20 stalest r10 names (head
+# skyline_orders_price_date first) + the 19 stalest r10 names (head
 # dedup_substring_overlap, list order) = 50 exactly. After this
 # round the r9 era is fully refreshed and the staleness floor rises
-# to r10(30): the round-16 rotation head is the 30 leftover r10
-# names in list order (attribution_linear_touch,
+# to r10(31): the round-16 rotation head is the 31 leftover r10
+# names in list order (agg_histogram_equidepth,
+# attribution_linear_touch,
 # arrow_grouped_value_stats,
 # graph_triangle_count_suppliers, rollup_hll_mergeable, ann_ivf_topk,
 # sim_cosine_pairs, multimodal_payload_stats,
@@ -115,9 +118,10 @@ _LOADED = False
 # r11 names; the rest of the list is the FULL registry in staleness
 # order for drivers that check more than 50 rows.
 _PRIORITY = [
-    # (a) round-15 registrations — never driver-checked (6)
+    # (a) round-15 registrations — never driver-checked (7)
     "ingest_parquet_zstd_pages",
     "ingest_parquet_lz4_pages",
+    "ingest_parquet_bss_walk",
     "ingest_orc_map_walk",
     "ingest_orc_struct_walk",
     "ingest_orc_union_walk",
@@ -148,7 +152,7 @@ _PRIORITY = [
     "join_asof_latest_order",
     "join_range_price_band",
     "join_skew_salted_orders",
-    # (c) the r10-checked head (20 of 50) — next-stalest
+    # (c) the r10-checked head (19 of 50) — next-stalest
     "dedup_substring_overlap",
     "sink_async_upsert_final_state",
     "multimodal_jpeg_lossless_decode",
@@ -168,9 +172,9 @@ _PRIORITY = [
     "train_user_event_sequences",
     "quality_winsorize_doclen",
     "basket_part_pair_lift",
+    # --- window boundary (driver checks exactly 50; 7+24+19=50) ---
+    # r10 remainder (31): the round-16 rotation head starts here
     "agg_histogram_equidepth",
-    # --- window boundary (driver checks exactly 50; 6+24+20=50) ---
-    # r10 remainder (30): the round-16 rotation head starts here
     "attribution_linear_touch",
     "arrow_grouped_value_stats",
     "graph_triangle_count_suppliers",
@@ -463,6 +467,7 @@ def _ensure_loaded() -> None:
         oggwalk,
         orcwalk,
         paragraph_dedup,
+        parquetbss,
         parquetcodec,
         parquetdict,
         parquetindex,

@@ -40,6 +40,7 @@ from pyspark_postgres_loader_spark.operators import (
     pgcopy,
     parquetv2,
     parquetnested,
+    parquetbss,
     parquetcodec,
     parquetwalk,
     roaring,
@@ -83,6 +84,8 @@ _TARGETS = [
      lambda b: orcwalk.walk_orc(b)),
     ("parquet-lz4", lambda: parquetcodec._pl_bytes(2),
      lambda b: parquetwalk.walk_parquet(b)),
+    ("parquet-bss", lambda: parquetbss._bs_bytes(1),
+     lambda b: parquetbss.walk_parquet_bss(b)),
     ("parquet-v2", lambda: parquetv2._v2_bytes(1),
      lambda b: parquetv2.walk_parquet_v2(b)),
     ("cbor", lambda: cborwalk._cb_payload(0),
