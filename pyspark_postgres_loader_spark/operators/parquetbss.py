@@ -9,14 +9,15 @@ poorly as interleaved bytes. Decoding is the inverse gather, done
 here as one numpy transpose per page.
 
 Correctness evidence: pyarrow writes the fixture (v2 data pages,
-BSS on a REQUIRED float32 column and an OPTIONAL float64 column,
-page checksums on, all five codecs by group — zstd/lz4 through this
-repo's own decoders); values are closed-form s/64 (exact in both
-float widths) so the DuckDB oracle replays scaled-integer sums
-bit-exactly. Typed verdicts: footer cut ('corrupt'), page-body flip
-under an intact stored CRC ('crc_error'), BSS on an INT64 column
-('unsupported' — the spec's integer extension this walk honestly
-does not implement).
+BSS on a REQUIRED float32 column, an OPTIONAL float64 column and a
+FLBA(2) float16 column — the half-precision layout embedding stores
+actually ship — page checksums on, all five codecs by group,
+zstd/lz4 through this repo's own decoders); values are closed-form
+power-of-two rationals (exact in every float width) so the DuckDB
+oracle replays scaled-integer sums bit-exactly. Typed verdicts:
+footer cut ('corrupt'), page-body flip under an intact stored CRC
+('crc_error'), BSS on an INT64 column ('unsupported' — the spec's
+integer extension this walk honestly does not implement).
 
 Why this matters at 100 TB: embedding tables are float columns at
 corpus scale; BSS+zstd is the layout a storage-efficient embedding
@@ -49,6 +50,7 @@ _PAGE_DATA_V2 = 3
 _ENC_BSS = 9
 _PT_FLOAT = 4
 _PT_DOUBLE = 5
+_PT_FLBA = 7  # fixed_len_byte_array — float16 embeddings live here
 
 
 def byte_stream_split_decode(raw: bytes, k: int, width: int) -> bytes:
@@ -96,6 +98,7 @@ def _walk_bss(data: bytes) -> dict:
     if len(schema) < 2 or (schema[0].get(5) or 0) != len(schema) - 1:
         raise NotImplementedError("nested parquet schema in BSS walk")
     names = [s.get(4).decode() for s in schema[1:]]
+    type_lens = [s.get(2) for s in schema[1:]]  # FLBA widths
     cols: dict[str, list] = {n: [] for n in names}
     n_pages = 0
     for rg in row_groups:
@@ -150,8 +153,13 @@ def _walk_bss(data: bytes) -> dict:
                     width, fmt = 4, "f"
                 elif ptype == _PT_DOUBLE:
                     width, fmt = 8, "d"
+                elif ptype == _PT_FLBA and type_lens[ci] == 2:
+                    # FLBA(2) = float16, the half-precision embedding
+                    # layout (parquet FLOAT16 logical type)
+                    width, fmt = 2, "e"
                 else:
-                    # the spec's INT32/INT64/FLBA extension — honest
+                    # the spec's INT32/INT64/other-FLBA extension —
+                    # honest
                     raise NotImplementedError(
                         f"BSS on physical type {ptype}")
                 if rl_len + dl_len > len(body):
@@ -211,6 +219,12 @@ def _bs_d(g: int) -> list[float | None]:
             for i in range(_bs_rows(g))]
 
 
+def _bs_h(g: int) -> list[float]:
+    # s/256 with |s| <= 2000: exact in float16
+    return [((((13 * i + 5 * g) % 4000) - 2000) / 256.0)
+            for i in range(_bs_rows(g))]
+
+
 def _bs_bytes(g: int, unsupported: bool = False) -> bytes:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -228,16 +242,20 @@ def _bs_bytes(g: int, unsupported: bool = False) -> bytes:
             column_encoding={"v": "BYTE_STREAM_SPLIT"},
         )
     else:
+        import numpy as np
+
         t = pa.table({
             "f": pa.array(_bs_f(g), pa.float32()),
             "d": pa.array(_bs_d(g), pa.float64()),
+            "h": pa.array(np.asarray(_bs_h(g), dtype=np.float16)),
         })
         pq.write_table(
             t, buf, use_dictionary=False, compression=codec,
             data_page_version="2.0", write_statistics=False,
             write_page_checksum=True, row_group_size=_BS_ROWGROUP,
             column_encoding={"f": "BYTE_STREAM_SPLIT",
-                             "d": "BYTE_STREAM_SPLIT"},
+                             "d": "BYTE_STREAM_SPLIT",
+                             "h": "BYTE_STREAM_SPLIT"},
         )
     return buf.getvalue().to_pybytes()
 
@@ -270,7 +288,9 @@ def _bs_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 f = walk_parquet_bss(_bs_payload(doc_id))
                 fs = f["columns"]["f"]
                 ds = f["columns"]["d"]
+                hs = f["columns"]["h"]
                 f_sum = f_wsum = d_sum = d_wsum = 0
+                h_sum = h_wsum = 0
                 n_null_d = 0
                 for i, v in enumerate(fs):
                     s = int(round(v * 64))
@@ -283,21 +303,26 @@ def _bs_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     s = int(round(v * 64))
                     d_sum += s
                     d_wsum += (i + 1) * s
+                for i, v in enumerate(hs):
+                    s = int(round(v * 256))
+                    h_sum += s
+                    h_wsum += (i + 1) * s
                 cache[key] = (
                     "decoded", f["num_rows"], f["n_pages"], f_sum,
-                    f_wsum, n_null_d, d_sum, d_wsum,
+                    f_wsum, n_null_d, d_sum, d_wsum, h_sum, h_wsum,
                 )
             except NotImplementedError:
-                cache[key] = ("unsupported", 0, 0, 0, 0, 0, 0, 0)
+                cache[key] = ("unsupported",) + (0,) * 9
             except ValueError as exc:
                 status = "crc_error" if "CRC" in str(exc) else "corrupt"
-                cache[key] = (status, 0, 0, 0, 0, 0, 0, 0)
+                cache[key] = (status,) + (0,) * 9
             except Exception:  # noqa: BLE001 — malformed bytes quarantine
-                cache[key] = ("corrupt", 0, 0, 0, 0, 0, 0, 0)
+                cache[key] = ("corrupt",) + (0,) * 9
         return cache[key]
 
     cols = ["doc_id", "status", "n_rows", "n_pages", "f_sum",
-            "f_wsum", "n_null_d", "d_sum", "d_wsum"]
+            "f_wsum", "n_null_d", "d_sum", "d_wsum", "h_sum",
+            "h_wsum"]
     for pdf in it:
         if pdf.empty:
             continue
@@ -316,13 +341,14 @@ def _bs_oracle() -> str:
       SELECT g, i,
              (((23 * i + 7 * g) % 8192) - 4096) AS fs,
              ((i + g) % 7 = 3) AS d_null,
-             (((31 * i + 11 * g) % 100000) - 50000) AS ds
+             (((31 * i + 11 * g) % 100000) - 50000) AS ds,
+             (((13 * i + 5 * g) % 4000) - 2000) AS hs
       FROM (SELECT g, unnest(range(0, 1100 + 90 * g)) AS i FROM grp)
     ),
     sums AS (
       SELECT g,
              CAST(COUNT(*) AS BIGINT) AS n_rows,
-             CAST(2 * CAST(ceil(CAST(COUNT(*) AS DOUBLE)
+             CAST(3 * CAST(ceil(CAST(COUNT(*) AS DOUBLE)
                   / {_BS_ROWGROUP}) AS INT) AS BIGINT) AS n_pages,
              CAST(SUM(fs) AS BIGINT) AS f_sum,
              CAST(SUM((i + 1) * fs) AS BIGINT) AS f_wsum,
@@ -331,7 +357,9 @@ def _bs_oracle() -> str:
              CAST(SUM(CASE WHEN d_null THEN 0 ELSE ds END) AS BIGINT)
                AS d_sum,
              CAST(SUM(CASE WHEN d_null THEN 0
-                      ELSE (i + 1) * ds END) AS BIGINT) AS d_wsum
+                      ELSE (i + 1) * ds END) AS BIGINT) AS d_wsum,
+             CAST(SUM(hs) AS BIGINT) AS h_sum,
+             CAST(SUM((i + 1) * hs) AS BIGINT) AS h_wsum
       FROM rr GROUP BY g
     )
     SELECT d.doc_id,
@@ -345,7 +373,9 @@ def _bs_oracle() -> str:
            CASE WHEN {bad} THEN 0 ELSE s.f_wsum END AS f_wsum,
            CASE WHEN {bad} THEN 0 ELSE s.n_null_d END AS n_null_d,
            CASE WHEN {bad} THEN 0 ELSE s.d_sum END AS d_sum,
-           CASE WHEN {bad} THEN 0 ELSE s.d_wsum END AS d_wsum
+           CASE WHEN {bad} THEN 0 ELSE s.d_wsum END AS d_wsum,
+           CASE WHEN {bad} THEN 0 ELSE s.h_sum END AS h_sum,
+           CASE WHEN {bad} THEN 0 ELSE s.h_wsum END AS h_wsum
     FROM documents d
     JOIN sums s ON d.doc_id % {_BS_GROUPS} = s.g
     ORDER BY d.doc_id
@@ -360,11 +390,13 @@ def ingest_parquet_bss_walk(
     encoding parquet added for exactly the embedding-table case (IEEE
     floats compress poorly interleaved; splitting byte streams lets
     zstd see the exponent bytes contiguously). v2 data pages, a
-    REQUIRED float32 column and an OPTIONAL float64 column with the
-    uncompressed def-level weave, page CRC verification, all five
-    codecs rotated (zstd/lz4 through this repo's own decoders), one
-    numpy transpose per page for the inverse gather. s/64 values make
-    every fact integer-exact for the DuckDB oracle. Typed verdicts:
+    REQUIRED float32 column, an OPTIONAL float64 column with the
+    uncompressed def-level weave, AND an FLBA(2) float16 column (the
+    half-precision embedding layout), page CRC verification, all
+    five codecs rotated (zstd/lz4 through this repo's own decoders),
+    one numpy transpose per page for the inverse gather.
+    Power-of-two-scaled values make every fact integer-exact for the
+    DuckDB oracle. Typed verdicts:
     footer cut ('corrupt'), page-body flip under an intact stored CRC
     ('crc_error'), the spec's INT64 BSS extension ('unsupported').
 
@@ -383,6 +415,7 @@ def ingest_parquet_bss_walk(
         _bs_batches,
         schema=("doc_id long, status string, n_rows long, "
                 "n_pages long, f_sum long, f_wsum long, "
-                "n_null_d long, d_sum long, d_wsum long"),
+                "n_null_d long, d_sum long, d_wsum long, "
+                "h_sum long, h_wsum long"),
     )
     return out.repartition(1).sortWithinPartitions("doc_id")

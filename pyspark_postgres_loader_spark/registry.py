@@ -79,14 +79,16 @@ _LOADED = False
 # Round-15 rotation. Entering this round all 274 pre-existing queries
 # are driver-verified with every latest check green; staleness
 # histogram after r14 is {r9:24, r10:50, r11:50, r12:50, r13:50,
-# r14:50}. This window = the 7 round-15 registrations
+# r14:50}. This window = the 8 round-15 registrations
 # (ingest_parquet_zstd_pages / ingest_parquet_lz4_pages — the modern
 # parquet codecs decoded through this repo's own RFC 8878 zstd and
 # raw-LZ4-block decoders via the ONE shared page-decompression
 # switch, levels rotated, typed CRC/structural/dispatch verdicts;
-# ingest_parquet_bss_walk — BYTE_STREAM_SPLIT floats (the embedding
-# encoding) with the v2 def-level weave and an INT64-BSS typed
-# boundary; ingest_orc_map_walk — ORC MAP as PRESENT + LENGTH with key/value
+# ingest_parquet_bss_walk — BYTE_STREAM_SPLIT float32/float64/
+# float16(FLBA) with the v2 def-level weave and an INT64-BSS typed
+# boundary; ingest_parquet_dlba_walk — DELTA_LENGTH_BYTE_ARRAY
+# strings (one DBP length run + concatenated bytes);
+# ingest_orc_map_walk — ORC MAP as PRESENT + LENGTH with key/value
 # children woven over concatenated entries, keys through the shared
 # DIRECT_V2/DICTIONARY_V2 string machinery; ingest_orc_struct_walk —
 # STRUCT fields as ordinary child columns over struct-present rows
@@ -96,11 +98,12 @@ _LOADED = False
 # Annex D QM arithmetic JPEG routed through the shared image
 # dispatcher, verified by Huffman-pixel equivalence) + the 24
 # leftover r9 names (exactly the head VERDICT r14 prescribed:
-# skyline_orders_price_date first) + the 19 stalest r10 names (head
+# skyline_orders_price_date first) + the 18 stalest r10 names (head
 # dedup_substring_overlap, list order) = 50 exactly. After this
 # round the r9 era is fully refreshed and the staleness floor rises
-# to r10(31): the round-16 rotation head is the 31 leftover r10
-# names in list order (agg_histogram_equidepth,
+# to r10(32): the round-16 rotation head is the 32 leftover r10
+# names in list order (basket_part_pair_lift,
+# agg_histogram_equidepth,
 # attribution_linear_touch,
 # arrow_grouped_value_stats,
 # graph_triangle_count_suppliers, rollup_hll_mergeable, ann_ivf_topk,
@@ -118,10 +121,11 @@ _LOADED = False
 # r11 names; the rest of the list is the FULL registry in staleness
 # order for drivers that check more than 50 rows.
 _PRIORITY = [
-    # (a) round-15 registrations — never driver-checked (7)
+    # (a) round-15 registrations — never driver-checked (8)
     "ingest_parquet_zstd_pages",
     "ingest_parquet_lz4_pages",
     "ingest_parquet_bss_walk",
+    "ingest_parquet_dlba_walk",
     "ingest_orc_map_walk",
     "ingest_orc_struct_walk",
     "ingest_orc_union_walk",
@@ -152,7 +156,7 @@ _PRIORITY = [
     "join_asof_latest_order",
     "join_range_price_band",
     "join_skew_salted_orders",
-    # (c) the r10-checked head (19 of 50) — next-stalest
+    # (c) the r10-checked head (18 of 50) — next-stalest
     "dedup_substring_overlap",
     "sink_async_upsert_final_state",
     "multimodal_jpeg_lossless_decode",
@@ -171,9 +175,9 @@ _PRIORITY = [
     "dedup_connected_components",
     "train_user_event_sequences",
     "quality_winsorize_doclen",
+    # --- window boundary (driver checks exactly 50; 8+24+18=50) ---
+    # r10 remainder (32): the round-16 rotation head starts here
     "basket_part_pair_lift",
-    # --- window boundary (driver checks exactly 50; 7+24+19=50) ---
-    # r10 remainder (31): the round-16 rotation head starts here
     "agg_histogram_equidepth",
     "attribution_linear_touch",
     "arrow_grouped_value_stats",

@@ -86,6 +86,8 @@ _TARGETS = [
      lambda b: parquetwalk.walk_parquet(b)),
     ("parquet-bss", lambda: parquetbss._bs_bytes(1),
      lambda b: parquetbss.walk_parquet_bss(b)),
+    ("parquet-dlba", lambda: parquetv2._dl_bytes(1),
+     lambda b: parquetv2.walk_parquet_v2(b)),
     ("parquet-v2", lambda: parquetv2._v2_bytes(1),
      lambda b: parquetv2.walk_parquet_v2(b)),
     ("cbor", lambda: cborwalk._cb_payload(0),

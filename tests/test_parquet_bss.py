@@ -20,11 +20,14 @@ from pyspark_postgres_loader_spark.operators.parquetbss import (
 
 
 def test_walk_matches_fixture_every_group():
+    from pyspark_postgres_loader_spark.operators.parquetbss import _bs_h
+
     for g in range(_BS_GROUPS):
         f = walk_parquet_bss(_bs_bytes(g))
         assert f["columns"]["f"] == _bs_f(g)
         assert f["columns"]["d"] == _bs_d(g)
-        assert f["n_pages"] == 2 * f["n_row_groups"]
+        assert f["columns"]["h"] == _bs_h(g)  # FLBA(2) float16
+        assert f["n_pages"] == 3 * f["n_row_groups"]
 
 
 def test_inverse_gather_unit():
@@ -64,3 +67,5 @@ def test_pyarrow_reads_back_identical():
     f = walk_parquet_bss(blob)
     assert f["columns"]["f"] == t.column("f").to_pylist()
     assert f["columns"]["d"] == t.column("d").to_pylist()
+    assert f["columns"]["h"] == [
+        float(v) for v in t.column("h").to_pylist()]

@@ -234,3 +234,64 @@ def test_delta_run_longer_than_page_count_is_typed():
             _uleb_enc(8) + _uleb_enc(1) + _uleb_enc(1 << 30) + _zz_enc(0),
             max_total=1 << 24,
         )
+
+
+# ------------------- DELTA_LENGTH_BYTE_ARRAY (round 15)
+
+def test_dlba_matches_fixture_every_group():
+    from pyspark_postgres_loader_spark.operators.parquetv2 import (
+        _DL_GROUPS,
+        _dl_bytes,
+        _dl_strings,
+    )
+
+    for g in range(_DL_GROUPS):
+        f = walk_parquet_v2(_dl_bytes(g))
+        assert [s.decode() for s in f["strs"]] == _dl_strings(g)
+
+
+def test_dlba_pyarrow_reads_back_identical():
+    import io
+
+    import pyarrow.parquet as pq
+
+    from pyspark_postgres_loader_spark.operators.parquetv2 import (
+        _dl_bytes,
+    )
+
+    blob = _dl_bytes(2)
+    t = pq.read_table(io.BytesIO(blob))
+    f = walk_parquet_v2(blob)
+    assert [s.decode() for s in f["strs"]] == t.column("s").to_pylist()
+
+
+def test_dlba_typed_classes():
+    from pyspark_postgres_loader_spark.operators.parquetv2 import (
+        _dl_payload,
+    )
+
+    with pytest.raises(ValueError) as ei:
+        walk_parquet_v2(_dl_payload(3))
+    assert "CRC" not in str(ei.value)
+    with pytest.raises(ValueError, match="CRC"):
+        walk_parquet_v2(_dl_payload(2))
+    with pytest.raises(NotImplementedError):
+        walk_parquet_v2(_dl_payload(18))
+
+
+def test_dlba_length_byte_disagreement_typed():
+    # shrink the concatenated bytes under an intact length run: the
+    # sum-of-lengths cross-check must fire (build an uncompressed
+    # group so the splice lands in the value bytes)
+    from pyspark_postgres_loader_spark.operators.parquetv2 import (
+        _dl_bytes,
+    )
+    from pyspark_postgres_loader_spark.operators.parquetwalk import (
+        first_page_body_span,
+    )
+
+    blob = bytearray(_dl_bytes(0))  # g=0 → codec none
+    s, e = first_page_body_span(bytes(blob))
+    del blob[e - 2]  # one byte gone from the final suffix bytes
+    with pytest.raises(ValueError):
+        walk_parquet_v2(bytes(blob))
