@@ -541,3 +541,110 @@ def ann_hnsw_layered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ann_hnsw_layered_topk.__doc__ = ann_hnsw_layered_topk.__doc__.format(
     l2=_HNSW_MODS[0], l1=_HNSW_MODS[1], h0=_HNSW_HOPS0
 )
+
+
+# ------------------------- HNSW recall report (round 15)
+
+
+def _hnsw_recall_oracle() -> str:
+    """Compose the layered-search oracle with an exact integer-micro
+    top-k ground truth — recall itself value-compared, the graph-path
+    twin of ``ann_recall_report``."""
+    from ..registry import QUERIES
+
+    hnsw = QUERIES["ann_hnsw_layered_topk"].oracle
+    quant = _SQL_QUANTIZE.format(v="embedding")
+    sq = _sql_sqdist("q.qm", "c.m")
+    return f"""
+    WITH hnsw AS ({hnsw}),
+    corpus AS (SELECT vec_id, {quant} AS m FROM embeddings),
+    q AS (SELECT vec_id AS qid, m AS qm FROM corpus
+          WHERE vec_id < {_NSW_NQ}),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, c.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid ORDER BY {sq} ASC, c.vec_id
+               ) AS rn
+        FROM q JOIN corpus c ON c.vec_id <> q.qid
+      ) WHERE rn <= {_NSW_TOPK}
+    ),
+    hits AS (
+      SELECT e.qid, COUNT(*) AS n_hits
+      FROM exact e JOIN hnsw h
+        ON e.qid = h.qid AND e.vec_id = h.vec_id
+      GROUP BY e.qid
+    ),
+    truth AS (SELECT qid, COUNT(*) AS k FROM exact GROUP BY qid)
+    SELECT t.qid,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(t.k AS BIGINT) AS k,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.k AS recall
+    FROM truth t LEFT JOIN hits h ON t.qid = h.qid
+    ORDER BY t.qid
+    """
+
+
+@register(
+    "ann_recall_hnsw_report", oracle=None, doc="placeholder",
+    tags=("contract",),
+)  # oracle composed below; "contract": exact ground truth exists only
+# to grade the graph path — production runs the HNSW search alone
+def ann_recall_hnsw_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall@k of the LAYERED graph search against an exact
+    integer-micro ground truth, per query — the graph-path twin of
+    ``ann_recall_report``, and the number a production pipeline
+    re-measures after every index rebuild or beam/hop-schedule
+    change. Both sides ride the same deterministic total order
+    (integer micro distances, ties → lower vec_id), so recall is
+    bit-exact cross-engine, not a statistical contract.
+
+    Scale notes: ground truth is the one deliberate O(|Q|·N) pass
+    with the FIXED query sample broadcast (never the corpus),
+    amortized per index build; the HNSW side reuses the session's
+    memoized graphs (app_cache), so this report costs one search +
+    one scan."""
+    hnsw = ann_hnsw_layered_topk(spark, sf_dir).select("qid", "vec_id")
+    corpus = _nsw_corpus(spark, sf_dir)
+    q = corpus.filter(F.col("vec_id") < _NSW_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("m").alias("qm")
+    )
+    w = Window.partitionBy("qid").orderBy("d", "vec_id")
+    exact = (
+        corpus.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id",
+                _sqdist(F.col("qm"), F.col("m")).alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _NSW_TOPK)
+        .select("qid", "vec_id")
+    )
+    hits = (
+        exact.join(hnsw, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    truth = exact.groupBy("qid").agg(F.count("*").alias("k"))
+    return (
+        truth.join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+            .alias("n_hits"),
+            F.col("k").cast("long").alias("k"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+             / F.col("k")).alias("recall"),
+        )
+        .orderBy("qid")
+    )
+
+
+from dataclasses import replace as _dc_replace  # noqa: E402
+
+from ..registry import QUERIES as _Q  # noqa: E402
+
+_Q["ann_recall_hnsw_report"] = _dc_replace(
+    _Q["ann_recall_hnsw_report"], oracle=_hnsw_recall_oracle()
+)
