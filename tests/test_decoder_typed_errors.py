@@ -37,6 +37,7 @@ from pyspark_postgres_loader_spark.operators import (
     orcwalk,
     parquetdict,
     parquetindex,
+    parquetlegacy,
     pgcopy,
     parquetv2,
     parquetnested,
@@ -182,6 +183,9 @@ _TARGETS = [
      lambda b: parquetdict.walk_parquet_dictionary(b)),
     ("roaring-run", lambda: roaring._rg_blob(0, "ok"),
      lambda b: roaring.walk_roaring(b)),
+    # round-15 second batch
+    ("parquet-legacy", lambda: parquetlegacy._lg_bytes(1),
+     lambda b: parquetlegacy.walk_parquet_legacy(b)),
     ("roaring-norun", lambda: roaring._rg_blob(1, "ok"),
      lambda b: roaring.walk_roaring(b)),
 ]
