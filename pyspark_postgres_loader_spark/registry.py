@@ -79,7 +79,7 @@ _LOADED = False
 # Round-15 rotation. Entering this round all 274 pre-existing queries
 # are driver-verified with every latest check green; staleness
 # histogram after r14 is {r9:24, r10:50, r11:50, r12:50, r13:50,
-# r14:50}. This window = the 10 round-15 registrations
+# r14:50}. This window = the 11 round-15 registrations
 # (ingest_parquet_zstd_pages / ingest_parquet_lz4_pages — the modern
 # parquet codecs decoded through this repo's own RFC 8878 zstd and
 # raw-LZ4-block decoders via the ONE shared page-decompression
@@ -102,13 +102,16 @@ _LOADED = False
 # ingest_parquet_legacy_walk — the pre-2.6 layouts a decade of
 # Hive/Spark lakes contain: INT96 timestamps (Julian day +
 # nanos-of-day), FLBA big-endian decimals at widths 4/8, PLAIN
-# bit-packed BOOLEAN, v1 pages with RLE def-levels and CRC) + the
-# 24 leftover r9 names (exactly the head VERDICT r14 prescribed:
-# skyline_orders_price_date first) + the 16 stalest r10 names (head
-# dedup_substring_overlap, list order) = 50 exactly. After this
-# round the r9 era is fully refreshed and the staleness floor rises
-# to r10(34): the round-16 rotation head is the 34 leftover r10
-# names in list order (train_user_event_sequences,
+# bit-packed BOOLEAN, v1 pages with RLE def-levels and CRC;
+# search_rrf_fusion — BM25 keyword top-L + embedding-cosine top-L
+# fused by Reciprocal Rank Fusion with integer-micro quantized
+# contributions) + the 24 leftover r9 names (exactly the head
+# VERDICT r14 prescribed: skyline_orders_price_date first) + the 15
+# stalest r10 names (head dedup_substring_overlap, list order) = 50
+# exactly. After this round the r9 era is fully refreshed and the
+# staleness floor rises to r10(35): the round-16 rotation head is
+# the 35 leftover r10 names in list order
+# (dedup_connected_components, train_user_event_sequences,
 # quality_winsorize_doclen,
 # basket_part_pair_lift,
 # agg_histogram_equidepth,
@@ -129,7 +132,7 @@ _LOADED = False
 # r11 names; the rest of the list is the FULL registry in staleness
 # order for drivers that check more than 50 rows.
 _PRIORITY = [
-    # (a) round-15 registrations — never driver-checked (10)
+    # (a) round-15 registrations — never driver-checked (11)
     "ingest_parquet_zstd_pages",
     "ingest_parquet_lz4_pages",
     "ingest_parquet_bss_walk",
@@ -140,6 +143,7 @@ _PRIORITY = [
     "multimodal_jpeg_arith_decode",
     "ann_recall_hnsw_report",
     "ingest_parquet_legacy_walk",
+    "search_rrf_fusion",
     # (b) the r9-checked remainder (24) — stalest greens, six rounds
     # old: skyline/stream/train/tpch names in list order
     "skyline_orders_price_date",
@@ -166,7 +170,7 @@ _PRIORITY = [
     "join_asof_latest_order",
     "join_range_price_band",
     "join_skew_salted_orders",
-    # (c) the r10-checked head (16 of 50) — next-stalest
+    # (c) the r10-checked head (15 of 50) — next-stalest
     "dedup_substring_overlap",
     "sink_async_upsert_final_state",
     "multimodal_jpeg_lossless_decode",
@@ -182,9 +186,9 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "contamination_bloom_prefilter",
+    # --- window boundary (driver checks exactly 50; 11+24+15=50) ---
+    # r10 remainder (35): the round-16 rotation head starts here
     "dedup_connected_components",
-    # --- window boundary (driver checks exactly 50; 10+24+16=50) ---
-    # r10 remainder (34): the round-16 rotation head starts here
     "train_user_event_sequences",
     "quality_winsorize_doclen",
     "basket_part_pair_lift",
@@ -458,6 +462,7 @@ def _ensure_loaded() -> None:
         flac,
         graph,
         gzipwalk,
+        hybrid_search,
         iceberg,
         icebergcommit,
         icebergmor,
