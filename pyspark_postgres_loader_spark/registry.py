@@ -79,7 +79,7 @@ _LOADED = False
 # Round-15 rotation. Entering this round all 274 pre-existing queries
 # are driver-verified with every latest check green; staleness
 # histogram after r14 is {r9:24, r10:50, r11:50, r12:50, r13:50,
-# r14:50}. This window = the 11 round-15 registrations
+# r14:50}. This window = the 12 round-15 registrations
 # (ingest_parquet_zstd_pages / ingest_parquet_lz4_pages — the modern
 # parquet codecs decoded through this repo's own RFC 8878 zstd and
 # raw-LZ4-block decoders via the ONE shared page-decompression
@@ -105,13 +105,16 @@ _LOADED = False
 # bit-packed BOOLEAN, v1 pages with RLE def-levels and CRC;
 # search_rrf_fusion — BM25 keyword top-L + embedding-cosine top-L
 # fused by Reciprocal Rank Fusion with integer-micro quantized
-# contributions) + the 24 leftover r9 names (exactly the head
-# VERDICT r14 prescribed: skyline_orders_price_date first) + the 15
-# stalest r10 names (head dedup_substring_overlap, list order) = 50
-# exactly. After this round the r9 era is fully refreshed and the
-# staleness floor rises to r10(35): the round-16 rotation head is
-# the 35 leftover r10 names in list order
-# (dedup_connected_components, train_user_event_sequences,
+# contributions; embedding_matryoshka_recall — recall@k of
+# prefix-truncated retrieval vs the full-dim ground truth at dims
+# 8/16/32/64, matched prefix folds, d=64 pinned at recall 1.0) +
+# the 24 leftover r9 names (exactly the head VERDICT r14
+# prescribed: skyline_orders_price_date first) + the 14 stalest r10
+# names (head dedup_substring_overlap, list order) = 50 exactly.
+# After this round the r9 era is fully refreshed and the staleness
+# floor rises to r10(36): the round-16 rotation head is the 36
+# leftover r10 names in list order (contamination_bloom_prefilter,
+# dedup_connected_components, train_user_event_sequences,
 # quality_winsorize_doclen,
 # basket_part_pair_lift,
 # agg_histogram_equidepth,
@@ -132,7 +135,7 @@ _LOADED = False
 # r11 names; the rest of the list is the FULL registry in staleness
 # order for drivers that check more than 50 rows.
 _PRIORITY = [
-    # (a) round-15 registrations — never driver-checked (11)
+    # (a) round-15 registrations — never driver-checked (12)
     "ingest_parquet_zstd_pages",
     "ingest_parquet_lz4_pages",
     "ingest_parquet_bss_walk",
@@ -144,6 +147,7 @@ _PRIORITY = [
     "ann_recall_hnsw_report",
     "ingest_parquet_legacy_walk",
     "search_rrf_fusion",
+    "embedding_matryoshka_recall",
     # (b) the r9-checked remainder (24) — stalest greens, six rounds
     # old: skyline/stream/train/tpch names in list order
     "skyline_orders_price_date",
@@ -170,7 +174,7 @@ _PRIORITY = [
     "join_asof_latest_order",
     "join_range_price_band",
     "join_skew_salted_orders",
-    # (c) the r10-checked head (15 of 50) — next-stalest
+    # (c) the r10-checked head (14 of 50) — next-stalest
     "dedup_substring_overlap",
     "sink_async_upsert_final_state",
     "multimodal_jpeg_lossless_decode",
@@ -185,9 +189,9 @@ _PRIORITY = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    # --- window boundary (driver checks exactly 50; 12+24+14=50) ---
+    # r10 remainder (36): the round-16 rotation head starts here
     "contamination_bloom_prefilter",
-    # --- window boundary (driver checks exactly 50; 11+24+15=50) ---
-    # r10 remainder (35): the round-16 rotation head starts here
     "dedup_connected_components",
     "train_user_event_sequences",
     "quality_winsorize_doclen",
@@ -480,6 +484,7 @@ def _ensure_loaded() -> None:
         json_ops,
         layout_stats,
         lz4frame,
+        matryoshka,
         mp3,
         multimodal,
         nsw,
