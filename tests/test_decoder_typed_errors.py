@@ -51,6 +51,7 @@ from pyspark_postgres_loader_spark.operators import (
     tfrecord,
     tiff,
     warc,
+    webp,
     xzwalk,
     zipwalk,
     zstddict,
@@ -186,6 +187,10 @@ _TARGETS = [
     # round-15 second batch
     ("parquet-legacy", lambda: parquetlegacy._lg_bytes(1),
      lambda b: parquetlegacy.walk_parquet_legacy(b)),
+    ("webp-own", lambda: webp._wl_blob(0, 1),
+     lambda b: webp.decode_vp8l(b)),
+    ("webp-golden", lambda: webp._wl_blob(3, 0),
+     lambda b: webp.decode_vp8l(b)),
     ("roaring-norun", lambda: roaring._rg_blob(1, "ok"),
      lambda b: roaring.walk_roaring(b)),
 ]
