@@ -79,7 +79,7 @@ _LOADED = False
 # Round-15 rotation. Entering this round all 274 pre-existing queries
 # are driver-verified with every latest check green; staleness
 # histogram after r14 is {r9:24, r10:50, r11:50, r12:50, r13:50,
-# r14:50}. This window = the 13 round-15 registrations
+# r14:50}. This window = the 14 round-15 registrations
 # (ingest_parquet_zstd_pages / ingest_parquet_lz4_pages — the modern
 # parquet codecs decoded through this repo's own RFC 8878 zstd and
 # raw-LZ4-block decoders via the ONE shared page-decompression
@@ -110,13 +110,16 @@ _LOADED = False
 # 8/16/32/64, matched prefix folds, d=64 pinned at recall 1.0;
 # multimodal_webp_lossless_decode — native VP8L: canonical prefix
 # codes, color cache, LZ77 2D distances, meta groups, all four
-# transforms, validated pixel-exact against libwebp both ways) +
-# the 24 leftover r9 names (exactly the head VERDICT r14
-# prescribed: skyline_orders_price_date first) + the 13 stalest r10
-# names (head dedup_substring_overlap, list order) = 50 exactly.
-# After this round the r9 era is fully refreshed and the staleness
-# floor rises to r10(37): the round-16 rotation head is the 37
-# leftover r10 names in list order (dedup_simhash,
+# transforms, validated pixel-exact against libwebp both ways;
+# multimodal_webp_anim_walk — VP8X/ANIM/ANMF animated-WebP
+# container walk with every lossless frame decoded and an ANMF/VP8L
+# dimension cross-check) + the 24 leftover r9 names (exactly the
+# head VERDICT r14 prescribed: skyline_orders_price_date first) +
+# the 12 stalest r10 names (head dedup_substring_overlap, list
+# order) = 50 exactly. After this round the r9 era is fully
+# refreshed and the staleness floor rises to r10(38): the round-16
+# rotation head is the 38 leftover r10 names in list order
+# (dedup_minhash_lsh, dedup_simhash,
 # contamination_bloom_prefilter,
 # dedup_connected_components, train_user_event_sequences,
 # quality_winsorize_doclen,
@@ -139,7 +142,7 @@ _LOADED = False
 # r11 names; the rest of the list is the FULL registry in staleness
 # order for drivers that check more than 50 rows.
 _PRIORITY = [
-    # (a) round-15 registrations — never driver-checked (13)
+    # (a) round-15 registrations — never driver-checked (14)
     "ingest_parquet_zstd_pages",
     "ingest_parquet_lz4_pages",
     "ingest_parquet_bss_walk",
@@ -153,6 +156,7 @@ _PRIORITY = [
     "search_rrf_fusion",
     "embedding_matryoshka_recall",
     "multimodal_webp_lossless_decode",
+    "multimodal_webp_anim_walk",
     # (b) the r9-checked remainder (24) — stalest greens, six rounds
     # old: skyline/stream/train/tpch names in list order
     "skyline_orders_price_date",
@@ -179,7 +183,7 @@ _PRIORITY = [
     "join_asof_latest_order",
     "join_range_price_band",
     "join_skew_salted_orders",
-    # (c) the r10-checked head (13 of 50) — next-stalest
+    # (c) the r10-checked head (12 of 50) — next-stalest
     "dedup_substring_overlap",
     "sink_async_upsert_final_state",
     "multimodal_jpeg_lossless_decode",
@@ -192,9 +196,9 @@ _PRIORITY = [
     "ingest_tfrecord_walk",
     "ingest_warc_record_walk",
     "dedup_ngram_jaccard",
+    # --- window boundary (driver checks exactly 50; 14+24+12=50) ---
+    # r10 remainder (38): the round-16 rotation head starts here
     "dedup_minhash_lsh",
-    # --- window boundary (driver checks exactly 50; 13+24+13=50) ---
-    # r10 remainder (37): the round-16 rotation head starts here
     "dedup_simhash",
     "contamination_bloom_prefilter",
     "dedup_connected_components",
@@ -528,6 +532,7 @@ def _ensure_loaded() -> None:
         video,
         warc,
         webp,
+        webpanim,
         wordpiece,
         xzwalk,
         zipwalk,

@@ -52,6 +52,7 @@ from pyspark_postgres_loader_spark.operators import (
     tiff,
     warc,
     webp,
+    webpanim,
     xzwalk,
     zipwalk,
     zstddict,
@@ -191,6 +192,8 @@ _TARGETS = [
      lambda b: webp.decode_vp8l(b)),
     ("webp-golden", lambda: webp._wl_blob(3, 0),
      lambda b: webp.decode_vp8l(b)),
+    ("webp-anim", lambda: webpanim._wa_blob(2),
+     lambda b: webpanim.walk_webp_anim(b)),
     ("roaring-norun", lambda: roaring._rg_blob(1, "ok"),
      lambda b: roaring.walk_roaring(b)),
 ]
