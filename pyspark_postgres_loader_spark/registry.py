@@ -79,7 +79,7 @@ _LOADED = False
 # Round-15 rotation. Entering this round all 274 pre-existing queries
 # are driver-verified with every latest check green; staleness
 # histogram after r14 is {r9:24, r10:50, r11:50, r12:50, r13:50,
-# r14:50}. This window = the 14 round-15 registrations
+# r14:50}. This window = the 15 round-15 registrations
 # (ingest_parquet_zstd_pages / ingest_parquet_lz4_pages — the modern
 # parquet codecs decoded through this repo's own RFC 8878 zstd and
 # raw-LZ4-block decoders via the ONE shared page-decompression
@@ -113,13 +113,16 @@ _LOADED = False
 # transforms, validated pixel-exact against libwebp both ways;
 # multimodal_webp_anim_walk — VP8X/ANIM/ANMF animated-WebP
 # container walk with every lossless frame decoded and an ANMF/VP8L
-# dimension cross-check) + the 24 leftover r9 names (exactly the
-# head VERDICT r14 prescribed: skyline_orders_price_date first) +
-# the 12 stalest r10 names (head dedup_substring_overlap, list
-# order) = 50 exactly. After this round the r9 era is fully
-# refreshed and the staleness floor rises to r10(38): the round-16
-# rotation head is the 38 leftover r10 names in list order
-# (dedup_minhash_lsh, dedup_simhash,
+# dimension cross-check; audio_g711_walk — µ-law/A-law telephony
+# decode, both companders pinned against audioop over all 256 bytes
+# and the ENTIRE decode replayed as integer SQL) + the 24 leftover
+# r9 names (exactly the head VERDICT r14 prescribed:
+# skyline_orders_price_date first) + the 11 stalest r10 names (head
+# dedup_substring_overlap, list order) = 50 exactly. After this
+# round the r9 era is fully refreshed and the staleness floor rises
+# to r10(39): the round-16 rotation head is the 39 leftover r10
+# names in list order (dedup_ngram_jaccard,
+# dedup_minhash_lsh, dedup_simhash,
 # contamination_bloom_prefilter,
 # dedup_connected_components, train_user_event_sequences,
 # quality_winsorize_doclen,
@@ -142,7 +145,7 @@ _LOADED = False
 # r11 names; the rest of the list is the FULL registry in staleness
 # order for drivers that check more than 50 rows.
 _PRIORITY = [
-    # (a) round-15 registrations — never driver-checked (14)
+    # (a) round-15 registrations — never driver-checked (15)
     "ingest_parquet_zstd_pages",
     "ingest_parquet_lz4_pages",
     "ingest_parquet_bss_walk",
@@ -157,6 +160,7 @@ _PRIORITY = [
     "embedding_matryoshka_recall",
     "multimodal_webp_lossless_decode",
     "multimodal_webp_anim_walk",
+    "audio_g711_walk",
     # (b) the r9-checked remainder (24) — stalest greens, six rounds
     # old: skyline/stream/train/tpch names in list order
     "skyline_orders_price_date",
@@ -183,7 +187,7 @@ _PRIORITY = [
     "join_asof_latest_order",
     "join_range_price_band",
     "join_skew_salted_orders",
-    # (c) the r10-checked head (12 of 50) — next-stalest
+    # (c) the r10-checked head (11 of 50) — next-stalest
     "dedup_substring_overlap",
     "sink_async_upsert_final_state",
     "multimodal_jpeg_lossless_decode",
@@ -195,9 +199,9 @@ _PRIORITY = [
     "multimodal_tiff_decode",
     "ingest_tfrecord_walk",
     "ingest_warc_record_walk",
+    # --- window boundary (driver checks exactly 50; 15+24+11=50) ---
+    # r10 remainder (39): the round-16 rotation head starts here
     "dedup_ngram_jaccard",
-    # --- window boundary (driver checks exactly 50; 14+24+12=50) ---
-    # r10 remainder (38): the round-16 rotation head starts here
     "dedup_minhash_lsh",
     "dedup_simhash",
     "contamination_bloom_prefilter",
@@ -473,6 +477,7 @@ def _ensure_loaded() -> None:
         deltalog,
         expectations,
         flac,
+        g711,
         graph,
         gzipwalk,
         hybrid_search,

@@ -26,6 +26,7 @@ from pyspark_postgres_loader_spark.operators import (
     bzip2,
     cborwalk,
     deltacheckpoint,
+    g711,
     gzipwalk,
     iceberg,
     icebergmor,
@@ -194,6 +195,8 @@ _TARGETS = [
      lambda b: webp.decode_vp8l(b)),
     ("webp-anim", lambda: webpanim._wa_blob(2),
      lambda b: webpanim.walk_webp_anim(b)),
+    ("g711", lambda: g711._g7_blob(1),
+     lambda b: g711.decode_wav_g711(b)),
     ("roaring-norun", lambda: roaring._rg_blob(1, "ok"),
      lambda b: roaring.walk_roaring(b)),
 ]
