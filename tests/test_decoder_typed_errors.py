@@ -51,6 +51,7 @@ from pyspark_postgres_loader_spark.operators import (
     tarwalk,
     tfrecord,
     tiff,
+    vp8,
     warc,
     webp,
     webpanim,
@@ -197,6 +198,8 @@ _TARGETS = [
      lambda b: webpanim.walk_webp_anim(b)),
     ("g711", lambda: g711._g7_blob(1),
      lambda b: g711.decode_wav_g711(b)),
+    ("vp8-lossy", lambda: vp8._v8_payload(0),
+     lambda b: vp8.decode_vp8(b)),
     ("roaring-norun", lambda: roaring._rg_blob(1, "ok"),
      lambda b: roaring.walk_roaring(b)),
 ]
