@@ -5,8 +5,12 @@ animations; a crawled multimodal corpus carries them in volume. The
 still-image walk (operators/webp.py) deliberately treats ``VP8X``
 as a typed boundary — this module closes that boundary for the
 animation case: it walks the extended container per the public WebP
-container spec and decodes every lossless frame through the same
-VP8L decoder that is validated pixel-exact against libwebp.
+container spec and decodes EVERY frame natively — lossless frames
+through the VP8L decoder and lossy frames through the VP8 keyframe
+decoder (operators/vp8.py), both validated pixel-exact against
+libwebp. Mixed-codec animations (a real crawl contains them) are
+first-class: every third fixture group appends a lossy golden
+frame.
 
 Container layout (WebP Container Specification, public):
 
@@ -17,14 +21,15 @@ Container layout (WebP Container Specification, public):
   spec stores HALVED offsets — odd placements are unrepresentable),
   24-bit frame width-1 / height-1, 24-bit duration in ms, 1 flag
   byte (bit 0x01 disposal, 0x02 blending), then the frame's own
-  image sub-chunk (``VP8L`` here; lossy ``VP8 `` frames are an
-  honest typed boundary);
+  image sub-chunk (``VP8L`` or lossy ``VP8 ``, both decoded);
 - chunks are padded to even sizes, as everywhere in RIFF.
 
 Structural verdicts: truncation ('corrupt'); a frame whose ANMF
-declared dimensions disagree with its VP8L header ('mismatch' — the
-cross-field consistency check a naive walk skips); a frame placed
-outside the canvas ('corrupt'); lossy frames ('unsupported').
+declared dimensions disagree with its own bitstream header
+('mismatch' — the cross-field consistency check a naive walk
+skips); a frame placed outside the canvas ('corrupt'); VP8
+INTERFRAMES — which cannot legally start an animation track
+('unsupported').
 
 Scale notes (100 TB): identical shape to the still-image walk —
 binaryFile-parallel listing, Arrow-batched ``mapInPandas``, typed
@@ -47,6 +52,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table
+from .vp8 import _V8_FACTS, _V8_GOLDEN_B64, decode_vp8
 from .webp import decode_vp8l, encode_vp8l_lossless
 
 _F_ANIM = 0x02
@@ -57,10 +63,11 @@ def _u24(b: bytes, off: int) -> int:
 
 
 def walk_webp_anim(data: bytes) -> dict:
-    """Walk an animated WebP container; decode every VP8L frame.
-    Raises NotImplementedError for lossy frames / non-animation
-    VP8X payloads, ValueError (with 'DIMS' for the ANMF-vs-VP8L
-    disagreement) for structural damage."""
+    """Walk an animated WebP container; decode every frame (VP8L
+    lossless AND VP8 lossy keyframes). Raises NotImplementedError
+    for interframes / non-animation VP8X payloads, ValueError (with
+    'DIMS' for the ANMF-vs-frame-header disagreement) for
+    structural damage."""
     try:
         return _walk_anim(data)
     except (IndexError, struct.error, TypeError) as exc:
@@ -114,24 +121,30 @@ def _walk_anim(data: bytes) -> dict:
             payload = body[24 : 24 + sub_size]
             if len(payload) != sub_size:
                 raise ValueError("truncated frame sub-chunk")
-            if sub_cc == b"VP8 ":
-                raise NotImplementedError("lossy VP8 animation frame")
-            if sub_cc != b"VP8L":
+            if sub_cc not in (b"VP8L", b"VP8 "):
                 raise ValueError(f"unknown frame chunk {sub_cc!r}")
             blob = (b"RIFF"
                     + struct.pack("<I", 4 + 8 + sub_size + (sub_size & 1))
-                    + b"WEBP" + b"VP8L" + struct.pack("<I", sub_size)
+                    + b"WEBP" + sub_cc + struct.pack("<I", sub_size)
                     + payload + (b"\x00" if sub_size & 1 else b""))
-            f = decode_vp8l(blob)
+            if sub_cc == b"VP8L":
+                f = decode_vp8l(blob)
+                kind = "vp8l"
+                content = f["pixels"]
+            else:
+                # lossy keyframe through the native VP8 decoder
+                f = decode_vp8(blob)
+                kind = "vp8"
+                content = (f["y"], f["u"], f["v"])
             if (f["width"], f["height"]) != (fw, fh):
                 raise ValueError(
-                    "ANMF dims disagree with VP8L header (DIMS)")
+                    "ANMF dims disagree with frame header (DIMS)")
             if fx + fw > canvas_w or fy + fh > canvas_h:
                 raise ValueError("frame extends beyond the canvas")
             frames.append({
-                "x": fx, "y": fy, "w": fw, "h": fh,
+                "x": fx, "y": fy, "w": fw, "h": fh, "kind": kind,
                 "duration": duration, "dispose": fflags & 0x01,
-                "blend": fflags & 0x02, "pixels": f["pixels"],
+                "blend": fflags & 0x02, "pixels": content,
             })
         # other chunks (ICCP/EXIF/XMP) are legal — skipped
     if canvas_w is None:
@@ -146,15 +159,14 @@ def _walk_anim(data: bytes) -> dict:
     }
 
 
-def build_webp_anim(frames: list[tuple[int, int, int, list[int]]],
+def build_webp_anim(frames: list[tuple],
                     canvas_w: int, canvas_h: int,
-                    loop_count: int,
-                    lossy_frame: bool = False) -> bytes:
-    """Assemble an animated WebP container from (x, y, duration,
-    argb-pixels) frames of per-frame size inferred from the pixel
-    list via the accompanying dims — used by the fixture generator
-    and the unit suite. ``lossy_frame`` swaps the last frame's
-    payload for a ``VP8 `` stub (the typed boundary)."""
+                    loop_count: int) -> bytes:
+    """Assemble an animated WebP container from (x, y, w, h,
+    duration, content) frames — content is an ARGB pixel list
+    (encoded as a VP8L frame through the minimal lossless encoder)
+    or raw ``VP8 `` chunk payload bytes (embedded as a lossy frame
+    verbatim). Used by the fixture generator and the unit suite."""
     chunks = []
     vp8x = bytes([_F_ANIM]) + bytes(3) \
         + (canvas_w - 1).to_bytes(3, "little") \
@@ -162,11 +174,13 @@ def build_webp_anim(frames: list[tuple[int, int, int, list[int]]],
     chunks.append(b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x)
     anim = bytes(4) + struct.pack("<H", loop_count)
     chunks.append(b"ANIM" + struct.pack("<I", len(anim)) + anim)
-    for fi, (x, y, w, h, duration, argb) in enumerate(frames):
-        if lossy_frame and fi == len(frames) - 1:
-            sub = b"VP8 " + struct.pack("<I", 8) + bytes(8)
+    for x, y, w, h, duration, content in frames:
+        if isinstance(content, (bytes, bytearray)):
+            sub = b"VP8 " + struct.pack("<I", len(content)) + bytes(content)
+            if len(content) & 1:
+                sub += b"\x00"
         else:
-            still = encode_vp8l_lossless(argb, w, h)
+            still = encode_vp8l_lossless(content, w, h)
             sub_size = struct.unpack_from("<I", still, 16)[0]
             payload = still[20 : 20 + sub_size]
             sub = b"VP8L" + struct.pack("<I", sub_size) + payload
@@ -204,7 +218,25 @@ def _wa_px(g: int, f: int, x: int, y: int) -> tuple[int, int, int]:
             (x + y + 5 * f) % 256)
 
 
-def _wa_blob(g: int, lossy: bool = False) -> bytes:
+def _wa_has_lossy(g: int) -> bool:
+    # every third group appends a lossy VP8 keyframe (the first vp8
+    # golden, 32x24 q100) — the MIXED-codec animation a real crawl
+    # contains
+    return g % 3 == 2
+
+
+def _vp8_golden_chunk(interframe: bool = False) -> bytes:
+    import base64
+
+    blob = base64.b64decode("".join(_V8_GOLDEN_B64[0]))
+    csize = struct.unpack_from("<I", blob, 16)[0]
+    payload = bytearray(blob[20 : 20 + csize])
+    if interframe:
+        payload[0] |= 0x01  # keyframe bit off → interframe
+    return bytes(payload)
+
+
+def _wa_blob(g: int, unsup: bool = False) -> bytes:
     nf = _wa_nframes(g)
     fw, fh = _wa_fdims(g)
     frames = []
@@ -216,18 +248,22 @@ def _wa_blob(g: int, lossy: bool = False) -> bytes:
                 argb.append(0xFF000000 | (r << 16) | (gg << 8) | b)
         frames.append((2 * f, 2 * ((f + g) % 3), fw, fh,
                        40 + 10 * f + g, argb))
-    return build_webp_anim(
-        frames, fw + 2 * (nf - 1), fh + 4, g % 5, lossy_frame=lossy)
+    cw, ch = fw + 2 * (nf - 1), fh + 4
+    if _wa_has_lossy(g) or unsup:
+        frames.append((0, 0, 32, 24, 99 + g,
+                       _vp8_golden_chunk(interframe=unsup)))
+        cw, ch = max(cw, 32), max(ch, 24)
+    return build_webp_anim(frames, cw, ch, g % 5)
 
 
 def _wa_payload(doc_id: int) -> bytes:
     g = doc_id % _WA_GROUPS
     corrupt = doc_id % 11 == 3
     mismatch = doc_id % 17 == 2 and not corrupt
-    lossy = doc_id % 13 == 5 and not (corrupt or mismatch)
-    blob = bytearray(_wa_blob(g, lossy=lossy))
+    unsup = doc_id % 13 == 5 and not (corrupt or mismatch)
+    blob = bytearray(_wa_blob(g, unsup=unsup))
     if mismatch:
-        # patch the FIRST ANMF's declared width-1 (+1): the VP8L
+        # patch the FIRST ANMF's declared width-1 (+1): the frame
         # header keeps the true width, so the cross-check must fire
         i = blob.index(b"ANMF")
         blob[i + 8 + 6] = (blob[i + 8 + 6] + 1) & 0xFF
@@ -254,6 +290,12 @@ def _wa_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 for fi, fr in enumerate(f["frames"]):
                     dur_sum += fr["duration"]
                     off_sum += fr["x"] + 10 * fr["y"]
+                    if fr["kind"] == "vp8":
+                        Y, U, V = fr["pixels"]
+                        pix_wsum += (fi + 1) * (
+                            int(Y.sum()) + 2 * int(U.sum())
+                            + 3 * int(V.sum()))
+                        continue
                     for i, p in enumerate(fr["pixels"]):
                         r = (p >> 16) & 0xFF
                         gg = (p >> 8) & 0xFF
@@ -285,6 +327,10 @@ def _wa_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def _wa_oracle() -> str:
     bad = "d.doc_id % 11 = 3 OR d.doc_id % 17 = 2 OR d.doc_id % 13 = 5"
+    # the mixed-codec groups (g % 3 = 2) append the 32x24 vp8 golden:
+    # its plane-sum fact is the pinned constant from operators/vp8.py
+    w0, h0, ys, us, vs = _V8_FACTS[0][:5]
+    lconst = ys + 2 * us + 3 * vs
     return f"""
     WITH grp AS (
       SELECT DISTINCT doc_id % {_WA_GROUPS} AS g FROM documents
@@ -311,14 +357,25 @@ def _wa_oracle() -> str:
     ),
     sums AS (
       SELECT fr.g,
-             CAST(MAX(fr.nf) AS BIGINT) AS n_frames,
-             CAST(MAX(fr.fw + 2 * (fr.nf - 1)) AS BIGINT) AS canvas_w,
-             CAST(MAX(fr.fh + 4) AS BIGINT) AS canvas_h,
+             CAST(MAX(fr.nf) + MAX(CASE WHEN fr.g % 3 = 2 THEN 1
+                  ELSE 0 END) AS BIGINT) AS n_frames,
+             CAST(CASE WHEN MAX(fr.g) % 3 = 2
+                  THEN GREATEST(MAX(fr.fw + 2 * (fr.nf - 1)), {w0})
+                  ELSE MAX(fr.fw + 2 * (fr.nf - 1))
+                  END AS BIGINT) AS canvas_w,
+             CAST(CASE WHEN MAX(fr.g) % 3 = 2
+                  THEN GREATEST(MAX(fr.fh + 4), {h0})
+                  ELSE MAX(fr.fh + 4) END AS BIGINT) AS canvas_h,
              CAST(MAX(fr.g % 5) AS BIGINT) AS loop_count,
-             CAST(SUM(40 + 10 * fr.f + fr.g) AS BIGINT) AS dur_sum,
+             CAST(SUM(40 + 10 * fr.f + fr.g)
+                  + MAX(CASE WHEN fr.g % 3 = 2 THEN 99 + fr.g
+                        ELSE 0 END) AS BIGINT) AS dur_sum,
              CAST(SUM(2 * fr.f + 10 * (2 * ((fr.f + fr.g) % 3)))
                AS BIGINT) AS off_sum,
-             CAST(SUM((fr.f + 1) * p.s) AS BIGINT) AS pix_wsum
+             CAST(SUM((fr.f + 1) * p.s)
+                  + MAX(CASE WHEN fr.g % 3 = 2
+                        THEN (fr.nf + 1) * {lconst}
+                        ELSE 0 END) AS BIGINT) AS pix_wsum
       FROM fr JOIN pixsum p ON fr.g = p.g AND fr.f = p.f
       GROUP BY fr.g
     )
@@ -346,14 +403,16 @@ def multimodal_webp_anim_walk(
 ) -> DataFrame:
     """Animated WebP walked natively: VP8X canvas + ANIM loop state +
     per-ANMF frame headers (halved offsets, durations, blend/dispose
-    flags) with every lossless frame decoded through the
-    libwebp-validated VP8L decoder and cross-checked against its
-    declared ANMF dimensions. Facts cover container metadata
-    (frames, canvas, loop count, duration and offset sums) AND
-    frame-index-weighted pixel sums, so both layers are
-    value-verified. Typed verdicts: truncation ('corrupt'), ANMF/
-    VP8L dimension disagreement ('mismatch'), lossy frames
-    ('unsupported').
+    flags) with EVERY frame decoded — VP8L lossless frames through
+    the libwebp-validated lossless decoder, lossy VP8 keyframes
+    through the libwebp-validated RFC 6386 decoder — and each
+    cross-checked against its declared ANMF dimensions. Mixed-codec
+    animations are a fixture class (every third group appends a
+    lossy golden frame). Facts cover container metadata AND
+    frame-index-weighted pixel/plane sums, so both layers are
+    value-verified. Typed verdicts: truncation ('corrupt'),
+    ANMF/bitstream dimension disagreement ('mismatch'), VP8
+    interframes ('unsupported').
 
     Scale notes (100 TB): identical to the still walk — Arrow-batched
     mapInPandas over binaryFile listings, per-worker memo, typed
