@@ -533,50 +533,10 @@ def _palette_subsampled_width(w: int, n_colors: int) -> int:
 # --------------------------------------------------- top-level decode
 
 
-def decode_vp8l(data: bytes) -> dict:
-    """Decode a WebP container holding a VP8L (lossless) bitstream to
-    an ARGB raster. Raises NotImplementedError for lossy ``VP8 `` and
-    extended ``VP8X`` payloads ('unsupported'), ValueError for
-    structural damage."""
-    try:
-        return _decode_vp8l(data)
-    except (IndexError, struct.error, TypeError) as exc:
-        raise ValueError(f"malformed WebP structure ({exc})") from exc
-
-
-_MAX_PIXELS = 1 << 22  # decode bound: fixtures are small; a corrupt
-#                        header must not size a 268M-pixel allocation
-
-
-def _decode_vp8l(data: bytes) -> dict:
-    if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
-        raise ValueError("missing RIFF/WEBP container magic")
-    riff_size = struct.unpack_from("<I", data, 4)[0]
-    if riff_size + 8 > len(data):
-        raise ValueError("RIFF size exceeds payload")
-    fourcc = data[12:16]
-    if fourcc == b"VP8 ":
-        raise NotImplementedError("lossy VP8 payload")
-    if fourcc == b"VP8X":
-        raise NotImplementedError("extended VP8X container")
-    if fourcc != b"VP8L":
-        raise ValueError(f"unknown WebP chunk {fourcc!r}")
-    chunk_size = struct.unpack_from("<I", data, 16)[0]
-    payload = data[20 : 20 + chunk_size]
-    if len(payload) != chunk_size:
-        raise ValueError("truncated VP8L chunk")
-    if not payload or payload[0] != 0x2F:
-        raise ValueError("missing VP8L signature byte")
-    br = _BitReader(payload, 1)
-    w = br.read(14) + 1
-    h = br.read(14) + 1
-    has_alpha = br.read(1)
-    version = br.read(3)
-    if version != 0:
-        raise NotImplementedError(f"VP8L version {version}")
-    if w * h > _MAX_PIXELS:
-        raise NotImplementedError("VP8L image exceeds walk pixel bound")
-
+def _decode_stream(br: _BitReader, w: int, h: int) -> list[int]:
+    """Decode one VP8L image stream (transforms + entropy image +
+    inverse transforms) — used by the container path AND by headerless
+    streams (the ALPH chunk's lossless alpha plane)."""
     transforms: list[tuple] = []
     seen_types = set()
     xsize = w
@@ -632,6 +592,67 @@ def _decode_vp8l(data: bytes) -> dict:
             _inv_color(pixels, xsize, h, t[1], t[2])
         else:
             _inv_predictor(pixels, xsize, h, t[1], t[2])
+
+    return pixels
+
+
+def decode_vp8l_alpha(data: bytes, w: int, h: int) -> list[int]:
+    """Decode a HEADERLESS VP8L stream of known dimensions to the
+    per-pixel GREEN channel — the ALPH chunk's lossless alpha
+    encoding (WebP container spec: the alpha plane rides the green
+    channel of a VP8L image-stream without the 5-byte header)."""
+    if w * h > _MAX_PIXELS:
+        raise NotImplementedError("alpha stream exceeds walk pixel bound")
+    br = _BitReader(data, 0)
+    pixels = _decode_stream(br, w, h)
+    return [(p >> 8) & 0xFF for p in pixels]
+
+
+def decode_vp8l(data: bytes) -> dict:
+    """Decode a WebP container holding a VP8L (lossless) bitstream to
+    an ARGB raster. Raises NotImplementedError for lossy ``VP8 `` and
+    extended ``VP8X`` payloads ('unsupported'), ValueError for
+    structural damage."""
+    try:
+        return _decode_vp8l(data)
+    except (IndexError, struct.error, TypeError) as exc:
+        raise ValueError(f"malformed WebP structure ({exc})") from exc
+
+
+_MAX_PIXELS = 1 << 22  # decode bound: fixtures are small; a corrupt
+#                        header must not size a 268M-pixel allocation
+
+
+def _decode_vp8l(data: bytes) -> dict:
+    if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("missing RIFF/WEBP container magic")
+    riff_size = struct.unpack_from("<I", data, 4)[0]
+    if riff_size + 8 > len(data):
+        raise ValueError("RIFF size exceeds payload")
+    fourcc = data[12:16]
+    if fourcc == b"VP8 ":
+        raise NotImplementedError("lossy VP8 payload")
+    if fourcc == b"VP8X":
+        raise NotImplementedError("extended VP8X container")
+    if fourcc != b"VP8L":
+        raise ValueError(f"unknown WebP chunk {fourcc!r}")
+    chunk_size = struct.unpack_from("<I", data, 16)[0]
+    payload = data[20 : 20 + chunk_size]
+    if len(payload) != chunk_size:
+        raise ValueError("truncated VP8L chunk")
+    if not payload or payload[0] != 0x2F:
+        raise ValueError("missing VP8L signature byte")
+    br = _BitReader(payload, 1)
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    has_alpha = br.read(1)
+    version = br.read(3)
+    if version != 0:
+        raise NotImplementedError(f"VP8L version {version}")
+    if w * h > _MAX_PIXELS:
+        raise NotImplementedError("VP8L image exceeds walk pixel bound")
+
+    pixels = _decode_stream(br, w, h)
 
     return {
         "width": w,
@@ -777,21 +798,26 @@ def _emit_prefix_code(bw: _BitWriter, freqs: dict[int, int],
     return _canonical_codes(lengths)
 
 
-def encode_vp8l_lossless(argb: list[int], w: int, h: int) -> bytes:
+def encode_vp8l_lossless(argb: list[int], w: int, h: int,
+                         headerless: bool = False) -> bytes:
     """Minimal spec-honest VP8L encoder: no transforms, no color
     cache, no meta groups, literal-only pixels under per-channel
     prefix codes (simple or code-length-coded). Output decodes
     identically in this module's decoder AND in libwebp (validated
-    in tests where the system library is present)."""
+    in tests where the system library is present). With
+    ``headerless`` the 5-byte signature/dimension header is omitted
+    and the raw stream bytes are returned — the ALPH-chunk payload
+    form."""
     import collections
     import struct as _struct
 
     bw = _BitWriter()
-    bw.w(0x2F, 8)
-    bw.w(w - 1, 14)
-    bw.w(h - 1, 14)
-    bw.w(1, 1)          # alpha hint
-    bw.w(0, 3)          # version
+    if not headerless:
+        bw.w(0x2F, 8)
+        bw.w(w - 1, 14)
+        bw.w(h - 1, 14)
+        bw.w(1, 1)      # alpha hint
+        bw.w(0, 3)      # version
     bw.w(0, 1)          # no transforms
     bw.w(0, 1)          # no color cache
     bw.w(0, 1)          # no meta prefix groups
@@ -816,6 +842,8 @@ def encode_vp8l_lossless(argb: list[int], w: int, h: int) -> bytes:
         _write_code(bw, codes[2], p & 0xFF)
         _write_code(bw, codes[3], (p >> 24) & 0xFF)
     payload = bw.to_bytes()
+    if headerless:
+        return payload
     chunk = b"VP8L" + _struct.pack("<I", len(payload)) + payload
     if len(payload) & 1:
         chunk += b"\x00"

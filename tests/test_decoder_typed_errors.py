@@ -54,6 +54,7 @@ from pyspark_postgres_loader_spark.operators import (
     vp8,
     warc,
     webp,
+    webpalpha,
     webpanim,
     xzwalk,
     zipwalk,
@@ -200,6 +201,10 @@ _TARGETS = [
      lambda b: g711.decode_wav_g711(b)),
     ("vp8-lossy", lambda: vp8._v8_payload(0),
      lambda b: vp8.decode_vp8(b)),
+    ("webp-alpha", lambda: webpalpha._wx_blob(1),
+     lambda b: webpalpha.walk_webp_alpha(b)),
+    ("webp-alpha-self", lambda: webpalpha._wx_blob(7),
+     lambda b: webpalpha.walk_webp_alpha(b)),
     ("roaring-norun", lambda: roaring._rg_blob(1, "ok"),
      lambda b: roaring.walk_roaring(b)),
 ]
