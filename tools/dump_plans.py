@@ -19,6 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # one representative per family: (query, what SCALE.md claims its plan shows)
 SHOWCASE = [
     ("q1_pricing_summary", "pushdown + column pruning + partial agg"),
+    ("search_rrf_fusion", "two rank-pruned pools; fusion join is |Q|*L"),
+    ("embedding_matryoshka_recall", "one scan explodes the dims axis; "
+                                    "prefix norms once per (vector, dim)"),
     ("q5_local_supplier_volume", "broadcast dimension joins, no sort-merge"),
     ("join_asof_latest_order", "as-of join = union + ONE window shuffle"),
     ("topk_orders_by_price", "top-k compiles to TakeOrderedAndProject"),
