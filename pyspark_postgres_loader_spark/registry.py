@@ -79,7 +79,7 @@ _LOADED = False
 # Round-15 rotation. Entering this round all 274 pre-existing queries
 # are driver-verified with every latest check green; staleness
 # histogram after r14 is {r9:24, r10:50, r11:50, r12:50, r13:50,
-# r14:50}. This window = the 17 round-15 registrations
+# r14:50}. This window = the 18 round-15 registrations
 # (ingest_parquet_zstd_pages / ingest_parquet_lz4_pages — the modern
 # parquet codecs decoded through this repo's own RFC 8878 zstd and
 # raw-LZ4-block decoders via the ONE shared page-decompression
@@ -123,13 +123,17 @@ _LOADED = False
 # 5-100; multimodal_webp_alpha_decode — VP8X+ALPH+VP8: the alpha
 # plane in both compressions and all four prediction filters, the
 # color through the native VP8 decoder — every structurally valid
-# WebP form now decodes natively) + the 24 leftover r9 names
+# WebP form now decodes natively; ingest_zstd_seekable_walk — the
+# zstd seekable shard format: footer-first seek-table parse, every
+# table claim verified against the native decoder, table-only seek
+# probe value-oracled) + the 24 leftover r9 names
 # (exactly the head VERDICT r14 prescribed:
-# skyline_orders_price_date first) + the 9 stalest r10
+# skyline_orders_price_date first) + the 8 stalest r10
 # names (head dedup_substring_overlap, list order) = 50 exactly.
 # After this round the r9 era is fully refreshed and the staleness
-# floor rises to r10(41): the round-16 rotation head is the 41
-# leftover r10 names in list order (ingest_tfrecord_walk,
+# floor rises to r10(42): the round-16 rotation head is the 42
+# leftover r10 names in list order (multimodal_tiff_decode,
+# ingest_tfrecord_walk,
 # ingest_warc_record_walk,
 # dedup_ngram_jaccard,
 # dedup_minhash_lsh, dedup_simhash,
@@ -155,7 +159,7 @@ _LOADED = False
 # r11 names; the rest of the list is the FULL registry in staleness
 # order for drivers that check more than 50 rows.
 _PRIORITY = [
-    # (a) round-15 registrations — never driver-checked (17)
+    # (a) round-15 registrations — never driver-checked (18)
     "ingest_parquet_zstd_pages",
     "ingest_parquet_lz4_pages",
     "ingest_parquet_bss_walk",
@@ -173,6 +177,7 @@ _PRIORITY = [
     "audio_g711_walk",
     "multimodal_webp_lossy_decode",
     "multimodal_webp_alpha_decode",
+    "ingest_zstd_seekable_walk",
     # (b) the r9-checked remainder (24) — stalest greens, six rounds
     # old: skyline/stream/train/tpch names in list order
     "skyline_orders_price_date",
@@ -199,7 +204,7 @@ _PRIORITY = [
     "join_asof_latest_order",
     "join_range_price_band",
     "join_skew_salted_orders",
-    # (c) the r10-checked head (9 of 50) — next-stalest
+    # (c) the r10-checked head (8 of 50) — next-stalest
     "dedup_substring_overlap",
     "sink_async_upsert_final_state",
     "multimodal_jpeg_lossless_decode",
@@ -208,9 +213,9 @@ _PRIORITY = [
     "ingest_gzip_member_walk",
     "ingest_zstd_frame_walk",
     "ingest_tar_member_walk",
+    # --- window boundary (driver checks exactly 50; 18+24+8=50) ---
+    # r10 remainder (42): the round-16 rotation head starts here
     "multimodal_tiff_decode",
-    # --- window boundary (driver checks exactly 50; 17+24+9=50) ---
-    # r10 remainder (41): the round-16 rotation head starts here
     "ingest_tfrecord_walk",
     "ingest_warc_record_walk",
     "dedup_ngram_jaccard",
@@ -556,6 +561,7 @@ def _ensure_loaded() -> None:
         xzwalk,
         zipwalk,
         zstddict,
+        zstdseek,
         zstdfse,
         zstdwalk,
     )

@@ -60,6 +60,7 @@ from pyspark_postgres_loader_spark.operators import (
     zipwalk,
     zstddict,
     zstdfse,
+    zstdseek,
     zstdwalk,
 )
 
@@ -205,6 +206,8 @@ _TARGETS = [
      lambda b: webpalpha.walk_webp_alpha(b)),
     ("webp-alpha-self", lambda: webpalpha._wx_blob(7),
      lambda b: webpalpha.walk_webp_alpha(b)),
+    ("zstd-seekable", lambda: zstdseek._sk_blob(2),
+     lambda b: zstdseek.walk_zstd_seekable(b)),
     ("roaring-norun", lambda: roaring._rg_blob(1, "ok"),
      lambda b: roaring.walk_roaring(b)),
 ]
