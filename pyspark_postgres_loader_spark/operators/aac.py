@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import register
 from ..tables import load_table
+from ..functions.planctl import presentation_sort as _presentation_sort
 from .mp3 import crc16_mp3
 
 # sampling_frequency_index → Hz (13818-7 table; 13..14 reserved,
@@ -342,4 +343,4 @@ def audio_aac_adts_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "channels int, n_frames int, total_samples long, "
             "duration_us long, frame_bytes long, payload_wsum long"
         ),
-    ).orderBy("doc_id")
+    ).transform(_presentation_sort, "doc_id")

@@ -56,6 +56,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import register
 from ..tables import load_table
+from ..functions.planctl import presentation_sort as _presentation_sort
 from .avrowalk import (
     _decode_node,
     _record_fields,
@@ -407,4 +408,4 @@ def ingest_avro_single_object(
             "n_metric long, id_sum long, val_sum long, "
             "name_len_sum long"
         ),
-    ).orderBy("doc_id")
+    ).transform(_presentation_sort, "doc_id")

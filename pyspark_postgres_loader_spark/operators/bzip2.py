@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import register
 from ..tables import load_table
+from ..functions.planctl import presentation_sort as _presentation_sort
 from .oggwalk import ogg_crc
 
 _BLOCK_MAGIC = 0x314159265359
@@ -424,4 +425,4 @@ def ingest_bzip2_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, status string, n_blocks int, "
             "content_len long, content_sum long, wsum long"
         ),
-    ).orderBy("doc_id")
+    ).transform(_presentation_sort, "doc_id")

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import register
 from ..tables import load_table
+from ..functions.planctl import presentation_sort as _presentation_sort
 
 
 class FlacCrcError(ValueError):
@@ -762,7 +763,7 @@ def multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, form string, layout string, status string, "
             "n_samples int, n_channels int, sample_sum long, wsample_sum long"
         ),
-    ).orderBy("doc_id")
+    ).transform(_presentation_sort, "doc_id")
 
 
 # --------------------------------------- spectral features (oracled)
@@ -922,7 +923,7 @@ def audio_spectral_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, status string, bin int, c_sum long, "
             "s_sum long, energy long"
         ),
-    ).orderBy("doc_id", "bin")
+    ).transform(_presentation_sort, "doc_id", "bin")
 
 
 audio_spectral_bins.__doc__ = audio_spectral_bins.__doc__.format(

@@ -52,6 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import register
 from ..tables import load_table
+from ..functions.planctl import presentation_sort as _presentation_sort
 from .avrowalk import encode_long, walk_avro
 from .iceberg import (
     _IC_GROUPS,
@@ -304,4 +305,4 @@ def iceberg_commit_roundtrip(
             "live_rows long, live_bytes long, null_partitions long, "
             "eq_fold int"
         ),
-    ).orderBy("doc_id")
+    ).transform(_presentation_sort, "doc_id")

@@ -46,6 +46,7 @@ from pyspark.sql import types as T
 
 from ..registry import register
 from ..tables import load_table
+from ..functions.planctl import presentation_sort as _presentation_sort
 
 _MODEL_VERSION_FAKE = "hash-projection-v1"
 _DEFAULT_DIM = 16
@@ -314,5 +315,5 @@ def inference_embed_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("bucket").cast("int").alias("bucket"),
             F.col("count_f").cast("long").alias("cnt"),
         )
-        .orderBy("doc_id", "bucket")
+        .transform(_presentation_sort, "doc_id", "bucket")
     )

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import register
 from ..tables import load_table
+from ..functions.planctl import presentation_sort as _presentation_sort
 from .multimodal import (
     _ZIGZAG,
     _BitReader,
@@ -422,4 +423,4 @@ def multimodal_jpeg12_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, status string, width int, height int, "
             "max_sample int, px_sum long, wpx_sum long"
         ),
-    ).orderBy("doc_id")
+    ).transform(_presentation_sort, "doc_id")

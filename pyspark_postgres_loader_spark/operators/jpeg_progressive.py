@@ -642,6 +642,7 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from ..registry import register  # noqa: E402
 from ..tables import load_table  # noqa: E402
 from .multimodal import _YCC_BIAS, real_decode_image  # noqa: E402
+from ..functions.planctl import presentation_sort as _presentation_sort
 
 _PROG_GROUPS = 12
 
@@ -814,7 +815,7 @@ def multimodal_jpeg_progressive_decode(
             "doc_id long, status string, width int, height int, "
             "px_sum long, wpx_sum long"
         ),
-    ).orderBy("doc_id")
+    ).transform(_presentation_sort, "doc_id")
 
 
 # ---------------------------------- progressive + chroma subsampling
@@ -1019,4 +1020,4 @@ def multimodal_jpeg_prog420_decode(spark: SparkSession, sf_dir: str) -> DataFram
             "doc_id long, layout string, status string, width int, "
             "height int, px_sum long, wpx_sum long"
         ),
-    ).orderBy("doc_id")
+    ).transform(_presentation_sort, "doc_id")

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table
+from ..functions.planctl import presentation_sort as _presentation_sort
 
 
 def real_decode_image(payload: bytes):
@@ -2298,7 +2299,7 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, status string, width int, height int, "
             "px_sum long, wpx_sum long"
         ),
-    ).orderBy("doc_id")
+    ).transform(_presentation_sort, "doc_id")
 
 
 @register("multimodal_codec_decode", oracle=_codec_oracle())
@@ -2323,7 +2324,7 @@ def multimodal_codec_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, codec string, status string, width int, "
             "height int, px_sum long, wpx_sum long"
         ),
-    ).orderBy("doc_id")
+    ).transform(_presentation_sort, "doc_id")
 
 
 _JPEG420_GROUPS = 12
@@ -2527,7 +2528,7 @@ def multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, layout string, status string, width int, "
             "height int, px_sum long, wpx_sum long"
         ),
-    ).orderBy("doc_id")
+    ).transform(_presentation_sort, "doc_id")
 
 
 _JPEGR_GROUPS = 12
@@ -2679,4 +2680,4 @@ def multimodal_jpeg_restart_decode(spark: SparkSession, sf_dir: str) -> DataFram
             "doc_id long, status string, width int, height int, ri int, "
             "n_restarts int, px_sum long, wpx_sum long"
         ),
-    ).orderBy("doc_id")
+    ).transform(_presentation_sort, "doc_id")

@@ -59,6 +59,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table
+from ..functions.planctl import presentation_sort as _presentation_sort
 from .inflate import inflate_raw
 from .lz4frame import lz4_decompress_block
 from .snappy import snappy_decompress_block
@@ -1258,7 +1259,7 @@ def ingest_orc_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, status string, n_rows long, a_sum long, "
             "b_sum long, c_sum long, d_sum long, e_sum long"
         ),
-    ).orderBy("doc_id")
+    ).transform(_presentation_sort, "doc_id")
 
 
 # ------------------------------------- nullable (PRESENT) fixture
@@ -1420,7 +1421,7 @@ def ingest_orc_nullable_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, status string, n_rows long, v_nonnull long, "
             "v_sum long, u_nonnull long, u_sum long, w_nonnull long"
         ),
-    ).orderBy("doc_id")
+    ).transform(_presentation_sort, "doc_id")
 
 
 # ------------------------------------------ string columns (r14)

@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import register
 from ..tables import load_table
+from ..functions.planctl import presentation_sort as _presentation_sort
 from .parquetwalk import _decompress, _parse_level_runs, _TReader
 
 # parquet physical types / encodings (parquet.thrift, public)
@@ -496,7 +497,7 @@ def ingest_parquet_v2_delta_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, status string, n_row_groups int, n_pages int, "
             "n_values long, value_sum long, wsum long, str_sum long"
         ),
-    ).orderBy("doc_id")
+    ).transform(_presentation_sort, "doc_id")
 
 
 # -------------------------- DELTA_LENGTH_BYTE_ARRAY (round 15)

@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import register
 from ..tables import load_table
+from ..functions.planctl import presentation_sort as _presentation_sort
 
 _BLK = 512
 
@@ -397,7 +398,7 @@ def ingest_tar_member_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, status string, n_members int, n_samples int, "
             "total_bytes long, content_sum long, wsum long, names_len int"
         ),
-    ).orderBy("doc_id")
+    ).transform(_presentation_sort, "doc_id")
 
 
 # --------------------------------------- pax / long-name oracled query
@@ -655,4 +656,4 @@ def ingest_tar_pax_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_long_names int, names_len long, total_bytes long, "
             "content_sum long, wsum long"
         ),
-    ).orderBy("doc_id")
+    ).transform(_presentation_sort, "doc_id")

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.deterministic import mhash64, sql_mhash64
+from ..functions.planctl import presentation_sort as _presentation_sort
 from ..registry import register
 from ..tables import load_table
 
@@ -898,4 +899,4 @@ def quality_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("len").alias("n_chars_used"),
         simpson_col.alias("simpson_diversity"),
-    ).orderBy("doc_id")
+    ).transform(_presentation_sort, "doc_id")

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table
+from ..functions.planctl import presentation_sort as _presentation_sort
 
 _EOW = "</w>"  # end-of-word marker (Sennrich-style)
 
@@ -434,5 +435,5 @@ def tokenizer_bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         toks.join(serve.select("doc_id", "n_words"), "doc_id")
         .select("doc_id", "n_tokens", "n_words")
-        .orderBy("doc_id")
+        .transform(_presentation_sort, "doc_id")
     )

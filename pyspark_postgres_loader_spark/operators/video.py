@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table
+from ..functions.planctl import presentation_sort as _presentation_sort
 from .multimodal import _decode_jpeg, build_jpeg_grey
 
 
@@ -305,7 +306,7 @@ def multimodal_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, status string, width int, height int, "
             "n_frames int, n_sampled int, px_sum long, wpx_sum long"
         ),
-    ).orderBy("doc_id")
+    ).transform(_presentation_sort, "doc_id")
 
 
 def _frame_hash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

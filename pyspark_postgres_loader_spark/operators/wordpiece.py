@@ -55,6 +55,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table
+from ..functions.planctl import presentation_sort as _presentation_sort
 from .tokenizer import _BPE_MAX_LEN, _BPE_MIN_LEN, _cube_free_sql
 
 _WP_MERGES = 8
@@ -479,4 +480,4 @@ def tokenizer_wordpiece_apply_tokens(
     return docs.mapInPandas(
         run,
         schema="doc_id long, n_words long, n_tokens long, n_unk_words long",
-    ).orderBy("doc_id")
+    ).transform(_presentation_sort, "doc_id")
