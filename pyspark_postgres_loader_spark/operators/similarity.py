@@ -574,10 +574,14 @@ def dedup_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         start=bits[_HP_BAND_BITS],
     )
     sigs = e.select("vec_id", "embedding", b0.alias("b0"), b1.alias("b1"))
+    # three consumers (bucket sizes + both sides of the candidate
+    # self-join) each re-evaluated the 16 decimal dot-product folds
+    # per row; materialize the (vec_id, band, bval) rows once — the
+    # fingerprint-table step of guide §8, ~24 B/row
     buckets = sigs.select(
         "vec_id",
         F.posexplode(F.array("b0", "b1")).alias("band", "bval"),
-    )
+    ).localCheckpoint(eager=True)
     sizes = (
         buckets.groupBy("band", "bval")
         .agg(F.count("*").alias("cnt"))

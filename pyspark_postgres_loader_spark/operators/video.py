@@ -565,11 +565,17 @@ def video_frame_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = d.mapInPandas(
         _nd_hash_batches, schema="doc_id long, frame_idx int, ahash long"
     )
+    # the class table fans out to FIVE consumers (banding ×2 via the
+    # self-join, bucket sizes, and both verify-side stats joins);
+    # without materialization each consumer re-ran the demux+decode+
+    # aHash MapInPandas — the r15 plan audit showed 6 MapInPandas
+    # nodes for one decode. localCheckpoint pins the (tiny, distinct-
+    # hash-sized) class table once; decode now executes exactly once.
     classes = hashed.groupBy("ahash").agg(
         F.count("*").cast("long").alias("n_frames"),
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
         F.min("doc_id").alias("canonical_doc"),
-    )
+    ).localCheckpoint(eager=True)
     band_vals = F.array(
         *[
             F.expr(f"shiftrightunsigned(ahash, {16 * j}) & 65535")
