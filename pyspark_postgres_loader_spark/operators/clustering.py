@@ -461,7 +461,8 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance and norms are computed ONCE; each surviving pair costs one
     zip_with dot product. The cosine doubles are cross-engine
     bit-identical (sequential fold — ``_dot_dec``)."""
-    from .similarity import _cosine, _dot_dec
+    from ..functions.planctl import nondet_keep
+    from .similarity import _dot_dec
 
     final = _kmeans_final_assignment(spark, sf_dir)
     emb = _spread(load_table(spark, sf_dir, "embeddings")).select(
@@ -471,10 +472,19 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # twice, and without truncation each side re-derives the entire
     # k-means DAG (observed: 12 FileScans vs the 10-scan budget — the
     # graph_triangle recompute lesson); after the checkpoint the plan
-    # reads a materialized RDD on both sides
+    # reads a materialized RDD on both sides. The vector NORM is
+    # computed here, once per vector: the r15 plan audit showed the
+    # full 3-fold cosine (dot + both self-dots) inside the join
+    # CONDITION and again in the survivor projection — ~6 array folds
+    # per candidate pair for a quantity that is one fold plus a
+    # divide when norms ride the fingerprint table. sqrt(dot(e,e)) is
+    # the same double either way, so cosine values are bit-identical.
     members = (
         final.select("vec_id", "cluster", "sq_dist")
         .join(emb, "vec_id")
+        .withColumn(
+            "nrm", F.sqrt(_dot_dec(F.col("embedding"), F.col("embedding")))
+        )
         .localCheckpoint(eager=True)
     )
     a = members.select(
@@ -482,17 +492,28 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("va"),
         F.col("sq_dist").alias("da"),
         F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
     )
     b = members.select(
         F.col("cluster"),
         F.col("vec_id").alias("vb"),
         F.col("sq_dist").alias("db"),
         F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
+    # nondet_keep pins the cosine in ONE projection above the join —
+    # without it Catalyst folds the ≥ τ filter into the join condition
+    # and re-evaluates the dot fold per pair there AND in the project
     pairs = (
         a.join(b, ["cluster"])
         .filter(F.col("vb") > F.col("va"))
-        .withColumn("cosine", _cosine(F.col("ea"), F.col("eb")))
+        .withColumn(
+            "cosine",
+            nondet_keep(
+                _dot_dec(F.col("ea"), F.col("eb"))
+                / (F.col("na") * F.col("nb"))
+            ),
+        )
         .filter(F.col("cosine") >= _SEMDEDUP_TAU)
         .select("cluster", "va", "vb", "da", "db", "cosine")
     )

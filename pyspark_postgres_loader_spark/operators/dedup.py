@@ -295,6 +295,28 @@ def _minhash_oracle() -> str:
     """
 
 
+# the (doc_id, band, bucket) rows are the dedup job's stored LSH
+# index: dedup_minhash_lsh AND dedup_lsh_bucket_stats both consume
+# them, and each query re-ran the shingle explode + 32-permutation
+# MinHash aggregation before this memo (the ann_*/unigram substrate
+# pattern — bucket_stats' own docstring promises "no new scan of the
+# corpus", which is only true when the rows are actually shared)
+_LSH_BUCKET_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _lsh_buckets_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .app_cache import app_scoped
+
+    return app_scoped(
+        _LSH_BUCKET_CACHE,
+        spark,
+        (sf_dir, "minhash-buckets"),
+        lambda: _lsh_buckets(
+            _with_shingles(_spread(load_table(spark, sf_dir, "documents")))
+        ),
+    )
+
+
 def _lsh_buckets(sh: DataFrame) -> DataFrame:
     """(doc_id, band, bucket) rows: MinHash(K) signature per doc, then
     one md5-derived bucket hash per band over its signature slice."""
@@ -349,8 +371,11 @@ def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band, bucket) rows the dedup job already computes — no new scan
     of the corpus, no driver-side state.
     """
-    sh = _with_shingles(_spread(load_table(spark, sf_dir, "documents")))
-    sizes = _lsh_buckets(sh).groupBy("band", "bucket").agg(F.count("*").alias("cnt"))
+    sizes = (
+        _lsh_buckets_cached(spark, sf_dir)
+        .groupBy("band", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
     cap = F.lit(_MAX_BUCKET)
     return (
         sizes.groupBy("band")
@@ -381,10 +406,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     on candidates. This is the 100 TB replacement for the O(n²)
     all-pairs scan in ``dedup_ngram_jaccard``.
     """
-    # shingle sets feed three subplans (signatures + two verify joins):
-    # cache so the tokenize/shingle projection runs once
+    # shingle sets feed the two verify joins: cache so the tokenize/
+    # shingle projection runs once; the bucket rows come from the
+    # app-scoped LSH index memo shared with dedup_lsh_bucket_stats
     sh = _with_shingles(_spread(load_table(spark, sf_dir, "documents"))).cache()
-    buckets = _lsh_buckets(sh)
+    buckets = _lsh_buckets_cached(spark, sf_dir)
 
     # candidate pairs: docs sharing a (band, bucket); cap bucket size
     grouped = (

@@ -163,13 +163,24 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.length("t") * 7 + F.ascii(F.substring("t", 1, 1))) % _B)
         .alias("b"),
     )
-    rcounts = bt.groupBy("b").agg(F.count("*").cast("long").alias("rc"))
-    tcounts = (bt.filter("is_t").groupBy("b")
-               .agg(F.count("*").cast("long").alias("tc")))
-    totals = bt.agg(
-        F.sum(F.when(F.col("is_t"), 1).otherwise(0))
+    # tokenize ONCE: rcounts/tcounts/totals/docb all hang off the
+    # exploded token stream, and without a shared materialized
+    # aggregate each ran its own scan+explode of the corpus (4-5
+    # Generate nodes in the r15 plan audit). One (doc_id, is_t, b)
+    # count — docs×64 rows — is materialized and every downstream
+    # statistic is an exact integer sum over it, value-identical.
+    base = (
+        bt.groupBy("doc_id", "is_t", "b")
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    rcounts = base.groupBy("b").agg(F.sum("n").cast("long").alias("rc"))
+    tcounts = (base.filter("is_t").groupBy("b")
+               .agg(F.sum("n").cast("long").alias("tc")))
+    totals = base.agg(
+        F.sum(F.when(F.col("is_t"), F.col("n")).otherwise(0))
         .cast("long").alias("tcnt"),
-        F.count("*").cast("long").alias("rcnt"),
+        F.sum("n").cast("long").alias("rcnt"),
     )
     weights = (
         rcounts.join(tcounts, "b", "left")
@@ -181,8 +192,8 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
              - F.expr(_nll_expr("tc", "tcnt", "spark"))).cast("long").alias("w"),
         )
     )
-    docb = bt.groupBy("doc_id", "b").agg(
-        F.count("*").cast("long").alias("n"))
+    docb = base.groupBy("doc_id", "b").agg(
+        F.sum("n").cast("long").alias("n"))
     scored = (
         d.select("doc_id", "lang")
         .join(

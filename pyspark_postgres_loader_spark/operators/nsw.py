@@ -612,6 +612,10 @@ def ann_recall_hnsw_report(
         F.col("vec_id").alias("qid"), F.col("m").alias("qm")
     )
     w = Window.partitionBy("qid").orderBy("d", "vec_id")
+    # materialize the ground truth ONCE: `exact` feeds both the hit
+    # join and the per-query truth counts, and each consumer re-ran
+    # the O(|Q|·N) brute-force pass + window without this (r15 plan
+    # audit). |Q|·k rows — trivially checkpointable.
     exact = (
         corpus.join(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
@@ -620,6 +624,7 @@ def ann_recall_hnsw_report(
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _NSW_TOPK)
         .select("qid", "vec_id")
+        .localCheckpoint(eager=True)
     )
     hits = (
         exact.join(hnsw, ["qid", "vec_id"])

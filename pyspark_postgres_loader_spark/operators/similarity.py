@@ -892,7 +892,14 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is |Q|·k rows — driver-trivial at any corpus size. Recall is
     integer-count / integer-k: bit-exact cross-engine.
     """
-    bf = ann_bruteforce_topk(spark, sf_dir).select("query_id", "vec_id")
+    # materialize the ground truth ONCE: it feeds both the hit join
+    # and the truth counts, and each consumer re-ran the O(|Q|·N)
+    # brute-force pass without this (r15 plan audit). |Q|·k rows.
+    bf = (
+        ann_bruteforce_topk(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
     ivf = ann_ivf_topk(spark, sf_dir).select("query_id", "vec_id")
     hits = (
         bf.join(ivf, ["query_id", "vec_id"])

@@ -187,7 +187,25 @@ def _with_total(df: DataFrame, col: str, out: str) -> DataFrame:
     return df.crossJoin(F.broadcast(total))
 
 
+# the trained model is a stored artifact served to every consumer
+# (train_scores AND apply_tokens); without the memo the apply query
+# re-ran the full EM chain — the same substrate-rebuild the ann_*
+# family fixed in r15 with app_scoped (VERDICT r14 task 4 pattern)
+_UNIGRAM_MODEL_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _train_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .app_cache import app_scoped
+
+    return app_scoped(
+        _UNIGRAM_MODEL_CACHE,
+        spark,
+        (sf_dir, "unigram-model"),
+        lambda: _train_model_impl(spark, sf_dir),
+    )
+
+
+def _train_model_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seed + _EM integer-EM rounds; returns the FULL final vocabulary
     (piece, p) with milli-scores, localCheckpointed (each round's
     lineage would otherwise nest mapInPandas stages _EM deep)."""
