@@ -174,7 +174,7 @@ def delta_cdf_fold(spark: SparkSession, nv: int) -> DataFrame:
     removes = (
         acts.filter("a.remove IS NOT NULL")
         .select("version", F.col("a.remove.path").alias("path"))
-        .join(adds.select("path", "rows"), "path")
+        .join(F.broadcast(adds.select("path", "rows")), "path")
     )
     per_v_add = adds.groupBy("version").agg(
         F.sum("rows").cast("long").alias("add_rows"))
@@ -202,10 +202,14 @@ def delta_cdf_fold(spark: SparkSession, nv: int) -> DataFrame:
         spark.range(nv)
         .select(F.col("id").alias("version"))
         .filter(F.col("version").between(v_from, v_to))
-        .join(per_v_add, "version", "left")
-        .join(per_v_rm, "version", "left")
-        .join(per_v_cdc, "version", "left")
-        .join(content, "version", "left")
+        # every right side is a version-keyed aggregate of the LOG —
+        # dozens of rows by design, but checkpointed-RDD lineage has no
+        # stats so the planner fell back to sort-merge joins (4 extra
+        # exchanges + sorts in the r15 plan audit); broadcast explicitly
+        .join(F.broadcast(per_v_add), "version", "left")
+        .join(F.broadcast(per_v_rm), "version", "left")
+        .join(F.broadcast(per_v_cdc), "version", "left")
+        .join(F.broadcast(content), "version", "left")
         .na.fill({"add_rows": 0, "rm_rows": 0, "n_cdc_files": 0,
                   "cdc_log_rows": 0, "c_ins": 0, "c_pre": 0,
                   "c_post": 0, "c_del": 0})

@@ -187,8 +187,9 @@ def delta_checkpoint_fold(
     tail = (
         spark.range(cp + 1, n_versions)
         .select(F.col("id").alias("version"))
-        .join(per_v_adds, "version", "left")
-        .join(per_v_rm, "version", "left")
+        # log-sized right sides; broadcast (see deltacdf note)
+        .join(F.broadcast(per_v_adds), "version", "left")
+        .join(F.broadcast(per_v_rm), "version", "left")
         .select(
             "version",
             F.coalesce("n_adds", F.lit(0)).cast("long").alias("n_adds"),

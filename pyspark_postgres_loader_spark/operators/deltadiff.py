@@ -78,8 +78,9 @@ def delta_snapshot_diff(spark: SparkSession, nv: int) -> DataFrame:
     bounds = (
         adds.groupBy("path")
         .agg(F.min("version").alias("ma"), F.max("rows").alias("rows"))
-        .join(removes.groupBy("path").agg(F.min("version").alias("mr")),
-              "path", "left")
+        .join(F.broadcast(
+                  removes.groupBy("path").agg(F.min("version").alias("mr"))),
+              "path", "left")  # log-sized; no stats on checkpointed lineage
     )
     pairs_arr = F.array(*[
         F.struct(

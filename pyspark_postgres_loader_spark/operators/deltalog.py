@@ -167,7 +167,7 @@ def delta_snapshot_stats(
         acts.filter("a.remove IS NOT NULL")
         .select("version", F.col("a.remove.path").alias("path"))
         .join(
-            adds.select("path", "size", "rows"),
+            F.broadcast(adds.select("path", "size", "rows")),
             "path",
         )
     )
@@ -188,9 +188,11 @@ def delta_snapshot_stats(
     base = (
         spark.range(n_versions)
         .select(F.col("id").alias("version"))
-        .join(per_v_adds, "version", "left")
-        .join(per_v_rm, "version", "left")
-        .join(meta_v, "version", "left")
+        # log-sized right sides; broadcast (no stats on checkpointed
+        # lineage -> sort-merge fallback otherwise)
+        .join(F.broadcast(per_v_adds), "version", "left")
+        .join(F.broadcast(per_v_rm), "version", "left")
+        .join(F.broadcast(meta_v), "version", "left")
         .select(
             "version",
             F.coalesce("n_adds", F.lit(0)).cast("long").alias("n_adds"),

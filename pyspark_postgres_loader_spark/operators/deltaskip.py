@@ -125,7 +125,8 @@ def delta_stats_skip_fold(spark: SparkSession, nv: int) -> DataFrame:
     )
     removes = acts.filter("a.remove IS NOT NULL").select(
         F.col("a.remove.path").alias("path"))
-    live = adds.join(removes, "path", "left_anti")
+    # remove set is log-sized; broadcast the anti-join build side
+    live = adds.join(F.broadcast(removes), "path", "left_anti")
     cls = (
         F.when(F.col("s").isNull(), F.lit("no_stats"))
         .when(F.col("s.maxValues.v") < lo, F.lit("skip_low"))
