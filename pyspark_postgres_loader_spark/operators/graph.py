@@ -19,13 +19,16 @@ rank scale 10^6 that is a 10^-4 relative error, far below any ranking
 decision, and (unlike float error) the SAME error in both engines.
 
 Scale notes (100 TB design):
-- Per iteration: ONE equi-join of the edge list with the current rank
-  vector on ``u`` (both sides hash-partitioned on u; pre-partitioning /
-  bucketing the edge list by u makes every iteration's join
-  shuffle-free on the edge side — the big side never re-shuffles), then
-  ONE groupBy(v) aggregation. Degree rides along in the edge list
-  (joined once up front, materialized via ``localCheckpoint``), so the
-  iteration body is join + agg, nothing else.
+- Per iteration: the per-node contribution ``(pr*85) div (deg*100)``
+  is computed on the |V|-sized rank⋈deg table first (division |V|
+  times, not |E| times), then attached to the deg-free edge list and
+  summed with ONE groupBy(v) aggregation. Here the contribution
+  table is customer+supplier-sized (dimension class) and is
+  broadcast, so the edge list never shuffles; on a graph whose
+  vertex set outgrows broadcast limits, drop the hint and
+  pre-partition/bucket the edge list by ``u`` — the join then
+  shuffles only the |V|-sized contribution vector, never the edges
+  (the same decide-on-small-rows split either way).
 - Rank vectors are O(|V|) — orders of magnitude smaller than edges;
   they are the only thing that re-shuffles each round.
 - Celebrity nodes (huge in-degree) skew the groupBy(v); AQE skew-join
@@ -113,17 +116,26 @@ def graph_pagerank_custsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.unionByName(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    deg = edges.groupBy("u").agg(F.count("*").alias("deg"))
-    # degree rides along with every edge so the iteration body joins
-    # ONE table with the rank vector; materialize it once
-    edges_deg = edges.join(deg, "u").localCheckpoint()
+    # r15 restructure (A/B-measured 4.63 s → 2.28 s at sf0.1, ranks
+    # bit-identical): compute the per-node contribution
+    # (pr*85) div (deg*100) on the |V|-sized rank⋈deg table FIRST and
+    # broadcast it to a deg-free edge list, instead of joining the
+    # rank vector onto a degree-annotated edge list. The division
+    # runs |V| times instead of |E| times, the checkpointed edge
+    # table drops a column, and the per-iteration join is an explicit
+    # broadcast (checkpointed lineage has no stats, so the planner
+    # was falling back to a shuffle join of the edge list each
+    # round). Per-u values are identical, so the per-edge sums are
+    # identical — exact integer arithmetic end to end.
+    e_cp = edges.localCheckpoint()
+    deg = e_cp.groupBy("u").agg(F.count("*").alias("deg")).localCheckpoint()
 
     rank = deg.select("u", F.lit(_PR_INIT).cast("long").alias("pr"))
     for i in range(_PR_ITERS):
-        contrib = edges_deg.join(rank, "u").select(
-            F.col("v"),
-            F.expr("(pr * 85) div (deg * 100)").alias("c"),
+        cu = rank.join(deg, "u").select(
+            "u", F.expr("(pr * 85) div (deg * 100)").alias("c")
         )
+        contrib = e_cp.join(F.broadcast(cu), "u").select("v", "c")
         rank = contrib.groupBy(F.col("v").alias("u")).agg(
             (F.lit(_PR_BASE) + F.sum("c")).cast("long").alias("pr")
         )

@@ -26,21 +26,27 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
+# formatted-mode plans list every node once as a details header
+# "(<id>) <NodeName>"; count those (tree lines would double-count and
+# carry suffixes like "SortMergeJoin Inner" that word-boundary
+# patterns miss — the r15 first pass undercounted SMJs exactly so)
 _PATTERNS = {
-    "exchange": re.compile(r"\bExchange (hash|range|Single|RoundRobin)"),
-    "sort_merge_join": re.compile(r"\bSortMergeJoin\b"),
-    "shuffled_hash_join": re.compile(r"\bShuffledHashJoin\b"),
-    "broadcast_hash_join": re.compile(r"\bBroadcastHashJoin\b"),
-    "bnl_join": re.compile(r"\bBroadcastNestedLoopJoin\b"),
-    "cartesian": re.compile(r"\bCartesianProduct\b"),
-    "batch_eval_python": re.compile(r"\bBatchEvalPython\b"),
-    "arrow_eval_python": re.compile(r"\bArrowEvalPython\b"),
-    "map_in_pandas": re.compile(r"\b(MapInPandas|PythonMapInArrow|MapInArrow)\b"),
-    "flatmap_groups": re.compile(r"\bFlatMapGroupsInPandas\b"),
-    "file_scan": re.compile(r"\bScan parquet\b|\bFileScan\b"),
-    "sort": re.compile(r"^\s*[:+\- ]*\*?\(?\d*\)?\s*Sort\b", re.M),
-    "window": re.compile(r"\bWindow\b"),
-    "rdd_scan": re.compile(r"\bScan ExistingRDD\b"),
+    "exchange": re.compile(r"^\(\d+\) Exchange\b", re.M),
+    "sort_merge_join": re.compile(r"^\(\d+\) SortMergeJoin\b", re.M),
+    "shuffled_hash_join": re.compile(r"^\(\d+\) ShuffledHashJoin\b", re.M),
+    "broadcast_hash_join": re.compile(r"^\(\d+\) BroadcastHashJoin\b", re.M),
+    "bnl_join": re.compile(r"^\(\d+\) BroadcastNestedLoopJoin\b", re.M),
+    "cartesian": re.compile(r"^\(\d+\) CartesianProduct\b", re.M),
+    "batch_eval_python": re.compile(r"^\(\d+\) BatchEvalPython\b", re.M),
+    "arrow_eval_python": re.compile(r"^\(\d+\) ArrowEvalPython\b", re.M),
+    "map_in_pandas": re.compile(
+        r"^\(\d+\) (MapInPandas|PythonMapInArrow|MapInArrow)\b", re.M
+    ),
+    "flatmap_groups": re.compile(r"^\(\d+\) FlatMapGroupsInPandas\b", re.M),
+    "file_scan": re.compile(r"^\(\d+\) Scan parquet\b", re.M),
+    "sort": re.compile(r"^\(\d+\) Sort\b", re.M),
+    "window": re.compile(r"^\(\d+\) Window\b", re.M),
+    "rdd_scan": re.compile(r"^\(\d+\) Scan ExistingRDD\b", re.M),
 }
 
 
