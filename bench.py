@@ -266,6 +266,7 @@ def _stream_family_pass(
     )
     iso = json.loads(proc.stdout.strip().rsplit("\n", 1)[-1])
     timings = {n: float(iso[n]) for n in names if n in iso}
+    stream_phases = iso.get("_stream_phases", {})
     # attribution vs the LAST recorded round at this sf: >1 means the
     # old in-suite number was inflated by suite context (the drift
     # this pass removes); ~1 means the in-suite run was already clean
@@ -289,6 +290,16 @@ def _stream_family_pass(
             "crowding); VERDICT r12 task 2"
         ),
         "queries": {n: round(t, 3) for n, t in timings.items()},
+        "phase_attribution": {
+            "note": (
+                "per-query split of the BEST timed pass: start_sec = "
+                "stream start (trigger/source setup, offset-log dir), "
+                "await_sec = microbatch execution; trigger_execution/"
+                "add_batch/offset_log/state_commit ms come from Spark's "
+                "own progress events (VERDICT r15 task 4)"
+            ),
+            "queries": stream_phases,
+        },
         "last_recorded_vs_fresh_ratio": ratios,
         "ratio_definition": (
             "last_recorded_insuite / fresh_jvm (>1 = the recorded "
@@ -331,16 +342,28 @@ def _isolated_child(names: list[str]) -> None:
     for name in names:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     out: dict[str, float] = {}
+    # per-query stream phase attribution (VERDICT r15 task 4): slice
+    # windows.PHASE_LOG by the records each timed min-pass appends
+    from pyspark_postgres_loader_spark.streaming import windows as _w
+
+    phases: dict[str, list] = {}
     for name in names:
         best = float("inf")
         for _ in range(3):
+            mark = len(_w.PHASE_LOG)
             start = time.perf_counter()
             queries[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            best = min(best, time.perf_counter() - start)
+            elapsed = time.perf_counter() - start
+            if elapsed < best:
+                best = elapsed
+                if len(_w.PHASE_LOG) > mark:
+                    phases[name] = _w.PHASE_LOG[mark:]
         out[name] = round(best, 3)
     spark.stop()
+    if phases:
+        out["_stream_phases"] = phases  # filtered out of timings by name
     print(json.dumps(out, separators=(",", ":")), flush=True)
 
 
@@ -540,6 +563,26 @@ def main() -> None:
 
     _append_history(history, timings, sf)
 
+    # substrate-build attribution (VERDICT r15 task 5): app-scoped memos
+    # (LSH index, unigram model, ann substrates) are built on the UNTIMED
+    # warmup pass, so the timed passes of their consumer queries measure
+    # a checkpoint read — the build seconds are recorded here so those
+    # numbers stay interpretable. Additions-only: headline unchanged.
+    try:
+        from pyspark_postgres_loader_spark.operators.app_cache import BUILD_LOG
+
+        substrates = {
+            "note": (
+                "per-substrate eager-build seconds (most recent build in "
+                "this process; builds happen on the untimed warmup pass, "
+                "so consumer-query timings below exclude them)"
+            ),
+            "build_sec": dict(sorted(BUILD_LOG.items())),
+            "build_total_sec": round(sum(BUILD_LOG.values()), 3),
+        }
+    except Exception as exc:  # noqa: BLE001
+        substrates = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+
     try:
         skew = _skew_bench(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001
@@ -610,6 +653,7 @@ def main() -> None:
         "queries": timings,
         "contract_queries": contract,
         "contract_queries_sec": round(sum(timings[n] for n in contract), 3),
+        "substrates": substrates,
         "skew_mitigation": skew,
         "hll_envelope": hll,
         "isolated_top10": isolated,

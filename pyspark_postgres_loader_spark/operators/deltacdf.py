@@ -58,6 +58,8 @@ from .deltalog import (
     _ROWS_A,
     _ROWS_B,
     delta_log_lines,
+    file_hint,
+    n_lattice_adds,
 )
 
 _CDF_SCHEMA = (
@@ -170,11 +172,13 @@ def delta_cdf_fold(spark: SparkSession, nv: int) -> DataFrame:
         F.col("a.add.path").alias("path"),
         F.col("a.add.numRecords").alias("rows"),
     )
-    # remove actions carry no stats (per protocol): resolve by path
+    # remove actions carry no stats (per protocol): resolve by path.
+    # Per-FILE rows, so the broadcast is gated on the known lattice
+    # file count (r15 ADVICE) — see deltalog.file_hint.
     removes = (
         acts.filter("a.remove IS NOT NULL")
         .select("version", F.col("a.remove.path").alias("path"))
-        .join(F.broadcast(adds.select("path", "rows")), "path")
+        .join(file_hint(adds.select("path", "rows"), n_lattice_adds(nv)), "path")
     )
     per_v_add = adds.groupBy("version").agg(
         F.sum("rows").cast("long").alias("add_rows"))

@@ -45,6 +45,8 @@ from .deltalog import (
     _ROWS_A,
     _ROWS_B,
     delta_log_lines,
+    file_hint,
+    n_lattice_adds,
 )
 
 
@@ -78,9 +80,10 @@ def delta_snapshot_diff(spark: SparkSession, nv: int) -> DataFrame:
     bounds = (
         adds.groupBy("path")
         .agg(F.min("version").alias("ma"), F.max("rows").alias("rows"))
-        .join(F.broadcast(
-                  removes.groupBy("path").agg(F.min("version").alias("mr"))),
-              "path", "left")  # log-sized; no stats on checkpointed lineage
+        .join(file_hint(  # per-FILE remove bounds: gate on file count
+                  removes.groupBy("path").agg(F.min("version").alias("mr")),
+                  n_lattice_adds(nv)),  # removes ≤ adds, always
+              "path", "left")  # no stats on checkpointed lineage
     )
     pairs_arr = F.array(*[
         F.struct(

@@ -58,6 +58,27 @@ def _n_versions(n_docs: int) -> int:
     return 10 + n_docs // 25
 
 
+# r15 ADVICE: unlike the version-keyed aggregates (dozens of rows by
+# design, unconditionally broadcast below), the per-FILE add-action set
+# scales with TABLE FILE COUNT — a real Delta log can carry millions of
+# add actions, and an unconditional broadcast hint disables Spark's
+# size check and can OOM the driver. The lattice's add count is known
+# in closed form at build time (3 at v0 + 2 per later version), so the
+# hint is gated on it; past the cap the join degrades to a plain
+# shuffle join, which is the correct plan at that scale anyway.
+_BCAST_MAX_ADD_FILES = 100_000  # ≈ a few MB of (path, size, rows) rows
+
+
+def n_lattice_adds(n_versions: int) -> int:
+    """Closed-form add-action count of the synthesized lattice."""
+    return 3 + 2 * max(n_versions - 1, 0)
+
+
+def file_hint(df: DataFrame, n_files: int) -> DataFrame:
+    """Broadcast a per-file action table only under the file-count cap."""
+    return F.broadcast(df) if n_files <= _BCAST_MAX_ADD_FILES else df
+
+
 def _file_adds(spark: SparkSession, n_versions: int) -> DataFrame:
     """(version, fid) add actions of the lattice."""
     v = spark.range(n_versions).select(F.col("id").alias("version"))
@@ -167,7 +188,10 @@ def delta_snapshot_stats(
         acts.filter("a.remove IS NOT NULL")
         .select("version", F.col("a.remove.path").alias("path"))
         .join(
-            F.broadcast(adds.select("path", "size", "rows")),
+            file_hint(
+                adds.select("path", "size", "rows"),
+                n_lattice_adds(n_versions),
+            ),
             "path",
         )
     )

@@ -42,7 +42,14 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load_table
-from .deltalog import _n_versions, _ROWS_A, _ROWS_B, _file_adds
+from .deltalog import (
+    _n_versions,
+    _ROWS_A,
+    _ROWS_B,
+    _file_adds,
+    file_hint,
+    n_lattice_adds,
+)
 
 _STATS_SCHEMA = (
     "struct<numRecords: bigint, "
@@ -125,8 +132,9 @@ def delta_stats_skip_fold(spark: SparkSession, nv: int) -> DataFrame:
     )
     removes = acts.filter("a.remove IS NOT NULL").select(
         F.col("a.remove.path").alias("path"))
-    # remove set is log-sized; broadcast the anti-join build side
-    live = adds.join(F.broadcast(removes), "path", "left_anti")
+    # the remove set is per-FILE (removes ≤ adds): broadcast the
+    # anti-join build side only under the file-count gate (r15 ADVICE)
+    live = adds.join(file_hint(removes, n_lattice_adds(nv)), "path", "left_anti")
     cls = (
         F.when(F.col("s").isNull(), F.lit("no_stats"))
         .when(F.col("s.maxValues.v") < lo, F.lit("skip_low"))

@@ -169,24 +169,43 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared-agg + localCheckpoint — the materialization job plus the
     # stats-free RDD scan demoting downstream broadcasts cost more
     # than the duplicate explode passes, which run concurrently on
-    # idle cores). Kept in the original form deliberately.
-    rcounts = bt.groupBy("b").agg(F.count("*").cast("long").alias("rc"))
-    tcounts = (bt.filter("is_t").groupBy("b")
-               .agg(F.count("*").cast("long").alias("tc")))
-    totals = bt.agg(
+    # idle cores). Kept un-materialized deliberately.
+    #
+    # r16: the three WEIGHT-side aggregates (rcounts, tcounts, totals)
+    # are all derivable from ONE 64-row groupBy("b") pass with a
+    # conditional sum — rc per bucket, tc per bucket
+    # (sum(is_t) ≡ the filtered count, 0 where the filter emptied the
+    # bucket ≡ the old left-join + na.fill), and the totals as sums of
+    # the 64-row result (exact integers, order-free). The explode now
+    # runs twice per query (weights + docb) instead of four times —
+    # guide §2.4 (share one pass), with NO grain change and NO
+    # materialization, so the r15 rejection's failure mode (stats-free
+    # checkpoint demoting broadcasts) does not apply. A/B at sf0.1
+    # isolated min-of-3: 3.05 s → 3.09 s — LOCALLY FLAT, because the
+    # duplicate explode passes ran concurrently on idle cores (the
+    # same effect behind the r15 rejection); kept anyway because the
+    # plan evidence is 4 Generate subtrees → 2 (each a full pass over
+    # document text at scale, where aggregate scan throughput — not
+    # idle-core latency — is the budget), and the change is free
+    # locally.
+    wcounts = bt.groupBy("b").agg(
+        F.count("*").cast("long").alias("rc"),
         F.sum(F.when(F.col("is_t"), 1).otherwise(0))
-        .cast("long").alias("tcnt"),
-        F.count("*").cast("long").alias("rcnt"),
+        .cast("long").alias("tc"),
     )
-    weights = (
-        rcounts.join(tcounts, "b", "left")
-        .na.fill({"tc": 0})
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "b",
-            (F.expr(_nll_expr("rc", "rcnt", "spark"))
-             - F.expr(_nll_expr("tc", "tcnt", "spark"))).cast("long").alias("w"),
-        )
+    # totals ride a global window over the SAME 64-row aggregate (an
+    # agg + crossJoin would re-instantiate — and re-execute — the
+    # wcounts explode subtree a second time); a single-partition
+    # window over 64 rows is free, and the sums are exact integers
+    w_all = Window.partitionBy()
+    weights = wcounts.select(
+        "b", "rc", "tc",
+        F.sum("tc").over(w_all).cast("long").alias("tcnt"),
+        F.sum("rc").over(w_all).cast("long").alias("rcnt"),
+    ).select(
+        "b",
+        (F.expr(_nll_expr("rc", "rcnt", "spark"))
+         - F.expr(_nll_expr("tc", "tcnt", "spark"))).cast("long").alias("w"),
     )
     docb = bt.groupBy("doc_id", "b").agg(
         F.count("*").cast("long").alias("n"))

@@ -202,11 +202,27 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in _PROFILE_COLS:
         aggs += [
             F.count(c).alias(f"nn_{c}"),
-            F.countDistinct(c).alias(f"nd_{c}"),
             F.min(c).cast("string").alias(f"mn_{c}"),
             F.max(c).cast("string").alias(f"mx_{c}"),
         ]
+    # r16 restructure (same values): five countDistincts in one agg made
+    # Spark's distinct-rewrite EXPAND every row 6× and push the var-len
+    # min/max buffers into a Sort+SortAggregate chain over the expanded
+    # rows (r15 plan audit: Expand + 3 Sorts + 4 SortAggregates). The
+    # non-distinct statistics need no expansion — they stay in one
+    # 1-row aggregate — and each exact distinct count runs as its own
+    # two-level codegen hash aggregate over just its column (no Expand,
+    # no object buffers), reassembled by 1-row broadcast crossJoins.
+    # Scan count rises to 6, but each scan prunes to a single column of
+    # a columnar file — at 100 TB the 6× row expansion through a sort
+    # is the scale-killer, not the extra column-pruned scans (guide
+    # §2.3/§6). The five distinct subtrees execute as independent
+    # broadcast jobs, overlapping on idle cores (guide §2.6).
     one = o.agg(*aggs)
+    for c in _PROFILE_COLS:
+        one = one.crossJoin(
+            F.broadcast(o.agg(F.countDistinct(c).alias(f"nd_{c}")))
+        )
     stack_args = ", ".join(
         f"'{c}', n_rows - nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in _PROFILE_COLS
     )

@@ -298,14 +298,39 @@ def graph_triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    ok = base.groupBy("c").agg(F.count("*").alias("deg")).filter(
-        F.col("deg") <= _TRI_MAX_DEG
-    ).select("c")
-    kept = base.join(ok, "c")
-    a, b = kept.alias("a"), kept.alias("b")
+    # r16 restructure (VERDICT task 8; same pair multiset, same edges):
+    # the r15 shape replayed `base` THREE times (degree aggregate +
+    # both sides of the c-keyed pair self-join — the consumers pruned
+    # different columns, so no two subtrees canonicalized equal and
+    # exchange reuse never fired) and shuffled the incidence list
+    # twice more for the join. Pair generation per customer needs only
+    # that customer's supplier set, so collect it ONCE per c (the
+    # degree cap is size(set) — same ≤ {d} filter), and emit the
+    # ordered pairs with a codegen combinations expression instead of
+    # a join: one execution of base, one exchange on c, no self-join
+    # shuffle, fan-out bounded by the same deg² cap (guide §2.4).
+    # A/B at sf0.1 (isolated min-of-3): r15 join shape 2.92 s → 2.12 s
+    # (and the first attempt WITHOUT the explicit repartition below
+    # measured 5.65 s — see the AQE-coalescing note).
+    ss = (
+        base.groupBy("c")
+        .agg(F.sort_array(F.collect_set("s")).alias("ss"))
+        .filter(F.size("ss") <= _TRI_MAX_DEG)
+        # explicit round-robin spread before the deg²-fan-out explode:
+        # the per-customer supplier sets are tiny, so AQE's partition
+        # coalescing otherwise folds the groupBy exchange to ONE
+        # partition and the whole pair explode runs serially (measured
+        # 5.65 s vs 2.39 s at sf0.1). The count tracks
+        # defaultParallelism — scale-adaptive, not a local constant.
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    pair_arr = F.expr(
+        "flatten(transform(ss, (x, i) -> "
+        "transform(slice(ss, i + 2, size(ss)), y -> struct(x AS u, y AS v))))"
+    )
     edges = (
-        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        ss.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .agg(F.count("*").alias("n_shared"))
         .orderBy(F.desc("n_shared"), "u", "v")
         .limit(_TRI_TOP_EDGES)
@@ -313,7 +338,7 @@ def graph_triangle_count_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
         # The strong-tie edge set is consumed FIVE times below (e1/e2/e3,
         # the node union, the edge count); without materialization every
         # consumer replays the full pair-support pipeline (lineitem⋈orders
-        # → distinct → degree-cap → self-join → groupBy → top-k).
+        # → distinct → degree-cap → pair explode → groupBy → top-k).
         # localCheckpoint pins the 300-row result once — same pattern as
         # PageRank's edges_deg above.
         .localCheckpoint()

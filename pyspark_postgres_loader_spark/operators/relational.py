@@ -746,28 +746,41 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     its wall time reads as harness cost, not production cost.
     """
     l = _t(spark, sf_dir, "lineitem")
+    # r16 restructure (same values, one plan defect removed): mixing the
+    # DISTINCT count with the percentile aggregates in ONE agg made
+    # Spark's distinct-rewrite group the percentile OBJECT BUFFERS by
+    # l_partkey — the r15 plan audit shows 4 ObjectHashAggregates with
+    # the first exchange shuffling a per-partkey percentile buffer (the
+    # whole price multiset as serialized objects, keyed 20k ways).
+    # Split the two sides: the partkey side dedups first (countDistinct
+    # ≡ count over the distinct keys, and the HLL sketch is insertion-
+    # idempotent so approx_count_distinct over the deduped keys is the
+    # SAME sketch → same estimate), the price side aggregates globally
+    # with no grouping. Both sides are 1-row; crossJoin reassembles.
+    # Guide §2.3 (shuffle fewer bytes: longs instead of object buffers).
+    dk = l.select("l_partkey").where(F.col("l_partkey").isNotNull()).distinct()
     approx_parts = F.approx_count_distinct("l_partkey")
-    exact_parts = F.countDistinct("l_partkey")
+    exact_parts = F.count("*").cast("long")
+    parts = dk.agg(
+        exact_parts.alias("exact_parts"),
+        (
+            F.abs(approx_parts.cast("double") - exact_parts.cast("double"))
+            / exact_parts.cast("double")
+            <= 0.15
+        ).alias("approx_parts_ok"),
+    )
     # one value-buffer for all three exact quantiles (see
     # agg_percentiles_by_status for why the array form matters)
     ps = F.expr("percentile(l_extendedprice, array(0.49, 0.5, 0.51))")
-    return (
-        l.agg(
-            exact_parts.alias("exact_parts"),
-            (
-                F.abs(approx_parts.cast("double") - exact_parts.cast("double"))
-                / exact_parts.cast("double")
-                <= 0.15
-            ).alias("approx_parts_ok"),
-            ps.alias("ps"),
-            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("am"),
-        )
-        .select(
-            "exact_parts",
-            "approx_parts_ok",
-            F.col("ps")[1].alias("exact_median_price"),
-            F.col("am").between(F.col("ps")[0], F.col("ps")[2]).alias("approx_median_ok"),
-        )
+    prices = l.agg(
+        ps.alias("ps"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("am"),
+    )
+    return parts.crossJoin(F.broadcast(prices)).select(
+        "exact_parts",
+        "approx_parts_ok",
+        F.col("ps")[1].alias("exact_median_price"),
+        F.col("am").between(F.col("ps")[0], F.col("ps")[2]).alias("approx_median_ok"),
     )
 
 

