@@ -253,7 +253,7 @@ def _nsw_adj(
     from .app_cache import app_scoped
 
     return app_scoped(
-        _GRAPH_CACHE, spark, (sf_dir, members_mod, hub),
+        _GRAPH_CACHE, spark, (sf_dir, "nsw-graph", members_mod, hub),
         lambda: nsw_graph(
             spark, sf_dir, corpus, members_mod=members_mod, hub=hub
         ),

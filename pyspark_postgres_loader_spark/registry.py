@@ -76,150 +76,102 @@ _LOADED = False
 # order and records correctness for a bounded prefix (exactly 50
 # rows/round — CORRECTNESS_r04/r05 confirmed the window is _PRIORITY[:50]).
 #
-# Round-15 rotation. Entering this round all 274 pre-existing queries
-# are driver-verified with every latest check green; staleness
-# histogram after r14 is {r9:24, r10:50, r11:50, r12:50, r13:50,
-# r14:50}. This window = the 18 round-15 registrations
-# (ingest_parquet_zstd_pages / ingest_parquet_lz4_pages — the modern
-# parquet codecs decoded through this repo's own RFC 8878 zstd and
-# raw-LZ4-block decoders via the ONE shared page-decompression
-# switch, levels rotated, typed CRC/structural/dispatch verdicts;
-# ingest_parquet_bss_walk — BYTE_STREAM_SPLIT float32/float64/
-# float16(FLBA) with the v2 def-level weave and an INT64-BSS typed
-# boundary; ingest_parquet_dlba_walk — DELTA_LENGTH_BYTE_ARRAY
-# strings (one DBP length run + concatenated bytes);
-# ingest_orc_map_walk — ORC MAP as PRESENT + LENGTH with key/value
-# children woven over concatenated entries, keys through the shared
-# DIRECT_V2/DICTIONARY_V2 string machinery; ingest_orc_struct_walk —
-# STRUCT fields as ordinary child columns over struct-present rows
-# with their own null weave; ingest_orc_union_walk — UNION as a
-# byte-RLE tag stream demuxing per-variant child columns, the last
-# compound kind; multimodal_jpeg_arith_decode — T.81
-# Annex D QM arithmetic JPEG routed through the shared image
-# dispatcher, verified by Huffman-pixel equivalence;
-# ann_recall_hnsw_report — the graph path's recall vs an exact
-# integer-micro ground truth, fully value-oracled;
-# ingest_parquet_legacy_walk — the pre-2.6 layouts a decade of
-# Hive/Spark lakes contain: INT96 timestamps (Julian day +
-# nanos-of-day), FLBA big-endian decimals at widths 4/8, PLAIN
-# bit-packed BOOLEAN, v1 pages with RLE def-levels and CRC;
-# search_rrf_fusion — BM25 keyword top-L + embedding-cosine top-L
-# fused by Reciprocal Rank Fusion with integer-micro quantized
-# contributions; embedding_matryoshka_recall — recall@k of
-# prefix-truncated retrieval vs the full-dim ground truth at dims
-# 8/16/32/64, matched prefix folds, d=64 pinned at recall 1.0;
-# multimodal_webp_lossless_decode — native VP8L: canonical prefix
-# codes, color cache, LZ77 2D distances, meta groups, all four
-# transforms, validated pixel-exact against libwebp both ways;
-# multimodal_webp_anim_walk — VP8X/ANIM/ANMF animated-WebP
-# container walk with every lossless frame decoded and an ANMF/VP8L
-# dimension cross-check; audio_g711_walk — µ-law/A-law telephony
-# decode, both companders pinned against audioop over all 256 bytes
-# and the ENTIRE decode replayed as integer SQL;
-# multimodal_webp_lossy_decode — native VP8 keyframe: boolean
-# arithmetic coder, contexted token trees, segmentation,
-# dequant/IWHT/IDCT, all intra predictors and the normal loop
-# filter, validated pixel-exact against libwebp's YUV at qualities
-# 5-100; multimodal_webp_alpha_decode — VP8X+ALPH+VP8: the alpha
-# plane in both compressions and all four prediction filters, the
-# color through the native VP8 decoder — every structurally valid
-# WebP form now decodes natively; ingest_zstd_seekable_walk — the
-# zstd seekable shard format: footer-first seek-table parse, every
-# table claim verified against the native decoder, table-only seek
-# probe value-oracled) + the 24 leftover r9 names
-# (exactly the head VERDICT r14 prescribed:
-# skyline_orders_price_date first) + the 8 stalest r10
-# names (head dedup_substring_overlap, list order) = 50 exactly.
-# After this round the r9 era is fully refreshed and the staleness
-# floor rises to r10(42): the round-16 rotation head is the 42
-# leftover r10 names in list order (multimodal_tiff_decode,
-# ingest_tfrecord_walk,
-# ingest_warc_record_walk,
-# dedup_ngram_jaccard,
-# dedup_minhash_lsh, dedup_simhash,
-# contamination_bloom_prefilter,
-# dedup_connected_components, train_user_event_sequences,
-# quality_winsorize_doclen,
-# basket_part_pair_lift,
-# agg_histogram_equidepth,
-# attribution_linear_touch,
-# arrow_grouped_value_stats,
-# graph_triangle_count_suppliers, rollup_hll_mergeable, ann_ivf_topk,
-# sim_cosine_pairs, multimodal_payload_stats,
-# dedup_exact_fingerprint, dedup_distinct_user_event,
-# dedup_latest_event_per_user_type, ann_bruteforce_topk,
-# sim_label_envelope, dedup_embedding_cosine,
-# json_props_by_event_type, json_from_json_struct, json_map_explode,
-# multimodal_decode_meta, multimodal_frame_sample,
-# multimodal_resize, multimodal_feature_extract,
-# agg_approx_sketches, scalar_higher_order_array,
-# sample_uniform_docs, sample_stratified_by_lang, text_token_stats,
-# text_quality_score, text_lang_id, text_fingerprint,
-# text_rolling_hash, pipeline_clean_corpus) followed by the stalest
-# r11 names; the rest of the list is the FULL registry in staleness
-# order for drivers that check more than 50 rows.
+# Round-16 rotation (VERDICT r15 task 2). Round 15 touched 68 queries
+# but its driver window covered only 3 of them
+# (ingest_gzip_member_walk, tokenizer_unigram_train_scores/
+# _apply_tokens — all green); the other 65 rested on builder-side
+# sf0.01 re-verification. This window therefore leads with the
+# semantics-touching r15 rewrites VERDICT named — the
+# dedup_semantic_cluster nondet_keep cosine, the PageRank
+# restructure, all six delta-family broadcast queries, the two LSH
+# memo queries and the r15 fan-out pins (dedup_hyperplane_lsh,
+# video_frame_banded_neardup, both reshaped again this round) —
+# followed by the four round-16 restructures
+# (graph_triangle_count_suppliers pair-generation,
+# agg_approx_sketches distinct/percentile split,
+# profile_orders_columns de-Expand, corpus_dsir_select shared weight
+# pass) and a 34-name spread of the r15 staged-presentation-sort
+# decode walks covering every touched family (ingest, multimodal,
+# audio, iceberg, tokenizer-apply, quality, inference). 12+4+34 = 50.
+# The 16 leftover touched walk names sit immediately after the
+# boundary for drivers that check more than 50; then the prior
+# staleness order (r10..r14 eras) continues unchanged, and the 50
+# names round 15's driver just verified — the freshest greens — are
+# checked last.
 _PRIORITY = [
-    # (a) round-15 registrations — never driver-checked (18)
-    "ingest_parquet_zstd_pages",
-    "ingest_parquet_lz4_pages",
-    "ingest_parquet_bss_walk",
-    "ingest_parquet_dlba_walk",
-    "ingest_orc_map_walk",
-    "ingest_orc_struct_walk",
-    "ingest_orc_union_walk",
-    "multimodal_jpeg_arith_decode",
-    "ann_recall_hnsw_report",
-    "ingest_parquet_legacy_walk",
-    "search_rrf_fusion",
-    "embedding_matryoshka_recall",
-    "multimodal_webp_lossless_decode",
-    "multimodal_webp_anim_walk",
-    "audio_g711_walk",
-    "multimodal_webp_lossy_decode",
-    "multimodal_webp_alpha_decode",
-    "ingest_zstd_seekable_walk",
-    # (b) the r9-checked remainder (24) — stalest greens, six rounds
-    # old: skyline/stream/train/tpch names in list order
-    "skyline_orders_price_date",
-    "concurrency_gauge_hourly",
-    "anomaly_mad_robust",
-    "profile_orders_columns",
-    "stream_upsert_incremental",
-    "stream_dedup_exactly_once",
-    "train_global_shuffle",
-    "embedding_gram_matrix",
-    "hierarchy_recursive_cte",
-    "scalar_try_ansi_safe",
-    "stream_late_data_drop",
-    "repair_impute_group_median",
-    "trend_value_slope_per_user",
-    "ingest_schema_evolution_merge",
-    "dedup_prefix_containment",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q4_order_priority_exists",
-    "q17_small_quantity_revenue",
-    "cast_align_orders",
-    "join_asof_latest_order",
-    "join_range_price_band",
-    "join_skew_salted_orders",
-    # (c) the r10-checked head (8 of 50) — next-stalest
-    "dedup_substring_overlap",
-    "sink_async_upsert_final_state",
-    "multimodal_jpeg_lossless_decode",
-    "tokenizer_unigram_train_scores",
-    "tokenizer_unigram_apply_tokens",
-    "ingest_gzip_member_walk",
-    "ingest_zstd_frame_walk",
-    "ingest_tar_member_walk",
-    # --- window boundary (driver checks exactly 50; 18+24+8=50) ---
-    # r10 remainder (42): the round-16 rotation head starts here
-    "multimodal_tiff_decode",
-    "ingest_tfrecord_walk",
-    "ingest_warc_record_walk",
-    "dedup_ngram_jaccard",
+    # (a) r15 semantics-touched queries, never driver-verified (12)
+    "dedup_semantic_cluster",
+    "graph_pagerank_custsupp",
+    "delta_change_data_feed",
+    "delta_log_snapshot_stats",
+    "delta_checkpoint_snapshot",
+    "delta_time_travel_diff",
+    "delta_stats_skipping",
+    "delta_deletion_vectors",
+    "dedup_hyperplane_lsh",
     "dedup_minhash_lsh",
+    "dedup_lsh_bucket_stats",
+    "video_frame_banded_neardup",
+    # (b) the r16 restructures (4)
+    "graph_triangle_count_suppliers",
+    "agg_approx_sketches",
+    "profile_orders_columns",
+    "corpus_dsir_select",
+    # (c) staged-sort decode-walk spread, one slice per touched family (34)
+    "audio_aac_adts_walk",
+    "audio_mp3_frame_walk",
+    "audio_ogg_page_walk",
+    "audio_adpcm_decode",
+    "iceberg_commit_roundtrip",
+    "iceberg_manifest_snapshot",
+    "iceberg_mor_deletes",
+    "iceberg_partition_pruning",
+    "quality_char_diversity",
+    "inference_embed_bucket_counts",
+    "tokenizer_bpe_apply_tokens",
+    "tokenizer_wordpiece_apply_tokens",
+    "multimodal_video_mjpeg",
+    "multimodal_tiff_decode",
+    "multimodal_tiff_lzw_tiled_decode",
+    "multimodal_jpeg_decode",
+    "multimodal_jpeg_progressive_decode",
+    "multimodal_jpeg12_decode",
+    "multimodal_flac_decode",
+    "multimodal_codec_decode",
+    "ingest_bzip2_decode",
+    "ingest_xz_lzma2_decode",
+    "ingest_avro_schema_resolution",
+    "ingest_orc_walk",
+    "ingest_orc_nullable_walk",
+    "ingest_parquet_native_walk",
+    "ingest_parquet_v2_delta_walk",
+    "ingest_parquet_page_index_walk",
+    "ingest_parquet_bloom_probe",
+    "ingest_cbor_walk",
+    "ingest_warc_record_walk",
+    "ingest_tfrecord_walk",
+    "ingest_zip_member_walk",
+    "ingest_safetensors_walk",
+    # --- window boundary (driver checks exactly 50; 12+4+34=50) ---
+    # leftover r15-touched walks: next-stalest, for drivers checking >50
+    "ingest_arrow_ipc_stream_walk",
+    "ingest_arrow_ipc_walk",
+    "ingest_avro_single_object",
+    "ingest_binaryfile_dispatch",
+    "ingest_binaryfile_scan",
+    "ingest_gzip_native_inflate",
+    "ingest_lz4_frame_decode",
+    "ingest_parquet_dictionary_walk",
+    "ingest_snappy_framed_decode",
+    "ingest_tar_pax_walk",
+    "ingest_zstd_compressed_decode",
+    "ingest_zstd_dict_decode",
+    "audio_spectral_bins",
+    "multimodal_jpeg420_decode",
+    "multimodal_jpeg_restart_decode",
+    "multimodal_jpeg_prog420_decode",
+    # previously recorded staleness order (r10..r14 eras)
+    "dedup_ngram_jaccard",
     "dedup_simhash",
     "contamination_bloom_prefilter",
     "dedup_connected_components",
@@ -229,7 +181,6 @@ _PRIORITY = [
     "agg_histogram_equidepth",
     "attribution_linear_touch",
     "arrow_grouped_value_stats",
-    "graph_triangle_count_suppliers",
     "rollup_hll_mergeable",
     "ann_ivf_topk",
     "sim_cosine_pairs",
@@ -247,7 +198,6 @@ _PRIORITY = [
     "multimodal_frame_sample",
     "multimodal_resize",
     "multimodal_feature_extract",
-    "agg_approx_sketches",
     "scalar_higher_order_array",
     "sample_uniform_docs",
     "sample_stratified_by_lang",
@@ -257,25 +207,13 @@ _PRIORITY = [
     "text_fingerprint",
     "text_rolling_hash",
     "pipeline_clean_corpus",
-    # r11-checked (50)
-    "ingest_zip_member_walk",
-    "audio_ogg_page_walk",
     "ann_ivf_incremental_topk",
     "quality_classifier_train",
     "quality_classifier_filter",
     "quality_classifier_eval",
-    "ingest_zstd_compressed_decode",
-    "ingest_lz4_frame_decode",
-    "ingest_snappy_framed_decode",
-    "ingest_gzip_native_inflate",
-    "ingest_bzip2_decode",
-    "ingest_parquet_native_walk",
-    "ingest_xz_lzma2_decode",
     "text_word_count_topk",
     "text_heavy_hitters_approx",
-    "dedup_lsh_bucket_stats",
     "embedding_norm_stats",
-    "dedup_hyperplane_lsh",
     "q18_large_volume_customer",
     "q10_returned_item_revenue",
     "q7_volume_shipping",
@@ -289,17 +227,8 @@ _PRIORITY = [
     "agg_stats_moments",
     "window_range_frame_spend",
     "join_full_outer_event_coverage",
-    "audio_adpcm_decode",
-    "multimodal_flac_decode",
-    "audio_spectral_bins",
-    "inference_embed_bucket_counts",
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
-    "multimodal_jpeg_decode",
-    "multimodal_codec_decode",
-    "multimodal_jpeg420_decode",
-    "multimodal_jpeg_restart_decode",
-    "multimodal_jpeg_progressive_decode",
     "ann_nsw_beam_topk",
     "setop_intersect_except_all",
     "window_distribution_funcs",
@@ -308,26 +237,11 @@ _PRIORITY = [
     "scalar_regexp_datetime",
     "agg_bitwise_flags",
     "scalar_explode_outer_arrays",
-    # r12-checked (50)
-    "ingest_parquet_v2_delta_walk",
-    "ingest_cbor_walk",
-    "ingest_parquet_page_index_walk",
-    "ingest_orc_walk",
-    "ingest_arrow_ipc_stream_walk",
-    "ingest_avro_schema_resolution",
     "ingest_avro_container_walk",
-    "ingest_arrow_ipc_walk",
     "corpus_bigram_lm_train",
     "corpus_perplexity_filter",
-    "multimodal_tiff_lzw_tiled_decode",
-    "ingest_tar_pax_walk",
-    "ingest_safetensors_walk",
     "dedup_corpus_paragraphs",
-    "ingest_zstd_dict_decode",
     "tokenizer_wordpiece_train_scores",
-    "tokenizer_wordpiece_apply_tokens",
-    "delta_log_snapshot_stats",
-    "iceberg_manifest_snapshot",
     "agg_rollup_grouping_id",
     "q6_revenue_forecast",
     "q13_customer_order_distribution",
@@ -339,7 +253,6 @@ _PRIORITY = [
     "pipeline_training_mix",
     "text_length_histogram",
     "tokenizer_bpe_train_merges",
-    "tokenizer_bpe_apply_tokens",
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q11_important_stock",
@@ -355,24 +268,10 @@ _PRIORITY = [
     "pipeline_filter_funnel",
     "dedup_incremental_ingest",
     "udtf_bigram_topk",
-    "multimodal_video_mjpeg",
     "video_frame_ahash_dedup",
     "filetail_batch_offsets",
     "stream_filetail_log_counts",
-    # r13-checked (50)
-    "iceberg_mor_deletes",
-    "delta_checkpoint_snapshot",
-    "ingest_binaryfile_scan",
-    "ingest_parquet_bloom_probe",
-    "delta_deletion_vectors",
-    "ingest_parquet_dictionary_walk",
-    "ingest_avro_single_object",
     "sketch_kmv_distinct_ops",
-    "corpus_dsir_select",
-    "delta_time_travel_diff",
-    "ingest_orc_nullable_walk",
-    "iceberg_partition_pruning",
-    "ingest_binaryfile_dispatch",
     "cogroup_user_activity_profile",
     "pysource_synthetic_events",
     "text_repetition_filter",
@@ -410,8 +309,6 @@ _PRIORITY = [
     "join_semi_big_orders",
     "join_anti_idle_customers",
     "agg_global_stats",
-    # r14-checked (50): the r14 registrations + the r8 head + the
-    # 26 r9 names r14 refreshed — the freshest greens, checked last
     "ingest_parquet_nested_walk",
     "ingest_embeddings_real_walk",
     "ingest_documents_real_walk",
@@ -419,9 +316,6 @@ _PRIORITY = [
     "ingest_orc_string_walk",
     "ingest_orc_temporal_walk",
     "ingest_orc_list_walk",
-    "delta_change_data_feed",
-    "delta_stats_skipping",
-    "iceberg_commit_roundtrip",
     "sink_copy_binary_roundtrip",
     "agg_rollup_flag_status",
     "agg_cube_flag_status",
@@ -437,14 +331,8 @@ _PRIORITY = [
     "setop_union_all_keys",
     "scalar_string_date_funcs",
     "sink_upsert_final_state",
-    "multimodal_jpeg_prog420_decode",
-    "video_frame_banded_neardup",
     "ann_hnsw_layered_topk",
-    "audio_mp3_frame_walk",
     "sink_staging_merge_final_state",
-    "multimodal_jpeg12_decode",
-    "audio_aac_adts_walk",
-    "dedup_semantic_cluster",
     "scalar_case_math",
     "agg_unpivot_metrics",
     "stream_session_dynamic_gap",
@@ -454,14 +342,62 @@ _PRIORITY = [
     "text_boilerplate_share",
     "quality_expectations_report",
     "multimodal_ahash_near_dup",
-    "graph_pagerank_custsupp",
     "ann_recall_report",
     "dedup_cluster_keep_best",
     "stream_ohlc_hourly",
     "cluster_kmeans_embeddings",
     "sample_cluster_diversity",
     "text_tfidf_top_terms",
-    "quality_char_diversity",
+    # the r15-verified window: freshest greens, checked last
+    "ingest_parquet_zstd_pages",
+    "ingest_parquet_lz4_pages",
+    "ingest_parquet_bss_walk",
+    "ingest_parquet_dlba_walk",
+    "ingest_orc_map_walk",
+    "ingest_orc_struct_walk",
+    "ingest_orc_union_walk",
+    "multimodal_jpeg_arith_decode",
+    "ann_recall_hnsw_report",
+    "ingest_parquet_legacy_walk",
+    "search_rrf_fusion",
+    "embedding_matryoshka_recall",
+    "multimodal_webp_lossless_decode",
+    "multimodal_webp_anim_walk",
+    "audio_g711_walk",
+    "multimodal_webp_lossy_decode",
+    "multimodal_webp_alpha_decode",
+    "ingest_zstd_seekable_walk",
+    "skyline_orders_price_date",
+    "concurrency_gauge_hourly",
+    "anomaly_mad_robust",
+    "stream_upsert_incremental",
+    "stream_dedup_exactly_once",
+    "train_global_shuffle",
+    "embedding_gram_matrix",
+    "hierarchy_recursive_cte",
+    "scalar_try_ansi_safe",
+    "stream_late_data_drop",
+    "repair_impute_group_median",
+    "trend_value_slope_per_user",
+    "ingest_schema_evolution_merge",
+    "dedup_prefix_containment",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q4_order_priority_exists",
+    "q17_small_quantity_revenue",
+    "cast_align_orders",
+    "join_asof_latest_order",
+    "join_range_price_band",
+    "join_skew_salted_orders",
+    "dedup_substring_overlap",
+    "sink_async_upsert_final_state",
+    "multimodal_jpeg_lossless_decode",
+    "tokenizer_unigram_train_scores",
+    "tokenizer_unigram_apply_tokens",
+    "ingest_gzip_member_walk",
+    "ingest_zstd_frame_walk",
+    "ingest_tar_member_walk",
 ]
 
 
