@@ -1089,6 +1089,12 @@ def basket_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOTE (r15): materializing this distinct once for its four
     # consumers was A/B-measured slower (1.94 s → 2.61 s at sf0.1);
     # the parallel re-scans are cheaper than the checkpoint job.
+    # NOTE (r16): the triangle census's collect_set + combinations
+    # pair generation was A/B'd here too and REJECTED (1.60 → 1.74 s
+    # isolated min-of-3): unlike the triangle query, both self-join
+    # sides prune the SAME (ok, pk) columns, so the planner already
+    # reuses one exchange for both sides and the join adds less than
+    # the collect_set object buffers cost. Kept as the self-join.
     base = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     ).distinct()

@@ -57,10 +57,12 @@ def _pairs(nv: int) -> list[tuple[int, int]]:
 
 def delta_snapshot_diff(spark: SparkSession, nv: int) -> DataFrame:
     # parse the synthesized log ONCE (log-sized) — the JSON
-    # synth+parse subtree must not re-execute per consumer
+    # synth+parse subtree must not re-execute per consumer. LAZY pin
+    # (r16 A/B at sf0.1: lazy 1.12-1.22 s vs eager 1.30 s — no
+    # per-build materialization job; still parsed once per run)
     acts = delta_log_lines(spark, nv).select(
         "version", F.from_json("line", _ACTION_SCHEMA).alias("a")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     adds = acts.filter("a.add IS NOT NULL").select(
         "version",
         F.col("a.add.path").alias("path"),

@@ -181,16 +181,18 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profile — the ANALYZE TABLE shape a warehouse runs before
     choosing join strategies: per column, row/null/exact-distinct
     counts and min/max (rendered as strings so one report schema covers
-    heterogeneous column types). The whole profile is ONE scan: every
-    per-column statistic is a conditional aggregate in the same
-    aggregation (map-side partials reduce each partition to one row;
-    the multiple DISTINCTs are the expensive part — Spark expands them
-    into one multi-column distinct aggregate, the same cost class as
-    the uniqueness expectation above). The unpivot (``stack``) runs on
-    the 1-row aggregate, never on data. At 100 TB swap exact distincts
-    for ``approx_count_distinct`` (HLL) — same shape, one pass, bounded
-    memory — mirroring the sketch/error-contract pattern of
-    ``agg_approx_sketches``.
+    heterogeneous column types). The non-distinct statistics are ONE
+    scan with conditional aggregates (map-side partials reduce each
+    partition to one row); each exact DISTINCT count is its own
+    two-level hash aggregate over just its column, reassembled by
+    1-row broadcast crossJoins — putting the five distincts in the one
+    aggregation made Spark's distinct-rewrite EXPAND every row 6× and
+    sort the expanded rows (r16 A/B: 3.21 s → 0.58 s at sf0.1; exact
+    values unchanged). The unpivot (``stack``) runs on the 1-row
+    aggregate, never on data. At 100 TB swap exact distincts for
+    ``approx_count_distinct`` (HLL) — those ride the single scan with
+    bounded memory and no Expand — mirroring the sketch/error-contract
+    pattern of ``agg_approx_sketches``.
 
     Timestamps are excluded from the showcase column set: their string
     rendering differs between engines ('2000-01-01 00:00:00' vs

@@ -127,6 +127,14 @@ def graph_pagerank_custsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # was falling back to a shuffle join of the edge list each
     # round). Per-u values are identical, so the per-edge sums are
     # identical — exact integer arithmetic end to end.
+    # NOTE (r16): two variants were A/B'd against this shape (isolated
+    # min-of-3, sf0.1) and REJECTED: broadcasting deg into the cu join
+    # 2.34 → 2.61 s (the |V|-row broadcast build per round costs more
+    # than the AQE-converted join it replaces), and lazy checkpoints
+    # for edges/deg/rank 2.34 → 2.71 s (eager materialization lets the
+    # five per-round jobs start from pinned blocks; deferring it
+    # serializes the recursive materialization into the final job).
+    # Both rejected; kept exactly as r15 shipped it.
     e_cp = edges.localCheckpoint()
     deg = e_cp.groupBy("u").agg(F.count("*").alias("deg")).localCheckpoint()
 

@@ -138,7 +138,12 @@ def _lm_tables(
     c12 = train.groupBy("w1", "w2").agg(
         F.count("*").cast("long").alias("c12")
     )
-    c1 = train.groupBy("w1").agg(F.count("*").cast("long").alias("c1"))
+    # r16: c1 is the w2-marginal of c12 (count of train bigrams per w1
+    # ≡ Σ_w2 c12 — exact integers), so derive it from the vocab²-sized
+    # c12 aggregate instead of re-running the train-split explode a
+    # second time (guide §2.4: one fewer full pass over document text;
+    # the re-aggregation input is vocabulary-sized, not corpus-sized)
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
     d = load_table(spark, sf_dir, "documents")
     nv = (
         d.filter(F.col("doc_id") % _TRAIN_MOD == 0)
@@ -347,9 +352,13 @@ def corpus_perplexity_filter(
     this); scoring is a pure map over zip_with bigrams; the only
     full-corpus shuffle is the per-doc surprise fold."""
     # the score table feeds both the threshold aggregate and the
-    # output join — materialize it once (quality_model's feature-pass
-    # policy) instead of re-planning the LM pipeline per consumer
-    scores = _doc_scores(spark, sf_dir).localCheckpoint(eager=True)
+    # output join — pin it once (quality_model's feature-pass policy)
+    # instead of re-planning the LM pipeline per consumer. LAZY pin
+    # (r16 A/B, isolated min-of-3 at sf0.1): lazy 1.60 s / no pin
+    # 1.60 s / eager 1.68 s — lazy keeps the scores computed once per
+    # run (both consumers read the pinned blocks) without the eager
+    # variant's per-build materialization job.
+    scores = _doc_scores(spark, sf_dir).localCheckpoint(eager=False)
     thr = scores.agg(
         F.floor(F.sum("ppl_milli").cast("double") / F.count("*"))
         .cast("long")
